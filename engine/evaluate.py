@@ -1,0 +1,93 @@
+"""Retrieval evaluation: MAP / P@20 / nDCG@20 (SURVEY.md §2.7 E1-E5;
+reference tools/evaluate.py:43-95).
+
+Faithfully mirrors the reference's quirks:
+
+* DCG uses rel/log2(i) for i >= 2 and plain rel at i == 1
+  (tools/evaluate.py:63-71 — NOT the usual log2(i+1)).
+* ideal DCG = DCG of an all-relevant prefix of length min(|rel|, k)
+  (tools/evaluate.py:75).
+* AP denominator = |relevant_set| (full recall base).
+* macro-average over ALL qrels topics; topics missing from the run
+  score 0 (tools/evaluate.py:80-95).
+
+Implemented as pure DataFrame ops (windows + aggregations): scales to
+arbitrarily many topics even though the reference is 50.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def evaluate_run(run: DataFrame, qrels: DataFrame, k: int = 20) -> DataFrame:
+    """Per-topic metrics.
+
+    run:   (qid, docno, rank)       — rank 1-based
+    qrels: (qid, docno, rel)        — rel in {0, 1}
+    returns (qid, ap, p_at_k, ndcg_at_k) for every qrels topic.
+    """
+    rel_docs = qrels.where(F.col("rel") > 0).select("qid", "docno").distinct()
+    n_rel = rel_docs.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
+
+    ranked = (run.select("qid", "docno", "rank")
+              .join(rel_docs.withColumn("is_rel", F.lit(1)),
+                    ["qid", "docno"], "left")
+              .withColumn("is_rel", F.coalesce("is_rel", F.lit(0))))
+
+    w = (Window.partitionBy("qid").orderBy("rank")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = ranked.withColumn("cum_rel", F.sum("is_rel").over(w))
+
+    # E1: AP = sum(precision@hit) / n_rel
+    ap = (ranked.where(F.col("is_rel") == 1)
+          .withColumn("prec", F.col("cum_rel") / F.col("rank"))
+          .groupBy("qid").agg(F.sum("prec").alias("sum_prec")))
+
+    # E2: P@k
+    pk = (ranked.where(F.col("rank") <= k)
+          .groupBy("qid")
+          .agg((F.sum("is_rel") / F.lit(k)).alias("p_at_k")))
+
+    # E3: DCG@k with the reference's log2(i) discount (i>=2)
+    dcg = (ranked.where(F.col("rank") <= k)
+           .withColumn("gain",
+                       F.when(F.col("rank") == 1, F.col("is_rel").cast("double"))
+                       .otherwise(F.col("is_rel") / F.log2(F.col("rank"))))
+           .groupBy("qid").agg(F.sum("gain").alias("dcg")))
+
+    # ideal DCG = all-relevant prefix of length min(n_rel, k):
+    # 1 + sum_{i=2..m} 1/log2(i), computed closed-form per topic via a
+    # tiny sequence explode (k is small).
+    ideal = (n_rel
+             .withColumn("m", F.least(F.col("n_rel"), F.lit(k)))
+             .withColumn("i", F.explode(F.sequence(F.lit(1), F.col("m"))))
+             .withColumn("gain",
+                         F.when(F.col("i") == 1, F.lit(1.0))
+                         .otherwise(F.lit(1.0) / F.log2(F.col("i"))))
+             .groupBy("qid", "n_rel").agg(F.sum("gain").alias("idcg")))
+
+    # E4 framing: every qrels topic appears; missing run topics score 0.
+    topics = qrels.select("qid").distinct()
+    out = (topics
+           .join(ideal.select("qid", "n_rel", "idcg"), "qid", "left")
+           .join(ap, "qid", "left")
+           .join(pk, "qid", "left")
+           .join(dcg, "qid", "left")
+           .withColumn("ap", F.coalesce(F.col("sum_prec") / F.col("n_rel"),
+                                        F.lit(0.0)))
+           .withColumn("p_at_k", F.coalesce("p_at_k", F.lit(0.0)))
+           .withColumn("ndcg_at_k",
+                       F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)))
+           .select("qid", "ap", "p_at_k", "ndcg_at_k"))
+    return out
+
+
+def macro_metrics(run: DataFrame, qrels: DataFrame, k: int = 20) -> dict:
+    """E4: MAP / P@k / nDCG@k macro-averaged over all qrels topics."""
+    per = evaluate_run(run, qrels, k)
+    row = per.agg(F.avg("ap"), F.avg("p_at_k"), F.avg("ndcg_at_k")).collect()[0]
+    return {"MAP": float(row[0] or 0.0),
+            f"P@{k}": float(row[1] or 0.0),
+            f"nDCG@{k}": float(row[2] or 0.0)}

@@ -1,0 +1,345 @@
+"""Distributed inverted-index construction (SURVEY.md §2.4 I1-I9, §3.1).
+
+Replaces what the reference delegates to Lucene's ``IndexWriter``
+(reference: src/main/java/org/cs7is3/Indexer.java:27-71) with an
+explicit Spark dataflow:
+
+    corpus table ──► deterministic dense doc_id (I1)
+                ──► tokenize (vectorized pandas UDF, T1-T5)
+                ──► explode ──► tf per (term, doc) (I2)  [shuffle 1]
+                ──► df / dl / avgdl / N stats (I3, I8, I9)
+                ──► salted repartition-by-term + head-term skew split
+                ──► per-group sort + VB/block-max encode (I4-I6)
+                                                          [shuffle 2]
+                ──► segment parquet per term bucket + lineage manifest
+                    (I7; resumable — the Spark analog of Lucene's
+                    flush-segments-no-forceMerge at Indexer.java:50)
+
+On-disk layout under ``index_dir``::
+
+    docs/       doc_id, docno, repo, path, commit, lang, content, sha, dl
+    tf/         bucket=*/ term, salt, doc_id, tf, dl      (checkpoint 1)
+    termstats/  term, df, bucket
+    stats/      single row: n_docs, avgdl, total_tokens, n_buckets, ...
+    postings/   bucket=*/ term, salt, df_part, blob, block_last,
+                block_max_tf, block_max_w                 (checkpoint 2)
+    manifest/   segment_id(bucket), n_terms, n_postings, bytes,
+                term_min, term_max, chunk_id, status      (lineage)
+
+Resume: stage outputs are committed atomically per Spark job; the
+postings stage processes buckets in chunks, appending manifest rows per
+chunk, so a killed build restarts exactly at the first unfinished
+chunk (``plan_missing_buckets`` anti-joins all buckets vs manifest).
+
+Scale notes (designed for ~100 TB / 1000 executors, tested local[32]):
+* doc_id assignment is two-pass hash-bucketed (no global sort, no
+  single-partition window): canonical order = (hash-bucket, repo, path).
+* dl is carried through the explode so tf aggregation needs no
+  doclens join (dl is functionally dependent on doc_id).
+* head terms (Zipf skew) are split by ``doc_id % n_splits`` so no
+  posting group exceeds ``split_threshold`` entries — bounds both the
+  shuffle skew and the applyInPandas group memory.
+* everything downstream of the tokenizer UDF is built-in Catalyst
+  (whole-stage codegen) except the final applyInPandas encode.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+import pyspark.sql.types as T
+
+from .analysis import tokenize_pandas_udf
+from .postings import BLOCK_SIZE, encode_postings
+from .scoring import B, K1
+
+DEFAULT_N_BUCKETS = 32
+DEFAULT_SPLIT_THRESHOLD = 100_000
+
+
+# ---------------------------------------------------------------------------
+# I1: deterministic dense doc_id assignment — distributed, no global sort
+# ---------------------------------------------------------------------------
+
+def assign_doc_ids(corpus: DataFrame, n_doc_buckets: int = 64) -> DataFrame:
+    """Dense, deterministic ``doc_id`` per (repo, path).
+
+    Canonical total order = (xxhash64-bucket, repo, path): stable across
+    runs and parallelism levels, computed with one small aggregate plus
+    a per-bucket window — no single-partition global sort (SURVEY.md
+    §2.4 I1, §4.2 item 4).
+    """
+    b = F.pmod(F.xxhash64("repo", "path"), F.lit(n_doc_buckets)).alias("_b")
+    df = corpus.withColumn("_b", b)
+    counts = df.groupBy("_b").count().collect()
+    by_bucket = {int(r["_b"]): int(r["count"]) for r in counts}
+    offsets, acc = {}, 0
+    for k in sorted(by_bucket):
+        offsets[k] = acc
+        acc += by_bucket[k]
+    spark = corpus.sparkSession
+    off_df = F.broadcast(spark.createDataFrame(
+        [(k, v) for k, v in offsets.items()], "_b long, _off long"))
+    w = Window.partitionBy("_b").orderBy("repo", "path")
+    return (
+        df.join(off_df, "_b")
+        .withColumn("doc_id", F.col("_off") + F.row_number().over(w) - 1)
+        .drop("_b", "_off")
+        .withColumn("docno", F.concat_ws("/", "repo", "path"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sha invariant (BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+
+def check_sha(df: DataFrame) -> int:
+    """Number of rows whose stored ``sha`` mismatches recomputed
+    ``sha2(content, 256)`` — must be 0 after every materialization."""
+    return df.where(F.sha2(F.col("content"), 256) != F.col("sha")).count()
+
+
+# ---------------------------------------------------------------------------
+# Build stages
+# ---------------------------------------------------------------------------
+
+def _paths(index_dir: str) -> dict[str, str]:
+    return {k: f"{index_dir}/{k}" for k in
+            ("docs", "tf", "termstats", "stats", "postings", "manifest")}
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    # A Spark parquet write is complete iff _SUCCESS exists.
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS"))
+
+
+def _manifest_schema() -> T.StructType:
+    return T.StructType([
+        T.StructField("segment_id", T.IntegerType()),
+        T.StructField("n_terms", T.LongType()),
+        T.StructField("n_postings", T.LongType()),
+        T.StructField("bytes", T.LongType()),
+        T.StructField("term_min", T.StringType()),
+        T.StructField("term_max", T.StringType()),
+        T.StructField("chunk_id", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+    ])
+
+
+_ENC_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType()),
+    T.StructField("salt", T.IntegerType()),
+    T.StructField("df_part", T.LongType()),
+    T.StructField("blob", T.BinaryType()),
+    T.StructField("block_last", T.ArrayType(T.LongType())),
+    T.StructField("block_max_tf", T.ArrayType(T.IntegerType())),
+    T.StructField("block_max_w", T.ArrayType(T.DoubleType())),
+    T.StructField("bucket", T.IntegerType()),
+])
+
+
+def _make_encode_fn(avgdl: float, k1: float, b: float, block_size: int):
+    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket, term, salt = int(key[0]), key[1], int(key[2])
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        docs = pdf["doc_id"].to_numpy()[order]
+        tfs = pdf["tf"].to_numpy()[order]
+        dls = pdf["dl"].to_numpy()[order]
+        blob, last, mtf, mw = encode_postings(docs, tfs, dls, avgdl, k1, b, block_size)
+        return pd.DataFrame({
+            "term": [term], "salt": [salt], "df_part": [int(len(docs))],
+            "blob": [blob], "block_last": [last.tolist()],
+            "block_max_tf": [mtf.tolist()], "block_max_w": [mw.tolist()],
+            "bucket": [bucket],
+        })
+    return encode_group
+
+
+def plan_missing_buckets(spark: SparkSession, index_dir: str,
+                         n_buckets: int) -> list[int]:
+    """Lineage anti-join: buckets with no 'done' manifest row."""
+    p = _paths(index_dir)
+    done: set[int] = set()
+    try:
+        rows = (spark.read.parquet(p["manifest"])
+                .where(F.col("status") == "done")
+                .select("segment_id").distinct().collect())
+        done = {int(r[0]) for r in rows}
+    except Exception:
+        pass
+    return [bkt for bkt in range(n_buckets) if bkt not in done]
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    n_doc_buckets: int = 64,
+    split_threshold: int = DEFAULT_SPLIT_THRESHOLD,
+    chunk_size: int | None = None,
+    block_size: int = BLOCK_SIZE,
+    stem: bool = False,
+    k1: float = K1,
+    b: float = B,
+    overwrite: bool = False,
+) -> dict:
+    """Build (or resume) the index; returns build metrics.
+
+    ``chunk_size``: buckets per postings job — the resume checkpoint
+    granularity. None = all missing buckets in one job (fastest).
+    """
+    t0 = time.time()
+    p = _paths(index_dir)
+    metrics: dict = {"resumed_stages": []}
+
+    if overwrite:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(index_dir)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
+
+    # ---- stage 1: docs table (doc_id + sha + dl) --------------------------
+    tok = tokenize_pandas_udf(stem=stem)
+    if not _exists(spark, p["docs"]):
+        docs = assign_doc_ids(corpus, n_doc_buckets)
+        docs = (
+            docs.withColumn("sha", F.sha2(F.col("content"), 256))
+            .withColumn("dl", F.size(tok(F.col("content"))))
+            .select("doc_id", "docno", "repo", "path", "commit", "lang",
+                    "content", "sha", "dl")
+        )
+        docs.write.parquet(p["docs"])
+    else:
+        metrics["resumed_stages"].append("docs")
+    docs = spark.read.parquet(p["docs"])
+    t_docs = time.time()
+
+    # ---- stage 2: tf table, salted + bucketed (checkpoint 1) --------------
+    if not _exists(spark, p["tf"]):
+        toks = docs.select(
+            "doc_id", F.col("dl"),
+            F.explode(tok(F.col("content"))).alias("term"),
+        )
+        tf = toks.groupBy("term", "doc_id", "dl").agg(
+            F.count(F.lit(1)).alias("tf"))
+        dfstats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        head = (dfstats.where(F.col("df") > split_threshold)
+                .withColumn("n_splits",
+                            F.ceil(F.col("df") / F.lit(split_threshold))
+                            .cast("int"))
+                .select("term", "n_splits"))
+        tf = (
+            tf.join(F.broadcast(head), "term", "left")
+            .withColumn("salt",
+                        F.when(F.col("n_splits").isNull(), F.lit(0))
+                        .otherwise(F.pmod(F.col("doc_id"), F.col("n_splits"))
+                                   .cast("int")))
+            .withColumn("bucket",
+                        F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                        .cast("int"))
+            .select("bucket", "term", "salt", "doc_id", "tf", "dl")
+        )
+        tf.write.partitionBy("bucket").parquet(p["tf"])
+        (dfstats
+         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                     .cast("int"))
+         .write.parquet(p["termstats"]))
+    else:
+        metrics["resumed_stages"].append("tf")
+    t_tf = time.time()
+
+    # ---- stage 3: global stats -------------------------------------------
+    if not _exists(spark, p["stats"]):
+        agg = docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("total_tokens"),
+        ).collect()[0]
+        stats = {
+            "n_docs": int(agg["n_docs"]), "avgdl": float(agg["avgdl"]),
+            "total_tokens": int(agg["total_tokens"]),
+            "n_buckets": n_buckets, "split_threshold": split_threshold,
+            "block_size": block_size, "k1": k1, "b": b, "stem": stem,
+        }
+        spark.createDataFrame([json.dumps(stats)], "string") \
+            .toDF("stats_json").write.parquet(p["stats"])
+    else:
+        metrics["resumed_stages"].append("stats")
+    stats = load_stats(spark, index_dir)
+    t_stats = time.time()
+
+    # ---- stage 4: postings encode, chunked + manifested (checkpoint 2) ----
+    missing = plan_missing_buckets(spark, index_dir, n_buckets)
+    metrics["buckets_resumed"] = n_buckets - len(missing)
+    if missing:
+        step = chunk_size or len(missing)
+        enc_fn = _make_encode_fn(stats["avgdl"], k1, b, block_size)
+        tf_all = spark.read.parquet(p["tf"])
+        for ci in range(0, len(missing), step):
+            chunk = missing[ci:ci + step]
+            part = tf_all.where(F.col("bucket").isin(chunk))
+            enc = part.groupBy("bucket", "term", "salt").applyInPandas(
+                enc_fn, schema=_ENC_SCHEMA)
+            enc.write.partitionBy("bucket").mode("append").parquet(p["postings"])
+            # lineage manifest rows for every bucket in the chunk
+            written = (spark.read.parquet(p["postings"])
+                       .where(F.col("bucket").isin(chunk))
+                       .groupBy("bucket").agg(
+                           F.count(F.lit(1)).alias("n_terms"),
+                           F.sum("df_part").alias("n_postings"),
+                           F.sum(F.length("blob")).alias("bytes"),
+                           F.min("term").alias("term_min"),
+                           F.max("term").alias("term_max"),
+                       ).collect())
+            by_b = {int(r["bucket"]): r for r in written}
+            rows = []
+            for bkt in chunk:
+                r = by_b.get(bkt)
+                rows.append((bkt,
+                             int(r["n_terms"]) if r else 0,
+                             int(r["n_postings"]) if r else 0,
+                             int(r["bytes"]) if r else 0,
+                             r["term_min"] if r else None,
+                             r["term_max"] if r else None,
+                             ci // step, "done"))
+            spark.createDataFrame(rows, _manifest_schema()) \
+                .write.mode("append").parquet(p["manifest"])
+    t_post = time.time()
+
+    man = spark.read.parquet(p["manifest"])
+    tot = man.agg(F.sum("n_postings"), F.sum("bytes"), F.sum("n_terms")).collect()[0]
+    metrics.update({
+        "n_docs": stats["n_docs"],
+        "total_tokens": stats["total_tokens"],
+        "avgdl": stats["avgdl"],
+        "n_postings": int(tot[0] or 0),
+        "index_bytes": int(tot[1] or 0),
+        "n_term_segments": int(tot[2] or 0),
+        "sec_docs": t_docs - t0,
+        "sec_tf": t_tf - t_docs,
+        "sec_stats": t_stats - t_tf,
+        "sec_postings": t_post - t_stats,
+        "sec_total": t_post - t0,
+        "docs_per_sec": stats["n_docs"] / max(t_post - t0, 1e-9),
+    })
+    return metrics
+
+
+def load_stats(spark: SparkSession, index_dir: str) -> dict:
+    row = spark.read.parquet(_paths(index_dir)["stats"]).collect()[0]
+    return json.loads(row["stats_json"])

@@ -1,0 +1,159 @@
+"""Posting-list codec: delta docIDs + term frequencies, variable-byte
+compressed in fixed-size blocks with block-max metadata.
+
+Re-expresses what Lucene's codec does internally for the reference
+(SURVEY.md §2.4 I4-I6; the reference delegates to ``IndexWriter`` at
+src/main/java/org/cs7is3/Indexer.java:39,67 and relies on Lucene's
+impacts/BlockMaxWAND at Searcher.java:45,77).
+
+Layout per term (one ``postings: binary`` cell + array metadata):
+
+* docIDs are sorted ascending, delta-encoded (first value absolute,
+  then gaps), then VB-encoded.
+* term frequencies VB-encoded in the same order.
+* per-posting document lengths (exact, unquantized — SURVEY.md §4.3)
+  VB-encoded in the same order, so a scorer needs no doclens join
+  (the Lucene analog is the impact (tf, norm) pair stored per posting).
+* entries are grouped in blocks of ``BLOCK_SIZE`` (default 128,
+  Lucene-style); per block we store ``block_last_doc`` (int64),
+  ``block_max_tf`` (int32) and ``block_max_w`` (float64) where
+  ``w = tf / (tf + k1*(1-b+b*dl/avgdl))`` is the idf-free BM25 weight:
+  block-max WAND upper bound = idf(term) * block_max_w.
+  (k1, b, avgdl are frozen at build time — pinned constants per
+  SURVEY.md §4.3; avgdl is recorded in the index stats.)
+
+Byte format of the binary cell:
+    varint(n_entries) || VB(doc deltas...) || VB(tfs...) || VB(dls...)
+
+All encode/decode paths are numpy-vectorized (no per-element Python
+loops over postings); they run inside ``applyInPandas`` /
+``mapInPandas`` on the executors.
+
+VB convention: big-endian 7-bit groups, the LAST byte of each value has
+its high bit set (Lucene-style terminator byte).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+# ---------------------------------------------------------------------------
+# Vectorized variable-byte codec
+# ---------------------------------------------------------------------------
+
+def vb_encode(values: np.ndarray) -> np.ndarray:
+    """Encode a non-negative int array into a uint8 VB byte stream."""
+    a = np.asarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return np.empty(0, dtype=np.uint8)
+    # bytes needed per value: number of 7-bit groups
+    nb = np.ones(a.size, dtype=np.int64)
+    t = a >> np.uint64(7)
+    while t.any():
+        nb += (t > 0)
+        t >>= np.uint64(7)
+    ends = np.cumsum(nb)
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    # fill k-th byte from the end of each value: holds bits [7k, 7k+7)
+    for k in range(int(nb.max())):
+        mask = nb > k
+        out[ends[mask] - 1 - k] = ((a[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+    out[ends - 1] |= 0x80  # terminator bit on the last byte of each value
+    return out
+
+
+def vb_decode(buf: np.ndarray, count: int | None = None) -> Tuple[np.ndarray, int]:
+    """Decode a VB byte stream; returns (values:uint64, bytes_consumed).
+
+    If ``count`` is given, decodes exactly that many values and stops.
+    """
+    b = np.asarray(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64), 0
+    is_end = (b & 0x80) != 0
+    end_idx = np.flatnonzero(is_end)
+    if count is not None:
+        end_idx = end_idx[:count]
+        consumed = int(end_idx[-1]) + 1 if end_idx.size else 0
+        b = b[:consumed]
+        is_end = is_end[:consumed]
+    else:
+        consumed = b.size
+    n = end_idx.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), 0
+    pos = np.arange(b.size, dtype=np.int64)
+    # each byte belongs to the value whose terminator is the next end >= pos
+    owner_end = end_idx[np.searchsorted(end_idx, pos, side="left")]
+    exp = (owner_end - pos).astype(np.uint64)  # 0 for terminator byte
+    contrib = (b.astype(np.uint64) & np.uint64(0x7F)) << (np.uint64(7) * exp)
+    starts = np.concatenate(([0], end_idx[:-1] + 1))
+    vals = np.add.reduceat(contrib, starts)
+    return vals.astype(np.uint64), consumed
+
+
+# ---------------------------------------------------------------------------
+# Posting-list encode/decode with block-max metadata
+# ---------------------------------------------------------------------------
+
+def bm25_weight(tf: np.ndarray, dl: np.ndarray, avgdl: float,
+                k1: float = 1.2, b: float = 0.75) -> np.ndarray:
+    """Idf-free BM25 weight w = tf / (tf + k1*(1-b+b*dl/avgdl))."""
+    tf = tf.astype(np.float64)
+    return tf / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                    avgdl: float, k1: float = 1.2, b: float = 0.75,
+                    block_size: int = BLOCK_SIZE
+                    ) -> Tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
+    """Encode one term's postings.
+
+    Parameters: sorted ascending int64 ``doc_ids``, int ``tfs`` (>0) and
+    per-posting doc lengths ``dls``, all equal length. Returns
+    ``(blob, block_last_doc, block_max_tf, block_max_w)``.
+    """
+    d = np.asarray(doc_ids, dtype=np.int64)
+    t = np.asarray(tfs, dtype=np.int64)
+    dl = np.asarray(dls, dtype=np.int64)
+    n = d.size
+    if n == 0:
+        return b"", np.empty(0, np.int64), np.empty(0, np.int32), np.empty(0, np.float64)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = np.uint64(d[0])
+    if n > 1:
+        deltas[1:] = np.diff(d).astype(np.uint64)
+    header = vb_encode(np.array([n], dtype=np.uint64))
+    blob = np.concatenate([
+        header, vb_encode(deltas), vb_encode(t.astype(np.uint64)),
+        vb_encode(dl.astype(np.uint64)),
+    ]).tobytes()
+    nblocks = (n + block_size - 1) // block_size
+    block_last = d[np.minimum(np.arange(1, nblocks + 1) * block_size, n) - 1]
+    pad = nblocks * block_size - n
+    t_pad = np.concatenate([t, np.zeros(pad, np.int64)]) if pad else t
+    block_max_tf = t_pad.reshape(nblocks, block_size).max(axis=1).astype(np.int32)
+    w = bm25_weight(t, dl, avgdl, k1, b)
+    w_pad = np.concatenate([w, np.zeros(pad)]) if pad else w
+    block_max_w = w_pad.reshape(nblocks, block_size).max(axis=1)
+    return blob, block_last.astype(np.int64), block_max_tf, block_max_w
+
+
+def decode_postings(blob: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_postings` → (doc_ids, tfs, dls) int64."""
+    if not blob:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    (n_arr, used) = vb_decode(buf, count=1)
+    n = int(n_arr[0])
+    deltas, used2 = vb_decode(buf[used:], count=n)
+    tfs, used3 = vb_decode(buf[used + used2:], count=n)
+    dls, _ = vb_decode(buf[used + used2 + used3:], count=n)
+    doc_ids = np.cumsum(deltas.astype(np.int64))
+    return doc_ids, tfs.astype(np.int64), dls.astype(np.int64)
