@@ -1,0 +1,74 @@
+"""Tokenizer spec tests (SURVEY.md §2.3 T1-T5) + three-way equivalence
+of the pandas UDF / Catalyst column / DuckDB SQL implementations."""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from engine.analysis import (
+    STOPWORDS, duckdb_clean_sql, duckdb_stoplist_sql, porter_stem,
+    tokenize_pandas_udf, tokenize_texts, tokens_col,
+)
+
+CASES = {
+    "getUserName": ["get", "user", "name"],
+    "parse_doc_count": ["parse", "doc", "count"],
+    "HTTPServer2": ["http", "server2"],
+    "utf8Decoder": ["utf8", "decoder"],
+    "the Parser's edge-case": ["parser", "edge", "case"],
+    "The QUICK brown fox, and the dog.": ["quick", "brown", "fox", "dog"],
+    "foo->bar::baz(qux);": ["foo", "bar", "baz", "qux"],
+    "": [],
+    "AND OR NOT": [],  # stopwords after lowercasing
+    "x = y + 42": ["x", "y", "42"],
+}
+
+
+def test_tokenize_cases():
+    got = tokenize_texts(list(CASES.keys()))
+    for (text, want), g in zip(CASES.items(), got):
+        assert g == want, text
+
+
+def test_stopword_set_is_lucene_33():
+    assert len(STOPWORDS) == 33
+    assert "the" in STOPWORDS and "with" in STOPWORDS
+
+
+def test_porter_reference_cases():
+    # classic published examples from Porter (1980)
+    cases = {
+        "caresses": "caress", "ponies": "poni", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "happy": "happi", "relational": "relat", "rational": "ration",
+        "digitizer": "digit", "operator": "oper",
+        "probate": "probat", "controll": "control",
+    }
+    for w, want in cases.items():
+        assert porter_stem(w) == want, w
+
+
+def test_three_way_equivalence(spark):
+    texts = list(CASES.keys()) + [
+        "MixedCASE_and_snake mixedCase99Counter the quick's",
+        "a1B2c3D4 __init__ FooBARBaz",
+    ]
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf).orderBy("i")
+    # 1: pandas UDF
+    udf_out = [r[0] for r in
+               sdf.select(tokenize_pandas_udf()("text")).collect()]
+    # 2: Catalyst column
+    col_out = [r[0] for r in sdf.select(tokens_col(F.col("text"))).collect()]
+    # 3: DuckDB
+    con = duckdb.connect()
+    con.register("t", pdf)
+    # per-row token lists, keeping empty rows
+    duck = con.sql(f"""
+      SELECT i, [x for x in regexp_split_to_array({duckdb_clean_sql('text')},
+             '[^a-z0-9]+') if x <> '' and x not in {duckdb_stoplist_sql()}]
+      FROM t ORDER BY i
+    """).fetchall()
+    duck_out = [list(r[1]) for r in duck]
+    assert udf_out == col_out == duck_out

@@ -1,0 +1,77 @@
+"""Posting codec properties (SURVEY.md §5.2 item 1, FIXTURES.md §5)."""
+
+import numpy as np
+import pytest
+
+from engine.postings import (
+    BLOCK_SIZE, bm25_weight, decode_postings, encode_postings, vb_decode,
+    vb_encode,
+)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_vb_roundtrip(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 2000))
+    vals = rng.integers(0, 2 ** int(rng.integers(4, 62)), n).astype(np.uint64)
+    enc = vb_encode(vals)
+    dec, used = vb_decode(enc)
+    assert used == enc.size
+    assert (dec == vals).all()
+
+
+def test_vb_partial_decode():
+    vals = np.array([300, 1, 2 ** 40, 7], dtype=np.uint64)
+    enc = vb_encode(vals)
+    dec, used = vb_decode(enc, count=2)
+    assert (dec == vals[:2]).all()
+    dec2, _ = vb_decode(enc[used:], count=2)
+    assert (dec2 == vals[2:]).all()
+
+
+def test_vb_empty():
+    enc = vb_encode(np.empty(0, np.uint64))
+    assert enc.size == 0
+    dec, used = vb_decode(enc)
+    assert dec.size == 0 and used == 0
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_postings_roundtrip_and_blockmax(seed):
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(1, 1500))
+    docs = np.cumsum(rng.integers(1, 10 ** 6, n))
+    tfs = rng.integers(1, 500, n)
+    dls = rng.integers(1, 3000, n)
+    avgdl = 350.0
+    blob, last, mtf, mw = encode_postings(docs, tfs, dls, avgdl)
+    d2, t2, l2 = decode_postings(blob)
+    assert (d2 == docs).all() and (t2 == tfs).all() and (l2 == dls).all()
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    assert len(last) == len(mtf) == len(mw) == nblocks
+    w = bm25_weight(tfs, dls, avgdl)
+    for i in range(nblocks):
+        sl = slice(i * BLOCK_SIZE, (i + 1) * BLOCK_SIZE)
+        assert mtf[i] == tfs[sl].max()
+        assert last[i] == docs[sl][-1]
+        # block_max_w is a valid upper bound on every weight in the block
+        assert mw[i] >= w[sl].max() - 1e-12
+        assert mw[i] == pytest.approx(w[sl].max())
+
+
+def test_postings_empty():
+    blob, last, mtf, mw = encode_postings(
+        np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 1.0)
+    assert blob == b""
+    d, t, dl = decode_postings(blob)
+    assert d.size == t.size == dl.size == 0
+
+
+def test_compression_is_compact():
+    # 1000 dense postings with small gaps/tfs should take ~3 bytes each
+    n = 1000
+    docs = np.arange(1, n + 1) * 3
+    tfs = np.ones(n, np.int64)
+    dls = np.full(n, 100)
+    blob, *_ = encode_postings(docs, tfs, dls, 100.0)
+    assert len(blob) < n * 4

@@ -1,0 +1,134 @@
+"""Query-engine semantics: BM25 vs hand-computed values, tie-breaks,
+AND intersection, WAND rank-identity, parallelism invariance
+(SURVEY.md §5.2 items 1-2)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.corpus import generate_corpus_df
+from engine.index_build import build_index, check_sha
+from engine.search import Index, boolean_and, score_exhaustive, score_wand
+from engine.topics import synthetic_topics, topics_to_query_terms
+
+
+def _mini_index(spark, tmp_path, docs, name="mini", **kw):
+    """Index over explicit (repo, path, content) rows."""
+    rows = [(f"org/r{i}", f"f{i}.py", "c" * 12, "python", text)
+            for i, text in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    path = str(tmp_path / name)
+    build_index(spark, df, path, n_buckets=2, n_doc_buckets=4, **kw)
+    return Index(spark, path)
+
+
+def bm25(tf, df, dl, avgdl, n, k1=1.2, b=0.75):
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_bm25_hand_computed(spark, tmp_path):
+    docs = [
+        "apple banana apple",          # dl=3, tf(apple)=2
+        "apple cherry",                # dl=2
+        "banana banana banana cherry", # dl=4
+    ]
+    idx = _mini_index(spark, tmp_path, docs)
+    assert idx.n_docs == 3
+    avgdl = 3.0
+    assert idx.avgdl == pytest.approx(avgdl)
+    res = score_exhaustive(idx, [("q", "apple", 1.0)], 10).collect()
+    # doc ids are hash-bucket ordered; map docno -> expected
+    id2doc = {r["doc_id"]: r["docno"] for r in
+              idx.docs.select("doc_id", "docno").collect()}
+    exp = {"org/r0/f0.py": bm25(2, 2, 3, avgdl, 3),
+           "org/r1/f1.py": bm25(1, 2, 2, avgdl, 3)}
+    got = {id2doc[r["doc_id"]]: r["score"] for r in res}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-12)
+
+
+def test_weighted_multi_term_and_tiebreak(spark, tmp_path):
+    docs = ["x y", "x y", "y z"]  # docs 0,1 identical → score tie
+    idx = _mini_index(spark, tmp_path, docs, name="tie")
+    res = score_exhaustive(idx, [("q", "x", 2.0), ("q", "y", 1.0)], 10).collect()
+    # identical docs must tie and be broken by ascending doc_id
+    top2 = [r for r in res if r["rank"] <= 2]
+    assert top2[0]["score"] == pytest.approx(top2[1]["score"])
+    assert top2[0]["doc_id"] < top2[1]["doc_id"]
+    # weighted sum: score = 2*bm25(x) + 1*bm25(y)
+    avgdl, n = idx.avgdl, 3
+    want = 2 * bm25(1, 2, 2, avgdl, n) + 1 * bm25(1, 3, 2, avgdl, n)
+    assert top2[0]["score"] == pytest.approx(want, abs=1e-12)
+
+
+def test_boolean_and(spark, tmp_path):
+    docs = ["a b c", "a c", "b c", "a b"]
+    idx = _mini_index(spark, tmp_path, docs, name="and")
+    id2doc = {r["doc_id"]: r["path"] for r in
+              idx.docs.select("doc_id", "path").collect()}
+    hits = boolean_and(idx, [("q1", ["a", "b"]), ("q2", ["c"]),
+                             ("q3", ["a", "b", "c"]), ("q4", ["zzz", "a"])])
+    got = {}
+    for r in hits.collect():
+        got.setdefault(r["qid"], set()).add(id2doc[r["doc_id"]])
+    assert got.get("q1") == {"f0.py", "f3.py"}
+    assert got.get("q2") == {"f0.py", "f1.py", "f2.py"}
+    assert got.get("q3") == {"f0.py"}
+    assert "q4" not in got
+
+
+def test_wand_rank_identity(tiny_index):
+    topics = synthetic_topics(8)
+    qt = topics_to_query_terms(topics)
+    ex = score_exhaustive(tiny_index, qt, 15).collect()
+    wd = score_wand(tiny_index, qt, 15).collect()
+    key = lambda r: (r["qid"], r["rank"])
+    exs = sorted(((r["qid"], r["rank"], r["doc_id"]) for r in ex))
+    wds = sorted(((r["qid"], r["rank"], r["doc_id"]) for r in wd))
+    assert exs == wds
+    escore = {(r["qid"], r["doc_id"]): r["score"] for r in ex}
+    for r in wd:
+        assert r["score"] == pytest.approx(
+            escore[(r["qid"], r["doc_id"])], abs=1e-9)
+
+
+def test_sha_invariant(tiny_index):
+    assert check_sha(tiny_index.docs) == 0
+
+
+def test_index_global_invariants(tiny_index):
+    # df(term) == total posting entries for that term (I8); Σtf == tokens
+    post = tiny_index.postings.groupBy("term").agg(
+        F.sum("df_part").alias("n_post"))
+    joined = post.join(tiny_index.termstats, "term")
+    bad = joined.where(F.col("n_post") != F.col("df")).count()
+    assert bad == 0
+    stats = tiny_index.stats
+    total_dl = tiny_index.docs.agg(F.sum("dl")).collect()[0][0]
+    assert total_dl == stats["total_tokens"]
+
+
+def test_parallelism_invariance(spark, tmp_path):
+    """Same corpus indexed at different partitioning → identical doc ids
+    and identical query results (SURVEY.md §5.2 item 2)."""
+    c1 = generate_corpus_df(spark, 60, partitions=2, max_tokens=100)
+    c2 = generate_corpus_df(spark, 60, partitions=7, max_tokens=100)
+    p1, p2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    build_index(spark, c1, p1, n_buckets=2, n_doc_buckets=4)
+    build_index(spark, c2, p2, n_buckets=5, n_doc_buckets=4)
+    i1, i2 = Index(spark, p1), Index(spark, p2)
+    d1 = sorted((r["doc_id"], r["docno"]) for r in
+                i1.docs.select("doc_id", "docno").collect())
+    d2 = sorted((r["doc_id"], r["docno"]) for r in
+                i2.docs.select("doc_id", "docno").collect())
+    assert d1 == d2
+    qt = topics_to_query_terms(synthetic_topics(4))
+    r1 = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 10))
+          for r in score_exhaustive(i1, qt, 10).collect()]
+    r2 = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 10))
+          for r in score_exhaustive(i2, qt, 10).collect()]
+    assert r1 == r2
