@@ -1,38 +1,513 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: tokenize → build inverted index → block-max
+WAND BM25 top-k over sf0.001 documents.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 plus the training-data pipeline ops; the driver runs
+each Spark query against the matching DuckDB SQL at sf=0.01.
+
+Column-name + value alignment rules used throughout:
+* every computed column is aliased identically in Spark and SQL;
+* floating-point outputs are rounded to a fixed precision on BOTH
+  sides (per-row scalar math is IEEE-identical across engines; sums
+  differ by ~1e-15, far below the rounding grain);
+* rank windows order by (score desc, id asc) in BOTH engines.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.analysis import (
+    duckdb_clean_sql, duckdb_stoplist_sql, tokenize_pandas_udf, tokens_col,
+)
+from engine.portable import round_half_up, round_half_up_sql
+from engine.scoring import B, K1, bm25_col, bm25_sql
+
+# ---------------------------------------------------------------------------
+# Fixed query sets (terms drawn from the driver testdata vocabulary)
+# ---------------------------------------------------------------------------
+
+BM25_QUERIES: list[tuple[str, list[str]]] = [
+    ("q1", ["merge", "sort"]),
+    ("q2", ["hash", "join", "table"]),
+    ("q3", ["window", "group", "agg"]),
+    ("q4", ["dup", "stream"]),
+    ("q5", ["spark", "fast", "query", "vector"]),
+]
+AND_QUERIES: list[tuple[str, list[str]]] = [
+    ("a1", ["merge", "sort", "fast"]),
+    ("a2", ["hash", "join"]),
+    ("a3", ["dup", "key"]),
+    ("a4", ["vector", "column", "row", "scan", "batch"]),
+]
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+TOPK = 10
+
+INDEX_VERSION = "v1"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Shared on-the-fly FTS stats over the documents table (full analyzer)
+# ---------------------------------------------------------------------------
+
+def _tf(spark, sf_dir) -> DataFrame:
+    """(doc_id, term, tf) with the engine's code-aware analyzer."""
+    docs = _docs(spark, sf_dir)
+    return (docs.select("doc_id",
+                        F.explode(tokens_col(F.col("text"))).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf")))
+
+
+def _dl(spark, sf_dir) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id",
+                       F.size(tokens_col(F.col("text"))).cast("long").alias("dl"))
+
+
+def _bm25_scored(spark, sf_dir, queries) -> DataFrame:
+    """(qid, doc_id, score) summed weighted BM25 over matching docs."""
+    tf = _tf(spark, sf_dir)
+    dl = _dl(spark, sf_dir)
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                   F.avg("dl").alias("avgdl"))
+    qt = spark.createDataFrame(
+        [(q, t) for q, terms in queries for t in terms],
+        "qid string, term string")
+    rows = (tf.join(F.broadcast(qt), "term")
+            .join(dfs, "term").join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats)))
+    scored = rows.withColumn(
+        "pscore", bm25_col(F.col("tf"), F.col("df"), F.col("dl"),
+                           F.col("avgdl"), F.col("n")))
+    return scored.groupBy("qid", "doc_id").agg(F.sum("pscore").alias("s"))
+
+
+def _topk(scored: DataFrame, k: int = TOPK) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", round_half_up(F.col("s"), 4).alias("score"), "rank"))
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle building blocks (DuckDB; views: documents, embeddings, ...)
+# ---------------------------------------------------------------------------
+
+def _sql_fts_ctes() -> str:
+    """Tokenize/tf/dl/df/stats CTEs replicating the analyzer exactly."""
+    clean = duckdb_clean_sql("text")
+    stops = duckdb_stoplist_sql()
+    return f"""
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array({clean}, '[^a-z0-9]+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term <> '' AND term NOT IN {stops}
+  GROUP BY doc_id, term),
+dl AS (
+  SELECT d.doc_id, coalesce(sum(tf.tf), 0)::BIGINT AS dl
+  FROM documents d LEFT JOIN tf ON d.doc_id = tf.doc_id
+  GROUP BY d.doc_id),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl)
+""".strip()
+
+
+def _sql_values(queries) -> str:
+    vals = ", ".join(f"('{q}', '{t}')" for q, terms in queries for t in terms)
+    return f"(VALUES {vals}) AS q(qid, term)"
+
+
+def _sql_bm25_topk(queries, k: int = TOPK) -> str:
+    score = bm25_sql("tf.tf", "dfs.df", "dl.dl", "stats.avgdl", "stats.n")
+    r4 = round_half_up_sql("s", 4)
+    return f"""
+WITH {_sql_fts_ctes()},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({score}) AS s
+  FROM {_sql_values(queries)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id)::INT AS rank
+  FROM matched) t
+WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Index-backed flagship path (build → persist → WAND)
+# ---------------------------------------------------------------------------
+
+def _documents_as_corpus(docs: DataFrame) -> DataFrame:
+    """Adapter: documents → input_hint corpus schema. repo is constant
+    and path zero-pads doc_id, so with n_doc_buckets=1 the engine's
+    dense internal doc_id EQUALS the original doc_id (canonical order
+    (bucket, repo, path) = ascending doc_id) — making the index path
+    directly oracle-comparable."""
+    return docs.select(
+        F.lit("docs").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
+        F.lit("-").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _cached_index(spark: SparkSession, sf_dir: str):
+    from engine.index_build import build_index
+    from engine.search import Index
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/sfts_{INDEX_VERSION}_{tag}"
+    corpus = _documents_as_corpus(_docs(spark, sf_dir))
+    build_index(spark, corpus, idx_dir, n_buckets=8, n_doc_buckets=1)
+    return Index(spark, idx_dir)
+
+
+def _wand_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.search import score_wand
+
+    idx = _cached_index(spark, sf_dir)
+    qt = [(q, t, 1.0) for q, terms in BM25_QUERIES for t in terms]
+    res = score_wand(idx, qt, TOPK)
+    return res.select("qid", "doc_id", round_half_up(F.col("score"), 4).alias("score"),
+                      "rank")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full index build + block-max WAND BM25 over sf0.001."""
+    return _wand_topk_query(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# queries() / oracle_sql()
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from engine.pipeline import dedup, similarity, textstats
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def tokenize_tf(spark, sf_dir):
+        return _tf(spark, sf_dir).orderBy("doc_id", "term")
+
+    def doc_lengths(spark, sf_dir):
+        return _dl(spark, sf_dir).orderBy("doc_id")
+
+    def term_stats(spark, sf_dir):
+        tf = _tf(spark, sf_dir)
+        return (tf.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"),
+                     F.sum("tf").alias("cf"))
+                .orderBy("term"))
+
+    def bm25_topk(spark, sf_dir):
+        return _topk(_bm25_scored(spark, sf_dir, BM25_QUERIES))
+
+    def bm25_scores_all(spark, sf_dir):
+        return (_bm25_scored(spark, sf_dir, BM25_QUERIES)
+                .select("qid", "doc_id", round_half_up(F.col("s"), 4).alias("score"))
+                .orderBy("qid", "doc_id"))
+
+    def boolean_and(spark, sf_dir):
+        tf = _tf(spark, sf_dir)
+        qt = spark.createDataFrame(
+            [(q, t) for q, terms in AND_QUERIES for t in terms],
+            "qid string, term string")
+        nterms = spark.createDataFrame(
+            [(q, len(set(ts))) for q, ts in AND_QUERIES],
+            "qid string, n_terms int")
+        return (tf.join(F.broadcast(qt), "term")
+                .groupBy("qid", "doc_id")
+                .agg(F.count_distinct("term").alias("nmatch"))
+                .join(F.broadcast(nterms), "qid")
+                .where(F.col("nmatch") == F.col("n_terms"))
+                .select("qid", "doc_id")
+                .orderBy("qid", "doc_id"))
+
+    def index_wand_topk(spark, sf_dir):
+        return _wand_topk_query(spark, sf_dir)
+
+    def dedup_exact(spark, sf_dir):
+        return (dedup.exact_dup_groups(_docs(spark, sf_dir))
+                .orderBy("content_hash"))
+
+    def minhash_near_dups(spark, sf_dir):
+        out = dedup.minhash_near_dups(_docs(spark, sf_dir), threshold=0.3)
+        return (out.select("doc_a", "doc_b",
+                           round_half_up(F.col("jaccard"), 6).alias("jaccard"))
+                .orderBy("doc_a", "doc_b"))
+
+    def simhash(spark, sf_dir):
+        return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    def ngram_jaccard(spark, sf_dir):
+        out = dedup.ngram_jaccard_consecutive(_docs(spark, sf_dir))
+        return (out.select("doc_a", "doc_b",
+                           round_half_up(F.col("jaccard"), 6).alias("jaccard"))
+                .orderBy("doc_a"))
+
+    def cosine_topk(spark, sf_dir):
+        out = similarity.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, TOPK)
+        return out.select("qid", "vec_id",
+                          round_half_up(F.col("cosine"), 4).alias("cosine"), "rank")
+
+    def ann_buckets(spark, sf_dir):
+        return (similarity.signbit_bucket(_emb(spark, sf_dir))
+                .orderBy("vec_id"))
+
+    def token_counts(spark, sf_dir):
+        return textstats.token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    def quality_scores(spark, sf_dir):
+        return textstats.quality_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    def lang_id(spark, sf_dir):
+        return textstats.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    def fingerprints(spark, sf_dir):
+        return textstats.fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    def multimodal_features(spark, sf_dir):
+        from engine.pipeline import multimodal
+
+        media = multimodal.media_from_docs(_docs(spark, sf_dir))
+        out = multimodal.extract_features(media)
+        return out.select("media_id", "modality", "n_bytes", "sha",
+                          "width", "height").orderBy("media_id")
+
+    return {
+        "tokenize_tf": tokenize_tf,
+        "doc_lengths": doc_lengths,
+        "term_stats": term_stats,
+        "bm25_topk": bm25_topk,
+        "bm25_scores_all": bm25_scores_all,
+        "boolean_and": boolean_and,
+        "index_wand_topk": index_wand_topk,
+        "dedup_exact": dedup_exact,
+        "minhash_near_dups": minhash_near_dups,
+        "simhash": simhash,
+        "ngram_jaccard": ngram_jaccard,
+        "cosine_topk": cosine_topk,
+        "ann_buckets": ann_buckets,
+        "token_counts": token_counts,
+        "quality_scores": quality_scores,
+        "lang_id": lang_id,
+        "fingerprints": fingerprints,
+        "multimodal_features": multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    clean = duckdb_clean_sql("text")
+    stops = duckdb_stoplist_sql()
+    fts = _sql_fts_ctes()
+
+    # simple lowercase-alnum tokens (stopwords kept) used by dedup/stats
+    raw_tok = ("[x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')"
+               " if x <> '']")
+
+    and_vals = ", ".join(f"('{q}', '{t}')"
+                         for q, ts in AND_QUERIES for t in set(ts))
+    and_n = ", ".join(f"('{q}', {len(set(ts))})" for q, ts in AND_QUERIES)
+
+    sql: dict[str, str] = {}
+
+    sql["tokenize_tf"] = f"WITH {fts} SELECT doc_id, term, tf FROM tf"
+    sql["doc_lengths"] = f"WITH {fts} SELECT doc_id, dl FROM dl"
+    sql["term_stats"] = (
+        f"WITH {fts} SELECT term, count(*)::BIGINT AS df, "
+        f"sum(tf)::BIGINT AS cf FROM tf GROUP BY term")
+    sql["bm25_topk"] = _sql_bm25_topk(BM25_QUERIES, TOPK)
+    score = bm25_sql("tf.tf", "dfs.df", "dl.dl", "stats.avgdl", "stats.n")
+    r4sum = round_half_up_sql("sum(" + score + ")", 4)
+    sql["bm25_scores_all"] = f"""
+WITH {fts}
+SELECT q.qid, tf.doc_id, {r4sum} AS score
+FROM {_sql_values(BM25_QUERIES)}
+JOIN tf USING (term) JOIN dfs USING (term)
+JOIN dl ON tf.doc_id = dl.doc_id, stats
+GROUP BY q.qid, tf.doc_id
+"""
+    sql["boolean_and"] = f"""
+WITH {fts},
+q(qid, term) AS (VALUES {and_vals}),
+nt(qid, n_terms) AS (VALUES {and_n})
+SELECT q.qid, tf.doc_id
+FROM q JOIN tf USING (term)
+GROUP BY q.qid, tf.doc_id
+HAVING count(DISTINCT tf.term) = (SELECT n_terms FROM nt WHERE nt.qid = q.qid)
+"""
+    # the index-backed WAND path must equal the pure-SQL BM25 oracle
+    sql["index_wand_topk"] = _sql_bm25_topk(BM25_QUERIES, TOPK)
+
+    sql["dedup_exact"] = """
+SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS min_doc_id
+FROM documents GROUP BY md5(text)
+"""
+    sql["minhash_near_dups"] = f"""
+WITH t AS (SELECT doc_id, {raw_tok} AS t FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             for i in generate_series(1, len(t) - 2)]) AS shingles
+       FROM t WHERE len(t) >= 3),
+base AS (SELECT doc_id, shingles,
+                [('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647
+                 for s in shingles] AS hs
+         FROM sh),
+sig AS (SELECT doc_id, shingles,
+               [list_min([((1 + 2*h) * x + 7919*h) % 2147483647 for x in hs])
+                for h in generate_series(0, 15)] AS sig
+        FROM base),
+bands AS (SELECT doc_id, b,
+                 md5(sig[b*4+1]::VARCHAR || '|' || sig[b*4+2]::VARCHAR || '|' ||
+                     sig[b*4+3]::VARCHAR || '|' || sig[b*4+4]::VARCHAR) AS bh
+          FROM sig, generate_series(0, 3) g(b)),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+                                   AND a.doc_id < b.doc_id),
+ver AS (SELECT doc_a, doc_b,
+               len(list_intersect(x.shingles, y.shingles))::DOUBLE
+               / len(list_distinct(x.shingles || y.shingles)) AS j
+        FROM pairs JOIN sh x ON x.doc_id = doc_a
+                   JOIN sh y ON y.doc_id = doc_b)
+SELECT doc_a, doc_b, (floor(j * 1e6 + 0.5) / 1e6) AS jaccard FROM ver WHERE j >= 0.3
+"""
+    sql["simhash"] = f"""
+WITH t AS (
+  SELECT doc_id, unnest({raw_tok}) AS term FROM documents),
+tf2 AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY doc_id, term),
+h AS (SELECT doc_id, term, tf,
+             ('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM tf2),
+bits AS (SELECT doc_id, g.k,
+                sum(tf * (((h >> g.k) & 1) * 2 - 1)) AS s
+         FROM h, generate_series(0, 31) g(k) GROUP BY doc_id, g.k)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << k) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+    sql["ngram_jaccard"] = f"""
+WITH t AS (SELECT doc_id, {raw_tok} AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3 THEN
+                list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                               for i in generate_series(1, len(t) - 2)])
+              ELSE [] END AS shingles
+       FROM t)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       (floor((len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(a.shingles || b.shingles))) * 1e6 + 0.5) / 1e6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+    qids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    sql["cosine_topk"] = f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qids})),
+sc AS (SELECT q.qid, e.vec_id,
+              list_dot_product(q.qv, e.v)
+              / (sqrt(list_dot_product(q.qv, q.qv))
+                 * sqrt(list_dot_product(e.v, e.v))) AS c
+       FROM q JOIN e ON e.vec_id <> q.qid)
+SELECT qid, vec_id, (floor(c * 1e4 + 0.5) / 1e4) AS cosine, rank FROM (
+  SELECT qid, vec_id, c,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id)::INT AS rank
+  FROM sc) t
+WHERE rank <= {TOPK}
+"""
+    bucket_expr = " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j, d in enumerate([0, 8, 16, 24, 32, 40, 48, 56]))
+    sql["ann_buckets"] = (
+        f"SELECT vec_id, ({bucket_expr}) AS bucket FROM embeddings")
+
+    sql["token_counts"] = """
+SELECT doc_id,
+       len([x for x in regexp_split_to_array(text, '\\s+') if x <> '']) AS n_ws_tokens,
+       len([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> '']) AS n_alnum_tokens,
+       length(text)::BIGINT AS n_chars_txt
+FROM documents
+"""
+    en = ", ".join(f"'{w}'" for w in
+                   ("the", "a", "of", "to", "and", "in", "is", "for",
+                    "with", "on"))
+    sql["quality_scores"] = f"""
+WITH t AS (SELECT doc_id, text, {raw_tok} AS toks FROM documents),
+m AS (SELECT doc_id,
+             len([x for x in toks if x IN ({en})])::DOUBLE / len(toks) AS sw,
+             length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE
+               / length(text) AS pr,
+             list_sum([length(x) for x in toks])::DOUBLE / len(toks) AS ml
+      FROM t)
+SELECT doc_id, (floor(sw * 1e6 + 0.5) / 1e6) AS stopword_ratio,
+       (floor(pr * 1e6 + 0.5) / 1e6) AS punct_ratio,
+       (floor(ml * 1e6 + 0.5) / 1e6) AS mean_token_len,
+       (floor((0.4 * least(sw / 0.4, 1.0) + 0.3 * (1.0 - least(pr / 0.3, 1.0))
+             + 0.3 * least(ml / 8.0, 1.0)) * 1e6 + 0.5) / 1e6) AS quality
+FROM m
+"""
+    lang_scores = []
+    from engine.pipeline.textstats import LANG_STOPWORDS
+    for lang in sorted(LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        lang_scores.append(
+            f"len([x for x in toks if x IN ({words})])::DOUBLE"
+            f" / greatest(len(toks), 1) AS s_{lang}")
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'"
+        for lang in sorted(LANG_STOPWORDS)) + " END"
+    best = "greatest(" + ", ".join(f"s_{lang}"
+                                   for lang in sorted(LANG_STOPWORDS)) + ")"
+    sql["lang_id"] = f"""
+WITH t AS (SELECT doc_id, {raw_tok} AS toks FROM documents),
+m AS (SELECT doc_id, {", ".join(lang_scores)} FROM t),
+mb AS (SELECT *, {best} AS best FROM m)
+SELECT doc_id, {case} AS lang_guess, (floor(best * 1e6 + 0.5) / 1e6) AS lang_score FROM mb
+"""
+    sql["fingerprints"] = f"""
+WITH t AS (SELECT doc_id, {raw_tok} AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 5 THEN
+                list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                               || t[i+3] || ' ' || t[i+4]
+                               for i in generate_series(1, len(t) - 4)])
+              ELSE [] END AS shingles
+       FROM t)
+SELECT doc_id, list_min([md5(s) for s in shingles]) AS fp,
+       len(shingles) AS n_shingles
+FROM sh
+"""
+    sql["multimodal_features"] = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       ELSE 'video' END AS modality,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS sha,
+       CASE WHEN doc_id % 3 IN (0, 2) THEN
+         64 + (('0x' || substr(sha256(text), 1, 2))::INT % 192)
+       END AS width,
+       CASE WHEN doc_id % 3 IN (0, 2) THEN
+         64 + (('0x' || substr(sha256(text), 3, 2))::INT % 192)
+       END AS height
+FROM documents
+"""
+    return sql

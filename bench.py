@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Headline benchmark. Runs on $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Queries benched (each timed to completion, i.e. a full action):
+
+  index_build      tokenize → tf/df/dl → salted encode → postings+manifest
+                   (fresh build each run; the headline metric)
+  wand_topk        block-max WAND BM25 top-10, 5 queries, via the index
+  exhaustive_topk  full-scoring BM25 top-10 (no index reuse of decode)
+  boolean_and      posting-intersection AND over 4 queries
+  minhash_dedup    MinHash→LSH→Jaccard near-dup pipeline
+  cosine_topk      brute-force cosine top-10, 5 query vectors
+  simhash          tf-weighted 32-bit simhash for every doc
+  quality_lang     quality scores + language ID full pass
+
+Extra keys: docs_per_sec (index build throughput), n_docs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from engine.session import get_spark
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from engine.index_build import build_index
+    from engine.search import Index, boolean_and, score_exhaustive, score_wand
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    timings: dict[str, float] = {}
+
+    # --- index build (fresh) ---
+    idx_dir = f"/tmp/bench_idx_{os.getpid()}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    corpus = entrymod._documents_as_corpus(docs)
+    t0 = time.time()
+    metrics = build_index(spark, corpus, idx_dir, n_buckets=int(cpus),
+                          n_doc_buckets=1)
+    timings["index_build"] = time.time() - t0
+    idx = Index(spark, idx_dir)
+
+    qt = [(q, t, 1.0) for q, terms in entrymod.BM25_QUERIES for t in terms]
+
+    t0 = time.time()
+    score_wand(idx, qt, 10).collect()
+    timings["wand_topk"] = time.time() - t0
+
+    t0 = time.time()
+    score_exhaustive(idx, qt, 10).collect()
+    timings["exhaustive_topk"] = time.time() - t0
+
+    t0 = time.time()
+    boolean_and(idx, entrymod.AND_QUERIES).count()
+    timings["boolean_and"] = time.time() - t0
+
+    from engine.pipeline import dedup, similarity, textstats
+
+    t0 = time.time()
+    dedup.minhash_near_dups(docs, threshold=0.3).count()
+    timings["minhash_dedup"] = time.time() - t0
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    similarity.cosine_topk(emb, entrymod.ANN_QUERY_IDS, 10).count()
+    timings["cosine_topk"] = time.time() - t0
+
+    t0 = time.time()
+    dedup.simhash(docs).count()
+    timings["simhash"] = time.time() - t0
+
+    t0 = time.time()
+    q = textstats.quality_scores(docs)
+    li = textstats.lang_id(docs)
+    q.join(li, "doc_id").count()
+    timings["quality_lang"] = time.time() - t0
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    total = sum(timings.values())
+    out = {
+        "metric": "engine_bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "n_docs": n_docs,
+        "docs_per_sec": round(metrics["docs_per_sec"], 1),
+        "index_bytes": metrics["index_bytes"],
+        "n_postings": metrics["n_postings"],
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Document deduplication at corpus scale.
+
+Four families, all pure Catalyst column expressions (no UDFs — every
+hash is ``md5`` so the DuckDB oracle reproduces results exactly):
+
+* exact:        hash-groupBy on md5(text)
+* MinHash+LSH:  word-shingles → n min-hashes → banded signatures →
+                bucket self-join → exact-Jaccard verification
+* SimHash:      tf-weighted sign-sum over per-term hash bits
+* n-gram Jaccard: exact shingle-set Jaccard for candidate pairs
+
+Scale notes: signatures are per-row array expressions (narrow, no
+shuffle); the only shuffles are the LSH band self-join (equi-join on
+(band_idx, band_hash) — AQE-skew-safe because bucket sizes are tiny
+under any reasonable banding) and the final pair dedup. At 100 TB the
+band join is the standard MinHash-LSH plan; nothing is quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _tokens(col):
+    """Simple shingle tokens: lowercase alnum runs, stopwords KEPT
+    (dedup wants raw surface similarity, not analyzed terms)."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != F.lit(""))
+
+
+def shingles_col(text_col, k: int = 3):
+    """Word k-shingles as an array column (deduplicated). Docs with
+    fewer than k tokens get an empty array (sequence() would step
+    backwards on a negative stop, so guard explicitly)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - k)
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]))
+    return F.when(n >= k, F.array_distinct(sh)) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: (content_hash, n_docs, min_doc_id)."""
+    return (docs
+            .select(F.md5(F.col(text_col)).alias("content_hash"), id_col)
+            .groupBy("content_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(id_col).alias("min_doc_id")))
+
+
+# MinHash universe: integer hashes mod a Mersenne prime, mixed per
+# family with small odd multipliers — one md5 per shingle total, the
+# 16 family mins are cheap integer transforms (engine-portable).
+MINHASH_P = 2_147_483_647  # 2^31 - 1; (2^20)·P < 2^63, no overflow
+
+
+def _mh_a(i: int) -> int:
+    return 1 + 2 * i
+
+
+def _mh_b(i: int) -> int:
+    return 7919 * i
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = 16,
+                       shingle_k: int = 3) -> DataFrame:
+    """(doc_id, shingles, sig: array<long>[n_hashes]).
+
+    Base hash h(s) = int(md5(s)[:8], 16) % P; family i takes
+    min((a_i·h + b_i) % P) over shingles.
+    """
+    sh = shingles_col(F.col(text_col), shingle_k)
+    base = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+        .cast("long") % MINHASH_P)
+    def _family(i: int):
+        # NB: must close over i via a factory — a `lambda h, i=i:` default
+        # arg makes PySpark treat the lambda as the (element, index)
+        # two-arg form and silently bind i to the array position.
+        a, b = _mh_a(i), _mh_b(i)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("hs"), _family(i)))
+        for i in range(n_hashes)
+    ])
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        sh.alias("shingles"))
+            .where(F.size("shingles") > 0)
+            .withColumn("hs", base)
+            .withColumn("sig", sig)
+            .drop("hs"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
+                        rows_per_band: int = 4) -> DataFrame:
+    """Banded LSH: docs sharing any band hash → candidate pairs
+    (doc_a < doc_b), distinct."""
+    band_arr = F.array(*[
+        F.md5(F.concat_ws("|", *[
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)]))
+        for b in range(bands)
+    ])
+    banded = (sigs.select("doc_id", band_arr.alias("bands"))
+              .select("doc_id",
+                      F.posexplode("bands").alias("band_idx", "band_hash")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, ["band_idx", "band_hash"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def jaccard_verify(sigs: DataFrame, pairs: DataFrame,
+                   threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keep >= threshold.
+    Returns (doc_a, doc_b, jaccard)."""
+    sh = sigs.select("doc_id", "shingles")
+    j = (pairs
+         .join(sh.withColumnRenamed("doc_id", "doc_a")
+               .withColumnRenamed("shingles", "sh_a"), "doc_a")
+         .join(sh.withColumnRenamed("doc_id", "doc_b")
+               .withColumnRenamed("shingles", "sh_b"), "doc_b")
+         .withColumn("jaccard",
+                     F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                     / F.size(F.array_union("sh_a", "sh_b"))))
+    return (j.where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def minhash_near_dups(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n_hashes: int = 16,
+                      shingle_k: int = 3, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """Full MinHash→LSH→verify near-dup pipeline.
+
+    The signature table is persisted: it feeds the band self-join (both
+    sides) and the two verify joins, and recomputing the 16-hash
+    signature subtree per consumer is O(6×) wasted work. At 100 TB this
+    persist becomes a parquet checkpoint of the signature table."""
+    sigs = minhash_signatures(docs, text_col, id_col, n_hashes,
+                              shingle_k).persist()
+    pairs = lsh_candidate_pairs(sigs, bands, n_hashes // bands)
+    return jaccard_verify(sigs, pairs, threshold)
+
+
+def _hash32(col):
+    """Portable 32-bit unsigned int hash: first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """tf-weighted SimHash: (doc_id, simhash:long).
+
+    bit k of simhash = 1 iff Σ_terms tf(term)·(2·bit_k(h(term))−1) > 0.
+    Pure aggregation: explode terms → tf → explode bit positions.
+    """
+    toks = _tokens(F.col(text_col))
+    tf = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(toks).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+          .withColumn("h", _hash32(F.col("term"))))
+    bitsum = (tf
+              .select("doc_id", "tf", "h",
+                      F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("k"))
+              .withColumn("bit", F.expr("shiftright(h, k) & 1"))
+              .withColumn("contrib", F.col("tf") * (F.col("bit") * 2 - 1))
+              .groupBy("doc_id", "k").agg(F.sum("contrib").alias("s")))
+    return (bitsum
+            .withColumn("bitval",
+                        F.when(F.col("s") > 0,
+                               F.expr("shiftleft(cast(1 as bigint), k)"))
+                        .otherwise(F.lit(0).cast("long")))
+            .groupBy("doc_id").agg(F.sum("bitval").alias("simhash")))
+
+
+def ngram_jaccard_consecutive(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", shingle_k: int = 3
+                              ) -> DataFrame:
+    """Exact n-gram Jaccard for the deterministic pair set
+    (doc_id, doc_id+1) — a bounded, oracle-checkable slice of exact
+    pairwise similarity. Returns (doc_a, doc_b, jaccard)."""
+    sh = docs.select(F.col(id_col).alias("doc_id"),
+                     shingles_col(F.col(text_col), shingle_k).alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("shingles").alias("sh_a"))
+    b = sh.select((F.col("doc_id") - 1).alias("doc_a"),
+                  F.col("doc_id").alias("doc_b"),
+                  F.col("shingles").alias("sh_b"))
+    return (a.join(b, "doc_a")
+            .withColumn("jaccard",
+                        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                        / F.size(F.array_union("sh_a", "sh_b")))
+            .select("doc_a", "doc_b", "jaccard"))

@@ -1,0 +1,96 @@
+"""Similarity search over an embedding column (array<float>).
+
+* :func:`cosine_topk` — brute-force cosine top-k, pure Catalyst
+  (``zip_with``/``aggregate`` dot products; broadcast query side).
+  The correctness baseline.
+* :func:`signbit_bucket` / :func:`cosine_topk_bucketed` — LSH-bucketed
+  variant: a sign-bit bucket over a fixed dim subset prunes the
+  candidate set before the exact rerank (the 100 TB scale path: the
+  bucket join replaces the full cross product; recall traded via
+  n_probe-style bucket expansion is future work).
+
+All math in float64 with sequential-order sums so the DuckDB oracle
+matches to rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding"
+                ) -> DataFrame:
+    """Brute-force cosine top-k: (qid, vec_id, cosine, rank).
+
+    Plan shape: broadcast(queries) ⨝ all vectors → one narrow pass;
+    per-query top-k via TakeOrderedAndProject-style window. Excludes
+    self-matches. Ties → ascending vec_id.
+    """
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    q = (base.where(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    scored = joined.withColumn(
+        "cosine", _dot("qv", "v") / (_norm("qv") * _norm("v")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "vec_id", "cosine", "rank"))
+
+
+def signbit_bucket(emb: DataFrame, dims: list[int] | None = None,
+                   id_col: str = "vec_id", vec_col: str = "embedding"
+                   ) -> DataFrame:
+    """Deterministic hyperplane-sign LSH bucket (axis-aligned planes on
+    a fixed dim subset): (vec_id, bucket:int)."""
+    dims = dims if dims is not None else [0, 8, 16, 24, 32, 40, 48, 56]
+    v = _as_double(F.col(vec_col))
+    bucket = None
+    for j, d in enumerate(dims):
+        bit = F.when(F.element_at(v, d + 1) > 0, F.lit(1)).otherwise(F.lit(0))
+        term = F.shiftleft(bit, j)
+        bucket = term if bucket is None else bucket + term
+    return emb.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def cosine_topk_bucketed(emb: DataFrame, query_ids: list[int], k: int = 10,
+                         dims: list[int] | None = None,
+                         id_col: str = "vec_id", vec_col: str = "embedding"
+                         ) -> DataFrame:
+    """ANN: restrict exact rerank to the query's LSH bucket.
+    Approximate (bucket-miss = recall loss), rank-checked against
+    :func:`cosine_topk` in tests for overlap, not identity."""
+    buckets = signbit_bucket(emb, dims, id_col, vec_col)
+    base = (emb.select(F.col(id_col).alias("vec_id"),
+                       _as_double(F.col(vec_col)).alias("v"))
+            .join(buckets, "vec_id"))
+    q = (base.where(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                 F.col("bucket").alias("qbucket")))
+    joined = base.join(F.broadcast(q),
+                       (F.col("bucket") == F.col("qbucket"))
+                       & (F.col("vec_id") != F.col("qid")))
+    scored = joined.withColumn(
+        "cosine", _dot("qv", "v") / (_norm("qv") * _norm("v")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "vec_id", "cosine", "rank"))

@@ -1,0 +1,124 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.pipeline import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different content about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(docs):
+    out = {r["content_hash"]: (r["n_docs"], r["min_doc_id"])
+           for r in dedup.exact_dup_groups(docs).collect()}
+    assert (2, 0) in out.values()          # docs 0 and 3
+    assert sorted(n for n, _ in out.values()) == [1, 1, 1, 2]
+
+
+def test_minhash_families_are_distinct(docs):
+    """Regression: the 16 hash families must differ (a PySpark lambda
+    arity pitfall once made them all equal family 0)."""
+    sig = dedup.minhash_signatures(docs).collect()[0]["sig"]
+    assert len(set(sig)) > 1
+
+
+def test_minhash_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.minhash_near_dups(docs, threshold=0.5).collect()}
+    assert pairs[(0, 3)] == pytest.approx(1.0)   # exact dup
+    assert (0, 1) in pairs                        # near dup
+    assert all(a < b for a, b in pairs)
+    assert not any({a, b} == {0, 2} for a, b in pairs)
+
+
+def test_simhash_identical_docs_equal(docs):
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert out[0] == out[3]
+    assert out[0] != out[2]
+    assert all(0 <= v < 2 ** 32 for v in out.values())
+
+
+def test_ngram_jaccard_consecutive(docs):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_consecutive(docs).collect()}
+    assert out[(0, 1)] > 0.5
+    assert out[(1, 2)] == 0.0
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    row = df.select(dedup.shingles_col(F.col("text"), 3).alias("s")).collect()[0]
+    assert row["s"] == []
+
+
+def test_cosine_topk(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [0.7, 0.7, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(emb, [0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 3, 2]
+    assert out[0]["cosine"] == pytest.approx(1.0)
+    assert out[1]["cosine"] == pytest.approx(0.7071, abs=1e-3)
+    assert out[2]["cosine"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_bucketed_ann_prunes(spark):
+    rows = [(i, [float(1 if i % 2 else -1)] + [0.0] * 63) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk_bucketed(emb, [1], k=10)
+    ids = [r["vec_id"] for r in out.collect()]
+    assert set(ids) == {3, 5, 7, 9}  # same sign bucket only, self excluded
+
+
+def test_quality_scores_hand_computed(spark):
+    df = spark.createDataFrame([(0, "the cat!!")], "doc_id long, text string")
+    r = textstats.quality_scores(df).collect()[0]
+    # tokens: the, cat; stopword ratio 1/2; punct: '!!' → 2/9 chars
+    assert r["stopword_ratio"] == pytest.approx(0.5)
+    assert r["punct_ratio"] == pytest.approx(2 / 9, abs=1e-6)
+    assert r["mean_token_len"] == pytest.approx(3.0)
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat is on the mat"), (1, "der hund ist mit der katze")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_guess"] for r in textstats.lang_id(df).collect()}
+    assert out[0] == "en" and out[1] == "de"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "foo bar-baz  qux")],
+                               "doc_id long, text string")
+    r = textstats.token_counts(df).collect()[0]
+    assert r["n_ws_tokens"] == 3
+    assert r["n_alnum_tokens"] == 4
+    assert r["n_chars_txt"] == 16
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.media_from_docs(docs)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == docs.count()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["modality"] == "image"
+    assert by_id[1]["modality"] == "audio"
+    r = by_id[0]
+    assert r["width"] is not None and 64 <= r["width"] < 256
+    assert r["duration_ms"] is None  # image has no duration
+    assert len(r["feature"]) == 8
+    import hashlib
+    text0 = docs.where("doc_id = 0").collect()[0]["text"]
+    assert r["sha"] == hashlib.sha256(text0.encode()).hexdigest()
+    assert r["n_bytes"] == len(text0.encode())
