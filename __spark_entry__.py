@@ -295,6 +295,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("media_id", "modality", "n_bytes", "sha",
                           "width", "height").orderBy("media_id")
 
+    def expansion_weights(spark, sf_dir):
+        """Entity-RM3 expansion mining (SURVEY.md Q9-Q10) over the
+        pilot top-20 of each BM25 query."""
+        from engine.expand import ENTITY_BOOST, mine_terms_udf
+
+        # the reference's df <= 0.15*N band prunes EVERY term in this
+        # tiny-vocab testdata (all df ~ 0.8*N); use a relaxed band here
+        # so the oracle exercises the weighting math (engine default
+        # stays at the reference's 0.15 — see engine/expand.py)
+        df_max_frac = 0.95
+
+        scored = _bm25_scored(spark, sf_dir, BM25_QUERIES)
+        w20 = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("doc_id"))
+        pilot = (scored.withColumn("rk", F.row_number().over(w20))
+                 .where(F.col("rk") <= 20)
+                 .select("qid", "doc_id", F.col("s").alias("hit_score")))
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("text").alias("content"))
+        mined = (pilot.join(docs, "doc_id")
+                 .withColumn("tm", F.explode(mine_terms_udf()("content")))
+                 .select("qid", "doc_id", "hit_score",
+                         F.col("tm.term").alias("term"),
+                         F.col("tm.entity").alias("entity")))
+        orig = spark.createDataFrame(
+            [(q, t) for q, ts in BM25_QUERIES for t in ts],
+            "qid string, term string")
+        mined = mined.join(orig, ["qid", "term"], "left_anti")
+        tf = _tf(spark, sf_dir)
+        dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        nstats = _dl(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+        filt = (mined.join(dfs, "term")
+                .crossJoin(F.broadcast(nstats))
+                .where((F.col("df") >= 2)
+                       & (F.col("df") <= F.col("n") * df_max_frac)))
+        wgt = filt.withColumn(
+            "w",
+            (F.log(F.col("n").cast("double") / (F.col("df") + 1)) + 1.0)
+            * F.col("hit_score")
+            * F.when(F.col("entity"), F.lit(ENTITY_BOOST)).otherwise(1.0))
+        agg = wgt.groupBy("qid", "term").agg(F.sum("w").alias("w"))
+        w40 = Window.partitionBy("qid").orderBy(F.desc("w"), F.asc("term"))
+        return (agg.withColumn("rk", F.row_number().over(w40))
+                .where(F.col("rk") <= 40)
+                .select("qid", "term",
+                        round_half_up(F.col("w"), 4).alias("weight"), "rk")
+                .orderBy("qid", "rk"))
+
+    def eval_metrics(spark, sf_dir):
+        """MAP/P@20/nDCG@20 per topic (SURVEY.md E1-E4) on a derived
+        run (BM25 top-20) + derived qrels (docs matching ALL query
+        terms)."""
+        from engine.evaluate import evaluate_run
+
+        scored = _bm25_scored(spark, sf_dir, BM25_QUERIES)
+        w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("doc_id"))
+        run = (scored.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= 20)
+               .select("qid", F.col("doc_id").cast("string").alias("docno"),
+                       "rank"))
+        tf = _tf(spark, sf_dir)
+        qt = spark.createDataFrame(
+            [(q, t) for q, ts in BM25_QUERIES for t in set(ts)],
+            "qid string, term string")
+        nt = spark.createDataFrame(
+            [(q, len(set(ts))) for q, ts in BM25_QUERIES],
+            "qid string, n_terms int")
+        qrels = (tf.join(F.broadcast(qt), "term")
+                 .groupBy("qid", "doc_id")
+                 .agg(F.count_distinct("term").alias("nm"))
+                 .join(F.broadcast(nt), "qid")
+                 .where(F.col("nm") == F.col("n_terms"))
+                 .select("qid", F.col("doc_id").cast("string").alias("docno"),
+                         F.lit(1).alias("rel")))
+        per = evaluate_run(run, qrels, k=20)
+        return per.select(
+            "qid", round_half_up(F.col("ap"), 6).alias("ap"),
+            round_half_up(F.col("p_at_k"), 6).alias("p_at_20"),
+            round_half_up(F.col("ndcg_at_k"), 6).alias("ndcg_at_20"),
+        ).orderBy("qid")
+
+    def trec_run(spark, sf_dir):
+        """TREC run-file rows (SURVEY.md S6; Searcher.java:79 format)."""
+        hits = _topk(_bm25_scored(spark, sf_dir, BM25_QUERIES))
+        return (hits.select(
+            "qid", "rank",
+            F.format_string("%s Q0 %s %d %.4f %s", F.col("qid"),
+                            F.col("doc_id").cast("string"), F.col("rank"),
+                            F.col("score"), F.lit("SPARK_FTS")).alias("line"))
+            .orderBy("qid", "rank"))
+
     return {
         "tokenize_tf": tokenize_tf,
         "doc_lengths": doc_lengths,
@@ -314,6 +404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "fingerprints": fingerprints,
         "multimodal_features": multimodal_features,
+        "expansion_weights": expansion_weights,
+        "eval_metrics": eval_metrics,
+        "trec_run": trec_run,
     }
 
 
@@ -509,5 +602,130 @@ SELECT doc_id AS media_id,
          64 + (('0x' || substr(sha256(text), 3, 2))::INT % 192)
        END AS height
 FROM documents
+"""
+
+    # --- expansion_weights -------------------------------------------------
+    score = bm25_sql("tf.tf", "dfs.df", "dl.dl", "stats.avgdl", "stats.n")
+    qvals = _sql_values(BM25_QUERIES)
+    from engine.expand import ENTITY_BOOST
+    df_max_frac = 0.95  # must match the queries() expansion_weights entry
+    sql["expansion_weights"] = f"""
+WITH {fts},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({score}) AS s
+  FROM {qvals}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id),
+pilot AS (
+  SELECT qid, doc_id, s FROM (
+    SELECT qid, doc_id, s,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rk
+    FROM matched) t WHERE rk <= 20),
+ptoks AS (
+  SELECT p.qid, p.doc_id, p.s,
+         list_slice([x for x in regexp_split_to_array({clean}, '[^a-z0-9]+')
+                     if x <> '' and x not in {stops}], 1, 200) AS toks,
+         [lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))
+          for w in list_slice([w for w in regexp_split_to_array(text, '\\s+')
+                               if w <> ''], 1, 200)
+          if regexp_matches(w, '^[A-Z]')] AS caps
+  FROM pilot p JOIN documents USING (doc_id)),
+mined AS (
+  SELECT DISTINCT qid, doc_id, s, term, list_contains(caps, term) AS entity
+  FROM ptoks, unnest(toks) AS u(term)
+  WHERE length(term) > 3 AND NOT regexp_matches(term, '[0-9]')),
+origq(qid, term) AS (VALUES {", ".join(f"('{q}', '{t}')" for q, ts in BM25_QUERIES for t in ts)}),
+filt AS (
+  SELECT m.qid, m.term, m.s, m.entity, dfs.df
+  FROM mined m JOIN dfs USING (term)
+  WHERE NOT EXISTS (SELECT 1 FROM origq o
+                    WHERE o.qid = m.qid AND o.term = m.term)
+    AND dfs.df >= 2
+    AND dfs.df <= (SELECT n FROM stats) * {df_max_frac}),
+wgt AS (
+  SELECT qid, term,
+         sum((ln((SELECT n FROM stats) / (df + 1)) + 1.0) * s
+             * CASE WHEN entity THEN {ENTITY_BOOST} ELSE 1.0 END) AS w
+  FROM filt GROUP BY qid, term)
+SELECT qid, term, (floor(w * 1e4 + 0.5) / 1e4) AS weight, rk FROM (
+  SELECT qid, term, w,
+         row_number() OVER (PARTITION BY qid ORDER BY w DESC, term)::INT AS rk
+  FROM wgt) t
+WHERE rk <= 40
+"""
+
+    # --- eval_metrics --------------------------------------------------------
+    nt_vals = ", ".join(f"('{q}', {len(set(ts))})" for q, ts in BM25_QUERIES)
+    q_uniq = ", ".join(f"('{q}', '{t}')"
+                       for q, ts in BM25_QUERIES for t in set(ts))
+    sql["eval_metrics"] = f"""
+WITH {fts},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({score}) AS s
+  FROM {qvals}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id),
+run AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rank
+    FROM matched) t WHERE rank <= 20),
+qu(qid, term) AS (VALUES {q_uniq}),
+nt(qid, n_terms) AS (VALUES {nt_vals}),
+rel AS (
+  SELECT qu.qid, tf.doc_id
+  FROM qu JOIN tf USING (term)
+  GROUP BY qu.qid, tf.doc_id
+  HAVING count(DISTINCT tf.term) = (SELECT n_terms FROM nt WHERE nt.qid = qu.qid)),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM rel GROUP BY qid),
+hits AS (
+  SELECT r.qid, r.rank,
+         CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+  FROM run r LEFT JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id),
+c AS (SELECT qid, rank, is_rel,
+             sum(is_rel) OVER (PARTITION BY qid ORDER BY rank) AS cum
+      FROM hits),
+apn AS (SELECT qid, sum(CASE WHEN is_rel = 1 THEN cum::DOUBLE / rank
+                             ELSE 0 END) AS sp FROM c GROUP BY qid),
+p20 AS (SELECT qid, sum(is_rel)::DOUBLE / 20 AS p FROM c GROUP BY qid),
+dcg AS (SELECT qid, sum(CASE WHEN rank = 1 THEN is_rel::DOUBLE
+                             ELSE is_rel / log2(rank) END) AS d
+        FROM c GROUP BY qid),
+idcg AS (SELECT n.qid,
+                sum(CASE WHEN g.i = 1 THEN 1.0 ELSE 1.0 / log2(g.i) END) AS id
+         FROM nrel n, unnest(generate_series(1, least(n.n_rel, 20))) AS g(i)
+         GROUP BY n.qid)
+SELECT n.qid,
+       (floor((coalesce(apn.sp, 0) / n.n_rel) * 1e6 + 0.5) / 1e6) AS ap,
+       (floor(coalesce(p20.p, 0) * 1e6 + 0.5) / 1e6) AS p_at_20,
+       (floor((coalesce(dcg.d, 0) / idcg.id) * 1e6 + 0.5) / 1e6) AS ndcg_at_20
+FROM nrel n
+LEFT JOIN apn ON apn.qid = n.qid
+LEFT JOIN p20 ON p20.qid = n.qid
+LEFT JOIN dcg ON dcg.qid = n.qid
+JOIN idcg ON idcg.qid = n.qid
+"""
+
+    # --- trec_run ------------------------------------------------------------
+    sql["trec_run"] = f"""
+WITH {fts},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({score}) AS s
+  FROM {qvals}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id),
+topk AS (
+  SELECT qid, doc_id, (floor(s * 1e4 + 0.5) / 1e4) AS score, rank FROM (
+    SELECT qid, doc_id, s,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id)::INT AS rank
+    FROM matched) t
+  WHERE rank <= {TOPK})
+SELECT qid, rank,
+       printf('%s Q0 %s %d %.4f %s', qid, doc_id::VARCHAR, rank, score,
+              'SPARK_FTS') AS line
+FROM topk
 """
     return sql

@@ -225,6 +225,36 @@ def tokenize_texts(texts: Iterable[str], stem: bool = False,
     return _tokenize_series(pd.Series(list(texts), dtype=object), stem, keep_stopwords).tolist()
 
 
+def tokenize_tf_udf(stem: bool = False):
+    """Pandas UDF: content -> struct<dl:int, tfs:array<struct<term,tf>>>.
+
+    One tokenize pass producing BOTH the document length and the
+    per-document term frequencies (map-side combine inside the UDF):
+    the index build's explode then carries |distinct terms| rows per
+    doc instead of |tokens| — ~4× less shuffle input on natural text.
+    """
+    from collections import Counter
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([
+        StructField("dl", IntegerType()),
+        StructField("tfs", ArrayType(StructType([
+            StructField("term", StringType()),
+            StructField("tf", IntegerType()),
+        ]))),
+    ])
+
+    @F.pandas_udf(schema)
+    def _tok_tf(s: pd.Series) -> pd.DataFrame:
+        toks = _tokenize_series(s, stem, keep_stopwords=False)
+        dl = toks.map(len)
+        tfs = toks.map(lambda ts: list(Counter(ts).items()))
+        return pd.DataFrame({"dl": dl, "tfs": tfs})
+
+    return _tok_tf
+
+
 # ---------------------------------------------------------------------------
 # Implementation 2: pure Catalyst column expression (no Python at all)
 # ---------------------------------------------------------------------------

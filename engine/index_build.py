@@ -17,7 +17,7 @@ explicit Spark dataflow:
 
 On-disk layout under ``index_dir``::
 
-    docs/       doc_id, docno, repo, path, commit, lang, content, sha, dl
+    docs/       doc_id, docno, repo, path, commit, lang, content, sha
     tf/         bucket=*/ term, salt, doc_id, tf, dl      (checkpoint 1)
     termstats/  term, df, bucket
     stats/      single row: n_docs, avgdl, total_tokens, n_buckets, ...
@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 import pyspark.sql.types as T
 
-from .analysis import tokenize_pandas_udf
+from .analysis import tokenize_tf_udf
 from .postings import BLOCK_SIZE, encode_postings
 from .scoring import B, K1
 
@@ -213,15 +213,13 @@ def build_index(
         if fs.exists(hpath):
             fs.delete(hpath, True)
 
-    # ---- stage 1: docs table (doc_id + sha + dl) --------------------------
-    tok = tokenize_pandas_udf(stem=stem)
+    # ---- stage 1: docs table (doc_id + sha) -------------------------------
     if not _exists(spark, p["docs"]):
         docs = assign_doc_ids(corpus, n_doc_buckets)
         docs = (
             docs.withColumn("sha", F.sha2(F.col("content"), 256))
-            .withColumn("dl", F.size(tok(F.col("content"))))
             .select("doc_id", "docno", "repo", "path", "commit", "lang",
-                    "content", "sha", "dl")
+                    "content", "sha")
         )
         docs.write.parquet(p["docs"])
     else:
@@ -231,20 +229,28 @@ def build_index(
 
     # ---- stage 2: tf table, salted + bucketed (checkpoint 1) --------------
     if not _exists(spark, p["tf"]):
-        toks = docs.select(
-            "doc_id", F.col("dl"),
-            F.explode(tok(F.col("content"))).alias("term"),
-        )
-        tf = toks.groupBy("term", "doc_id", "dl").agg(
-            F.count(F.lit(1)).alias("tf"))
-        dfstats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        # single tokenize pass; tf pre-aggregated per doc inside the UDF
+        # (map-side combine) so the explode emits |distinct terms| rows
+        # per doc, not |tokens| — ~4× less shuffle input.
+        tok_tf = tokenize_tf_udf(stem=stem)
+        toks = (docs
+                .select("doc_id", tok_tf(F.col("content")).alias("ts"))
+                .select("doc_id", F.col("ts.dl").cast("long").alias("dl"),
+                        F.explode("ts.tfs").alias("p")))
+        # persist: feeds the df-stats broadcast, the salted tf write AND
+        # the termstats write — without it the tokenize subtree runs 3×.
+        tf_agg = toks.select(
+            "doc_id", "dl",
+            F.col("p.term").alias("term"),
+            F.col("p.tf").cast("long").alias("tf")).persist()
+        dfstats = tf_agg.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         head = (dfstats.where(F.col("df") > split_threshold)
                 .withColumn("n_splits",
                             F.ceil(F.col("df") / F.lit(split_threshold))
                             .cast("int"))
                 .select("term", "n_splits"))
         tf = (
-            tf.join(F.broadcast(head), "term", "left")
+            tf_agg.join(F.broadcast(head), "term", "left")
             .withColumn("salt",
                         F.when(F.col("n_splits").isNull(), F.lit(0))
                         .otherwise(F.pmod(F.col("doc_id"), F.col("n_splits"))
@@ -259,20 +265,21 @@ def build_index(
          .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
                      .cast("int"))
          .write.parquet(p["termstats"]))
+        tf_agg.unpersist()
     else:
         metrics["resumed_stages"].append("tf")
     t_tf = time.time()
 
     # ---- stage 3: global stats -------------------------------------------
     if not _exists(spark, p["stats"]):
-        agg = docs.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("total_tokens"),
-        ).collect()[0]
+        n_docs = docs.count()
+        tok_agg = spark.read.parquet(p["tf"]).agg(
+            F.sum("tf").alias("total_tokens")).collect()[0]
+        total_tokens = int(tok_agg["total_tokens"] or 0)
         stats = {
-            "n_docs": int(agg["n_docs"]), "avgdl": float(agg["avgdl"]),
-            "total_tokens": int(agg["total_tokens"]),
+            # avgdl over ALL docs (zero-token docs included), exact
+            "n_docs": n_docs, "avgdl": total_tokens / max(n_docs, 1),
+            "total_tokens": total_tokens,
             "n_buckets": n_buckets, "split_threshold": split_threshold,
             "block_size": block_size, "k1": k1, "b": b, "stem": stem,
         }

@@ -31,16 +31,25 @@ def _tokens(col):
 
 
 def shingles_col(text_col, k: int = 3):
-    """Word k-shingles as an array column (deduplicated). Docs with
-    fewer than k tokens get an empty array (sequence() would step
-    backwards on a negative stop, so guard explicitly)."""
+    """Word k-shingles as an array column (deduplicated).
+
+    Built by zipping the token array with its own 1..k-1 shifted
+    slices — O(n) per row. (An element_at(tokens, i+j) lambda looks
+    natural but re-evaluates the whole tokenize subtree per element:
+    O(n²) per document — measured 10× slower on real docs.)
+
+    zip_with pads the shorter side with null and concat propagates
+    null, so trailing (and too-short-doc) positions drop out in the
+    final null-filter.
+    """
     toks = _tokens(text_col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), n - k)
-    sh = F.transform(idx, lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]))
-    return F.when(n >= k, F.array_distinct(sh)) \
-        .otherwise(F.array().cast("array<string>"))
+    out = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+        out = F.zip_with(out, shifted,
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.filter(out, lambda x: x.isNotNull()))
 
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text",

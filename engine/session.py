@@ -17,6 +17,10 @@ def get_spark(app: str = "spark-fts", master: str | None = None,
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # local test files are small; 128MB splits would serialize the
+        # scan+tokenize map side on a handful of tasks (at cluster scale
+        # the file count provides the splits instead)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -66,12 +66,13 @@ def test_weighted_multi_term_and_tiebreak(spark, tmp_path):
 
 
 def test_boolean_and(spark, tmp_path):
-    docs = ["a b c", "a c", "b c", "a b"]
+    # NB: terms must be non-stopwords — stopwords are never indexed
+    docs = ["xx yy zz", "xx zz", "yy zz", "xx yy"]
     idx = _mini_index(spark, tmp_path, docs, name="and")
     id2doc = {r["doc_id"]: r["path"] for r in
               idx.docs.select("doc_id", "path").collect()}
-    hits = boolean_and(idx, [("q1", ["a", "b"]), ("q2", ["c"]),
-                             ("q3", ["a", "b", "c"]), ("q4", ["zzz", "a"])])
+    hits = boolean_and(idx, [("q1", ["xx", "yy"]), ("q2", ["zz"]),
+                             ("q3", ["xx", "yy", "zz"]), ("q4", ["q", "xx"])])
     got = {}
     for r in hits.collect():
         got.setdefault(r["qid"], set()).add(id2doc[r["doc_id"]])
@@ -108,8 +109,13 @@ def test_index_global_invariants(tiny_index):
     bad = joined.where(F.col("n_post") != F.col("df")).count()
     assert bad == 0
     stats = tiny_index.stats
-    total_dl = tiny_index.docs.agg(F.sum("dl")).collect()[0][0]
-    assert total_dl == stats["total_tokens"]
+    tf = tiny_index.spark.read.parquet(f"{tiny_index.index_dir}/tf")
+    total_tf = tf.agg(F.sum("tf")).collect()[0][0]
+    assert total_tf == stats["total_tokens"]
+    # per-doc dl carried in tf equals that doc's Σtf
+    bad = (tf.groupBy("doc_id", "dl").agg(F.sum("tf").alias("s"))
+           .where(F.col("s") != F.col("dl")).count())
+    assert bad == 0
 
 
 def test_parallelism_invariance(spark, tmp_path):

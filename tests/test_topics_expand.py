@@ -45,7 +45,7 @@ def test_filter_narrative_word_level():
     assert "knots" not in kept           # contains "not"
     assert "irrelevant-ish" not in kept  # contains "irrelevant"
     assert "Importantly," in kept        # "importantly" has no "not"
-    assert "relevant;" in kept
+    assert "relevant" in kept            # ';' is a split char, so stripped
 
 
 def test_anchor_weights_boosts():
