@@ -225,34 +225,11 @@ def tokenize_texts(texts: Iterable[str], stem: bool = False,
     return _tokenize_series(pd.Series(list(texts), dtype=object), stem, keep_stopwords).tolist()
 
 
-def tokenize_tf_udf(stem: bool = False):
-    """Pandas UDF: content -> struct<dl:int, tfs:array<struct<term,tf>>>.
-
-    One tokenize pass producing BOTH the document length and the
-    per-document term frequencies (map-side combine inside the UDF):
-    the index build's explode then carries |distinct terms| rows per
-    doc instead of |tokens| — ~4× less shuffle input on natural text.
-    """
-    from collections import Counter
-
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    schema = StructType([
-        StructField("dl", IntegerType()),
-        StructField("tfs", ArrayType(StructType([
-            StructField("term", StringType()),
-            StructField("tf", IntegerType()),
-        ]))),
-    ])
-
-    @F.pandas_udf(schema)
-    def _tok_tf(s: pd.Series) -> pd.DataFrame:
-        toks = _tokenize_series(s, stem, keep_stopwords=False)
-        dl = toks.map(len)
-        tfs = toks.map(lambda ts: list(Counter(ts).items()))
-        return pd.DataFrame({"dl": dl, "tfs": tfs})
-
-    return _tok_tf
+# NOTE: a struct-returning "tokenize + per-doc tf pre-aggregation" UDF
+# was tried to cut the explode volume 4×, but the Python→Arrow
+# list<struct<term,tf>> conversion measured ~10× slower than exploding
+# the plain array<string> and letting the JVM's partial+final hash agg
+# do the combine. Keep UDF returns to Arrow-native primitive arrays.
 
 
 # ---------------------------------------------------------------------------

@@ -46,9 +46,7 @@ Scale notes (designed for ~100 TB / 1000 executors, tested local[32]):
 from __future__ import annotations
 
 import json
-import math
 import time
-from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -56,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 import pyspark.sql.types as T
 
-from .analysis import tokenize_tf_udf
+from .analysis import tokenize_pandas_udf, tokens_col
 from .postings import BLOCK_SIZE, encode_postings
 from .scoring import B, K1
 
@@ -229,20 +227,27 @@ def build_index(
 
     # ---- stage 2: tf table, salted + bucketed (checkpoint 1) --------------
     if not _exists(spark, p["tf"]):
-        # single tokenize pass; tf pre-aggregated per doc inside the UDF
-        # (map-side combine) so the explode emits |distinct terms| rows
-        # per doc, not |tokens| — ~4× less shuffle input.
-        tok_tf = tokenize_tf_udf(stem=stem)
+        # single tokenize pass. Default tokenizer is the pure-Catalyst
+        # column (whole-stage codegen, zero Python): measured 2-3×
+        # faster AND core-scalable vs the pandas UDF, whose Arrow
+        # return of ~token-count strings dominates its profile (and a
+        # struct<term,tf> return was 10× worse still). The pandas-UDF
+        # variant (identical semantics — tested 3-way vs DuckDB) is
+        # used when stemming is on; both are SURVEY.md §2.3 T1-T5.
+        if stem:
+            tok = tokenize_pandas_udf(stem=True)
+            tokens = tok(F.col("content"))
+        else:
+            tokens = tokens_col(F.col("content"))
         toks = (docs
-                .select("doc_id", tok_tf(F.col("content")).alias("ts"))
-                .select("doc_id", F.col("ts.dl").cast("long").alias("dl"),
-                        F.explode("ts.tfs").alias("p")))
+                .select("doc_id", tokens.alias("tokens"))
+                .select("doc_id",
+                        F.size("tokens").cast("long").alias("dl"),
+                        F.explode("tokens").alias("term")))
         # persist: feeds the df-stats broadcast, the salted tf write AND
         # the termstats write — without it the tokenize subtree runs 3×.
-        tf_agg = toks.select(
-            "doc_id", "dl",
-            F.col("p.term").alias("term"),
-            F.col("p.tf").cast("long").alias("tf")).persist()
+        tf_agg = toks.groupBy("term", "doc_id", "dl").agg(
+            F.count(F.lit(1)).alias("tf")).persist()
         dfstats = tf_agg.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         head = (dfstats.where(F.col("df") > split_threshold)
                 .withColumn("n_splits",
