@@ -52,7 +52,9 @@ def main() -> None:
     shutil.rmtree(idx_dir, ignore_errors=True)
     corpus = entrymod._documents_as_corpus(docs)
     t0 = time.time()
-    metrics = build_index(spark, corpus, idx_dir, n_buckets=int(cpus),
+    # 8 term buckets: at this corpus size more buckets only multiply
+    # dynamic-partition write overhead (files = buckets × tasks)
+    metrics = build_index(spark, corpus, idx_dir, n_buckets=8,
                           n_doc_buckets=1)
     timings["index_build"] = time.time() - t0
     idx = Index(spark, idx_dir)
