@@ -18,6 +18,8 @@ Both are tested with ``trigger(availableNow=True)`` file streams.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,15 +73,22 @@ def delta_segment_writer(index_dir: str, avgdl: float, n_buckets: int = 8,
 
 
 def incremental_index(spark: SparkSession, watch_dir: str, index_dir: str,
-                      avgdl: float, n_buckets: int = 8,
+                      avgdl: float | None = None, n_buckets: int | None = None,
                       checkpoint: str | None = None,
                       available_now: bool = True):
     """Stream new corpus files from ``watch_dir`` into delta segments.
 
+    ``avgdl``/``n_buckets`` default to the BASE index's stats so delta
+    sub-postings stay bucket- and score-compatible with the base.
     Returns the StreamingQuery. With ``available_now`` the query drains
     what exists and stops — the test/batch-catchup mode; without it, it
     runs continuously (micro-batch per trigger).
     """
+    if avgdl is None or n_buckets is None:
+        from .index_build import load_stats
+        stats = load_stats(spark, index_dir)
+        avgdl = stats["avgdl"] if avgdl is None else avgdl
+        n_buckets = stats["n_buckets"] if n_buckets is None else n_buckets
     stream = (spark.readStream.schema(CORPUS_SCHEMA).parquet(watch_dir))
     writer = delta_segment_writer(index_dir, avgdl, n_buckets)
     q = (stream.writeStream
@@ -96,6 +105,101 @@ def read_delta_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     A searcher unions this with the base ``postings/`` table (scores are
     additive per (term, doc) across segments)."""
     return spark.read.parquet(f"{index_dir}/delta_postings")
+
+
+def _has_deltas(spark: SparkSession, index_dir: str) -> bool:
+    from .index_build import _exists
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/delta_postings")
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hp))
+
+
+def searchable_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Base ∪ delta postings with a uniform schema (delta epoch folded
+    away; each row remains an independently-scoreable sub-posting)."""
+    base = spark.read.parquet(f"{index_dir}/postings")
+    if not _has_deltas(spark, index_dir):
+        return base
+    cols = base.columns
+    # deltas reuse salt as a disambiguator so (term, salt) stays unique
+    # in the union: shift by (epoch+1) * a large stride
+    delta = (read_delta_postings(spark, index_dir)
+             .withColumn("salt",
+                         (F.col("salt") + (F.col("delta") + 1) * 1_000_000)
+                         .cast("int"))
+             .select(*cols))
+    return base.select(*cols).unionByName(delta)
+
+
+def compact_deltas(spark: SparkSession, index_dir: str,
+                   block_size: int | None = None) -> int:
+    """Fold delta segments into the base postings (the 'forceMerge'
+    the reference never runs — Indexer.java:50 — provided here because
+    a streaming index accretes one sub-posting per term per epoch).
+
+    Per (bucket, term): decode every base sub-posting (all salts) and
+    every delta sub-posting, merge by docID (doc sets are disjoint —
+    append-only corpus), re-encode as a single posting with block-max
+    metadata under the BASE avgdl (frozen, like the batch builder).
+    Rewrites ``postings/`` atomically-per-job and drops the delta dir.
+    Returns the number of compacted terms.
+    """
+    from .index_build import _paths, load_stats
+    from .postings import BLOCK_SIZE as _BS
+    from .postings import decode_postings, encode_postings
+
+    stats = load_stats(spark, index_dir)
+    avgdl, k1, b = stats["avgdl"], stats["k1"], stats["b"]
+    bs = block_size or stats.get("block_size", _BS)
+    allp = searchable_postings(spark, index_dir)
+
+    def merge_group(key, pdf):
+        bucket, term = int(key[0]), key[1]
+        ds, ts, ls = [], [], []
+        for blob in pdf["blob"]:
+            d, t, dl = decode_postings(bytes(blob))
+            ds.append(d), ts.append(t), ls.append(dl)
+        d = np.concatenate(ds)
+        t = np.concatenate(ts)
+        dl = np.concatenate(ls)
+        order = np.argsort(d, kind="stable")
+        d, t, dl = d[order], t[order], dl[order]
+        blob, last, mtf, mw = encode_postings(d, t, dl, avgdl, k1, b, bs)
+        return pd.DataFrame({
+            "term": [term], "salt": [0], "df_part": [int(d.size)],
+            "blob": [blob], "block_last": [last.tolist()],
+            "block_max_tf": [mtf.tolist()], "block_max_w": [mw.tolist()],
+            "bucket": [bucket],
+        })
+
+    merged = allp.groupBy("bucket", "term").applyInPandas(
+        merge_group, schema=_ENC_SCHEMA)
+    tmp_dir = f"{index_dir}/postings_compact_tmp"
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp_dir)
+    n_terms = spark.read.parquet(tmp_dir).count()
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(conf)
+    p = _paths(index_dir)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(p["postings"]), True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_dir),
+              jvm.org.apache.hadoop.fs.Path(p["postings"]))
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/delta_postings"), True)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/stream_checkpoint"), True)
+
+    # refresh df stats (deltas changed them); avgdl stays frozen — a
+    # full stats refresh is the batch builder's stats stage re-run.
+    ts_tmp = f"{index_dir}/termstats_compact_tmp"
+    (spark.read.parquet(p["postings"])
+     .groupBy("term", "bucket").agg(F.sum("df_part").alias("df"))
+     .select("term", "df", "bucket")
+     .write.mode("overwrite").parquet(ts_tmp))
+    fs.delete(jvm.org.apache.hadoop.fs.Path(p["termstats"]), True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(ts_tmp),
+              jvm.org.apache.hadoop.fs.Path(p["termstats"]))
+    return int(n_terms)
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
