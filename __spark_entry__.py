@@ -275,6 +275,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (similarity.signbit_bucket(_emb(spark, sf_dir))
                 .orderBy("vec_id"))
 
+    def ann_ivf_topk(spark, sf_dir):
+        # IVF scale path: k-means cells + n_probe rerank. Approximate
+        # by design → no SQL oracle (driver records rows-only check);
+        # recall vs the exact cosine_topk oracle is asserted in pytest.
+        out = similarity.cosine_topk_ivf(_emb(spark, sf_dir),
+                                         ANN_QUERY_IDS, TOPK,
+                                         n_centroids=16, n_probe=4)
+        return out.select("qid", "vec_id",
+                          round_half_up(F.col("cosine"), 4).alias("cosine"),
+                          "rank")
+
     def token_counts(spark, sf_dir):
         return textstats.token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -399,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": ngram_jaccard,
         "cosine_topk": cosine_topk,
         "ann_buckets": ann_buckets,
+        "ann_ivf_topk": ann_ivf_topk,
         "token_counts": token_counts,
         "quality_scores": quality_scores,
         "lang_id": lang_id,

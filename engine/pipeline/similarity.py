@@ -70,6 +70,83 @@ def signbit_bucket(emb: DataFrame, dims: list[int] | None = None,
     return emb.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16, n_iter: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding"
+                  ) -> DataFrame:
+    """Deterministic mini-Lloyd k-means centroids: (centroid_id, cv).
+
+    Init = the vectors whose id ≡ 0 (mod ceil(n/n_centroids)) — seedless
+    and stable. Each iteration: broadcast centroids → nearest-centroid
+    assign (cosine) → per-centroid mean. All DataFrame ops; the
+    centroid table stays tiny (broadcast side).
+    """
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    n = base.count()
+    stride = max(1, (n + n_centroids - 1) // n_centroids)
+    cents = (base.where(F.col("vec_id") % stride == 0)
+             .orderBy("vec_id").limit(n_centroids)
+             .select((F.col("vec_id") / stride).cast("int").alias("centroid_id"),
+                     F.col("v").alias("cv")))
+    dims = len(base.first()["v"])
+    for _ in range(n_iter):
+        assigned = _assign_to_centroids(base, cents)
+        cents = (assigned.join(base, "vec_id")
+                 .groupBy("centroid_id")
+                 .agg(F.array(*[
+                     F.avg(F.element_at("v", d + 1)).alias(f"d{d}")
+                     for d in range(dims)]).alias("cv")))
+    return cents
+
+
+def _assign_to_centroids(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id): nearest centroid by cosine, ties → lowest
+    centroid_id."""
+    from pyspark.sql import Window
+    joined = base.crossJoin(F.broadcast(cents))
+    scored = joined.withColumn(
+        "cos", _dot("v", "cv") / (_norm("v") * _norm("cv")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"),
+                                             F.asc("centroid_id"))
+    return (scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select("vec_id", "centroid_id"))
+
+
+def cosine_topk_ivf(emb: DataFrame, query_ids: list[int], k: int = 10,
+                    n_centroids: int = 16, n_probe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> DataFrame:
+    """IVF ANN: assign vectors to k-means cells; each query probes its
+    ``n_probe`` nearest cells and reranks exactly within them. At scale
+    the cell assignment is a materialized column (partition key), so a
+    query touches n_probe/n_centroids of the data.
+    """
+    from pyspark.sql import Window
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    cents = ivf_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    assigned = _assign_to_centroids(base, cents).persist()
+    q = (base.where(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    # query → its n_probe nearest centroids
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    probes = (qc.withColumn("r", F.row_number().over(wq))
+              .where(F.col("r") <= n_probe)
+              .select("qid", "qv", "centroid_id"))
+    cand = (probes.join(assigned, "centroid_id")
+            .where(F.col("vec_id") != F.col("qid"))
+            .join(base, "vec_id"))
+    scored = cand.withColumn(
+        "cosine", _dot("qv", "v") / (_norm("qv") * _norm("v")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "vec_id", "cosine", "rank"))
+
+
 def cosine_topk_bucketed(emb: DataFrame, query_ids: list[int], k: int = 10,
                          dims: list[int] | None = None,
                          id_col: str = "vec_id", vec_col: str = "embedding"

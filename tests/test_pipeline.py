@@ -122,3 +122,27 @@ def test_multimodal_plumbing(docs):
     text0 = docs.where("doc_id = 0").collect()[0]["text"]
     assert r["sha"] == hashlib.sha256(text0.encode()).hexdigest()
     assert r["n_bytes"] == len(text0.encode())
+
+
+def test_ivf_ann_on_separable_clusters(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # two well-separated clusters in 16d
+    for i in range(40):
+        center = np.zeros(16)
+        center[0 if i < 20 else 8] = 10.0
+        v = center + rng.normal(0, 0.1, 16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bf = similarity.cosine_topk(emb, [0, 25], k=5)
+    ivf = similarity.cosine_topk_ivf(emb, [0, 25], k=5,
+                                     n_centroids=4, n_probe=2)
+    bfs = {(r["qid"], r["vec_id"]) for r in bf.collect()}
+    ivs = {(r["qid"], r["vec_id"]) for r in ivf.collect()}
+    # separable clusters → the probed cells contain the true neighbors
+    assert len(bfs & ivs) / len(bfs) >= 0.9
+    # all results stay within the query's own cluster
+    for q, v in ivs:
+        assert (v < 20) == (q < 20)
