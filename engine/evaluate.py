@@ -91,3 +91,16 @@ def macro_metrics(run: DataFrame, qrels: DataFrame, k: int = 20) -> dict:
     return {"MAP": float(row[0] or 0.0),
             f"P@{k}": float(row[1] or 0.0),
             f"nDCG@{k}": float(row[2] or 0.0)}
+
+
+def standings(runs: dict[str, DataFrame], qrels: DataFrame,
+              k: int = 20) -> list[dict]:
+    """E5 (tools/evaluate.py:97-125): evaluate several runs, sorted by
+    (MAP, nDCG@k, P@k) descending."""
+    rows = []
+    for name, run in runs.items():
+        m = macro_metrics(run, qrels, k)
+        rows.append({"run": name, **m})
+    rows.sort(key=lambda r: (r["MAP"], r[f"nDCG@{k}"], r[f"P@{k}"]),
+              reverse=True)
+    return rows
