@@ -50,7 +50,7 @@ AND_QUERIES: list[tuple[str, list[str]]] = [
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 TOPK = 10
 
-INDEX_VERSION = "v1"
+INDEX_VERSION = "v2"  # v2: codec byte prefix in posting blobs
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

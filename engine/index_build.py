@@ -148,14 +148,16 @@ _ENC_SCHEMA = T.StructType([
 ])
 
 
-def _make_encode_fn(avgdl: float, k1: float, b: float, block_size: int):
+def _make_encode_fn(avgdl: float, k1: float, b: float, block_size: int,
+                    codec: str = "vb"):
     def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bucket, term, salt = int(key[0]), key[1], int(key[2])
         order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
         docs = pdf["doc_id"].to_numpy()[order]
         tfs = pdf["tf"].to_numpy()[order]
         dls = pdf["dl"].to_numpy()[order]
-        blob, last, mtf, mw = encode_postings(docs, tfs, dls, avgdl, k1, b, block_size)
+        blob, last, mtf, mw = encode_postings(docs, tfs, dls, avgdl, k1, b,
+                                              block_size, codec)
         return pd.DataFrame({
             "term": [term], "salt": [salt], "df_part": [int(len(docs))],
             "blob": [blob], "block_last": [last.tolist()],
@@ -190,6 +192,7 @@ def build_index(
     split_threshold: int = DEFAULT_SPLIT_THRESHOLD,
     chunk_size: int | None = None,
     block_size: int = BLOCK_SIZE,
+    codec: str = "vb",
     stem: bool = False,
     k1: float = K1,
     b: float = B,
@@ -286,7 +289,8 @@ def build_index(
             "n_docs": n_docs, "avgdl": total_tokens / max(n_docs, 1),
             "total_tokens": total_tokens,
             "n_buckets": n_buckets, "split_threshold": split_threshold,
-            "block_size": block_size, "k1": k1, "b": b, "stem": stem,
+            "block_size": block_size, "codec": codec,
+            "k1": k1, "b": b, "stem": stem,
         }
         spark.createDataFrame([json.dumps(stats)], "string") \
             .toDF("stats_json").write.parquet(p["stats"])
@@ -300,7 +304,8 @@ def build_index(
     metrics["buckets_resumed"] = n_buckets - len(missing)
     if missing:
         step = chunk_size or len(missing)
-        enc_fn = _make_encode_fn(stats["avgdl"], k1, b, block_size)
+        enc_fn = _make_encode_fn(stats["avgdl"], k1, b, block_size,
+                                 stats.get("codec", "vb"))
         tf_all = spark.read.parquet(p["tf"])
         for ci in range(0, len(missing), step):
             chunk = missing[ci:ci + step]

@@ -101,6 +101,62 @@ def vb_decode(buf: np.ndarray, count: int | None = None) -> Tuple[np.ndarray, in
 # Posting-list encode/decode with block-max metadata
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# FOR / PForDelta-style bit-packed codec (alternative to VB)
+# ---------------------------------------------------------------------------
+#
+# Frame-of-reference per block: store varint(min), one width byte
+# (bits of max-min), then the (v - min) values bit-packed LSB-first via
+# numpy unpackbits/packbits. Fully vectorized both directions.
+
+FOR_BLOCK = 128
+
+
+def for_encode(values: np.ndarray, block: int = FOR_BLOCK) -> np.ndarray:
+    a = np.asarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return np.empty(0, dtype=np.uint8)
+    chunks: list[np.ndarray] = []
+    for i in range(0, a.size, block):
+        v = a[i:i + block]
+        lo = v.min()
+        rel = v - lo
+        width = int(rel.max()).bit_length()
+        header = vb_encode(np.array([lo, width], dtype=np.uint64))
+        chunks.append(header)
+        if width:
+            # bits[j, k] = bit k of rel[j]  (LSB-first)
+            bits = ((rel[:, None] >> np.arange(width, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.uint8)
+            chunks.append(np.packbits(bits.reshape(-1)))
+    return np.concatenate(chunks)
+
+
+def for_decode(buf: np.ndarray, count: int,
+               block: int = FOR_BLOCK) -> Tuple[np.ndarray, int]:
+    b = np.asarray(buf, dtype=np.uint8)
+    out = np.empty(count, dtype=np.uint64)
+    pos = 0
+    done = 0
+    while done < count:
+        n = min(block, count - done)
+        (hdr, used) = vb_decode(b[pos:], count=2)
+        lo, width = np.uint64(hdr[0]), int(hdr[1])
+        pos += used
+        if width:
+            nbytes = (n * width + 7) // 8
+            bits = np.unpackbits(b[pos:pos + nbytes])[: n * width]
+            bits = bits.reshape(n, width).astype(np.uint64)
+            rel = (bits << np.arange(width, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64)
+            pos += nbytes
+        else:
+            rel = np.zeros(n, dtype=np.uint64)
+        out[done:done + n] = rel + lo
+        done += n
+    return out, pos
+
+
 def bm25_weight(tf: np.ndarray, dl: np.ndarray, avgdl: float,
                 k1: float = 1.2, b: float = 0.75) -> np.ndarray:
     """Idf-free BM25 weight w = tf / (tf + k1*(1-b+b*dl/avgdl))."""
@@ -108,15 +164,25 @@ def bm25_weight(tf: np.ndarray, dl: np.ndarray, avgdl: float,
     return tf / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
 
 
+# codec ids (first blob byte)
+CODEC_VB = 1    # variable-byte
+CODEC_FOR = 2   # frame-of-reference bit packing (PForDelta-style)
+CODECS = {"vb": CODEC_VB, "for": CODEC_FOR}
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                     avgdl: float, k1: float = 1.2, b: float = 0.75,
-                    block_size: int = BLOCK_SIZE
+                    block_size: int = BLOCK_SIZE, codec: str = "vb"
                     ) -> Tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
     """Encode one term's postings.
 
     Parameters: sorted ascending int64 ``doc_ids``, int ``tfs`` (>0) and
     per-posting doc lengths ``dls``, all equal length. Returns
     ``(blob, block_last_doc, block_max_tf, block_max_w)``.
+
+    ``codec``: 'vb' (variable-byte) or 'for' (bit-packed
+    frame-of-reference, PForDelta-style); recorded in the blob's first
+    byte so readers self-dispatch.
     """
     d = np.asarray(doc_ids, dtype=np.int64)
     t = np.asarray(tfs, dtype=np.int64)
@@ -128,10 +194,14 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     deltas[0] = np.uint64(d[0])
     if n > 1:
         deltas[1:] = np.diff(d).astype(np.uint64)
-    header = vb_encode(np.array([n], dtype=np.uint64))
+    enc = vb_encode if codec == "vb" else for_encode
+    header = np.concatenate([
+        np.array([CODECS[codec]], dtype=np.uint8),
+        vb_encode(np.array([n], dtype=np.uint64)),
+    ])
     blob = np.concatenate([
-        header, vb_encode(deltas), vb_encode(t.astype(np.uint64)),
-        vb_encode(dl.astype(np.uint64)),
+        header, enc(deltas), enc(t.astype(np.uint64)),
+        enc(dl.astype(np.uint64)),
     ]).tobytes()
     nblocks = (n + block_size - 1) // block_size
     block_last = d[np.minimum(np.arange(1, nblocks + 1) * block_size, n) - 1]
@@ -145,15 +215,21 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
 
 
 def decode_postings(blob: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Inverse of :func:`encode_postings` → (doc_ids, tfs, dls) int64."""
+    """Inverse of :func:`encode_postings` → (doc_ids, tfs, dls) int64.
+    Codec self-dispatch from the blob's first byte."""
     if not blob:
         z = np.empty(0, np.int64)
         return z, z, z
     buf = np.frombuffer(blob, dtype=np.uint8)
-    (n_arr, used) = vb_decode(buf, count=1)
+    codec = int(buf[0])
+    dec = vb_decode if codec == CODEC_VB else for_decode
+    (n_arr, used) = vb_decode(buf[1:], count=1)
     n = int(n_arr[0])
-    deltas, used2 = vb_decode(buf[used:], count=n)
-    tfs, used3 = vb_decode(buf[used + used2:], count=n)
-    dls, _ = vb_decode(buf[used + used2 + used3:], count=n)
+    pos = 1 + used
+    deltas, used2 = dec(buf[pos:], count=n)
+    pos += used2
+    tfs, used3 = dec(buf[pos:], count=n)
+    pos += used3
+    dls, _ = dec(buf[pos:], count=n)
     doc_ids = np.cumsum(deltas.astype(np.int64))
     return doc_ids, tfs.astype(np.int64), dls.astype(np.int64)

@@ -151,6 +151,7 @@ def compact_deltas(spark: SparkSession, index_dir: str,
 
     stats = load_stats(spark, index_dir)
     avgdl, k1, b = stats["avgdl"], stats["k1"], stats["b"]
+    codec = stats.get("codec", "vb")
     bs = block_size or stats.get("block_size", _BS)
     allp = searchable_postings(spark, index_dir)
 
@@ -165,7 +166,8 @@ def compact_deltas(spark: SparkSession, index_dir: str,
         dl = np.concatenate(ls)
         order = np.argsort(d, kind="stable")
         d, t, dl = d[order], t[order], dl[order]
-        blob, last, mtf, mw = encode_postings(d, t, dl, avgdl, k1, b, bs)
+        blob, last, mtf, mw = encode_postings(d, t, dl, avgdl, k1, b, bs,
+                                              codec)
         return pd.DataFrame({
             "term": [term], "salt": [0], "df_part": [int(d.size)],
             "blob": [blob], "block_last": [last.tolist()],

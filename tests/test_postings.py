@@ -75,3 +75,50 @@ def test_compression_is_compact():
     dls = np.full(n, 100)
     blob, *_ = encode_postings(docs, tfs, dls, 100.0)
     assert len(blob) < n * 4
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_for_codec_roundtrip(seed):
+    from engine.postings import for_decode, for_encode
+
+    rng = np.random.default_rng(300 + seed)
+    n = int(rng.integers(1, 1200))
+    vals = rng.integers(0, 2 ** int(rng.integers(1, 40)), n).astype(np.uint64)
+    enc = for_encode(vals)
+    dec, used = for_decode(enc, count=n)
+    assert used == enc.size
+    assert (dec == vals).all()
+
+
+def test_for_codec_constant_block():
+    from engine.postings import for_decode, for_encode
+
+    vals = np.full(300, 7, dtype=np.uint64)  # width 0 blocks
+    enc = for_encode(vals)
+    dec, _ = for_decode(enc, count=300)
+    assert (dec == 7).all()
+    assert enc.size < 10  # 3 blocks × ~2 header bytes
+
+
+@pytest.mark.parametrize("codec", ["vb", "for"])
+def test_postings_roundtrip_codecs(codec):
+    rng = np.random.default_rng(55)
+    n = 1000
+    docs = np.cumsum(rng.integers(1, 50, n))
+    tfs = rng.integers(1, 30, n)
+    dls = rng.integers(20, 800, n)
+    blob, last, mtf, mw = encode_postings(docs, tfs, dls, 300.0, codec=codec)
+    d2, t2, l2 = decode_postings(blob)
+    assert (d2 == docs).all() and (t2 == tfs).all() and (l2 == dls).all()
+
+
+def test_for_beats_vb_on_dense_small_gaps():
+    # FOR bit-packing should compress small uniform gaps harder than VB
+    rng = np.random.default_rng(9)
+    n = 4096
+    docs = np.cumsum(rng.integers(1, 8, n))
+    tfs = rng.integers(1, 4, n)
+    dls = rng.integers(90, 110, n)
+    vb, *_ = encode_postings(docs, tfs, dls, 100.0, codec="vb")
+    fr, *_ = encode_postings(docs, tfs, dls, 100.0, codec="for")
+    assert len(fr) < len(vb)

@@ -47,3 +47,21 @@ def test_salted_index_matches_unsplit(spark, tmp_path):
     h1 = sorted((r["qid"], r["doc_id"]) for r in boolean_and(plain, and_q).collect())
     h2 = sorted((r["qid"], r["doc_id"]) for r in boolean_and(salted, and_q).collect())
     assert h1 == h2
+
+
+def test_for_codec_index_matches_vb(spark, tmp_path):
+    """An index built with the FOR (PForDelta-style) codec returns
+    byte-for-byte identical query results to the VB index."""
+    corpus = generate_corpus_df(spark, 100, partitions=4, max_tokens=150)
+    p_vb, p_for = str(tmp_path / "vb"), str(tmp_path / "for")
+    build_index(spark, corpus, p_vb, n_buckets=4, n_doc_buckets=8, codec="vb")
+    build_index(spark, corpus, p_for, n_buckets=4, n_doc_buckets=8, codec="for")
+    i_vb, i_for = Index(spark, p_vb), Index(spark, p_for)
+    assert i_for.stats["codec"] == "for"
+    qt = topics_to_query_terms(synthetic_topics(4))
+    for fn in (score_exhaustive, score_wand):
+        r1 = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 10))
+              for r in fn(i_vb, qt, 15).collect()]
+        r2 = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 10))
+              for r in fn(i_for, qt, 15).collect()]
+        assert r1 == r2, fn.__name__
