@@ -386,6 +386,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             round_half_up(F.col("ndcg_at_k"), 6).alias("ndcg_at_20"),
         ).orderBy("qid")
 
+    def dedup_keep(spark, sf_dir):
+        """Near-dup filtering: keep-lowest-id policy over the MinHash
+        pairs; returns the surviving doc ids."""
+        kept = dedup.drop_near_dups(_docs(spark, sf_dir), threshold=0.3)
+        return kept.select("doc_id").orderBy("doc_id")
+
+    def tfidf_top_terms(spark, sf_dir):
+        """Per-doc top-3 TF-IDF terms (featurization op): smooth idf
+        ln(1 + n/df), ties by term asc."""
+        tf = _tf(spark, sf_dir)
+        dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        n = _docs(spark, sf_dir).count()
+        scored = (tf.join(dfs, "term")
+                  .withColumn("tfidf",
+                              F.col("tf") * F.log(1.0 + F.lit(float(n))
+                                                  / F.col("df"))))
+        w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"),
+                                                 F.asc("term"))
+        return (scored.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= 3)
+                .select("doc_id", "term",
+                        round_half_up(F.col("tfidf"), 6).alias("tfidf"),
+                        "rk")
+                .orderBy("doc_id", "rk"))
+
+    def event_window_counts(spark, sf_dir):
+        """Hourly event-type rollup (the batch form of the streaming
+        windowed aggregation — engine/streaming.py)."""
+        from engine.streaming import windowed_event_counts
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = windowed_event_counts(events, window="1 hour")
+        return (out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n",
+            round_half_up(F.col("total_value"), 4).alias("total_value"))
+            .orderBy("window_start", "event_type"))
+
     def trec_run(spark, sf_dir):
         """TREC run-file rows (SURVEY.md S6; Searcher.java:79 format)."""
         hits = _topk(_bm25_scored(spark, sf_dir, BM25_QUERIES))
@@ -419,6 +458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expansion_weights": expansion_weights,
         "eval_metrics": eval_metrics,
         "trec_run": trec_run,
+        "dedup_keep": dedup_keep,
+        "tfidf_top_terms": tfidf_top_terms,
+        "event_window_counts": event_window_counts,
     }
 
 
@@ -718,6 +760,60 @@ LEFT JOIN apn ON apn.qid = n.qid
 LEFT JOIN p20 ON p20.qid = n.qid
 LEFT JOIN dcg ON dcg.qid = n.qid
 JOIN idcg ON idcg.qid = n.qid
+"""
+
+    # --- dedup_keep ----------------------------------------------------------
+    sql["dedup_keep"] = f"""
+WITH t AS (SELECT doc_id, {raw_tok} AS t FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             for i in generate_series(1, len(t) - 2)]) AS shingles
+       FROM t WHERE len(t) >= 3),
+base AS (SELECT doc_id, shingles,
+                [('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647
+                 for s in shingles] AS hs
+         FROM sh),
+sig AS (SELECT doc_id, shingles,
+               [list_min([((1 + 2*h) * x + 7919*h) % 2147483647 for x in hs])
+                for h in generate_series(0, 15)] AS sig
+        FROM base),
+bands AS (SELECT doc_id, b,
+                 md5(sig[b*4+1]::VARCHAR || '|' || sig[b*4+2]::VARCHAR || '|' ||
+                     sig[b*4+3]::VARCHAR || '|' || sig[b*4+4]::VARCHAR) AS bh
+          FROM sig, generate_series(0, 3) g(b)),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+                                   AND a.doc_id < b.doc_id),
+losers AS (SELECT DISTINCT doc_b FROM pairs
+           JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+           WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                 / len(list_distinct(x.shingles || y.shingles)) >= 0.3)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+"""
+
+    # --- tfidf_top_terms -------------------------------------------------------
+    sql["tfidf_top_terms"] = f"""
+WITH {fts},
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(1.0 + stats.n / dfs.df) AS tfidf
+  FROM tf JOIN dfs USING (term), stats)
+SELECT doc_id, term, (floor(tfidf * 1e6 + 0.5) / 1e6) AS tfidf, rk FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term)::INT AS rk
+  FROM scored) t
+WHERE rk <= 3
+"""
+
+    # --- event_window_counts ---------------------------------------------------
+    sql["event_window_counts"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*)::BIGINT AS n,
+       (floor(sum(value) * 1e4 + 0.5) / 1e4) AS total_value
+FROM events
+GROUP BY 1, 2
 """
 
     # --- trec_run ------------------------------------------------------------

@@ -194,6 +194,19 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .groupBy("doc_id").agg(F.sum("bitval").alias("simhash")))
 
 
+def drop_near_dups(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", **minhash_kw) -> DataFrame:
+    """Dedup-keep selection: drop every doc that near-duplicates a
+    LOWER-id doc (the standard keep-first policy). One pass of pair
+    pruning — for transitive chains a, b, c where only (a,b),(b,c)
+    matched, c survives via b's removal only after a fixpoint; at
+    pipeline scale one pass removes the overwhelming mass and the
+    operation is idempotent, so re-running converges."""
+    pairs = minhash_near_dups(docs, text_col, id_col, **minhash_kw)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
 def ngram_jaccard_consecutive(docs: DataFrame, text_col: str = "text",
                               id_col: str = "doc_id", shingle_k: int = 3
                               ) -> DataFrame:
