@@ -222,7 +222,7 @@ def build_index(
             .select("doc_id", "docno", "repo", "path", "commit", "lang",
                     "content", "sha")
         )
-        docs.write.parquet(p["docs"])
+        docs.write.mode("overwrite").parquet(p["docs"])
     else:
         metrics["resumed_stages"].append("docs")
     docs = spark.read.parquet(p["docs"])
@@ -268,11 +268,11 @@ def build_index(
                         .cast("int"))
             .select("bucket", "term", "salt", "doc_id", "tf", "dl")
         )
-        tf.write.partitionBy("bucket").parquet(p["tf"])
+        tf.write.mode("overwrite").partitionBy("bucket").parquet(p["tf"])
         (dfstats
          .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
                      .cast("int"))
-         .write.parquet(p["termstats"]))
+         .write.mode("overwrite").parquet(p["termstats"]))
         tf_agg.unpersist()
     else:
         metrics["resumed_stages"].append("tf")
@@ -293,7 +293,7 @@ def build_index(
             "k1": k1, "b": b, "stem": stem,
         }
         spark.createDataFrame([json.dumps(stats)], "string") \
-            .toDF("stats_json").write.parquet(p["stats"])
+            .toDF("stats_json").write.mode("overwrite").parquet(p["stats"])
     else:
         metrics["resumed_stages"].append("stats")
     stats = load_stats(spark, index_dir)
@@ -312,7 +312,9 @@ def build_index(
             part = tf_all.where(F.col("bucket").isin(chunk))
             enc = part.groupBy("bucket", "term", "salt").applyInPandas(
                 enc_fn, schema=_ENC_SCHEMA)
-            enc.write.partitionBy("bucket").mode("append").parquet(p["postings"])
+            (enc.write.partitionBy("bucket").mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(p["postings"]))
             # lineage manifest rows for every bucket in the chunk
             written = (spark.read.parquet(p["postings"])
                        .where(F.col("bucket").isin(chunk))

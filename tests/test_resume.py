@@ -60,3 +60,41 @@ def test_resume_after_partial_build(spark, tmp_path):
     r2 = [(r["qid"], r["rank"], r["doc_id"]) for r in
           score_exhaustive(resumed, qt, 10).collect()]
     assert r1 == r2
+
+
+def test_resume_after_crashed_chunk_no_duplicates(spark, tmp_path):
+    """A chunk killed AFTER writing some postings but BEFORE its
+    manifest row must not duplicate postings when reprocessed (dynamic
+    partition overwrite replaces the partial bucket partitions)."""
+    corpus = generate_corpus_df(spark, 60, partitions=4, max_tokens=100)
+    d = str(tmp_path / "crash")
+    build_index(spark, corpus, d, n_buckets=4, n_doc_buckets=4, chunk_size=2)
+
+    # simulate the crash: drop manifest rows for buckets 2,3 but KEEP
+    # their postings files (orphaned partial output)
+    import shutil
+    man = spark.read.parquet(f"{d}/manifest") \
+        .where(F.col("segment_id") < 2).collect()
+    from engine.index_build import _manifest_schema
+    shutil.rmtree(f"{d}/manifest")
+    spark.createDataFrame(man, _manifest_schema()) \
+        .write.parquet(f"{d}/manifest")
+    assert plan_missing_buckets(spark, d, 4) == [2, 3]
+
+    before = spark.read.parquet(f"{d}/postings") \
+        .groupBy("term", "salt").count() \
+        .where(F.col("count") > 1).count()
+    assert before == 0
+
+    m = build_index(spark, corpus, d, n_buckets=4, n_doc_buckets=4,
+                    chunk_size=2)
+    assert m["buckets_resumed"] == 2
+    post = spark.read.parquet(f"{d}/postings")
+    dupes = post.groupBy("term", "salt").count() \
+        .where(F.col("count") > 1).count()
+    assert dupes == 0  # orphans replaced, not appended to
+    # df invariant still holds
+    idx = Index(spark, d)
+    joined = post.groupBy("term").agg(F.sum("df_part").alias("s")) \
+        .join(idx.termstats, "term")
+    assert joined.where(F.col("s") != F.col("df")).count() == 0
