@@ -100,10 +100,14 @@ def _bm25_scored(spark, sf_dir, queries) -> DataFrame:
 
 
 def _topk(scored: DataFrame, k: int = TOPK) -> DataFrame:
-    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("doc_id"))
+    # rank on the ROUNDED score: summed floats differ ~1e-15 between
+    # engines, so exact-score ordering can flip near-ties cross-engine;
+    # rounding first makes (score desc, doc_id asc) engine-stable
+    r = round_half_up(F.col("s"), 4)
+    w = Window.partitionBy("qid").orderBy(r.desc(), F.asc("doc_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-            .select("qid", "doc_id", round_half_up(F.col("s"), 4).alias("score"), "rank"))
+            .select("qid", "doc_id", r.alias("score"), "rank"))
 
 
 # ---------------------------------------------------------------------------
@@ -149,7 +153,8 @@ matched AS (
   GROUP BY q.qid, tf.doc_id)
 SELECT qid, doc_id, {r4} AS score, rank FROM (
   SELECT qid, doc_id, s,
-         row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id)::INT AS rank
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
   FROM matched) t
 WHERE rank <= {k}
 """
@@ -190,9 +195,13 @@ def _wand_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _cached_index(spark, sf_dir)
     qt = [(q, t, 1.0) for q, terms in BM25_QUERIES for t in terms]
-    res = score_wand(idx, qt, TOPK)
-    return res.select("qid", "doc_id", round_half_up(F.col("score"), 4).alias("score"),
-                      "rank")
+    # overfetch then re-rank on the rounded score (see _topk note)
+    res = score_wand(idx, qt, TOPK + 50)
+    r = round_half_up(F.col("score"), 4)
+    w = Window.partitionBy("qid").orderBy(r.desc(), F.asc("doc_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOPK)
+            .select("qid", "doc_id", r.alias("score"), "rank"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -267,9 +276,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_a"))
 
     def cosine_topk(spark, sf_dir):
-        out = similarity.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, TOPK)
-        return out.select("qid", "vec_id",
-                          round_half_up(F.col("cosine"), 4).alias("cosine"), "rank")
+        out = similarity.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS,
+                                     TOPK + 20)
+        rc = round_half_up(F.col("cosine"), 4)
+        w = Window.partitionBy("qid").orderBy(rc.desc(), F.asc("vec_id"))
+        return (out.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= TOPK)
+                .select("qid", "vec_id", rc.alias("cosine"), "rank"))
 
     def ann_buckets(spark, sf_dir):
         return (similarity.signbit_bucket(_emb(spark, sf_dir))
@@ -346,11 +359,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             * F.col("hit_score")
             * F.when(F.col("entity"), F.lit(ENTITY_BOOST)).otherwise(1.0))
         agg = wgt.groupBy("qid", "term").agg(F.sum("w").alias("w"))
-        w40 = Window.partitionBy("qid").orderBy(F.desc("w"), F.asc("term"))
+        rw = round_half_up(F.col("w"), 4)
+        w40 = Window.partitionBy("qid").orderBy(rw.desc(), F.asc("term"))
         return (agg.withColumn("rk", F.row_number().over(w40))
                 .where(F.col("rk") <= 40)
-                .select("qid", "term",
-                        round_half_up(F.col("w"), 4).alias("weight"), "rk")
+                .select("qid", "term", rw.alias("weight"), "rk")
                 .orderBy("qid", "rk"))
 
     def eval_metrics(spark, sf_dir):
@@ -360,7 +373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from engine.evaluate import evaluate_run
 
         scored = _bm25_scored(spark, sf_dir, BM25_QUERIES)
-        w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("doc_id"))
+        w = Window.partitionBy("qid").orderBy(
+            round_half_up(F.col("s"), 4).desc(), F.asc("doc_id"))
         run = (scored.withColumn("rank", F.row_number().over(w))
                .where(F.col("rank") <= 20)
                .select("qid", F.col("doc_id").cast("string").alias("docno"),
@@ -402,13 +416,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .withColumn("tfidf",
                               F.col("tf") * F.log(1.0 + F.lit(float(n))
                                                   / F.col("df"))))
-        w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"),
-                                                 F.asc("term"))
+        rt = round_half_up(F.col("tfidf"), 6)
+        w = Window.partitionBy("doc_id").orderBy(rt.desc(), F.asc("term"))
         return (scored.withColumn("rk", F.row_number().over(w))
                 .where(F.col("rk") <= 3)
-                .select("doc_id", "term",
-                        round_half_up(F.col("tfidf"), 6).alias("tfidf"),
-                        "rk")
+                .select("doc_id", "term", rt.alias("tfidf"), "rk")
                 .orderBy("doc_id", "rk"))
 
     def event_window_counts(spark, sf_dir):
@@ -577,7 +589,8 @@ sc AS (SELECT q.qid, e.vec_id,
        FROM q JOIN e ON e.vec_id <> q.qid)
 SELECT qid, vec_id, (floor(c * 1e4 + 0.5) / 1e4) AS cosine, rank FROM (
   SELECT qid, vec_id, c,
-         row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id)::INT AS rank
+         row_number() OVER (PARTITION BY qid
+             ORDER BY (floor(c * 1e4 + 0.5) / 1e4) DESC, vec_id)::INT AS rank
   FROM sc) t
 WHERE rank <= {TOPK}
 """
@@ -704,7 +717,8 @@ wgt AS (
   FROM filt GROUP BY qid, term)
 SELECT qid, term, (floor(w * 1e4 + 0.5) / 1e4) AS weight, rk FROM (
   SELECT qid, term, w,
-         row_number() OVER (PARTITION BY qid ORDER BY w DESC, term)::INT AS rk
+         row_number() OVER (PARTITION BY qid
+             ORDER BY (floor(w * 1e4 + 0.5) / 1e4) DESC, term)::INT AS rk
   FROM wgt) t
 WHERE rk <= 40
 """
@@ -724,7 +738,8 @@ matched AS (
 run AS (
   SELECT qid, doc_id, rank FROM (
     SELECT qid, doc_id,
-           row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rank
+           row_number() OVER (PARTITION BY qid
+               ORDER BY (floor(s * 1e4 + 0.5) / 1e4) DESC, doc_id) AS rank
     FROM matched) t WHERE rank <= 20),
 qu(qid, term) AS (VALUES {q_uniq}),
 nt(qid, n_terms) AS (VALUES {nt_vals}),
@@ -802,7 +817,7 @@ scored AS (
 SELECT doc_id, term, (floor(tfidf * 1e6 + 0.5) / 1e6) AS tfidf, rk FROM (
   SELECT doc_id, term, tfidf,
          row_number() OVER (PARTITION BY doc_id
-                            ORDER BY tfidf DESC, term)::INT AS rk
+             ORDER BY (floor(tfidf * 1e6 + 0.5) / 1e6) DESC, term)::INT AS rk
   FROM scored) t
 WHERE rk <= 3
 """
@@ -828,7 +843,8 @@ matched AS (
 topk AS (
   SELECT qid, doc_id, (floor(s * 1e4 + 0.5) / 1e4) AS score, rank FROM (
     SELECT qid, doc_id, s,
-           row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id)::INT AS rank
+           row_number() OVER (PARTITION BY qid
+               ORDER BY (floor(s * 1e4 + 0.5) / 1e4) DESC, doc_id)::INT AS rank
     FROM matched) t
   WHERE rank <= {TOPK})
 SELECT qid, rank,
