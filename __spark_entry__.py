@@ -400,6 +400,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             round_half_up(F.col("ndcg_at_k"), 6).alias("ndcg_at_20"),
         ).orderBy("qid")
 
+    def embedding_near_dups(spark, sf_dir):
+        """Embedding-cosine near-dup pairs (bucketed candidates + exact
+        verify). Threshold 0.45: this testdata's max pairwise cosine is
+        ~0.51, so a realistic 0.95 would be vacuous here; 4 bucket
+        dims keep the candidate set non-empty on quasi-random data."""
+        out = similarity.embedding_near_dups(_emb(spark, sf_dir),
+                                             threshold=0.4,
+                                             dims=[0, 8, 16, 24])
+        return (out.select("vec_a", "vec_b",
+                           round_half_up(F.col("cosine"), 4).alias("cosine"))
+                .orderBy("vec_a", "vec_b"))
+
     def dedup_keep(spark, sf_dir):
         """Near-dup filtering: keep-lowest-id policy over the MinHash
         pairs; returns the surviving doc ids."""
@@ -470,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expansion_weights": expansion_weights,
         "eval_metrics": eval_metrics,
         "trec_run": trec_run,
+        "embedding_near_dups": embedding_near_dups,
         "dedup_keep": dedup_keep,
         "tfidf_top_terms": tfidf_top_terms,
         "event_window_counts": event_window_counts,
@@ -775,6 +788,22 @@ LEFT JOIN apn ON apn.qid = n.qid
 LEFT JOIN p20 ON p20.qid = n.qid
 LEFT JOIN dcg ON dcg.qid = n.qid
 JOIN idcg ON idcg.qid = n.qid
+"""
+
+    # --- embedding_near_dups ----------------------------------------------------
+    bucket_e = " + ".join(
+        f"(CASE WHEN v[{d + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j, d in enumerate([0, 8, 16, 24]))
+    sql["embedding_near_dups"] = f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+eb AS (SELECT vec_id, v, ({bucket_e}) AS bucket FROM e),
+sc AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) AS c
+       FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, (floor(c * 1e4 + 0.5) / 1e4) AS cosine
+FROM sc WHERE c >= 0.4
 """
 
     # --- dedup_keep ----------------------------------------------------------

@@ -70,6 +70,33 @@ def signbit_bucket(emb: DataFrame, dims: list[int] | None = None,
     return emb.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
+                        dims: list[int] | None = None,
+                        id_col: str = "vec_id", vec_col: str = "embedding"
+                        ) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-bit LSH buckets
+    generate candidates (same-bucket only — near-identical vectors
+    share all sign bits), exact cosine verifies. Returns
+    (vec_a, vec_b, cosine) with vec_a < vec_b, cosine >= threshold.
+
+    The bucket equi-join replaces the O(n²) cross product — the same
+    shape MinHash-LSH gives text dedup.
+    """
+    buckets = signbit_bucket(emb, dims, id_col, vec_col)
+    base = (emb.select(F.col(id_col).alias("vec_id"),
+                       _as_double(F.col(vec_col)).alias("v"))
+            .join(buckets, "vec_id"))
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                    F.col("bucket"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                    F.col("bucket"))
+    pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.withColumn(
+        "cosine", _dot("va", "vb") / (_norm("va") * _norm("vb")))
+    return (scored.where(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", "cosine"))
+
+
 def ivf_centroids(emb: DataFrame, n_centroids: int = 16, n_iter: int = 2,
                   id_col: str = "vec_id", vec_col: str = "embedding"
                   ) -> DataFrame:
