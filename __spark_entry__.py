@@ -331,7 +331,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df_max_frac = 0.95
 
         scored = _bm25_scored(spark, sf_dir, BM25_QUERIES)
-        w20 = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("doc_id"))
+        # pilot rank on the ROUNDED score (repo rounded-rank-window rule:
+        # exact summed floats differ ~1e-15 cross-engine and can flip the
+        # rank-20 cutoff, changing the whole downstream expansion set)
+        w20 = Window.partitionBy("qid").orderBy(
+            round_half_up(F.col("s"), 4).desc(), F.asc("doc_id"))
         pilot = (scored.withColumn("rk", F.row_number().over(w20))
                  .where(F.col("rk") <= 20)
                  .select("qid", "doc_id", F.col("s").alias("hit_score")))
@@ -402,9 +406,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def embedding_near_dups(spark, sf_dir):
         """Embedding-cosine near-dup pairs (bucketed candidates + exact
-        verify). Threshold 0.45: this testdata's max pairwise cosine is
-        ~0.51, so a realistic 0.95 would be vacuous here; 4 bucket
-        dims keep the candidate set non-empty on quasi-random data."""
+        verify). Threshold 0.4 (on the 4-dp-rounded cosine, both
+        engines): this testdata's max pairwise cosine is ~0.51, so a
+        realistic 0.95 would be vacuous here; 4 bucket dims keep the
+        candidate set non-empty on quasi-random data."""
         out = similarity.embedding_near_dups(_emb(spark, sf_dir),
                                              threshold=0.4,
                                              dims=[0, 8, 16, 24])
@@ -700,7 +705,8 @@ matched AS (
 pilot AS (
   SELECT qid, doc_id, s FROM (
     SELECT qid, doc_id, s,
-           row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rk
+           row_number() OVER (PARTITION BY qid
+               ORDER BY (floor(s * 1e4 + 0.5) / 1e4) DESC, doc_id) AS rk
     FROM matched) t WHERE rk <= 20),
 ptoks AS (
   SELECT p.qid, p.doc_id, p.s,
@@ -803,7 +809,7 @@ sc AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                  * sqrt(list_dot_product(b.v, b.v))) AS c
        FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, (floor(c * 1e4 + 0.5) / 1e4) AS cosine
-FROM sc WHERE c >= 0.4
+FROM sc WHERE (floor(c * 1e4 + 0.5) / 1e4) >= 0.4
 """
 
     # --- dedup_keep ----------------------------------------------------------

@@ -76,8 +76,10 @@ def main() -> None:
     from engine.pipeline import dedup, similarity, textstats
 
     t0 = time.time()
-    dedup.minhash_near_dups(docs, threshold=0.3).count()
+    mnd = dedup.minhash_near_dups(docs, threshold=0.3)
+    mnd.count()
     timings["minhash_dedup"] = time.time() - t0
+    mnd._minhash_sigs.unpersist()  # release cached signature blocks
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     t0 = time.time()

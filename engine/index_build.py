@@ -229,7 +229,10 @@ def build_index(
     t_docs = time.time()
 
     # ---- stage 2: tf table, salted + bucketed (checkpoint 1) --------------
-    if not _exists(spark, p["tf"]):
+    # gate on BOTH stage outputs: the stage writes tf/ then termstats/,
+    # and a crash between the two commits must re-run the stage (both
+    # writes are mode('overwrite'), so re-running is idempotent)
+    if not (_exists(spark, p["tf"]) and _exists(spark, p["termstats"])):
         # single tokenize pass. Default tokenizer is the pure-Catalyst
         # column (whole-stage codegen, zero Python): measured 2-3×
         # faster AND core-scalable vs the pandas UDF, whose Arrow

@@ -156,11 +156,18 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text",
     The signature table is persisted: it feeds the band self-join (both
     sides) and the two verify joins, and recomputing the 16-hash
     signature subtree per consumer is O(6×) wasted work. At 100 TB this
-    persist becomes a parquet checkpoint of the signature table."""
+    persist becomes a parquet checkpoint of the signature table.
+
+    The persisted handle is exposed as ``out._minhash_sigs`` so a
+    long-lived caller can ``unpersist()`` it after materializing the
+    result (otherwise each invocation leaks cached blocks in executor
+    storage memory until the session ends)."""
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes,
                               shingle_k).persist()
     pairs = lsh_candidate_pairs(sigs, bands, n_hashes // bands)
-    return jaccard_verify(sigs, pairs, threshold)
+    out = jaccard_verify(sigs, pairs, threshold)
+    out._minhash_sigs = sigs  # cleanup handle for long-lived sessions
+    return out
 
 
 def _hash32(col):
@@ -204,7 +211,9 @@ def drop_near_dups(docs: DataFrame, text_col: str = "text",
     operation is idempotent, so re-running converges."""
     pairs = minhash_near_dups(docs, text_col, id_col, **minhash_kw)
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    return docs.join(losers, id_col, "left_anti")
+    out = docs.join(losers, id_col, "left_anti")
+    out._minhash_sigs = pairs._minhash_sigs  # propagate cleanup handle
+    return out
 
 
 def ngram_jaccard_consecutive(docs: DataFrame, text_col: str = "text",

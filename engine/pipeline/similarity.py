@@ -81,7 +81,13 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
 
     The bucket equi-join replaces the O(n²) cross product — the same
     shape MinHash-LSH gives text dedup.
+
+    The threshold compares the ROUNDED (4 dp, half-up) cosine so a pair
+    within ~1e-15 of the boundary passes/fails identically on Spark and
+    the DuckDB oracle.
     """
+    from engine.portable import round_half_up
+
     buckets = signbit_bucket(emb, dims, id_col, vec_col)
     base = (emb.select(F.col(id_col).alias("vec_id"),
                        _as_double(F.col(vec_col)).alias("v"))
@@ -93,7 +99,7 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
     pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
     scored = pairs.withColumn(
         "cosine", _dot("va", "vb") / (_norm("va") * _norm("vb")))
-    return (scored.where(F.col("cosine") >= threshold)
+    return (scored.where(round_half_up(F.col("cosine"), 4) >= threshold)
             .select("vec_a", "vec_b", "cosine"))
 
 

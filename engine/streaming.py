@@ -142,8 +142,13 @@ def compact_deltas(spark: SparkSession, index_dir: str,
     every delta sub-posting, merge by docID (doc sets are disjoint —
     append-only corpus), re-encode as a single posting with block-max
     metadata under the BASE avgdl (frozen, like the batch builder).
-    Rewrites ``postings/`` atomically-per-job and drops the delta dir.
-    Returns the number of compacted terms.
+
+    The directory swap is rename-aside (postings → postings_old, tmp →
+    postings, delete postings_old), so every crash point leaves a
+    recoverable directory on disk: either the old postings are still
+    live, or the compacted tmp is complete and one rename away. The
+    swap itself is not a single atomic operation. Returns the number
+    of compacted terms.
     """
     from .index_build import _paths, load_stats
     from .postings import BLOCK_SIZE as _BS
@@ -185,9 +190,20 @@ def compact_deltas(spark: SparkSession, index_dir: str,
     conf = spark._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(conf)
     p = _paths(index_dir)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(p["postings"]), True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_dir),
-              jvm.org.apache.hadoop.fs.Path(p["postings"]))
+
+    def _swap(live: str, tmp: str) -> None:
+        """Rename-aside swap: live → _old, tmp → live, delete _old.
+        A crash at any point leaves either the old dir live or the new
+        dir one rename away — never a missing directory."""
+        live_p = jvm.org.apache.hadoop.fs.Path(live)
+        old_p = jvm.org.apache.hadoop.fs.Path(live + "_old")
+        if fs.exists(old_p):  # leftover from an earlier crash
+            fs.delete(old_p, True)
+        fs.rename(live_p, old_p)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live_p)
+        fs.delete(old_p, True)
+
+    _swap(p["postings"], tmp_dir)
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/delta_postings"), True)
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/stream_checkpoint"), True)
 
@@ -198,9 +214,7 @@ def compact_deltas(spark: SparkSession, index_dir: str,
      .groupBy("term", "bucket").agg(F.sum("df_part").alias("df"))
      .select("term", "df", "bucket")
      .write.mode("overwrite").parquet(ts_tmp))
-    fs.delete(jvm.org.apache.hadoop.fs.Path(p["termstats"]), True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(ts_tmp),
-              jvm.org.apache.hadoop.fs.Path(p["termstats"]))
+    _swap(p["termstats"], ts_tmp)
     return int(n_terms)
 
 

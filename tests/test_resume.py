@@ -98,3 +98,32 @@ def test_resume_after_crashed_chunk_no_duplicates(spark, tmp_path):
     joined = post.groupBy("term").agg(F.sum("df_part").alias("s")) \
         .join(idx.termstats, "term")
     assert joined.where(F.col("s") != F.col("df")).count() == 0
+
+
+def test_resume_repairs_missing_termstats(spark, tmp_path):
+    """Crash window between the tf commit and the termstats commit
+    (ADVICE r01): stage 2 writes tf/ then termstats/; a build resumed
+    from an index dir where tf/ is committed but termstats/ is absent
+    must RE-RUN stage 2 (idempotent overwrite), not skip it forever."""
+    import shutil
+
+    corpus = generate_corpus_df(spark, 50, partitions=4, max_tokens=100)
+    d = str(tmp_path / "ts_crash")
+    build_index(spark, corpus, d, n_buckets=4, n_doc_buckets=4)
+    fresh = Index(spark, d)
+    fresh_ts = sorted((r["term"], r["df"]) for r in
+                      fresh.termstats.select("term", "df").collect())
+
+    # simulate the crash: termstats never committed, and downstream
+    # stages never ran
+    shutil.rmtree(f"{d}/termstats")
+    shutil.rmtree(f"{d}/stats")
+    shutil.rmtree(f"{d}/postings")
+    shutil.rmtree(f"{d}/manifest")
+
+    m = build_index(spark, corpus, d, n_buckets=4, n_doc_buckets=4)
+    assert "tf" not in m["resumed_stages"]  # stage 2 re-ran
+    repaired = Index(spark, d)
+    got = sorted((r["term"], r["df"]) for r in
+                 repaired.termstats.select("term", "df").collect())
+    assert got == fresh_ts
