@@ -50,7 +50,7 @@ AND_QUERIES: list[tuple[str, list[str]]] = [
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 TOPK = 10
 
-INDEX_VERSION = "v2"  # v2: codec byte prefix in posting blobs
+INDEX_VERSION = "v3"  # v3: block-framed blobs + block_off (sliceable runs)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,19 +285,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("qid", "vec_id", rc.alias("cosine"), "rank"))
 
     def ann_buckets(spark, sf_dir):
-        return (similarity.signbit_bucket(_emb(spark, sf_dir))
-                .orderBy("vec_id"))
+        # explicit dims pin the oracle; production default (dims=None)
+        # derives the bit count from n — tested in test_pipeline
+        return (similarity.signbit_bucket(
+            _emb(spark, sf_dir), dims=[0, 8, 16, 24, 32, 40, 48, 56])
+            .orderBy("vec_id"))
 
     def ann_ivf_topk(spark, sf_dir):
-        # IVF scale path: k-means cells + n_probe rerank. Approximate
-        # by design → no SQL oracle (driver records rows-only check);
-        # recall vs the exact cosine_topk oracle is asserted in pytest.
+        # IVF scale path: k-means cells + n_probe rerank. The k-means
+        # is deterministic (stride init, 2 Lloyd iterations, centroids
+        # rounded to 9 dp after each mean) so a full DuckDB oracle
+        # replicates it exactly; recall vs exact cosine_topk is
+        # additionally asserted in pytest. Overfetch, then re-rank on
+        # the rounded cosine (house rounded-rank-window rule).
         out = similarity.cosine_topk_ivf(_emb(spark, sf_dir),
-                                         ANN_QUERY_IDS, TOPK,
+                                         ANN_QUERY_IDS, TOPK + 20,
                                          n_centroids=16, n_probe=4)
-        return out.select("qid", "vec_id",
-                          round_half_up(F.col("cosine"), 4).alias("cosine"),
-                          "rank")
+        rc = round_half_up(F.col("cosine"), 4)
+        w = Window.partitionBy("qid").orderBy(rc.desc(), F.asc("vec_id"))
+        return (out.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= TOPK)
+                .select("qid", "vec_id", rc.alias("cosine"), "rank"))
 
     def token_counts(spark, sf_dir):
         return textstats.token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
@@ -617,6 +625,64 @@ WHERE rank <= {TOPK}
         for j, d in enumerate([0, 8, 16, 24, 32, 40, 48, 56]))
     sql["ann_buckets"] = (
         f"SELECT vec_id, ({bucket_expr}) AS bucket FROM embeddings")
+
+    # --- ann_ivf_topk: full deterministic k-means replica ------------------
+    def _cos(a: str, b: str) -> str:
+        return (f"(list_dot_product({a}, {b}) / "
+                f"(sqrt(list_dot_product({a}, {a})) * "
+                f"sqrt(list_dot_product({b}, {b}))))")
+
+    def _assign_cte(name: str, cents: str) -> str:
+        return f"""
+{name} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cos('e.v', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM e CROSS JOIN {cents} c) t WHERE rn = 1)"""
+
+    def _mean_cte(name: str, assign: str) -> str:
+        # per-dim mean rounded to 9 dp — mirrors engine ivf_centroids
+        return f"""
+{name} AS (
+  SELECT centroid_id, list(m ORDER BY d) AS cv FROM (
+    SELECT {assign}.centroid_id, g.d,
+           (floor(avg(e.v[g.d]) * 1e9 + 0.5) / 1e9) AS m
+    FROM {assign} JOIN e USING (vec_id), generate_series(1, 64) g(d)
+    GROUP BY {assign}.centroid_id, g.d) s
+  GROUP BY centroid_id)"""
+
+    sql["ann_ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+params AS (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) AS stride FROM e),
+c0 AS (
+  SELECT CAST(floor(vec_id / stride) AS INT) AS centroid_id, v AS cv
+  FROM e, params WHERE vec_id % stride = 0
+  ORDER BY vec_id LIMIT 16),
+{_assign_cte('a1', 'c0')},
+{_mean_cte('c1', 'a1')},
+{_assign_cte('a2', 'c1')},
+{_mean_cte('c2', 'a2')},
+{_assign_cte('af', 'c2')},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qids})),
+probes AS (
+  SELECT qid, qv, centroid_id FROM (
+    SELECT q.qid, q.qv, c.centroid_id,
+           row_number() OVER (PARTITION BY q.qid
+               ORDER BY {_cos('q.qv', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN c2 c) t WHERE rn <= 4),
+sc AS (
+  SELECT p.qid, af.vec_id, {_cos('p.qv', 'e.v')} AS c
+  FROM probes p JOIN af USING (centroid_id)
+  JOIN e ON e.vec_id = af.vec_id
+  WHERE af.vec_id <> p.qid)
+SELECT qid, vec_id, (floor(c * 1e4 + 0.5) / 1e4) AS cosine, rank FROM (
+  SELECT qid, vec_id, c,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY (floor(c * 1e4 + 0.5) / 1e4) DESC, vec_id)::INT AS rank
+  FROM sc) t
+WHERE rank <= {TOPK}
+"""
 
     sql["token_counts"] = """
 SELECT doc_id,

@@ -122,11 +122,37 @@ def expanded_query_terms(index: Index, topics: list[Topic],
     return [(q, t, w) for (q, t), w in sorted(combined.items())]
 
 
+def drop_malformed_topics(topics: list[Topic], stem: bool = False
+                          ) -> list[Topic]:
+    """Q12 per-topic error isolation (reference Searcher.java:82: each
+    topic's query build runs in a try/catch; a failure logs and the
+    loop continues). Our plan is batched, so the per-topic failure mode
+    lives in query ASSEMBLY (parse/tokenize/boost of one topic) — probe
+    it per topic here and drop offenders with a warning instead of
+    failing the whole batch."""
+    import warnings
+
+    from .topics import anchor_weights
+
+    good = []
+    for t in topics:
+        try:
+            if not anchor_weights(t, stem=stem):
+                raise ValueError("topic yields no query terms")
+            good.append(t)
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            warnings.warn(f"skipping malformed topic "
+                          f"{getattr(t, 'number', '?')!r}: {e}")
+    return good
+
+
 def search_topics(index: Index, topics: list[Topic], num_docs: int = 1000,
                   expand: bool = True, stem: bool = False) -> DataFrame:
     """End-to-end reference search lifecycle (Searcher.java:22-86):
     anchor (+ optional RM3 expansion) → BM25 top-numDocs with docno.
+    Malformed topics are dropped per-topic (Q12), not batch-fatal.
     Returns (qid, doc_id, docno, score, rank)."""
+    topics = drop_malformed_topics(topics, stem=stem)
     if expand:
         qt = expanded_query_terms(index, topics, stem=stem)
     else:

@@ -66,14 +66,28 @@ DEFAULT_SPLIT_THRESHOLD = 100_000
 # I1: deterministic dense doc_id assignment — distributed, no global sort
 # ---------------------------------------------------------------------------
 
-def assign_doc_ids(corpus: DataFrame, n_doc_buckets: int = 64) -> DataFrame:
+DOCS_PER_ID_BUCKET = 200_000  # target rows per doc-id window task
+
+
+def assign_doc_ids(corpus: DataFrame,
+                   n_doc_buckets: int | None = None) -> DataFrame:
     """Dense, deterministic ``doc_id`` per (repo, path).
 
     Canonical total order = (xxhash64-bucket, repo, path): stable across
     runs and parallelism levels, computed with one small aggregate plus
     a per-bucket window — no single-partition global sort (SURVEY.md
     §2.4 I1, §4.2 item 4).
+
+    ``n_doc_buckets=None`` derives the bucket count from the corpus
+    size (≈ DOCS_PER_ID_BUCKET rows per bucket, min 32) so the
+    per-bucket sort never becomes a straggler at scale: a fixed default
+    would put corpus/64 rows into one task's sort at 10^9+ docs. Note
+    the doc_id ASSIGNMENT depends on the bucket count, so resuming or
+    delta-indexing an existing index must reuse its recorded count.
     """
+    if n_doc_buckets is None:
+        n = corpus.count()
+        n_doc_buckets = max(32, -(-n // DOCS_PER_ID_BUCKET))
     b = F.pmod(F.xxhash64("repo", "path"), F.lit(n_doc_buckets)).alias("_b")
     df = corpus.withColumn("_b", b)
     counts = df.groupBy("_b").count().collect()
@@ -144,6 +158,7 @@ _ENC_SCHEMA = T.StructType([
     T.StructField("block_last", T.ArrayType(T.LongType())),
     T.StructField("block_max_tf", T.ArrayType(T.IntegerType())),
     T.StructField("block_max_w", T.ArrayType(T.DoubleType())),
+    T.StructField("block_off", T.ArrayType(T.LongType())),
     T.StructField("bucket", T.IntegerType()),
 ])
 
@@ -156,12 +171,13 @@ def _make_encode_fn(avgdl: float, k1: float, b: float, block_size: int,
         docs = pdf["doc_id"].to_numpy()[order]
         tfs = pdf["tf"].to_numpy()[order]
         dls = pdf["dl"].to_numpy()[order]
-        blob, last, mtf, mw = encode_postings(docs, tfs, dls, avgdl, k1, b,
-                                              block_size, codec)
+        blob, last, mtf, mw, off = encode_postings(docs, tfs, dls, avgdl,
+                                                   k1, b, block_size, codec)
         return pd.DataFrame({
             "term": [term], "salt": [salt], "df_part": [int(len(docs))],
             "blob": [blob], "block_last": [last.tolist()],
             "block_max_tf": [mtf.tolist()], "block_max_w": [mw.tolist()],
+            "block_off": [off.tolist()],
             "bucket": [bucket],
         })
     return encode_group
@@ -188,7 +204,7 @@ def build_index(
     index_dir: str,
     *,
     n_buckets: int = DEFAULT_N_BUCKETS,
-    n_doc_buckets: int = 64,
+    n_doc_buckets: int | None = None,
     split_threshold: int = DEFAULT_SPLIT_THRESHOLD,
     chunk_size: int | None = None,
     block_size: int = BLOCK_SIZE,

@@ -79,16 +79,26 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                d = _fake_decode(payload, row["modality"])
-                out.append({
-                    "media_id": row["media_id"], "modality": row["modality"],
-                    "n_bytes": len(payload), "sha": d["sha"],
-                    "width": d["width"], "height": d["height"],
-                    "duration_ms": d["duration_ms"], "feature": d["feature"],
-                })
-            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA])
+            # columnar batch walk (no pdf.iterrows — per-row pandas
+            # indexing is the slow path); the per-payload decode call
+            # itself is inherently per-item (a codec consumes one
+            # encoded object at a time)
+            payloads = [bytes(p) for p in pdf["payload"]]
+            decs = [_fake_decode(p, m)
+                    for p, m in zip(payloads, pdf["modality"])]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "modality": pdf["modality"].to_numpy(),
+                "n_bytes": np.fromiter((len(p) for p in payloads),
+                                       dtype=np.int64, count=len(payloads)),
+                "sha": [d["sha"] for d in decs],
+                "width": pd.array([d["width"] for d in decs],
+                                  dtype="Int32"),
+                "height": pd.array([d["height"] for d in decs],
+                                   dtype="Int32"),
+                "duration_ms": pd.array([d["duration_ms"] for d in decs],
+                                        dtype="Int32"),
+                "feature": [d["feature"] for d in decs],
+            }, columns=[f.name for f in FEATURE_SCHEMA])
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -22,11 +22,21 @@ Layout per term (one ``postings: binary`` cell + array metadata):
   (k1, b, avgdl are frozen at build time — pinned constants per
   SURVEY.md §4.3; avgdl is recorded in the index stats.)
 
-Byte format of the binary cell:
-    varint(n_entries) || VB(doc deltas...) || VB(tfs...) || VB(dls...)
+Byte format of the binary cell (v2, block-framed):
+    codec_byte || VB(n_entries) || VB(block_size) ||
+    per block b: ENC(doc deltas_b) || ENC(tfs_b) || ENC(dls_b)
 
-All encode/decode paths are numpy-vectorized (no per-element Python
-loops over postings); they run inside ``applyInPandas`` /
+The first delta of every block is relative to the LAST docID of the
+previous block (absolute for block 0), and :func:`encode_postings`
+additionally returns per-block byte offsets into the payload — so any
+consecutive run of blocks can be (a) byte-sliced out of the blob
+without decoding (query-time doc-sharding) and (b) decoded standalone
+given the previous block's ``block_last`` (block-max WAND decode
+skipping). This is the role Lucene's skip data / block boundaries play
+for its BlockMaxWAND.
+
+All encode/decode paths are numpy-vectorized per block (no per-element
+Python loops over postings); they run inside ``applyInPandas`` /
 ``mapInPandas`` on the executors.
 
 VB convention: big-endian 7-bit groups, the LAST byte of each value has
@@ -170,15 +180,27 @@ CODEC_FOR = 2   # frame-of-reference bit packing (PForDelta-style)
 CODECS = {"vb": CODEC_VB, "for": CODEC_FOR}
 
 
+def block_counts(n: int, block_size: int) -> np.ndarray:
+    """Entries per block for an n-entry list: full blocks + a tail."""
+    nblocks = (n + block_size - 1) // block_size
+    c = np.full(nblocks, block_size, dtype=np.int64)
+    if nblocks:
+        c[-1] = n - (nblocks - 1) * block_size
+    return c
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                     avgdl: float, k1: float = 1.2, b: float = 0.75,
                     block_size: int = BLOCK_SIZE, codec: str = "vb"
-                    ) -> Tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
-    """Encode one term's postings.
+                    ) -> Tuple[bytes, np.ndarray, np.ndarray, np.ndarray,
+                               np.ndarray]:
+    """Encode one term's postings (block-framed layout).
 
     Parameters: sorted ascending int64 ``doc_ids``, int ``tfs`` (>0) and
     per-posting doc lengths ``dls``, all equal length. Returns
-    ``(blob, block_last_doc, block_max_tf, block_max_w)``.
+    ``(blob, block_last_doc, block_max_tf, block_max_w, block_off)``
+    where ``block_off`` has ``nblocks + 1`` entries: byte offset of each
+    block within the payload (after the header), last = payload length.
 
     ``codec``: 'vb' (variable-byte) or 'for' (bit-packed
     frame-of-reference, PForDelta-style); recorded in the blob's first
@@ -189,21 +211,30 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     dl = np.asarray(dls, dtype=np.int64)
     n = d.size
     if n == 0:
-        return b"", np.empty(0, np.int64), np.empty(0, np.int32), np.empty(0, np.float64)
+        return (b"", np.empty(0, np.int64), np.empty(0, np.int32),
+                np.empty(0, np.float64), np.zeros(1, np.int64))
     deltas = np.empty(n, dtype=np.uint64)
     deltas[0] = np.uint64(d[0])
     if n > 1:
+        # first delta of a block = gap to the previous block's last doc,
+        # so a block decodes standalone given block_last[b-1]
         deltas[1:] = np.diff(d).astype(np.uint64)
     enc = vb_encode if codec == "vb" else for_encode
     header = np.concatenate([
         np.array([CODECS[codec]], dtype=np.uint8),
-        vb_encode(np.array([n], dtype=np.uint64)),
+        vb_encode(np.array([n, block_size], dtype=np.uint64)),
     ])
-    blob = np.concatenate([
-        header, enc(deltas), enc(t.astype(np.uint64)),
-        enc(dl.astype(np.uint64)),
-    ]).tobytes()
     nblocks = (n + block_size - 1) // block_size
+    parts = [header]
+    off = np.zeros(nblocks + 1, dtype=np.int64)
+    for bi in range(nblocks):
+        sl = slice(bi * block_size, min((bi + 1) * block_size, n))
+        seg = np.concatenate([enc(deltas[sl]),
+                              enc(t[sl].astype(np.uint64)),
+                              enc(dl[sl].astype(np.uint64))])
+        parts.append(seg)
+        off[bi + 1] = off[bi] + seg.size
+    blob = np.concatenate(parts).tobytes()
     block_last = d[np.minimum(np.arange(1, nblocks + 1) * block_size, n) - 1]
     pad = nblocks * block_size - n
     t_pad = np.concatenate([t, np.zeros(pad, np.int64)]) if pad else t
@@ -211,7 +242,79 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     w = bm25_weight(t, dl, avgdl, k1, b)
     w_pad = np.concatenate([w, np.zeros(pad)]) if pad else w
     block_max_w = w_pad.reshape(nblocks, block_size).max(axis=1)
-    return blob, block_last.astype(np.int64), block_max_tf, block_max_w
+    return blob, block_last.astype(np.int64), block_max_tf, block_max_w, off
+
+
+def split_payload(blob: bytes) -> Tuple[int, int, int, np.ndarray]:
+    """Parse the blob header → (codec, n_entries, block_size, payload)."""
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    codec = int(buf[0])
+    hdr, used = vb_decode(buf[1:], count=2)
+    n, block_size = int(hdr[0]), int(hdr[1])
+    return codec, n, block_size, buf[1 + used:]
+
+
+def decode_run(payload: np.ndarray, counts: np.ndarray, codec: int,
+               base: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a CONSECUTIVE run of blocks from a payload byte slice.
+
+    ``counts``: entries per block in the run; ``base``: last docID of
+    the block preceding the run (0 if the run starts at block 0).
+    Returns (doc_ids, tfs, dls) int64. Delta chaining is intact inside
+    a consecutive run, so docs = base + cumsum(all run deltas).
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    n = int(counts.sum())
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    if codec == CODEC_VB:
+        # VB is self-delimiting: decode the whole run payload at once
+        # (3n values: d0 t0 l0 d1 t1 l1 ... per block), then de-interleave
+        vals, _ = vb_decode(payload, count=3 * n)
+        deltas = np.empty(n, dtype=np.uint64)
+        tfs = np.empty(n, dtype=np.uint64)
+        dls = np.empty(n, dtype=np.uint64)
+        pos = vpos = 0
+        # all run blocks are uniform except a possible short tail —
+        # the uniform prefix de-interleaves with one reshape
+        if counts.size > 1 and counts[-1] != counts[0]:
+            nfull = counts.size - 1
+        else:
+            nfull = counts.size
+        bsz = int(counts[0])
+        if nfull:
+            r = vals[: 3 * bsz * nfull].reshape(nfull, 3, bsz)
+            deltas[: bsz * nfull] = r[:, 0, :].reshape(-1)
+            tfs[: bsz * nfull] = r[:, 1, :].reshape(-1)
+            dls[: bsz * nfull] = r[:, 2, :].reshape(-1)
+            pos = bsz * nfull
+            vpos = 3 * bsz * nfull
+        if pos < n:
+            c = n - pos
+            deltas[pos:] = vals[vpos:vpos + c]
+            tfs[pos:] = vals[vpos + c:vpos + 2 * c]
+            dls[pos:] = vals[vpos + 2 * c:vpos + 3 * c]
+    else:
+        deltas = np.empty(n, dtype=np.uint64)
+        tfs = np.empty(n, dtype=np.uint64)
+        dls = np.empty(n, dtype=np.uint64)
+        bpos = 0
+        pos = 0
+        for c in counts:
+            c = int(c)
+            dch, used = for_decode(payload[bpos:], count=c)
+            bpos += used
+            tch, used = for_decode(payload[bpos:], count=c)
+            bpos += used
+            lch, used = for_decode(payload[bpos:], count=c)
+            bpos += used
+            deltas[pos:pos + c] = dch
+            tfs[pos:pos + c] = tch
+            dls[pos:pos + c] = lch
+            pos += c
+    doc_ids = np.cumsum(deltas.astype(np.int64)) + np.int64(base)
+    return doc_ids, tfs.astype(np.int64), dls.astype(np.int64)
 
 
 def decode_postings(blob: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -220,16 +323,5 @@ def decode_postings(blob: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     if not blob:
         z = np.empty(0, np.int64)
         return z, z, z
-    buf = np.frombuffer(blob, dtype=np.uint8)
-    codec = int(buf[0])
-    dec = vb_decode if codec == CODEC_VB else for_decode
-    (n_arr, used) = vb_decode(buf[1:], count=1)
-    n = int(n_arr[0])
-    pos = 1 + used
-    deltas, used2 = dec(buf[pos:], count=n)
-    pos += used2
-    tfs, used3 = dec(buf[pos:], count=n)
-    pos += used3
-    dls, _ = dec(buf[pos:], count=n)
-    doc_ids = np.cumsum(deltas.astype(np.int64))
-    return doc_ids, tfs.astype(np.int64), dls.astype(np.int64)
+    codec, n, block_size, payload = split_payload(blob)
+    return decode_run(payload, block_counts(n, block_size), codec, 0)

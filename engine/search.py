@@ -178,66 +178,252 @@ def boolean_and(index: Index, queries: Sequence[tuple[str, Sequence[str]]]
 
 
 # ---------------------------------------------------------------------------
-# Block-max WAND path
+# Block-max WAND path (doc-sharded, decode-skipping)
 # ---------------------------------------------------------------------------
+#
+# Two distributed stages (SURVEY.md Q14; replaces what Lucene's
+# BlockMaxWAND does inside one JVM at reference Searcher.java:45,77):
+#
+#   1. shard-slice (mapInPandas, narrow): each matched posting row is
+#      byte-sliced — NO decode — into per-doc-shard runs of blocks using
+#      the index's per-block byte offsets. Shard s covers doc_ids
+#      [s·R, (s+1)·R); a block straddling a boundary is emitted to both
+#      shards and the kernel filters decoded docs to its own range.
+#   2. per-(qid, shard) BMW kernel (applyInPandas): every shard holds
+#      ALL the query's terms restricted to its doc range, so its local
+#      top-k is exact for its docs; a tiny global window merges the
+#      n_shards × k candidates.
+#
+# This bounds per-task memory to (matched bytes / n_shards) — a query
+# containing the most frequent term never pulls the whole posting list
+# into one executor — and the kernel genuinely SKIPS decode of blocks
+# whose upper-bound sum is below the running threshold θ.
 
-def _wand_kernel(pdf: pd.DataFrame, k: int, k1: float, b: float,
-                 avgdl: float, block_size: int) -> pd.DataFrame:
-    """Top-k for ONE query from its matched posting rows.
+_SLICE_SCHEMA = T.StructType([
+    T.StructField("qid", T.StringType()),
+    T.StructField("shard", T.IntegerType()),
+    T.StructField("wgt", T.DoubleType()),        # weight * idf
+    T.StructField("payload", T.BinaryType()),    # block run, byte-sliced
+    T.StructField("counts", T.ArrayType(T.LongType())),
+    T.StructField("block_last", T.ArrayType(T.LongType())),
+    T.StructField("block_max_w", T.ArrayType(T.DoubleType())),
+    T.StructField("block_off", T.ArrayType(T.LongType())),  # rebased to 0
+    T.StructField("base", T.LongType()),         # docID base of the run
+    T.StructField("codec", T.IntegerType()),
+])
 
-    Vectorized block-max pruning:
-      1. decode all matched lists (numpy);
-      2. exact per-posting contributions c = weight*idf*w(tf,dl);
-      3. seed threshold θ = k-th largest contribution within the
-         single highest-upper-bound list (partial scores lower-bound
-         totals, so θ lower-bounds the true k-th score);
-      4. per-posting upper bound = weight*idf*block_max_w of its block
-         (block granularity — this is the WAND bound);
-      5. candidate docs: Σ upper bounds ≥ θ; all others provably cannot
-         reach the top-k;
-      6. exact-score candidates only; top-k by (-score, doc_id).
+
+def _make_slice_fn(n_shards: int, shard_rows: int):
+    """mapInPandas fn: matched posting row → ≤ n_shards block runs."""
+
+    def slice_rows(batches):
+        from .postings import block_counts, split_payload
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in _SLICE_SCHEMA.fields}
+            for i in range(len(pdf)):
+                blob = bytes(pdf["blob"].iloc[i])
+                if not blob:
+                    continue
+                codec, n, bs, payload = split_payload(blob)
+                bl = np.asarray(pdf["block_last"].iloc[i], dtype=np.int64)
+                bmw = np.asarray(pdf["block_max_w"].iloc[i], dtype=np.float64)
+                off = np.asarray(pdf["block_off"].iloc[i], dtype=np.int64)
+                counts = block_counts(n, bs)
+                prev = np.concatenate(([np.int64(-1)], bl[:-1]))
+                s_lo = np.maximum(prev + 1, 0) // shard_rows
+                s_hi = bl // shard_rows
+                qid = pdf["qid"].iloc[i]
+                wgt = float(pdf["weight"].iloc[i]) * float(pdf["idf"].iloc[i])
+                for s in range(int(s_lo[0]), int(s_hi[-1]) + 1):
+                    if s >= n_shards:
+                        break
+                    hit = np.flatnonzero((s_lo <= s) & (s_hi >= s))
+                    if hit.size == 0:
+                        continue
+                    lo_b, hi_b = int(hit[0]), int(hit[-1]) + 1
+                    out["qid"].append(qid)
+                    out["shard"].append(s)
+                    out["wgt"].append(wgt)
+                    out["payload"].append(
+                        payload[off[lo_b]:off[hi_b]].tobytes())
+                    out["counts"].append(counts[lo_b:hi_b].tolist())
+                    out["block_last"].append(bl[lo_b:hi_b].tolist())
+                    out["block_max_w"].append(bmw[lo_b:hi_b].tolist())
+                    out["block_off"].append(
+                        (off[lo_b:hi_b + 1] - off[lo_b]).tolist())
+                    out["base"].append(int(bl[lo_b - 1]) if lo_b > 0 else 0)
+                    out["codec"].append(codec)
+            yield pd.DataFrame(out)
+
+    return slice_rows
+
+
+def _runs(sorted_ids: np.ndarray) -> list[tuple[int, int]]:
+    """Consecutive runs [i, j) in a sorted unique int array."""
+    if sorted_ids.size == 0:
+        return []
+    breaks = np.flatnonzero(np.diff(sorted_ids) > 1)
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks + 1, [sorted_ids.size]))
+    return [(int(sorted_ids[s]), int(sorted_ids[e - 1]) + 1)
+            for s, e in zip(starts, ends)]
+
+
+def _bmw_kernel(pdf: pd.DataFrame, k: int, k1: float, b: float,
+                avgdl: float, shard_rows: int, thetas: dict[str, float],
+                emit: str = "topk") -> pd.DataFrame:
+    """Block-max top-k over ONE (query, doc-shard) group — a
+    MaxScore/block-max-WAND hybrid that provably skips decode:
+
+    1. θ = max(shared global seed from ``thetas`` — threshold sharing
+       across shards — and a local seed: fully decode the single
+       strongest list; its k-th largest exact contribution lower-bounds
+       the true k-th total score).
+    2. MaxScore split (Turtle & Flood): sort lists ascending by their
+       max upper bound; the longest prefix with Σ ub < θ is
+       NON-ESSENTIAL — a doc absent from every essential list totals
+       < θ and can never reach the top-k.
+    3. decode essential lists; candidate docs get a potential =
+       exact essential total + Σ non-essential block-max ub at that
+       doc (block-level WAND bound). potential < θ → pruned. The
+       surviving partial totals re-tighten θ.
+    4. decode ONLY the non-essential blocks that contain a surviving
+       candidate (consecutive runs); every other block is never
+       touched. Exact totals; top-k by (-score, doc_id).
+
+    ``emit='stats'`` returns decode/skip counters instead of hits.
     """
-    from .postings import decode_postings
+    from .postings import decode_run
 
     qid = pdf["qid"].iloc[0]
-    doc_arrays, contrib_arrays, ub_arrays = [], [], []
-    for i in range(len(pdf)):
-        d, tf, dl = decode_postings(bytes(pdf["blob"].iloc[i]))
-        if d.size == 0:
+    shard = int(pdf["shard"].iloc[0])
+    lo, hi = shard * shard_rows, (shard + 1) * shard_rows
+
+    nrows = len(pdf)
+    wgts = pdf["wgt"].to_numpy(dtype=np.float64)
+    bls = [np.asarray(pdf["block_last"].iloc[i], dtype=np.int64)
+           for i in range(nrows)]
+    ubs = [wgts[i] * np.asarray(pdf["block_max_w"].iloc[i], dtype=np.float64)
+           for i in range(nrows)]
+    offs = [np.asarray(pdf["block_off"].iloc[i], dtype=np.int64)
+            for i in range(nrows)]
+    cnts = [np.asarray(pdf["counts"].iloc[i], dtype=np.int64)
+            for i in range(nrows)]
+    blocks_total = int(sum(b_.size for b_ in bls))
+    postings_total = int(sum(c.sum() for c in cnts))
+    blocks_decoded = 0
+    postings_scored = 0
+
+    def decode_row_blocks(i: int, block_ids: np.ndarray):
+        """Decode selected blocks of row i (grouped into runs);
+        returns (docs, contribs) filtered to the shard range."""
+        nonlocal blocks_decoded, postings_scored
+        payload = np.frombuffer(bytes(pdf["payload"].iloc[i]), dtype=np.uint8)
+        codec = int(pdf["codec"].iloc[i])
+        base0 = int(pdf["base"].iloc[i])
+        bl, off, counts = bls[i], offs[i], cnts[i]
+        dparts, cparts = [], []
+        for r_lo, r_hi in _runs(block_ids):
+            base = int(bl[r_lo - 1]) if r_lo > 0 else base0
+            d, tf, dl = decode_run(payload[off[r_lo]:off[r_hi]],
+                                   counts[r_lo:r_hi], codec, base)
+            blocks_decoded += r_hi - r_lo
+            keep = (d >= lo) & (d < hi)
+            if not keep.all():
+                d, tf, dl = d[keep], tf[keep], dl[keep]
+            if d.size:
+                w = tf.astype(np.float64) / (
+                    tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+                dparts.append(d)
+                cparts.append(wgts[i] * w)
+                postings_scored += int(d.size)
+        if not dparts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return np.concatenate(dparts), np.concatenate(cparts)
+
+    # 1. θ: shared global seed (threshold sharing) + local strongest list
+    theta = float(thetas.get(qid, -np.inf))
+    list_ub = np.array([u.max() if u.size else -np.inf for u in ubs])
+    seed_i = int(np.argmax(list_ub))
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    decoded[seed_i] = decode_row_blocks(seed_i, np.arange(bls[seed_i].size))
+    seed_c = decoded[seed_i][1]
+    if seed_c.size >= k:
+        theta = max(theta,
+                    np.partition(seed_c, seed_c.size - k)[seed_c.size - k])
+
+    # 2. MaxScore essential / non-essential split
+    order = np.argsort(list_ub, kind="stable")
+    cum = np.cumsum(list_ub[order])
+    ness_mask = np.zeros(nrows, dtype=bool)
+    ness_mask[order[cum < theta]] = True
+    ness_mask[seed_i] = False  # already decoded — keep it essential
+    essential = [i for i in range(nrows) if not ness_mask[i]]
+    non_essential = [i for i in range(nrows) if ness_mask[i]]
+
+    # 3. decode essential lists; per-doc partial totals + potentials
+    for i in essential:
+        if i not in decoded:
+            decoded[i] = decode_row_blocks(i, np.arange(bls[i].size))
+    e_docs = np.concatenate([decoded[i][0] for i in essential])
+    e_contribs = np.concatenate([decoded[i][1] for i in essential])
+    if e_docs.size == 0:
+        cand_docs = np.empty(0, np.int64)
+        cand_part = np.empty(0, np.float64)
+    else:
+        uniq, inv = np.unique(e_docs, return_inverse=True)
+        part = np.zeros(uniq.size)
+        np.add.at(part, inv, e_contribs)
+        potential = part.copy()
+        ne_blk: dict[int, np.ndarray] = {}
+        for i in non_essential:
+            idx = np.searchsorted(bls[i], uniq, side="left")
+            valid = idx < bls[i].size
+            potential[valid] += ubs[i][idx[valid]]
+            ne_blk[i] = idx
+        keep = potential >= theta
+        # partial totals are lower bounds → they can re-tighten θ
+        if int(keep.sum()) >= k:
+            kth = np.partition(part[keep], keep.sum() - k)[keep.sum() - k]
+            if kth > theta:
+                theta = kth
+                keep = potential >= theta
+        cand_docs = uniq[keep]
+        cand_part = part[keep]
+
+    # 4. decode only non-essential blocks containing a candidate
+    sc = cand_part.copy()
+    for i in non_essential:
+        if cand_docs.size == 0:
+            decoded[i] = (np.empty(0, np.int64), np.empty(0, np.float64))
             continue
-        wgt = float(pdf["weight"].iloc[i]) * float(pdf["idf"].iloc[i])
-        wexact = tf.astype(np.float64) / (
-            tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
-        c = wgt * wexact
-        bmw = np.asarray(pdf["block_max_w"].iloc[i], dtype=np.float64)
-        ub = wgt * np.repeat(bmw, block_size)[: d.size]
-        doc_arrays.append(d)
-        contrib_arrays.append(c)
-        ub_arrays.append(ub)
-    if not doc_arrays:
-        return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+        idx = np.searchsorted(bls[i], cand_docs, side="left")
+        need = np.unique(idx[idx < bls[i].size])
+        d, c = decode_row_blocks(i, need)
+        decoded[i] = (d, c)
+        if d.size:
+            pos = np.searchsorted(cand_docs, d)
+            ok = (pos < cand_docs.size)
+            ok[ok] &= cand_docs[pos[ok]] == d[ok]
+            np.add.at(sc, pos[ok], c[ok])
 
-    # 3. seed θ from the strongest list's own contributions
-    best_i = int(np.argmax([c.max() for c in contrib_arrays]))
-    seed = np.sort(contrib_arrays[best_i])
-    theta = seed[-k] if seed.size >= k else -np.inf
+    if emit == "stats":
+        return pd.DataFrame({
+            "qid": [qid], "shard": [shard],
+            "blocks_total": [blocks_total],
+            "blocks_decoded": [int(blocks_decoded)],
+            "postings_total": [postings_total],
+            "postings_scored": [int(postings_scored)],
+        })
 
-    docs = np.concatenate(doc_arrays)
-    contribs = np.concatenate(contrib_arrays)
-    ubs = np.concatenate(ub_arrays)
-    uniq, inv = np.unique(docs, return_inverse=True)
-    ub_sum = np.zeros(uniq.size)
-    np.add.at(ub_sum, inv, ubs)
-    cand = ub_sum >= theta  # block-max pruning
-
-    keep = cand[inv]
-    sc = np.zeros(uniq.size)
-    np.add.at(sc, inv, np.where(keep, contribs, 0.0))
-    cidx = np.flatnonzero(cand)
-    order = np.lexsort((uniq[cidx], -sc[cidx]))[:k]
-    sel = cidx[order]
+    if cand_docs.size == 0:
+        return pd.DataFrame({"qid": pd.Series([], dtype=str),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    sel = np.lexsort((cand_docs, -sc))[:k]
     return pd.DataFrame({
-        "qid": qid, "doc_id": uniq[sel].astype(np.int64),
+        "qid": qid, "doc_id": cand_docs[sel].astype(np.int64),
         "score": sc[sel],
     })
 
@@ -248,34 +434,132 @@ _WAND_SCHEMA = T.StructType([
     T.StructField("score", T.DoubleType()),
 ])
 
+_WAND_STATS_SCHEMA = T.StructType([
+    T.StructField("qid", T.StringType()),
+    T.StructField("shard", T.IntegerType()),
+    T.StructField("blocks_total", T.LongType()),
+    T.StructField("blocks_decoded", T.LongType()),
+    T.StructField("postings_total", T.LongType()),
+    T.StructField("postings_scored", T.LongType()),
+])
 
-def score_wand(index: Index, query_terms: QueryTerms, k: int) -> DataFrame:
-    """Block-max WAND top-k (north-rule Q14): queries are distributed
-    across executors (one applyInPandas group per query); each group
-    receives only its matched posting rows plus idf, and prunes with
-    the per-block score bounds stored in the index.
-    """
+# per-task posting budget for auto-sharding: with ~16-byte decoded
+# postings this keeps a kernel's working set well under executor memory
+WAND_TARGET_POSTINGS_PER_TASK = 2_000_000
+
+# only seed a global θ from a term whose full posting list is small
+# enough to decode in one task (sparse high-idf terms — exactly the
+# ones that produce useful thresholds)
+SEED_MAX_DF = 500_000
+
+
+def _seed_thetas(index: Index, rows: list, dfm: dict[str, int],
+                 k: int, k1: float, b: float, avgdl: float
+                 ) -> dict[str, float]:
+    """Threshold sharing across shards: per query, fully score the
+    single strongest term (max weight·idf, df-capped) in one tiny job;
+    its k-th largest contribution is a GLOBAL lower bound on the true
+    k-th total score, broadcast into every shard kernel. Queries whose
+    strongest term is still a head term skip the seed (their per-shard
+    local seeds are strong anyway — every shard holds plenty of head
+    docs)."""
+    pick: dict[str, tuple[str, float, float]] = {}
+    for q, t, w, idf in rows:
+        if dfm[t] > SEED_MAX_DF:
+            continue
+        if q not in pick or w * idf > pick[q][1] * pick[q][2]:
+            pick[q] = (t, w, idf)
+    if not pick:
+        return {}
+    qt = index.spark.createDataFrame(
+        [(q, t, w, idf) for q, (t, w, idf) in pick.items()],
+        "qid string, term string, weight double, idf double")
+    buckets = index.term_buckets([t for t, _, _ in pick.values()])
+    matched = (index.postings
+               .where(F.col("bucket").isin(buckets))
+               .join(F.broadcast(qt), "term")
+               .select("qid", "weight", "idf", "blob"))
+
+    def theta_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from .postings import decode_postings
+        cs = []
+        for i in range(len(pdf)):
+            d, tf, dl = decode_postings(bytes(pdf["blob"].iloc[i]))
+            if d.size == 0:
+                continue
+            wgt = float(pdf["weight"].iloc[i]) * float(pdf["idf"].iloc[i])
+            cs.append(wgt * tf.astype(np.float64) / (
+                tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)))
+        c = np.concatenate(cs) if cs else np.empty(0)
+        if c.size < k:
+            return pd.DataFrame({"qid": [], "theta": []})
+        th = float(np.partition(c, c.size - k)[c.size - k])
+        return pd.DataFrame({"qid": [key[0]], "theta": [th]})
+
+    out = matched.groupBy("qid").applyInPandas(
+        theta_fn, schema="qid string, theta double").collect()
+    return {r["qid"]: float(r["theta"]) for r in out}
+
+
+def _wand_sharded(index: Index, query_terms: QueryTerms, k: int,
+                  n_shards: int | None, emit: str) -> DataFrame:
     terms = [t for _, t, _ in query_terms]
     dfm = index.df_map(terms)
     n, avgdl = float(index.n_docs), index.avgdl
     k1, b = index.stats["k1"], index.stats["b"]
-    block_size = int(index.stats["block_size"])
     rows = [(q, t, float(w),
              float(np.log1p((n - dfm.get(t, 0) + 0.5) / (dfm.get(t, 0) + 0.5))))
             for q, t, w in query_terms if t in dfm]
+    schema = _WAND_SCHEMA if emit == "topk" else _WAND_STATS_SCHEMA
     if not rows:
-        return index.spark.createDataFrame([], _WAND_SCHEMA)
+        return index.spark.createDataFrame([], schema)
+    if n_shards is None:
+        per_q: dict[str, int] = {}
+        for q, t, _, _ in rows:
+            per_q[q] = per_q.get(q, 0) + dfm[t]
+        n_shards = max(1, -(-max(per_q.values())
+                            // WAND_TARGET_POSTINGS_PER_TASK))
+    shard_rows = max(1, -(-index.n_docs // n_shards))
+    # threshold sharing only pays when there ARE shards to share with:
+    # at n_shards=1 the kernel's local seed decodes the same strongest
+    # list, so the extra job would be pure latency
+    thetas = (_seed_thetas(index, rows, dfm, k, k1, b, avgdl)
+              if n_shards > 1 else {})
     qt = index.spark.createDataFrame(
         rows, "qid string, term string, weight double, idf double")
     buckets = index.term_buckets(terms)
     matched = (index.postings
                .where(F.col("bucket").isin(buckets))
                .join(F.broadcast(qt), "term")
-               .select("qid", "term", "weight", "idf", "blob", "block_max_w"))
-    out = matched.groupBy("qid").applyInPandas(
-        lambda pdf: _wand_kernel(pdf, k, k1, b, avgdl, block_size),
-        schema=_WAND_SCHEMA)
+               .select("qid", "weight", "idf", "blob",
+                       "block_last", "block_max_w", "block_off"))
+    sliced = matched.mapInPandas(_make_slice_fn(n_shards, shard_rows),
+                                 schema=_SLICE_SCHEMA)
+    return sliced.groupBy("qid", "shard").applyInPandas(
+        lambda pdf: _bmw_kernel(pdf, k, k1, b, avgdl, shard_rows, thetas,
+                                emit),
+        schema=schema)
+
+
+def score_wand(index: Index, query_terms: QueryTerms, k: int,
+               n_shards: int | None = None) -> DataFrame:
+    """Distributed block-max WAND top-k (north-rule Q14).
+
+    ``n_shards``: doc shards per query (None = derived from Σ df so
+    each task stays under WAND_TARGET_POSTINGS_PER_TASK postings).
+    Rank-identical to :func:`score_exhaustive` by construction.
+    """
+    out = _wand_sharded(index, query_terms, k, n_shards, "topk")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (out.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
             .select("qid", "doc_id", "score", "rank")
             .orderBy("qid", "rank"))
+
+
+def wand_stats(index: Index, query_terms: QueryTerms, k: int,
+               n_shards: int | None = None) -> DataFrame:
+    """Decode/skip counters per (qid, shard) for the same BMW plan:
+    (qid, shard, blocks_total, blocks_decoded, postings_total,
+    postings_scored). Evidence that block-max pruning skips work."""
+    return _wand_sharded(index, query_terms, k, n_shards, "stats")

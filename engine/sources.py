@@ -56,10 +56,15 @@ def read_sgml_corpus(spark: SparkSession, path: str, corpus: str,
     S2/S3 (flat or recursive scan, skipping readme files by name —
     FTParser.java:44-47) + S4 (whole-file read) + P1-P5.
     """
-    reader = spark.read.option("wholetext", "true")
+    reader = spark.read
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
-    raw = (reader.text(path)
+    # NB: wholetext must be the text() kwarg — a .option("wholetext",
+    # "true") is silently IGNORED by DataFrameReader.text and the read
+    # degrades to per-line rows (caught on the real TREC corpora:
+    # DOCNOs are single-line so they still parsed, but every TEXT body
+    # spanning lines came back empty)
+    raw = (reader.text(path, wholetext=True)
            .withColumn("src_file", F.input_file_name())
            .where(~F.lower(F.element_at(F.split("src_file", "/"), -1))
                   .rlike("^read(me|chg)")))

@@ -171,12 +171,13 @@ def compact_deltas(spark: SparkSession, index_dir: str,
         dl = np.concatenate(ls)
         order = np.argsort(d, kind="stable")
         d, t, dl = d[order], t[order], dl[order]
-        blob, last, mtf, mw = encode_postings(d, t, dl, avgdl, k1, b, bs,
-                                              codec)
+        blob, last, mtf, mw, off = encode_postings(d, t, dl, avgdl, k1, b,
+                                                   bs, codec)
         return pd.DataFrame({
             "term": [term], "salt": [0], "df_part": [int(d.size)],
             "blob": [blob], "block_last": [last.tolist()],
             "block_max_tf": [mtf.tolist()], "block_max_w": [mw.tolist()],
+            "block_off": [off.tolist()],
             "bucket": [bucket],
         })
 

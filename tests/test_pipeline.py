@@ -146,3 +146,40 @@ def test_ivf_ann_on_separable_clusters(spark):
     # all results stay within the query's own cluster
     for q, v in ivs:
         assert (v < 20) == (q < 20)
+
+
+def test_ann_constants_scale_with_n(spark):
+    """VERDICT r01: LSH bits and IVF centroid counts must grow with n
+    (fixed constants make within-bucket joins quadratic at scale).
+    Checks the derivations at two data sizes and that realized bucket
+    sizes stay near the target."""
+    import numpy as np
+
+    from engine.pipeline.similarity import (
+        TARGET_BUCKET_SIZE, derive_n_centroids, derive_signbit_dims,
+        signbit_bucket,
+    )
+
+    d_small = derive_signbit_dims(10_000, 64)
+    d_big = derive_signbit_dims(10_000_000, 64)
+    assert len(d_big) > len(d_small)
+    # 10M vectors → 2^bits ≈ n / target
+    assert 2 ** len(d_big) >= 10_000_000 / TARGET_BUCKET_SIZE
+    assert derive_n_centroids(1_000_000) > derive_n_centroids(10_000) >= 16
+    # at 10^9 vectors the derived bucket count keeps the expected
+    # within-bucket pair join linear-ish: n/2^bits ≈ target, not n/256
+    assert 2 ** len(derive_signbit_dims(10 ** 9, 64)) >= 10 ** 9 / TARGET_BUCKET_SIZE
+
+    # realized buckets at two sizes (deterministic pseudo-embeddings)
+    def emb_df(n):
+        rng = np.random.default_rng(42)
+        rows = [(i, rng.standard_normal(64).astype(float).tolist())
+                for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for n in (300, 1200):
+        b = signbit_bucket(emb_df(n))  # dims=None → derived
+        sizes = [r["c"] for r in
+                 b.groupBy("bucket").count().withColumnRenamed("count", "c")
+                 .collect()]
+        assert max(sizes) <= 6 * max(TARGET_BUCKET_SIZE, n / 2 ** 8)

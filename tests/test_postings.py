@@ -44,7 +44,7 @@ def test_postings_roundtrip_and_blockmax(seed):
     tfs = rng.integers(1, 500, n)
     dls = rng.integers(1, 3000, n)
     avgdl = 350.0
-    blob, last, mtf, mw = encode_postings(docs, tfs, dls, avgdl)
+    blob, last, mtf, mw, off = encode_postings(docs, tfs, dls, avgdl)
     d2, t2, l2 = decode_postings(blob)
     assert (d2 == docs).all() and (t2 == tfs).all() and (l2 == dls).all()
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
@@ -60,7 +60,7 @@ def test_postings_roundtrip_and_blockmax(seed):
 
 
 def test_postings_empty():
-    blob, last, mtf, mw = encode_postings(
+    blob, last, mtf, mw, off = encode_postings(
         np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 1.0)
     assert blob == b""
     d, t, dl = decode_postings(blob)
@@ -107,7 +107,7 @@ def test_postings_roundtrip_codecs(codec):
     docs = np.cumsum(rng.integers(1, 50, n))
     tfs = rng.integers(1, 30, n)
     dls = rng.integers(20, 800, n)
-    blob, last, mtf, mw = encode_postings(docs, tfs, dls, 300.0, codec=codec)
+    blob, last, mtf, mw, off = encode_postings(docs, tfs, dls, 300.0, codec=codec)
     d2, t2, l2 = decode_postings(blob)
     assert (d2 == docs).all() and (t2 == tfs).all() and (l2 == dls).all()
 
@@ -122,3 +122,35 @@ def test_for_beats_vb_on_dense_small_gaps():
     vb, *_ = encode_postings(docs, tfs, dls, 100.0, codec="vb")
     fr, *_ = encode_postings(docs, tfs, dls, 100.0, codec="for")
     assert len(fr) < len(vb)
+
+
+@pytest.mark.parametrize("codec", ["vb", "for"])
+@pytest.mark.parametrize("seed", range(5))
+def test_block_slice_decode(codec, seed):
+    """Any consecutive run of blocks byte-sliced via block_off decodes
+    standalone (v2 block-framed layout — the WAND doc-shard primitive)."""
+    from engine.postings import block_counts, decode_run, split_payload
+
+    rng = np.random.default_rng(500 + seed)
+    n = int(rng.integers(1, 2500))
+    docs = np.cumsum(rng.integers(1, 1000, n)).astype(np.int64)
+    tfs = rng.integers(1, 80, n).astype(np.int64)
+    dls = rng.integers(10, 900, n).astype(np.int64)
+    blob, last, mtf, mw, off = encode_postings(docs, tfs, dls, 250.0,
+                                               codec=codec)
+    c, n2, bs, payload = split_payload(blob)
+    assert n2 == n and bs == BLOCK_SIZE
+    counts = block_counts(n, bs)
+    nblocks = counts.size
+    assert off.size == nblocks + 1 and off[-1] == payload.size
+    # every consecutive run [i, j)
+    runs = [(0, nblocks), (0, 1), (nblocks - 1, nblocks)]
+    if nblocks >= 3:
+        runs.append((1, nblocks - 1))
+    for i, j in runs:
+        base = int(last[i - 1]) if i > 0 else 0
+        d2, t2, l2 = decode_run(payload[off[i]:off[j]], counts[i:j], c, base)
+        sl = slice(i * bs, min(j * bs, n))
+        assert (d2 == docs[sl]).all()
+        assert (t2 == tfs[sl]).all()
+        assert (l2 == dls[sl]).all()

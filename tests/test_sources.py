@@ -75,7 +75,13 @@ def test_read_directory_skips_readmes(spark, tmp_path):
     (tmp_path / "ft" / "readmeft.txt").write_text("not a doc <DOC> x")
     (tmp_path / "ft" / "readchg.txt").write_text("changes <DOC> y")
     out = read_sgml_corpus(spark, str(tmp_path / "ft"), "ft")
-    assert sorted(r["docno"] for r in out.collect()) == ["FT911-1", "FT911-2"]
+    rows = {r["docno"]: r for r in out.collect()}
+    assert sorted(rows) == ["FT911-1", "FT911-2"]
+    # regression (real-corpus bug): the read must be whole-file — a
+    # per-line read still extracts single-line DOCNOs but loses every
+    # multi-line TEXT body, so assert the body came through intact
+    assert rows["FT911-1"]["text"] == "Body of document one."
+    assert rows["FT911-1"]["title"] == "FT Title One"
 
 
 def test_sgml_to_corpus_and_index(spark, tmp_path):

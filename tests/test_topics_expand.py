@@ -98,3 +98,31 @@ def test_end_to_end_search_topics(tiny_index):
         assert ranks == sorted(ranks)
         scores = [r["score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_poisoned_topic_is_isolated(tiny_index):
+    """Q12 (reference Searcher.java:82): one malformed topic must not
+    fail the batch — it drops with a warning and the rest are served."""
+    import warnings
+
+    from engine.expand import drop_malformed_topics
+    from engine.topics import Topic, synthetic_topics
+
+    good = synthetic_topics(2)
+    poisoned = [
+        good[0],
+        Topic(number="999", title=None, description=None, narrative=None),
+        Topic(number=None, title=123, description=object(), narrative=None),
+        good[1],
+    ]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        kept = drop_malformed_topics(poisoned)
+    assert [t.number for t in kept] == [good[0].number, good[1].number]
+    skips = [w for w in caught
+             if "skipping malformed topic" in str(w.message)]
+    assert len(skips) == 2
+
+    res = search_topics(tiny_index, poisoned, num_docs=10, expand=False)
+    qids = {r["qid"] for r in res.collect()}
+    assert qids == {good[0].number, good[1].number}

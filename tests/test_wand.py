@@ -1,0 +1,120 @@
+"""Distributed block-max WAND (SURVEY.md Q14, round-2 rework):
+
+* rank-identity vs exhaustive at several shard counts;
+* the kernel genuinely SKIPS block decode (counters prove it);
+* doc-sharding bounds per-task postings — a query containing the most
+  frequent term never materializes more than ~1/n_shards of any
+  posting list in one task.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from engine.corpus import generate_corpus_df
+from engine.index_build import build_index
+from engine.search import Index, score_exhaustive, score_wand, wand_stats
+from engine.topics import synthetic_topics, topics_to_query_terms
+
+
+@pytest.fixture(scope="module")
+def skew_index(spark, tmp_path_factory):
+    """Corpus with a Zipf-head term: 'common' in every doc, plus a rare
+    discriminative tail — the shape where WAND skipping pays off.
+    Small block_size so tiny lists still span many blocks."""
+    rows = []
+    for i in range(400):
+        body = ["common"] * 3 + [f"tail{i % 40}"] * 2
+        if i % 37 == 0:
+            body += ["needle"] * 5
+        rows.append((f"org/r{i}", f"f{i:04d}.py", "c" * 8, "python",
+                     " ".join(body * 3)))
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string")
+    path = str(tmp_path_factory.mktemp("wand") / "skew")
+    build_index(spark, df, path, n_buckets=2, n_doc_buckets=4, block_size=16)
+    return Index(spark, path)
+
+
+QT = [("q1", "common", 1.0), ("q1", "needle", 2.0),
+      ("q2", "common", 1.0), ("q2", "tail7", 1.0),
+      ("q3", "needle", 1.0)]
+
+
+@pytest.mark.parametrize("n_shards", [1, 3, 8])
+def test_sharded_rank_identity(skew_index, n_shards):
+    ex = score_exhaustive(skew_index, QT, 12).collect()
+    wd = score_wand(skew_index, QT, 12, n_shards=n_shards).collect()
+    exs = sorted((r["qid"], r["rank"], r["doc_id"]) for r in ex)
+    wds = sorted((r["qid"], r["rank"], r["doc_id"]) for r in wd)
+    assert exs == wds
+    escore = {(r["qid"], r["doc_id"]): r["score"] for r in ex}
+    for r in wd:
+        assert r["score"] == pytest.approx(
+            escore[(r["qid"], r["doc_id"])], abs=1e-9)
+
+
+def test_blocks_actually_skipped(skew_index):
+    """On a head-term query with k << matches, most 'common' blocks
+    must never be decoded: their upper-bound sum is below θ once the
+    needle-boosted seed fills the heap."""
+    stats = wand_stats(skew_index, QT, 10, n_shards=1).toPandas()
+    agg = stats.groupby("qid")[["blocks_total", "blocks_decoded",
+                                "postings_total", "postings_scored"]].sum()
+    # q1: 'needle' seeds a high θ; the 400-doc 'common' list (25 blocks
+    # at block_size=16) must be mostly skipped
+    q1 = agg.loc["q1"]
+    assert q1["blocks_decoded"] < q1["blocks_total"]
+    assert q1["blocks_decoded"] <= 0.6 * q1["blocks_total"]
+    assert q1["postings_scored"] < q1["postings_total"]
+
+
+def test_skip_rate_survives_sharding(skew_index):
+    """Sharding must not destroy pruning: per-shard θ seeds still skip
+    the bulk of head-term blocks."""
+    s1 = wand_stats(skew_index, QT, 10, n_shards=1).toPandas()
+    s4 = wand_stats(skew_index, QT, 10, n_shards=4).toPandas()
+    q1_1 = s1[s1.qid == "q1"][["blocks_total", "blocks_decoded"]].sum()
+    q1_4 = s4[s4.qid == "q1"][["blocks_total", "blocks_decoded"]].sum()
+    # same underlying blocks (± boundary duplicates)
+    assert q1_4["blocks_total"] <= q1_1["blocks_total"] + 8
+    assert q1_4["blocks_decoded"] <= 0.8 * q1_4["blocks_total"]
+
+
+def test_sharding_bounds_task_postings(skew_index):
+    """The head term's postings are spread across shards: no single
+    (qid, shard) task sees more than ~1/n_shards of the total matched
+    postings (+ block-boundary slack)."""
+    n_shards = 4
+    stats = wand_stats(skew_index, QT, 10, n_shards=n_shards).toPandas()
+    for qid, grp in stats.groupby("qid"):
+        total = grp["postings_total"].sum()
+        if total < n_shards:
+            continue
+        block_slack = 2 * 16 * len(QT)  # straddling blocks, per term
+        assert grp["postings_total"].max() <= total / n_shards + block_slack
+        assert len(grp) == n_shards or total < n_shards * 16
+
+
+def test_auto_shard_count(skew_index):
+    """n_shards=None derives a shard count from Σ df and still returns
+    identical ranks."""
+    ex = score_exhaustive(skew_index, QT, 10).collect()
+    wd = score_wand(skew_index, QT, 10, n_shards=None).collect()
+    assert sorted((r["qid"], r["rank"], r["doc_id"]) for r in ex) == \
+        sorted((r["qid"], r["rank"], r["doc_id"]) for r in wd)
+
+
+def test_wand_with_for_codec(spark, tmp_path):
+    """Run slicing + BMW over the FOR/PForDelta codec too."""
+    corpus = generate_corpus_df(spark, 80, partitions=3, max_tokens=120)
+    p = str(tmp_path / "foridx")
+    build_index(spark, corpus, p, n_buckets=2, n_doc_buckets=4,
+                codec="for", block_size=32)
+    idx = Index(spark, p)
+    qt = topics_to_query_terms(synthetic_topics(4))
+    ex = score_exhaustive(idx, qt, 10).collect()
+    wd = score_wand(idx, qt, 10, n_shards=3).collect()
+    assert sorted((r["qid"], r["rank"], r["doc_id"]) for r in ex) == \
+        sorted((r["qid"], r["rank"], r["doc_id"]) for r in wd)
