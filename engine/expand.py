@@ -68,7 +68,8 @@ def mine_terms_udf(stem: bool = False):
 
 def mine_expansion_terms(index: Index, pilot: DataFrame,
                          orig: DataFrame, top_terms: int = TOP_TERMS,
-                         stem: bool = False) -> DataFrame:
+                         stem: bool = False,
+                         entity_boost: float = ENTITY_BOOST) -> DataFrame:
     """(qid, term, weight) expansion rows from pilot hits.
 
     pilot: (qid, doc_id, score); orig: (qid, term) to exclude.
@@ -89,7 +90,7 @@ def mine_expansion_terms(index: Index, pilot: DataFrame,
     weighted = mined.withColumn(
         "w",
         (F.log(F.lit(float(n)) / (F.col("df") + 1)) + 1.0) * F.col("score")
-        * F.when(F.col("entity"), F.lit(ENTITY_BOOST)).otherwise(F.lit(1.0)))
+        * F.when(F.col("entity"), F.lit(entity_boost)).otherwise(F.lit(1.0)))
     agg = weighted.groupBy("qid", "term").agg(F.sum("w").alias("w"))
     win = Window.partitionBy("qid").orderBy(F.desc("w"), F.asc("term"))
     return (agg.withColumn("r", F.row_number().over(win))
@@ -99,22 +100,27 @@ def mine_expansion_terms(index: Index, pilot: DataFrame,
 
 def expanded_query_terms(index: Index, topics: list[Topic],
                          pilot_k: int = PILOT_K, top_terms: int = TOP_TERMS,
-                         stem: bool = False) -> QueryTerms:
+                         stem: bool = False,
+                         boosts: tuple[float, float, float] | None = None,
+                         entity_boost: float = ENTITY_BOOST,
+                         expansion_boost: float = BOOST_EXPANSION
+                         ) -> QueryTerms:
     """Full entity-RM3 anchor→pilot→mine→final query assembly.
 
     Returns (qid, term, weight) rows for the FINAL query: anchor
     weights plus BOOST_EXPANSION per selected expansion term (a term in
     both gets the sum, matching the reference's SHOULD-clause scoring).
     """
-    anchor = topics_to_query_terms(topics, stem=stem)
+    anchor = topics_to_query_terms(topics, stem=stem, boosts=boosts)
     pilot = score_exhaustive(index, anchor, pilot_k) \
         .select("qid", "doc_id", "score")
     orig_rows = [(t.number, term) for t in topics
                  for term in original_terms(t, stem=stem)]
     orig = index.spark.createDataFrame(orig_rows or [("", "")],
                                        "qid string, term string")
-    exp = mine_expansion_terms(index, pilot, orig, top_terms, stem=stem)
-    exp_rows = [(r["qid"], r["term"], BOOST_EXPANSION)
+    exp = mine_expansion_terms(index, pilot, orig, top_terms, stem=stem,
+                               entity_boost=entity_boost)
+    exp_rows = [(r["qid"], r["term"], expansion_boost)
                 for r in exp.collect()]
     combined: dict[tuple[str, str], float] = {}
     for qid, term, w in list(anchor) + exp_rows:
@@ -147,14 +153,21 @@ def drop_malformed_topics(topics: list[Topic], stem: bool = False
 
 
 def search_topics(index: Index, topics: list[Topic], num_docs: int = 1000,
-                  expand: bool = True, stem: bool = False) -> DataFrame:
+                  expand: bool = True, stem: bool = False,
+                  pilot_k: int = PILOT_K, top_terms: int = TOP_TERMS,
+                  boosts: tuple[float, float, float] | None = None,
+                  entity_boost: float = ENTITY_BOOST,
+                  expansion_boost: float = BOOST_EXPANSION) -> DataFrame:
     """End-to-end reference search lifecycle (Searcher.java:22-86):
     anchor (+ optional RM3 expansion) → BM25 top-numDocs with docno.
     Malformed topics are dropped per-topic (Q12), not batch-fatal.
     Returns (qid, doc_id, docno, score, rank)."""
     topics = drop_malformed_topics(topics, stem=stem)
     if expand:
-        qt = expanded_query_terms(index, topics, stem=stem)
+        qt = expanded_query_terms(index, topics, pilot_k, top_terms,
+                                  stem=stem, boosts=boosts,
+                                  entity_boost=entity_boost,
+                                  expansion_boost=expansion_boost)
     else:
-        qt = topics_to_query_terms(topics, stem=stem)
+        qt = topics_to_query_terms(topics, stem=stem, boosts=boosts)
     return score_exhaustive(index, qt, num_docs, include_docno=True)

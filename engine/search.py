@@ -118,9 +118,14 @@ def _matched_postings(index: Index, query_terms: QueryTerms) -> DataFrame:
 
 
 def score_exhaustive(index: Index, query_terms: QueryTerms, k: int,
-                     include_docno: bool = False) -> DataFrame:
+                     include_docno: bool = False,
+                     k1: float | None = None,
+                     b: float | None = None) -> DataFrame:
     """Weighted-OR BM25 top-k, scoring every matching document.
 
+    ``k1``/``b`` override the index's pinned BM25 constants at query
+    time (the sweep harness's knob — exact scoring never reads the
+    build-frozen block_max_w, only WAND's pruning bounds do).
     Returns (qid, doc_id, score, rank) ordered by qid, rank.
     """
     matched = _matched_postings(index, query_terms)
@@ -142,7 +147,8 @@ def score_exhaustive(index: Index, query_terms: QueryTerms, k: int,
         "pscore",
         F.col("weight") * bm25_col(F.col("tf"), F.col("df"), F.col("dl"),
                                    index.avgdl, float(index.n_docs),
-                                   index.stats["k1"], index.stats["b"]))
+                                   k1 if k1 is not None else index.stats["k1"],
+                                   b if b is not None else index.stats["b"]))
     agg = scored.groupBy("qid", "doc_id").agg(F.sum("pscore").alias("score"))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     out = (agg.withColumn("rank", F.row_number().over(w))
@@ -210,6 +216,7 @@ _SLICE_SCHEMA = T.StructType([
     T.StructField("block_off", T.ArrayType(T.LongType())),  # rebased to 0
     T.StructField("base", T.LongType()),         # docID base of the run
     T.StructField("codec", T.IntegerType()),
+    T.StructField("n_shards", T.IntegerType()),
 ])
 
 
@@ -235,9 +242,12 @@ def _make_slice_fn(n_shards: int, shard_rows: int):
                 s_hi = bl // shard_rows
                 qid = pdf["qid"].iloc[i]
                 wgt = float(pdf["weight"].iloc[i]) * float(pdf["idf"].iloc[i])
+                # the LAST shard is unbounded above so docs past the
+                # nominal n_docs (e.g. streaming delta segments under
+                # frozen base stats) still land in a shard
+                s_lo = np.minimum(s_lo, n_shards - 1)
+                s_hi = np.minimum(s_hi, n_shards - 1)
                 for s in range(int(s_lo[0]), int(s_hi[-1]) + 1):
-                    if s >= n_shards:
-                        break
                     hit = np.flatnonzero((s_lo <= s) & (s_hi >= s))
                     if hit.size == 0:
                         continue
@@ -254,6 +264,7 @@ def _make_slice_fn(n_shards: int, shard_rows: int):
                         (off[lo_b:hi_b + 1] - off[lo_b]).tolist())
                     out["base"].append(int(bl[lo_b - 1]) if lo_b > 0 else 0)
                     out["codec"].append(codec)
+                    out["n_shards"].append(n_shards)
             yield pd.DataFrame(out)
 
     return slice_rows
@@ -298,13 +309,24 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, k1: float, b: float,
 
     qid = pdf["qid"].iloc[0]
     shard = int(pdf["shard"].iloc[0])
-    lo, hi = shard * shard_rows, (shard + 1) * shard_rows
+    n_shards = int(pdf["n_shards"].iloc[0])
+    lo = shard * shard_rows
+    hi = (shard + 1) * shard_rows if shard < n_shards - 1 else np.iinfo(
+        np.int64).max  # last shard unbounded (see slice fn)
 
     nrows = len(pdf)
     wgts = pdf["wgt"].to_numpy(dtype=np.float64)
+    # negative list weights (possible under stale stats, e.g. a frozen
+    # base index searched with delta segments where df > n): their
+    # contribution wgt·w with w ∈ (0, 1] is bounded ABOVE by 0 and
+    # BELOW by wgt — block_max_w is only an upper bound for wgt > 0
+    neg_floor_each = np.minimum(wgts, 0.0)
+    neg_floor_total = float(neg_floor_each.sum())
     bls = [np.asarray(pdf["block_last"].iloc[i], dtype=np.int64)
            for i in range(nrows)]
     ubs = [wgts[i] * np.asarray(pdf["block_max_w"].iloc[i], dtype=np.float64)
+           if wgts[i] > 0 else
+           np.zeros(len(pdf["block_max_w"].iloc[i]))
            for i in range(nrows)]
     offs = [np.asarray(pdf["block_off"].iloc[i], dtype=np.int64)
             for i in range(nrows)]
@@ -342,7 +364,10 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, k1: float, b: float,
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return np.concatenate(dparts), np.concatenate(cparts)
 
-    # 1. θ: shared global seed (threshold sharing) + local strongest list
+    # 1. θ: shared global seed (threshold sharing) + local strongest list.
+    # A doc's total ≥ its seed contribution + Σ other lists' negative
+    # floors, so the seed θ is shifted by that floor (exact 0 shift in
+    # the normal all-positive case).
     theta = float(thetas.get(qid, -np.inf))
     list_ub = np.array([u.max() if u.size else -np.inf for u in ubs])
     seed_i = int(np.argmax(list_ub))
@@ -350,8 +375,9 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, k1: float, b: float,
     decoded[seed_i] = decode_row_blocks(seed_i, np.arange(bls[seed_i].size))
     seed_c = decoded[seed_i][1]
     if seed_c.size >= k:
+        kth = np.partition(seed_c, seed_c.size - k)[seed_c.size - k]
         theta = max(theta,
-                    np.partition(seed_c, seed_c.size - k)[seed_c.size - k])
+                    kth + (neg_floor_total - neg_floor_each[seed_i]))
 
     # 2. MaxScore essential / non-essential split
     order = np.argsort(list_ub, kind="stable")
@@ -383,11 +409,13 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, k1: float, b: float,
             potential[valid] += ubs[i][idx[valid]]
             ne_blk[i] = idx
         keep = potential >= theta
-        # partial totals are lower bounds → they can re-tighten θ
+        # partial totals + the non-essential negative floor are lower
+        # bounds → they can re-tighten θ (floor is 0 when all wgts > 0)
+        ness_neg = float(sum(neg_floor_each[i] for i in non_essential))
         if int(keep.sum()) >= k:
             kth = np.partition(part[keep], keep.sum() - k)[keep.sum() - k]
-            if kth > theta:
-                theta = kth
+            if kth + ness_neg > theta:
+                theta = kth + ness_neg
                 keep = potential >= theta
         cand_docs = uniq[keep]
         cand_part = part[keep]
@@ -464,7 +492,9 @@ def _seed_thetas(index: Index, rows: list, dfm: dict[str, int],
     local seeds are strong anyway — every shard holds plenty of head
     docs)."""
     pick: dict[str, tuple[str, float, float]] = {}
+    neg_sum: dict[str, float] = {}  # Σ min(wgt, 0) over the query's terms
     for q, t, w, idf in rows:
+        neg_sum[q] = neg_sum.get(q, 0.0) + min(w * idf, 0.0)
         if dfm[t] > SEED_MAX_DF:
             continue
         if q not in pick or w * idf > pick[q][1] * pick[q][2]:
@@ -498,7 +528,12 @@ def _seed_thetas(index: Index, rows: list, dfm: dict[str, int],
 
     out = matched.groupBy("qid").applyInPandas(
         theta_fn, schema="qid string, theta double").collect()
-    return {r["qid"]: float(r["theta"]) for r in out}
+    # a doc's total ≥ its seed contribution + the other terms' negative
+    # floors (Σ min(wgt·idf, 0), exact 0 for normal positive idfs)
+    return {r["qid"]: float(r["theta"])
+            + (neg_sum[r["qid"]]
+               - min(pick[r["qid"]][1] * pick[r["qid"]][2], 0.0))
+            for r in out}
 
 
 def _wand_sharded(index: Index, query_terms: QueryTerms, k: int,

@@ -71,20 +71,26 @@ def filter_narrative(narr: str) -> str:
     return " ".join(out)
 
 
-def anchor_weights(topic: Topic, stem: bool = False) -> dict[str, float]:
+def anchor_weights(topic: Topic, stem: bool = False,
+                   boosts: tuple[float, float, float] | None = None
+                   ) -> dict[str, float]:
     """Flatten the reference's anchor BooleanQuery into term weights:
     weight(t) = 3.0·count_title(t) + 1.3·count_desc(t)
-              + 0.5·count_filtered_narr(t)   (Searcher.java:37-43)."""
+              + 0.5·count_filtered_narr(t)   (Searcher.java:37-43).
+    ``boosts`` overrides (title, desc, narr) — the sweep harness's
+    knob (reference sweep_greedy.sh:53-55)."""
+    bt, bd, bn = boosts if boosts is not None else (
+        BOOST_TITLE, BOOST_DESC, BOOST_NARR)
     weights: dict[str, float] = {}
     fields: list[tuple[str, float]] = []
     if topic.title:
-        fields.append((topic.title, BOOST_TITLE))
+        fields.append((topic.title, bt))
     if topic.description:
-        fields.append((topic.description, BOOST_DESC))
+        fields.append((topic.description, bd))
     if topic.narrative:
         n = filter_narrative(topic.narrative)
         if n:
-            fields.append((n, BOOST_NARR))
+            fields.append((n, bn))
     for text, boost in fields:
         for tok in tokenize_texts([text], stem=stem)[0]:
             weights[tok] = weights.get(tok, 0.0) + boost
@@ -98,12 +104,13 @@ def original_terms(topic: Topic, stem: bool = False) -> set[str]:
     return set(tokenize_texts([text], stem=stem)[0])
 
 
-def topics_to_query_terms(topics: list[Topic], stem: bool = False
+def topics_to_query_terms(topics: list[Topic], stem: bool = False,
+                          boosts: tuple[float, float, float] | None = None
                           ) -> list[tuple[str, str, float]]:
     """Batch anchor queries → (qid, term, weight) rows for the engine."""
     rows = []
     for t in topics:
-        for term, w in sorted(anchor_weights(t, stem).items()):
+        for term, w in sorted(anchor_weights(t, stem, boosts).items()):
             rows.append((t.number, term, w))
     return rows
 
