@@ -388,35 +388,86 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, k1: float, b: float,
     essential = [i for i in range(nrows) if not ness_mask[i]]
     non_essential = [i for i in range(nrows) if ness_mask[i]]
 
-    # 3. decode essential lists; per-doc partial totals + potentials
-    for i in essential:
-        if i not in decoded:
-            decoded[i] = decode_row_blocks(i, np.arange(bls[i].size))
-    e_docs = np.concatenate([decoded[i][0] for i in essential])
-    e_contribs = np.concatenate([decoded[i][1] for i in essential])
-    if e_docs.size == 0:
+    # 3. incremental block-max pruning WITHIN essential lists.
+    # Elementary doc segments come from the union of all block
+    # boundaries. Essential lists decode one at a time in DESCENDING
+    # upper-bound order; before each list, every segment gets the bound
+    #   max-partial-so-far(seg) + Σ_{undecoded lists} block-ub(seg)
+    # which upper-bounds the total score of ANY doc in the segment
+    # (decoded docs carry their exact partial; unseen docs carry 0;
+    # negative lists carry ub 0 ≥ their true contribution). Segments
+    # below the RISING θ die globally; a block is decoded only if it
+    # still covers a live segment. θ rises after each list from the
+    # k-th best partial + the undecoded lists' negative floors — this
+    # is the compounding threshold that makes doc-at-a-time BMW skip.
+    boundaries = np.unique(np.concatenate(bls))
+    nseg = boundaries.size
+    seg_map = []
+    for i in range(nrows):
+        idx = np.searchsorted(bls[i], boundaries, side="left")
+        valid = idx < bls[i].size
+        seg_map.append((idx, valid))
+
+    def seg_ub_of(i: int) -> np.ndarray:
+        idx, valid = seg_map[i]
+        out = np.zeros(nseg)
+        out[valid] = ubs[i][idx[valid]]
+        return out
+
+    order_ess = sorted(essential, key=lambda i: -list_ub[i])
+    alive = np.ones(nseg, dtype=bool)
+    undecoded = [i for i in range(nrows) if i != seed_i]
+    rem_ub = np.zeros(nseg)
+    for j in undecoded:
+        rem_ub += seg_ub_of(j)
+    acc_docs, acc_part = decoded[seed_i]
+
+    def tighten(theta: float) -> float:
+        if acc_part.size >= k:
+            kth = np.partition(acc_part, acc_part.size - k)[
+                acc_part.size - k]
+            floor = float(sum(neg_floor_each[j] for j in undecoded))
+            theta = max(theta, kth + floor)
+        return theta
+
+    theta = tighten(theta)
+    for i in order_ess:
+        if i == seed_i:
+            continue
+        seg_max = np.zeros(nseg)  # 0 = partial of any unseen doc
+        if acc_docs.size:
+            dseg = np.searchsorted(boundaries, acc_docs, side="left")
+            np.maximum.at(seg_max, dseg, acc_part)
+        alive &= (seg_max + rem_ub) >= theta
+        idx, valid = seg_map[i]
+        need = np.unique(idx[alive & valid])
+        d, c = decode_row_blocks(i, need)
+        decoded[i] = (d, c)
+        rem_ub -= seg_ub_of(i)
+        undecoded.remove(i)
+        if d.size:
+            md = np.concatenate([acc_docs, d])
+            mc = np.concatenate([acc_part, c])
+            acc_docs, inv = np.unique(md, return_inverse=True)
+            acc_part = np.zeros(acc_docs.size)
+            np.add.at(acc_part, inv, mc)
+        theta = tighten(theta)
+
+    if acc_docs.size == 0:
         cand_docs = np.empty(0, np.int64)
         cand_part = np.empty(0, np.float64)
     else:
-        uniq, inv = np.unique(e_docs, return_inverse=True)
-        part = np.zeros(uniq.size)
-        np.add.at(part, inv, e_contribs)
+        uniq, part = acc_docs, acc_part
+        # docs in dead segments are provably < θ; also their partial
+        # totals may be incomplete (their block in a later essential
+        # list may have been pruned) — drop them outright
+        seg_ok = alive[np.searchsorted(boundaries, uniq, side="left")]
         potential = part.copy()
-        ne_blk: dict[int, np.ndarray] = {}
         for i in non_essential:
             idx = np.searchsorted(bls[i], uniq, side="left")
             valid = idx < bls[i].size
             potential[valid] += ubs[i][idx[valid]]
-            ne_blk[i] = idx
-        keep = potential >= theta
-        # partial totals + the non-essential negative floor are lower
-        # bounds → they can re-tighten θ (floor is 0 when all wgts > 0)
-        ness_neg = float(sum(neg_floor_each[i] for i in non_essential))
-        if int(keep.sum()) >= k:
-            kth = np.partition(part[keep], keep.sum() - k)[keep.sum() - k]
-            if kth + ness_neg > theta:
-                theta = kth + ness_neg
-                keep = potential >= theta
+        keep = seg_ok & (potential >= theta)
         cand_docs = uniq[keep]
         cand_part = part[keep]
 
