@@ -462,6 +462,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             round_half_up(F.col("total_value"), 4).alias("total_value"))
             .orderBy("window_start", "event_type"))
 
+    def event_sessions(spark, sf_dir):
+        """Gap-based sessionization (batch form of the custom stateful
+        streaming operator engine/streaming.py:sessionize_stream)."""
+        from engine.streaming import sessionize
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = sessionize(events, gap="30 minutes")
+        return (out.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_end"),
+            "n_events",
+            round_half_up(F.col("total_value"), 4).alias("total_value"))
+            .orderBy("user_id", "session_start"))
+
     def trec_run(spark, sf_dir):
         """TREC run-file rows (SURVEY.md S6; Searcher.java:79 format)."""
         hits = _topk(_bm25_scored(spark, sf_dir, BM25_QUERIES))
@@ -494,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "expansion_weights": expansion_weights,
         "eval_metrics": eval_metrics,
+        "event_sessions": event_sessions,
         "trec_run": trec_run,
         "embedding_near_dups": embedding_near_dups,
         "dedup_keep": dedup_keep,
@@ -930,6 +948,26 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        (floor(sum(value) * 1e4 + 0.5) / 1e4) AS total_value
 FROM events
 GROUP BY 1, 2
+"""
+
+    # --- event_sessions --------------------------------------------------------
+    sql["event_sessions"] = """
+WITH f AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS idx
+      FROM f)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*)::BIGINT AS n_events,
+       (floor(sum(value) * 1e4 + 0.5) / 1e4) AS total_value
+FROM s GROUP BY user_id, idx
 """
 
     # --- trec_run ------------------------------------------------------------

@@ -241,3 +241,135 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
             .select(F.col("win.start").alias("window_start"),
                     F.col("win.end").alias("window_end"),
                     "event_type", "n", "total_value"))
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: gap-based sessionization
+# ---------------------------------------------------------------------------
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+
+_SESSION_STATE = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Batch gap-sessionization: consecutive events of a user with
+    inter-event gap ≤ ``gap`` form one session. Returns
+    (user_id, session_start, session_end, n_events, total_value).
+
+    Pure window functions (lag → new-session flag → running session
+    index → aggregate); this is the correctness oracle for the
+    streaming form below and SQL-expressible for the DuckDB gate.
+    """
+    from pyspark.sql import Window
+
+    gap_s = _duration_seconds(gap)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = (events
+               .withColumn("ts", F.col("ts").cast("timestamp"))
+               .withColumn("prev", F.lag("ts").over(w))
+               .withColumn(
+                   "new_sess",
+                   (F.col("prev").isNull()
+                    | (F.unix_micros("ts") - F.unix_micros("prev")
+                       > gap_s * 1_000_000)).cast("long")))
+    sess = flagged.withColumn(
+        "sess_idx", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (sess.groupBy("user_id", "sess_idx")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .drop("sess_idx"))
+
+
+def _duration_seconds(s: str) -> int:
+    n, unit = s.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600}[unit]
+    return int(n) * mult
+
+
+def sessionize_stream(events, gap: str = "30 minutes",
+                      open_session_timeout: str = "1 hour"):
+    """Streaming gap-sessionization: custom stateful operator via
+    ``applyInPandasWithState`` (the Spark-native way to express an
+    operator Structured Streaming lacks — task-brief 'custom stateful
+    operators').
+
+    State per user: the one OPEN session (start, last_ts, n, total).
+    A batch's events (sorted by ts) extend or close it; every CLOSED
+    session is emitted immediately; the open session is emitted when
+    the processing-time timeout fires (idle user). With
+    ``trigger(availableNow=True)`` the final open sessions stay in
+    state — only gap-closed sessions are observable, which the test
+    asserts against the batch form.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    gap_us = _duration_seconds(gap) * 1_000_000
+    timeout_ms = _duration_seconds(open_session_timeout) * 1000
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        out = []
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            out.append((user_id, start_us, last_us, n, total))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            rows = rows.sort_values("ts")
+            # normalize to epoch µs regardless of the batch's datetime
+            # resolution (pandas may hand us datetime64[ns] or [us])
+            ts_us = (rows["ts"].to_numpy().astype("datetime64[us]")
+                     .astype(np.int64))
+            vals = rows["value"].to_numpy()
+            if state.exists:
+                start_us, last_us, n, total = state.get
+            else:
+                start_us = last_us = int(ts_us[0])
+                n, total = 0, 0.0
+            for t, v in zip(ts_us, vals):
+                t = int(t)
+                if n > 0 and t - last_us > gap_us:
+                    out.append((user_id, start_us, last_us, n, total))
+                    start_us, n, total = t, 0, 0.0
+                n += 1
+                total += float(v)
+                last_us = t
+            state.update((start_us, last_us, n, total))
+            state.setTimeoutDuration(timeout_ms)
+        cols = ["user_id", "session_start", "session_end", "n_events",
+                "total_value"]
+        if not out:
+            yield pd.DataFrame(columns=cols)
+            return
+        df = pd.DataFrame(out, columns=cols)
+        df["session_start"] = pd.to_datetime(df["session_start"], unit="us")
+        df["session_end"] = pd.to_datetime(df["session_end"], unit="us")
+        yield df
+
+    return (events
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update, outputStructType=SESSION_SCHEMA,
+                stateStructType=_SESSION_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

@@ -80,3 +80,60 @@ def test_windowed_event_counts_streaming_matches_batch(spark, tmp_path):
     got = {(str(r["window_start"]), r["event_type"]): (r["n"], round(r["total_value"], 6))
            for r in spark.sql("select * from wincounts").collect()}
     assert got == batch
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): the streaming
+    sessionizer's CLOSED sessions must equal the batch sessionizer's
+    output minus each user's final (still-open) session."""
+    import datetime as dt
+
+    from engine.streaming import sessionize, sessionize_stream
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in (1, 2, 3):
+        t = base + dt.timedelta(minutes=uid)
+        for sess in range(3):          # 3 sessions per user
+            for j in range(4):         # 4 events each, 5 min apart
+                rows.append((eid, t, uid, "click", float(uid * 10 + j)))
+                eid += 1
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(minutes=45)  # gap > 30 min closes session
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    src = str(tmp_path / "sess_src")
+    events.repartition(2).write.parquet(src)
+
+    batch = sessionize(events, gap="30 minutes").collect()
+    assert len(batch) == 9  # 3 users × 3 sessions
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out_dir = str(tmp_path / "sess_out")
+    q = (sessionize_stream(stream, gap="30 minutes")
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+
+    def key(r):
+        return (r["user_id"], r["session_start"], r["session_end"],
+                r["n_events"], round(r["total_value"], 6))
+
+    # closed = batch sessions minus each user's LAST session (open in state)
+    last_per_user = {}
+    for r in batch:
+        cur = last_per_user.get(r["user_id"])
+        if cur is None or r["session_start"] > cur["session_start"]:
+            last_per_user[r["user_id"]] = r
+    expect = sorted(key(r) for r in batch
+                    if key(r) != key(last_per_user[r["user_id"]]))
+    assert sorted(key(r) for r in got) == expect
+    assert len(got) == 6
