@@ -307,6 +307,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .where(F.col("rank") <= TOPK)
                 .select("qid", "vec_id", rc.alias("cosine"), "rank"))
 
+    def ann_multiprobe_topk(spark, sf_dir):
+        """Multi-probe LSH ANN (own bucket + all Hamming-1 flips),
+        exact rerank; deterministic → full oracle. Overfetch + rounded
+        re-rank per the house rule."""
+        out = similarity.cosine_topk_multiprobe(
+            _emb(spark, sf_dir), ANN_QUERY_IDS, TOPK + 20,
+            dims=[0, 8, 16, 24, 32, 40, 48, 56])
+        rc = round_half_up(F.col("cosine"), 4)
+        w = Window.partitionBy("qid").orderBy(rc.desc(), F.asc("vec_id"))
+        return (out.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= TOPK)
+                .select("qid", "vec_id", rc.alias("cosine"), "rank"))
+
     def token_counts(spark, sf_dir):
         return textstats.token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -504,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": cosine_topk,
         "ann_buckets": ann_buckets,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_multiprobe_topk": ann_multiprobe_topk,
         "token_counts": token_counts,
         "quality_scores": quality_scores,
         "lang_id": lang_id,
@@ -643,6 +657,27 @@ WHERE rank <= {TOPK}
         for j, d in enumerate([0, 8, 16, 24, 32, 40, 48, 56]))
     sql["ann_buckets"] = (
         f"SELECT vec_id, ({bucket_expr}) AS bucket FROM embeddings")
+
+    # --- ann_multiprobe_topk -------------------------------------------------
+    probe_list = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})"
+                                         for j in range(8)])
+    sql["ann_multiprobe_topk"] = f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+eb AS (SELECT vec_id, v, ({bucket_expr.replace('embedding', 'v')}) AS bucket FROM e),
+qp AS (SELECT vec_id AS qid, v AS qv, unnest([{probe_list}]) AS bucket
+       FROM eb WHERE vec_id IN ({qids})),
+sc AS (SELECT qp.qid, eb.vec_id,
+              list_dot_product(qp.qv, eb.v)
+              / (sqrt(list_dot_product(qp.qv, qp.qv))
+                 * sqrt(list_dot_product(eb.v, eb.v))) AS c
+       FROM qp JOIN eb USING (bucket) WHERE eb.vec_id <> qp.qid)
+SELECT qid, vec_id, (floor(c * 1e4 + 0.5) / 1e4) AS cosine, rank FROM (
+  SELECT qid, vec_id, c,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY (floor(c * 1e4 + 0.5) / 1e4) DESC, vec_id)::INT AS rank
+  FROM sc) t
+WHERE rank <= {TOPK}
+"""
 
     # --- ann_ivf_topk: full deterministic k-means replica ------------------
     def _cos(a: str, b: str) -> str:

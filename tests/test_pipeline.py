@@ -183,3 +183,39 @@ def test_ann_constants_scale_with_n(spark):
                  b.groupBy("bucket").count().withColumnRenamed("count", "c")
                  .collect()]
         assert max(sizes) <= 6 * max(TARGET_BUCKET_SIZE, n / 2 ** 8)
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark):
+    """Multi-probe (Hamming-1) candidates are a superset of the single
+    bucket's, so its recall vs exact cosine top-k is >= single-probe —
+    and materially better on quasi-random data."""
+    import numpy as np
+
+    from engine.pipeline.similarity import (
+        cosine_topk, cosine_topk_bucketed, cosine_topk_multiprobe,
+    )
+
+    # clustered embeddings where each cluster sits NEAR one hyperplane
+    # (one probe-dim coordinate ≈ 0): neighbors split across that
+    # plane's two buckets — the exact failure multi-probe exists for.
+    rng = np.random.default_rng(7)
+    dims = [0, 4, 8, 12, 16, 20, 24, 28]
+    centers = np.where(rng.standard_normal((20, 32)) > 0, 1.0, -1.0)
+    for ci in range(20):
+        centers[ci, dims[ci % len(dims)]] = 0.0  # unstable hyperplane
+    rows = [(i, (centers[i % 20] + 0.2 * rng.standard_normal(32)).tolist())
+            for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [0, 1, 2]
+    k = 10
+    exact = {(r["qid"], r["vec_id"])
+             for r in cosine_topk(emb, qids, k).collect()}
+    single = {(r["qid"], r["vec_id"])
+              for r in cosine_topk_bucketed(emb, qids, k, dims).collect()}
+    multi = {(r["qid"], r["vec_id"])
+             for r in cosine_topk_multiprobe(emb, qids, k, dims).collect()}
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.9     # Hamming-1 probes recover the split bucket
+    assert r_single <= 0.75   # ...which single-probe provably misses

@@ -48,7 +48,8 @@ DEFAULTS = {"title_boost": 3.0, "desc_boost": 1.3, "narr_boost": 0.5,
             "k1": 1.2, "b": 0.75}
 
 
-def run_config(spark, idx, topics, qrels, cfg, num_docs, k, timeout_s):
+def run_config(spark, idx, topics, qrels, cfg, num_docs, k, timeout_s,
+               stem=False):
     from pyspark.sql import functions as F
 
     from engine.evaluate import macro_metrics
@@ -58,7 +59,7 @@ def run_config(spark, idx, topics, qrels, cfg, num_docs, k, timeout_s):
     t0 = time.time()
     qt = expanded_query_terms(
         idx, topics, pilot_k=int(cfg["pilot_k"]),
-        top_terms=int(cfg["top_terms"]),
+        top_terms=int(cfg["top_terms"]), stem=stem,
         boosts=(cfg["title_boost"], cfg["desc_boost"], cfg["narr_boost"]),
         entity_boost=cfg["entity_boost"])
     hits = score_exhaustive(idx, qt, num_docs, include_docno=True,
@@ -77,6 +78,8 @@ def main() -> None:
                     help="existing index (default: build synthetic)")
     ap.add_argument("--topics", default=None, help="TREC topics file")
     ap.add_argument("--qrels", default=None, help="TREC qrels file")
+    ap.add_argument("--stem", action="store_true",
+                    help="stemmed analyzer (must match the index build)")
     ap.add_argument("--n-docs", type=int, default=2000,
                     help="synthetic corpus size")
     ap.add_argument("--n-topics", type=int, default=12)
@@ -135,7 +138,8 @@ def main() -> None:
     cfg = dict(DEFAULTS)
     rows = []
     base_m, base_t = run_config(spark, idx, topics, qrels, cfg,
-                                args.num_docs, args.k, args.timeout)
+                                args.num_docs, args.k, args.timeout,
+                                stem=args.stem)
     best_map = base_m["MAP"]
     rows.append({"param": "baseline", "value": "-", **cfg, **base_m,
                  "sec": round(base_t, 1)})
@@ -149,7 +153,8 @@ def main() -> None:
             trial = dict(cfg)
             trial[param] = val
             m, el = run_config(spark, idx, topics, qrels, trial,
-                               args.num_docs, args.k, args.timeout)
+                               args.num_docs, args.k, args.timeout,
+                               stem=args.stem)
             rows.append({"param": param, "value": val, **trial, **m,
                          "sec": round(el, 1)})
             print(f"{param}={val}: MAP={m['MAP']:.4f} ({el:.0f}s)",
