@@ -89,6 +89,31 @@ def parse_sgml(df: DataFrame, corpus: str, text_col: str = "value"
     return out.where(F.length("docno") > 0)
 
 
+CORPUS_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def read_corpus(spark: SparkSession, source: str) -> DataFrame:
+    """Corpus source adapter (BASELINE.json input_hint): the corpus is
+    an Iceberg-style CATALOG TABLE of (repo, path, commit, lang,
+    content) in production — `spark.read.table("catalog.db.files")`,
+    which is how Iceberg tables are addressed and gets us partition
+    pruning / snapshot isolation for free — or a bare parquet path for
+    local runs. Dispatch: anything containing a '/' (or existing on
+    the local fs) is a path; otherwise a table identifier.
+
+    Column pruning matters more than anything else here: callers
+    select only CORPUS_COLUMNS so a wide production table scans five
+    columns, not all of them.
+    """
+    import os
+
+    if "/" in source or os.path.exists(source):
+        df = spark.read.parquet(source)
+    else:
+        df = spark.read.table(source)
+    return df.select(*CORPUS_COLUMNS)
+
+
 def sgml_to_corpus(parsed: DataFrame, corpus: str) -> DataFrame:
     """Adapt parsed TREC docs to the engine's input_hint corpus schema:
     title and body concatenated into content (the engine's multi-field

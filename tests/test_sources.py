@@ -98,3 +98,25 @@ def test_sgml_to_corpus_and_index(spark, tmp_path):
     idx = Index(spark, p)
     res = score_exhaustive(idx, [("q", "body", 1.0)], 10).collect()
     assert len(res) == 2
+
+
+def test_read_corpus_table_and_path(spark, tmp_path):
+    """read_corpus dispatches between a parquet PATH and an
+    Iceberg-style catalog TABLE name, and prunes to the corpus columns
+    either way."""
+    from engine.sources import CORPUS_COLUMNS, read_corpus
+
+    rows = [("org/r1", "a.py", "c1", "python", "def f(): pass", 99)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, extra_col long")
+    p = str(tmp_path / "corpus_pq")
+    df.write.parquet(p)
+    got = read_corpus(spark, p)
+    assert tuple(got.columns) == CORPUS_COLUMNS   # extra_col pruned
+    assert got.count() == 1
+
+    df.createOrReplaceTempView("corpus_files")
+    got_t = read_corpus(spark, "corpus_files")
+    assert tuple(got_t.columns) == CORPUS_COLUMNS
+    assert got_t.collect() == got.collect()

@@ -33,9 +33,11 @@ def main() -> None:
 
     from engine.index_build import build_index
     from engine.search import Index, score_wand
+    from engine.sources import read_corpus
     from engine.topics import synthetic_topics, topics_to_query_terms
 
-    corpus = spark.read.parquet(corpus_path)
+    # parquet path or Iceberg-style catalog table name (engine/sources)
+    corpus = read_corpus(spark, corpus_path)
     t0 = time.time()
     m = build_index(spark, corpus, index_dir)
     t_build = time.time() - t0

@@ -49,7 +49,7 @@ DEFAULTS = {"title_boost": 3.0, "desc_boost": 1.3, "narr_boost": 0.5,
 
 
 def run_config(spark, idx, topics, qrels, cfg, num_docs, k, timeout_s,
-               stem=False):
+               stem=False, docno_from_path=False):
     from pyspark.sql import functions as F
 
     from engine.evaluate import macro_metrics
@@ -62,8 +62,13 @@ def run_config(spark, idx, topics, qrels, cfg, num_docs, k, timeout_s,
         top_terms=int(cfg["top_terms"]), stem=stem,
         boosts=(cfg["title_boost"], cfg["desc_boost"], cfg["narr_boost"]),
         entity_boost=cfg["entity_boost"])
-    hits = score_exhaustive(idx, qt, num_docs, include_docno=True,
+    hits = score_exhaustive(idx, qt, num_docs, include_docno=not docno_from_path,
                             k1=cfg["k1"], b=cfg["b"])
+    if docno_from_path:
+        # TREC qrels use the bare DOCNO, stored as `path` in the docs
+        # table (docno is the repo/path concat)
+        hits = hits.join(
+            idx.docs.select("doc_id", F.col("path").alias("docno")), "doc_id")
     run = hits.select("qid", F.col("docno"), "rank")
     m = macro_metrics(run, qrels, k=k)
     elapsed = time.time() - t0
@@ -139,7 +144,8 @@ def main() -> None:
     rows = []
     base_m, base_t = run_config(spark, idx, topics, qrels, cfg,
                                 args.num_docs, args.k, args.timeout,
-                                stem=args.stem)
+                                stem=args.stem,
+                                docno_from_path=bool(args.index_dir))
     best_map = base_m["MAP"]
     rows.append({"param": "baseline", "value": "-", **cfg, **base_m,
                  "sec": round(base_t, 1)})
@@ -154,7 +160,8 @@ def main() -> None:
             trial[param] = val
             m, el = run_config(spark, idx, topics, qrels, trial,
                                args.num_docs, args.k, args.timeout,
-                               stem=args.stem)
+                               stem=args.stem,
+                               docno_from_path=bool(args.index_dir))
             rows.append({"param": param, "value": val, **trial, **m,
                          "sec": round(el, 1)})
             print(f"{param}={val}: MAP={m['MAP']:.4f} ({el:.0f}s)",
