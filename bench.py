@@ -96,6 +96,19 @@ def main() -> None:
     q.join(li, "doc_id").count()
     timings["quality_lang"] = time.time() - t0
 
+    from engine.streaming import sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t0 = time.time()
+    sessionize(events, gap="30 minutes").count()
+    timings["sessionize"] = time.time() - t0
+
+    t0 = time.time()
+    similarity.cosine_topk_multiprobe(
+        emb, entrymod.ANN_QUERY_IDS, 10,
+        dims=[0, 8, 16, 24, 32, 40, 48, 56]).count()
+    timings["ann_multiprobe"] = time.time() - t0
+
     shutil.rmtree(idx_dir, ignore_errors=True)
     total = sum(timings.values())
     out = {
