@@ -121,8 +121,15 @@ _STEP4 = [
 ]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1 << 20)
 def porter_stem(w: str) -> str:
-    """Classic Porter stemmer. Only used when ``stem=True`` (parity mode)."""
+    """Classic Porter stemmer. Only used when ``stem=True`` (parity
+    mode). Memoized: token frequencies are Zipf, so the per-worker
+    cache turns ~400M stem calls on a real corpus into ~1M unique ones
+    (pure function — caching cannot change results)."""
     if len(w) <= 2:
         return w
     # step 1a

@@ -59,15 +59,13 @@ class Index:
         return self.stats["avgdl"]
 
     def term_buckets(self, terms: Sequence[str]) -> list[int]:
-        """Driver-side bucket lookup for partition pruning (one tiny job;
-        xxhash64 must match the JVM's, so ask Spark)."""
-        if not terms:
-            return []
-        df = self.spark.createDataFrame([(t,) for t in set(terms)], "term string")
-        rows = df.select(
-            F.pmod(F.xxhash64("term"), F.lit(self.stats["n_buckets"]))
-            .cast("int").alias("b")).distinct().collect()
-        return [int(r["b"]) for r in rows]
+        """Driver-side bucket lookup for partition pruning — a pure
+        Python XXH64 replica of the JVM's xxhash64 (engine/portable.py,
+        verified bit-equal in tests), so no Spark job per query."""
+        from .portable import xxhash64_str
+
+        n = int(self.stats["n_buckets"])
+        return sorted({xxhash64_str(t) % n for t in set(terms)})
 
     def df_map(self, terms: Sequence[str]) -> dict[str, int]:
         """Driver-side df lookup for a small term set (bucket-pruned)."""

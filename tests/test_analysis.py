@@ -72,3 +72,21 @@ def test_three_way_equivalence(spark):
     """).fetchall()
     duck_out = [list(r[1]) for r in duck]
     assert udf_out == col_out == duck_out
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """The driver-side XXH64 replica (engine/portable.py) must be
+    bit-equal to Spark's xxhash64 — it drives postings partition
+    pruning; a mismatch would silently skip buckets (zero recall)."""
+    from pyspark.sql import functions as F
+
+    from engine.portable import xxhash64_str
+
+    words = ["", "a", "ab", "abc", "abcd", "merge", "quicksort",
+             "x" * 7, "y" * 8, "z" * 31, "w" * 32, "v" * 33,
+             "a longer string exercising the 32-byte striped path!",
+             "üñïçødé", "snake_case_token", "doc42"]
+    df = spark.createDataFrame([(w,) for w in words], "t string") \
+        .select("t", F.xxhash64("t").alias("h"))
+    for r in df.collect():
+        assert xxhash64_str(r["t"]) == r["h"], r["t"]
