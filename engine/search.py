@@ -158,19 +158,49 @@ def score_exhaustive(index: Index, query_terms: QueryTerms, k: int,
     return out.orderBy("qid", "rank")
 
 
-def boolean_and(index: Index, queries: Sequence[tuple[str, Sequence[str]]]
-                ) -> DataFrame:
+BOOLEAN_LEAD_MAX_DF = 100_000  # broadcastable lead-list bound (~0.8 MB)
+
+
+def boolean_and(index: Index, queries: Sequence[tuple[str, Sequence[str]]],
+                lead_max_df: int = BOOLEAN_LEAD_MAX_DF) -> DataFrame:
     """Conjunctive (AND) retrieval: docs containing ALL query terms
     (north-rule Q13; posting-list intersection as a count-match agg).
 
-    Returns (qid, doc_id) ordered.
+    Lead-term gating (the classic shortest-list-first intersection,
+    distributed): when a query's rarest term has df ≤ ``lead_max_df``,
+    its doc set is decoded once and BROADCAST as an (qid, doc_id)
+    filter semi-joined against the other lists' exploded postings
+    BEFORE the count-match shuffle — the shuffle then carries at most
+    |lead| × n_terms rows instead of Σ df. Queries whose rarest term
+    is still huge fall back to the plain count-match plan (their
+    intersection is inherently big). Returns (qid, doc_id) ordered.
     """
     qt = [(q, t, 1.0) for q, terms in queries for t in set(terms)]
     n_terms = {q: len(set(terms)) for q, terms in queries}
+    dfm = index.df_map([t for _, t, _ in qt])
+    lead: dict[str, str] = {}
+    for q, terms in queries:
+        ts = [t for t in set(terms) if t in dfm]
+        if len(ts) < len(set(terms)):
+            continue  # a term is absent from the index → empty result
+        rare = min(ts, key=lambda t: (dfm[t], t))
+        if dfm[rare] <= lead_max_df and len(ts) > 1:
+            lead[q] = rare
     matched = _matched_postings(index, qt)
     dec = matched.withColumn("d", decode_udf("blob"))
     rows = dec.select("qid", "term",
                       F.explode("d.doc_ids").alias("doc_id"))
+    if lead:
+        lead_df = index.spark.createDataFrame(
+            list(lead.items()), "qid string, term string")
+        lead_docs = (rows.join(F.broadcast(lead_df), ["qid", "term"])
+                     .select("qid", "doc_id").distinct())
+        gated = rows.join(F.broadcast(lead_docs), ["qid", "doc_id"],
+                          "left_semi")
+        ungated = rows.join(
+            F.broadcast(lead_df.select("qid").distinct()), "qid",
+            "left_anti")
+        rows = gated.unionByName(ungated)
     nt = F.broadcast(index.spark.createDataFrame(
         list(n_terms.items()), "qid string, n_terms int"))
     hits = (rows.groupBy("qid", "doc_id")

@@ -138,3 +138,19 @@ def test_parallelism_invariance(spark, tmp_path):
     r2 = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 10))
           for r in score_exhaustive(i2, qt, 10).collect()]
     assert r1 == r2
+
+
+def test_boolean_and_lead_gating_identical(tiny_index):
+    """Lead-term gating (broadcast rarest-list semi-join) must be a
+    pure plan optimization: identical results with gating disabled."""
+    qs = [("q1", ["alpha", "merge"]), ("q2", ["sort"]),
+          ("q3", ["merge", "sort", "hash"])]
+    # use real vocab terms from the tiny corpus
+    terms = [r["term"] for r in
+             tiny_index.termstats.orderBy("df").limit(50).collect()]
+    qs = [("q1", terms[:2]), ("q2", [terms[-1]]), ("q3", terms[10:13])]
+    gated = sorted((r["qid"], r["doc_id"]) for r in
+                   boolean_and(tiny_index, qs).collect())
+    plain = sorted((r["qid"], r["doc_id"]) for r in
+                   boolean_and(tiny_index, qs, lead_max_df=0).collect())
+    assert gated == plain
