@@ -103,8 +103,9 @@ def expanded_query_terms(index: Index, topics: list[Topic],
                          stem: bool = False,
                          boosts: tuple[float, float, float] | None = None,
                          entity_boost: float = ENTITY_BOOST,
-                         expansion_boost: float = BOOST_EXPANSION
-                         ) -> QueryTerms:
+                         expansion_boost: float = BOOST_EXPANSION,
+                         k1: float | None = None,
+                         b: float | None = None) -> QueryTerms:
     """Full entity-RM3 anchor→pilot→mine→final query assembly.
 
     Returns (qid, term, weight) rows for the FINAL query: anchor
@@ -112,7 +113,7 @@ def expanded_query_terms(index: Index, topics: list[Topic],
     both gets the sum, matching the reference's SHOULD-clause scoring).
     """
     anchor = topics_to_query_terms(topics, stem=stem, boosts=boosts)
-    pilot = score_exhaustive(index, anchor, pilot_k) \
+    pilot = score_exhaustive(index, anchor, pilot_k, k1=k1, b=b) \
         .select("qid", "doc_id", "score")
     orig_rows = [(t.number, term) for t in topics
                  for term in original_terms(t, stem=stem)]

@@ -150,7 +150,8 @@ def jaccard_verify(sigs: DataFrame, pairs: DataFrame,
 def minhash_near_dups(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_hashes: int = 16,
                       shingle_k: int = 3, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      persist: bool = True) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline.
 
     The signature table is persisted: it feeds the band self-join (both
@@ -161,9 +162,15 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text",
     The persisted handle is exposed as ``out._minhash_sigs`` so a
     long-lived caller can ``unpersist()`` it after materializing the
     result (otherwise each invocation leaks cached blocks in executor
-    storage memory until the session ends)."""
+    storage memory until the session ends). NB: the attribute lives on
+    the RETURNED DataFrame object only — any further transformation
+    drops it — so callers that cannot keep the handle (or that wrap the
+    result) should pass ``persist=False`` and pay the recompute instead
+    of leaking."""
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes,
-                              shingle_k).persist()
+                              shingle_k)
+    if persist:
+        sigs = sigs.persist()
     pairs = lsh_candidate_pairs(sigs, bands, n_hashes // bands)
     out = jaccard_verify(sigs, pairs, threshold)
     out._minhash_sigs = sigs  # cleanup handle for long-lived sessions

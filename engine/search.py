@@ -191,16 +191,21 @@ def boolean_and(index: Index, queries: Sequence[tuple[str, Sequence[str]]],
     rows = dec.select("qid", "term",
                       F.explode("d.doc_ids").alias("doc_id"))
     if lead:
-        lead_df = index.spark.createDataFrame(
-            list(lead.items()), "qid string, term string")
-        lead_docs = (rows.join(F.broadcast(lead_df), ["qid", "term"])
-                     .select("qid", "doc_id").distinct())
-        gated = rows.join(F.broadcast(lead_docs), ["qid", "doc_id"],
-                          "left_semi")
-        ungated = rows.join(
-            F.broadcast(lead_df.select("qid").distinct()), "qid",
-            "left_anti")
-        rows = gated.unionByName(ungated)
+        # decode ONLY the (small) lead lists for the broadcast filter —
+        # never the full matched set — then gate the main decode in a
+        # single pass: one broadcast left join + filter (a semi/anti
+        # branch pair would re-evaluate the decode subtree per branch)
+        lead_qt = [(q, t, 1.0) for q, t in lead.items()]
+        lead_dec = _matched_postings(index, lead_qt) \
+            .withColumn("d", decode_udf("blob"))
+        lead_docs = (lead_dec
+                     .select("qid", F.explode("d.doc_ids").alias("doc_id"))
+                     .distinct()
+                     .withColumn("_keep", F.lit(1)))
+        rows = (rows.join(F.broadcast(lead_docs), ["qid", "doc_id"], "left")
+                .where(F.col("_keep").isNotNull()
+                       | ~F.col("qid").isin(list(lead)))
+                .drop("_keep"))
     nt = F.broadcast(index.spark.createDataFrame(
         list(n_terms.items()), "qid string, n_terms int"))
     hits = (rows.groupBy("qid", "doc_id")
@@ -468,7 +473,14 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, k1: float, b: float,
             np.maximum.at(seg_max, dseg, acc_part)
         alive &= (seg_max + rem_ub) >= theta
         idx, valid = seg_map[i]
-        need = np.unique(idx[alive & valid])
+        if wgts[i] > 0:
+            need = np.unique(idx[alive & valid])
+        else:
+            # negative-weight lists (stale-stats idf) decode FULLY:
+            # skipping their blocks would leave skipped docs' partials
+            # OVERestimated, and tighten() treats partials as lower
+            # bounds — θ could then overshoot the true k-th score
+            need = np.arange(bls[i].size)
         d, c = decode_row_blocks(i, need)
         decoded[i] = (d, c)
         rem_ub -= seg_ub_of(i)

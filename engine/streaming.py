@@ -352,7 +352,12 @@ def sessionize_stream(events, gap: str = "30 minutes",
                     start_us, n, total = t, 0, 0.0
                 n += 1
                 total += float(v)
-                last_us = t
+                # a LATE event (t below the open session's bounds —
+                # file streams give no cross-batch ordering guarantee)
+                # must not regress the session's end: extend bounds
+                # monotonically instead of overwriting them
+                last_us = max(last_us, t) if n > 1 else t
+                start_us = min(start_us, t)
             state.update((start_us, last_us, n, total))
             state.setTimeoutDuration(timeout_ms)
         cols = ["user_id", "session_start", "session_end", "n_events",

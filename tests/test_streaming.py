@@ -137,3 +137,49 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
                     if key(r) != key(last_per_user[r["user_id"]]))
     assert sorted(key(r) for r in got) == expect
     assert len(got) == 6
+
+
+def test_sessionize_stream_late_event_does_not_regress(spark, tmp_path):
+    """A late (out-of-order, cross-batch) event must extend the open
+    session's bounds monotonically — never regress session_end (which
+    would also corrupt subsequent gap checks)."""
+    import datetime as dt
+    import time
+
+    from engine.streaming import sessionize_stream
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    src = str(tmp_path / "late_src")
+    out_dir = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        q = (sessionize_stream(stream, gap="30 minutes")
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+
+    # batch 1: open session [10:00, 10:05]
+    run_batch([(0, base, 1, "c", 1.0),
+               (1, base + dt.timedelta(minutes=5), 1, "c", 1.0)])
+    time.sleep(1.1)  # distinct file mtime for the source ordering
+    # batch 2: a LATE event (9:58) + a far event (10:40) that closes
+    # the session — the emitted session must end at 10:05, not 9:58
+    run_batch([(2, base - dt.timedelta(minutes=2), 1, "c", 1.0),
+               (3, base + dt.timedelta(minutes=40), 1, "c", 1.0)])
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 1
+    s = got[0]
+    assert s["session_start"] == base - dt.timedelta(minutes=2)
+    assert s["session_end"] == base + dt.timedelta(minutes=5)  # no regress
+    assert s["n_events"] == 3

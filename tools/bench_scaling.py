@@ -128,7 +128,7 @@ def run_kernel_level(cores: int, n_units: int = 24) -> dict:
 
     ctx = get_context("spawn")
     with ctx.Pool(cores) as pool:
-        pool.map(_kernel_work, range(2))  # warm imports
+        pool.map(_kernel_work, range(cores))  # warm EVERY worker's imports
         t0 = time.time()
         pool.map(_kernel_work, range(n_units))
         dt = time.time() - t0

@@ -61,7 +61,7 @@ def run_config(spark, idx, topics, qrels, cfg, num_docs, k, timeout_s,
         idx, topics, pilot_k=int(cfg["pilot_k"]),
         top_terms=int(cfg["top_terms"]), stem=stem,
         boosts=(cfg["title_boost"], cfg["desc_boost"], cfg["narr_boost"]),
-        entity_boost=cfg["entity_boost"])
+        entity_boost=cfg["entity_boost"], k1=cfg["k1"], b=cfg["b"])
     hits = score_exhaustive(idx, qt, num_docs, include_docno=not docno_from_path,
                             k1=cfg["k1"], b=cfg["b"])
     if docno_from_path:

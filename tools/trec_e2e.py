@@ -89,7 +89,7 @@ def main() -> None:
     print(f"[search] {len(run_rows)} run rows in "
           f"{t_search - t_idx:.1f}s", flush=True)
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     run_df = spark.createDataFrame(run_rows)
     write_run(run_df, args.out, tag="SPARK_FTS")
 
