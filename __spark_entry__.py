@@ -50,6 +50,23 @@ AND_QUERIES: list[tuple[str, list[str]]] = [
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 TOPK = 10
 
+# Positional retrieval (engine/positions.py): phrases analyze with
+# gap-preserving offsets — p3/p5 span a stopword ("a"/"by"), exercising
+# Lucene-style position increments across both engines.
+PHRASE_QUERIES: list[tuple[str, str]] = [
+    ("p1", "merge sort"),
+    ("p2", "hash value"),
+    ("p3", "value a table"),
+    ("p4", "sort key"),
+    ("p5", "group by window"),
+]
+PROX_QUERIES: list[tuple[str, list[str]]] = [
+    ("x1", ["merge", "sort"]),
+    ("x2", ["vector", "scan", "batch"]),
+    ("x3", ["customer"]),
+]
+PROX_WINDOW = 4
+
 INDEX_VERSION = "v3"  # v3: block-framed blobs + block_off (sliceable runs)
 
 
@@ -157,6 +174,82 @@ SELECT qid, doc_id, {r4} AS score, rank FROM (
              ORDER BY {r4} DESC, doc_id)::INT AS rank
   FROM matched) t
 WHERE rank <= {k}
+"""
+
+
+def _sql_positions_ctes() -> str:
+    """Positional tokenizer CTEs (gap positions: stopwords consume a
+    position, emit no term) — mirrors engine/positions.py exactly."""
+    clean = duckdb_clean_sql("text")
+    stops = duckdb_stoplist_sql()
+    return f"""
+fulltok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array({clean}, '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+ptok AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos
+  FROM fulltok),
+pt AS (SELECT * FROM ptok WHERE term NOT IN {stops})
+""".strip()
+
+
+def _sql_phrase(phrases) -> str:
+    from engine.positions import analyze_phrase
+
+    qv, nv = [], []
+    for qid, ph in phrases:
+        qt = analyze_phrase(ph)
+        nv.append(f"('{qid}', {len(qt)})")
+        for t, off in qt:
+            qv.append(f"('{qid}', '{t}', {off})")
+    return f"""
+WITH {_sql_positions_ctes()},
+q(qid, term, off) AS (VALUES {', '.join(qv)}),
+n(qid, n_offs) AS (VALUES {', '.join(nv)}),
+a AS (
+  SELECT q.qid, p.doc_id, p.pos - q.off AS anchor, q.off
+  FROM q JOIN pt p USING (term) WHERE p.pos - q.off >= 0),
+g AS (SELECT qid, doc_id, anchor, count(DISTINCT off) AS c
+      FROM a GROUP BY 1, 2, 3)
+SELECT DISTINCT g.qid, g.doc_id FROM g JOIN n USING (qid)
+WHERE g.c = n.n_offs
+"""
+
+
+def _sql_proximity(queries, window: int) -> str:
+    from engine.analysis import tokenize_texts
+
+    qa, qo, nv, singles = [], [], [], []
+    for qid, terms in queries:
+        ts = [tokenize_texts([t])[0][0] for t in terms]
+        qa.append(f"('{qid}', '{ts[0]}')")
+        others = sorted(set(ts[1:]) - {ts[0]})
+        if not others:
+            singles.append(qid)
+        nv.append(f"('{qid}', {len(others)})")
+        for t in others:
+            qo.append(f"('{qid}', '{t}')")
+    single_sql = ""
+    if singles:
+        inlist = ", ".join(f"'{s}'" for s in singles)
+        single_sql = (f"UNION SELECT DISTINCT qid, doc_id FROM anchors "
+                      f"WHERE qid IN ({inlist})")
+    return f"""
+WITH {_sql_positions_ctes()},
+qa(qid, term) AS (VALUES {', '.join(qa)}),
+qo(qid, term) AS (VALUES {', '.join(qo)}),
+n(qid, n_other) AS (VALUES {', '.join(nv)}),
+anchors AS (SELECT qa.qid, p.doc_id, p.pos AS p FROM qa JOIN pt p USING (term)),
+others AS (SELECT qo.qid, qo.term, p.doc_id, p.pos AS q
+           FROM qo JOIN pt p USING (term)),
+j AS (SELECT a.qid, a.doc_id, a.p, o.term FROM anchors a
+      JOIN others o ON a.qid = o.qid AND a.doc_id = o.doc_id
+      WHERE abs(o.q - a.p) <= {window}),
+g AS (SELECT qid, doc_id, p, count(DISTINCT term) AS c FROM j GROUP BY 1, 2, 3)
+SELECT DISTINCT g.qid, g.doc_id FROM g JOIN n USING (qid)
+WHERE g.c = n.n_other
+{single_sql}
 """
 
 
@@ -492,6 +585,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             round_half_up(F.col("total_value"), 4).alias("total_value"))
             .orderBy("user_id", "session_start"))
 
+    def phrase_hits(spark, sf_dir):
+        """Exact-phrase retrieval over the positional index
+        (engine/positions.py; anchor-alignment plan, lead-gated)."""
+        from engine.positions import build_positions, phrase_match
+
+        idx = _cached_index(spark, sf_dir)
+        build_positions(spark, idx.index_dir)
+        return phrase_match(idx, PHRASE_QUERIES)
+
+    def proximity_hits(spark, sf_dir):
+        """Unordered proximity retrieval (first term anchors; all other
+        terms within |Δpos| ≤ PROX_WINDOW)."""
+        from engine.positions import build_positions, proximity_match
+
+        idx = _cached_index(spark, sf_dir)
+        build_positions(spark, idx.index_dir)
+        return proximity_match(idx, PROX_QUERIES, PROX_WINDOW)
+
     def trec_run(spark, sf_dir):
         """TREC run-file rows (SURVEY.md S6; Searcher.java:79 format)."""
         hits = _topk(_bm25_scored(spark, sf_dir, BM25_QUERIES))
@@ -531,6 +642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": dedup_keep,
         "tfidf_top_terms": tfidf_top_terms,
         "event_window_counts": event_window_counts,
+        "phrase_hits": phrase_hits,
+        "proximity_hits": proximity_hits,
     }
 
 
@@ -576,6 +689,9 @@ HAVING count(DISTINCT tf.term) = (SELECT n_terms FROM nt WHERE nt.qid = q.qid)
 """
     # the index-backed WAND path must equal the pure-SQL BM25 oracle
     sql["index_wand_topk"] = _sql_bm25_topk(BM25_QUERIES, TOPK)
+
+    sql["phrase_hits"] = _sql_phrase(PHRASE_QUERIES)
+    sql["proximity_hits"] = _sql_proximity(PROX_QUERIES, PROX_WINDOW)
 
     sql["dedup_exact"] = """
 SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs,

@@ -1,0 +1,270 @@
+"""Positional index: phrase and proximity queries (beyond the
+reference's term-bag model).
+
+The reference's Lucene index stores positions by default
+(IndexWriter with TextField, reference Indexer.java:30-44), but its
+searcher only ever issues BooleanQuery-of-BoostQuery term bags
+(Searcher.java:37-43) — so positions are a latent capability of the
+reference a user could tap via Lucene's PhraseQuery. This module makes
+that capability first-class, Spark-style.
+
+Position semantics (Lucene-like gap positions):
+
+* position = 0-based index in the FULL analyzed token stream
+  (possessive/camel/lower splits applied, empty tokens dropped,
+  STOPWORDS STILL COUNTED) — i.e. Lucene's position increments: a
+  stopword consumes a position but emits no token. The phrase
+  ``"state of the art"`` therefore analyzes to ``[(state,0),(art,3)]``
+  and matches exactly the docs where those gaps line up.
+* the positional table stores only non-stopword terms (same vocabulary
+  as the inverted index), one row per (term, doc_id) with a sorted
+  int-array of positions — partitioned by the SAME xxhash64 term
+  bucket as postings, so reads are partition-pruned identically.
+
+Scale design (the 100 TB story):
+
+* build is one tokenize pass: posexplode (Catalyst, whole-stage
+  codegen) → groupBy (term, doc) collect sorted positions — the same
+  shuffle shape and volume class as the tf stage of the main index.
+* phrase match is the ANCHOR-ALIGNMENT plan: each posting position p
+  of a phrase term at offset o votes for anchor a = p − o; a doc
+  matches iff some anchor receives a vote from EVERY phrase offset.
+  That is a plain groupBy((qid, doc, anchor)) count-distinct — no
+  per-doc Python, no self-join, shuffle bounded by Σ positions of the
+  matched terms, and lead-term gating (rarest list broadcast semi-
+  filter, as in boolean AND) bounds it further to the rarest term's
+  docs × phrase length.
+* proximity match anchors on the rarest term and range-joins the
+  others within the window — the join is per-doc-local (equi-join on
+  (qid, doc_id) then a window predicate), never a cross product.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analysis import (RE_NONTOKEN, STOPWORDS, _STOPSET, porter_stem,
+                       tokenize_texts)
+from .index_build import _exists, _paths
+from .search import Index
+
+POSITIONS_DIRNAME = "positions"
+
+
+def _positions_path(index_dir: str) -> str:
+    return f"{index_dir}/{POSITIONS_DIRNAME}"
+
+
+def _full_tokens_col(col):
+    """All tokens (stopwords INCLUDED) in stream order — the position
+    axis. Pure Catalyst; mirrors analysis.tokens_col(keep_stopwords)."""
+    from .analysis import RE_CAMEL_A, RE_CAMEL_B, RE_POSSESSIVE
+    c = F.regexp_replace(col, RE_POSSESSIVE, "")
+    c = F.regexp_replace(c, RE_CAMEL_A, r"$1 $2")
+    c = F.regexp_replace(c, RE_CAMEL_B, r"$1 $2")
+    c = F.lower(c)
+    return F.filter(F.split(c, RE_NONTOKEN), lambda t: t != F.lit(""))
+
+
+def build_positions(spark: SparkSession, index_dir: str) -> dict:
+    """Add a positional table to an existing index (resumable stage:
+    gated on its own _SUCCESS like every other build stage).
+
+    Layout: ``{index_dir}/positions`` parquet partitioned by ``bucket``
+    with rows (bucket, term, doc_id, positions: array<int> sorted asc).
+    Stemming parity: applied per-term AFTER position assignment when
+    the index was built with ``stem=True`` (stop-then-stem, matching
+    the analyzer chain), via a vectorized pandas UDF off the hot path.
+    """
+    from .index_build import load_stats
+
+    p = _paths(index_dir)
+    out = _positions_path(index_dir)
+    stats = load_stats(spark, index_dir)
+    if _exists(spark, out):
+        return {"resumed": True, "n_rows": None}
+
+    docs = spark.read.parquet(p["docs"]).select("doc_id", "content")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    tok = (docs
+           .select("doc_id",
+                   F.posexplode(_full_tokens_col(F.col("content")))
+                   .alias("pos", "term"))
+           .where(~F.array_contains(stops, F.col("term"))))
+    if stats.get("stem"):
+        @F.pandas_udf("string")
+        def _stem(s: pd.Series) -> pd.Series:
+            return s.map(porter_stem)
+        tok = tok.withColumn("term", _stem("term"))
+    n_buckets = int(stats["n_buckets"])
+    rows = (tok.groupBy("term", "doc_id")
+            .agg(F.sort_array(F.collect_list(F.col("pos").cast("int")))
+                 .alias("positions"))
+            .withColumn("bucket",
+                        F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                        .cast("int")))
+    (rows.select("bucket", "term", "doc_id", "positions")
+     .write.mode("overwrite").partitionBy("bucket").parquet(out))
+    return {"resumed": False}
+
+
+def analyze_phrase(text: str, stem: bool = False) -> list[tuple[str, int]]:
+    """Driver-side phrase analysis → [(term, offset)] with gap-
+    preserving offsets (stopwords consume an offset, emit nothing)."""
+    toks = tokenize_texts([text], keep_stopwords=True)[0]
+    out = []
+    for i, t in enumerate(toks):
+        if t in _STOPSET:
+            continue
+        out.append((porter_stem(t) if stem else t, i))
+    return out
+
+
+def _positions_df(index: Index, terms: Sequence[str]) -> DataFrame:
+    pos = index.spark.read.parquet(_positions_path(index.index_dir))
+    buckets = index.term_buckets(list(terms))
+    return pos.where(F.col("bucket").isin(buckets))
+
+
+PHRASE_LEAD_MAX_DF = 100_000  # broadcastable lead doc-set bound
+
+
+def phrase_match(index: Index,
+                 phrases: Sequence[tuple[str, str]],
+                 lead_max_df: int = PHRASE_LEAD_MAX_DF) -> DataFrame:
+    """Exact phrase retrieval: docs where the analyzed phrase occurs
+    with its exact gap pattern. Returns (qid, doc_id) ordered.
+
+    Anchor-alignment plan (see module docstring): shuffle rows =
+    Σ positions of matched terms, lead-gated by the rarest term's doc
+    set when that is broadcastable — a query with one head term never
+    explodes the head term's positions past the rarest list's docs.
+    """
+    stem = bool(index.stats.get("stem"))
+    qrows: list[tuple[str, str, int]] = []
+    n_offs: dict[str, int] = {}
+    for qid, text in phrases:
+        toks = analyze_phrase(text, stem=stem)
+        for t, off in toks:
+            qrows.append((qid, t, off))
+        n_offs[qid] = len(toks)
+    qrows = [r for r in qrows if n_offs[r[0]] > 0]
+    spark = index.spark
+    if not qrows:
+        return spark.createDataFrame([], "qid string, doc_id long")
+
+    terms = sorted({t for _, t, _ in qrows})
+    qdf = spark.createDataFrame(qrows, "qid string, term string, off int")
+    pos = _positions_df(index, terms)
+    matched = pos.join(F.broadcast(qdf), "term")
+
+    # lead gating: per query, the rarest term's docs (df from termstats)
+    dfm = index.df_map(terms)
+    lead: dict[str, str] = {}
+    for qid in n_offs:
+        ts = sorted({t for q, t, _ in qrows if q == qid})
+        if any(t not in dfm for t in ts):
+            continue  # some term absent → query matches nothing anyway
+        rare = min(ts, key=lambda t: (dfm[t], t))
+        if dfm[rare] <= lead_max_df and len(ts) > 1:
+            lead[qid] = rare
+    if lead:
+        lqdf = spark.createDataFrame(
+            [(q, t) for q, t in lead.items()], "qid string, term string")
+        lead_docs = (_positions_df(index, sorted(set(lead.values())))
+                     .join(F.broadcast(lqdf), "term")
+                     .select("qid", "doc_id").distinct()
+                     .withColumn("_keep", F.lit(1)))
+        matched = (matched
+                   .join(F.broadcast(lead_docs), ["qid", "doc_id"], "left")
+                   .where(F.col("_keep").isNotNull()
+                          | ~F.col("qid").isin(list(lead)))
+                   .drop("_keep"))
+
+    exploded = (matched
+                .select("qid", "doc_id", "off",
+                        F.explode("positions").alias("p"))
+                .withColumn("anchor", F.col("p") - F.col("off"))
+                .where(F.col("anchor") >= 0))
+    ndf = F.broadcast(spark.createDataFrame(
+        list(n_offs.items()), "qid string, n_offs int"))
+    hits = (exploded.groupBy("qid", "doc_id", "anchor")
+            .agg(F.count_distinct("off").alias("nmatch"))
+            .join(ndf, "qid")
+            .where(F.col("nmatch") == F.col("n_offs"))
+            .select("qid", "doc_id").distinct())
+    return hits.orderBy("qid", "doc_id")
+
+
+def proximity_match(index: Index,
+                    queries: Sequence[tuple[str, Sequence[str]]],
+                    window: int) -> DataFrame:
+    """Unordered proximity retrieval: docs with an occurrence of the
+    query's FIRST term at some position p such that every other term
+    occurs within ``|q − p| ≤ window``. Returns (qid, doc_id) ordered.
+
+    The anchor term is part of the query semantics (documented, so the
+    DuckDB oracle and any reimplementation agree); the others join
+    per-doc on (qid, doc_id) with the window predicate — row volume is
+    |anchor positions| × |other positions| WITHIN each doc only.
+    """
+    stem = bool(index.stats.get("stem"))
+    spark = index.spark
+
+    def _an(t: str) -> str:
+        toks = tokenize_texts([t], stem=stem)[0]
+        return toks[0] if toks else ""
+
+    qanchor: list[tuple[str, str]] = []
+    qother: list[tuple[str, str]] = []
+    n_other: dict[str, int] = {}
+    single: list[str] = []
+    for qid, terms in queries:
+        ts = [x for x in (_an(t) for t in terms) if x]
+        if not ts:
+            continue
+        qanchor.append((qid, ts[0]))
+        others = sorted(set(ts[1:]) - {ts[0]})
+        n_other[qid] = len(others)
+        if not others:
+            single.append(qid)
+        for t in others:
+            qother.append((qid, t))
+    if not qanchor:
+        return spark.createDataFrame([], "qid string, doc_id long")
+
+    terms = sorted({t for _, t in qanchor} | {t for _, t in qother})
+    pos = _positions_df(index, terms)
+    adf = spark.createDataFrame(qanchor, "qid string, term string")
+    anchors = (pos.join(F.broadcast(adf), "term")
+               .select("qid", "doc_id", F.explode("positions").alias("p")))
+    if single:
+        hits_single = (anchors.where(F.col("qid").isin(single))
+                       .select("qid", "doc_id").distinct())
+    multi = [q for q in n_other if n_other[q] > 0]
+    if multi:
+        odf = spark.createDataFrame(qother, "qid string, term string")
+        others = (pos.join(F.broadcast(odf), "term")
+                  .select("qid", "term", "doc_id",
+                          F.explode("positions").alias("q")))
+        ndf = F.broadcast(spark.createDataFrame(
+            [(q, n_other[q]) for q in multi], "qid string, n_other int"))
+        joined = (anchors.where(F.col("qid").isin(multi))
+                  .join(others, ["qid", "doc_id"])
+                  .where(F.abs(F.col("q") - F.col("p")) <= window))
+        hits_multi = (joined.groupBy("qid", "doc_id", "p")
+                      .agg(F.count_distinct("term").alias("nmatch"))
+                      .join(ndf, "qid")
+                      .where(F.col("nmatch") == F.col("n_other"))
+                      .select("qid", "doc_id").distinct())
+    if single and multi:
+        hits = hits_single.unionByName(hits_multi)
+    elif single:
+        hits = hits_single
+    else:
+        hits = hits_multi
+    return hits.orderBy("qid", "doc_id")

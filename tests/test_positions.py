@@ -1,0 +1,153 @@
+"""Positional index: phrase / proximity retrieval (engine/positions.py).
+
+Brute-force Python reference: tokenize with gap positions (stopwords
+consume a position, emit nothing) and check the gap pattern directly.
+"""
+
+import pytest
+
+from engine.analysis import _STOPSET, tokenize_texts
+from engine.positions import (analyze_phrase, build_positions, phrase_match,
+                              proximity_match)
+
+
+def _pos_map(content: str) -> dict[str, set[int]]:
+    toks = tokenize_texts([content], keep_stopwords=True)[0]
+    out: dict[str, set[int]] = {}
+    for i, t in enumerate(toks):
+        if t in _STOPSET:
+            continue
+        out.setdefault(t, set()).add(i)
+    return out
+
+
+def _brute_phrase(doc_contents: dict[int, str], phrase: str) -> set[int]:
+    qt = analyze_phrase(phrase)
+    assert qt
+    hits = set()
+    for doc_id, content in doc_contents.items():
+        pm = _pos_map(content)
+        t0, o0 = qt[0]
+        anchors = {p - o0 for p in pm.get(t0, set()) if p - o0 >= 0}
+        if any(all(a + off in pm.get(t, set()) for t, off in qt)
+               for a in anchors):
+            hits.add(doc_id)
+    return hits
+
+
+def _brute_prox(doc_contents: dict[int, str], terms: list[str],
+                window: int) -> set[int]:
+    an = [tokenize_texts([t])[0][0] for t in terms]
+    anchor, others = an[0], sorted(set(an[1:]) - {an[0]})
+    hits = set()
+    for doc_id, content in doc_contents.items():
+        pm = _pos_map(content)
+        for p in pm.get(anchor, set()):
+            if all(any(abs(q - p) <= window for q in pm.get(t, set()))
+                   for t in others):
+                hits.add(doc_id)
+                break
+    return hits
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tiny_index):
+    build_positions(spark, tiny_index.index_dir)
+    return tiny_index
+
+
+@pytest.fixture(scope="module")
+def doc_contents(pos_index) -> dict[int, str]:
+    rows = pos_index.docs.select("doc_id", "content").collect()
+    return {int(r["doc_id"]): r["content"] for r in rows}
+
+
+def test_analyze_phrase_gap_offsets():
+    # stopwords consume offsets but emit no term (Lucene posIncrement)
+    assert analyze_phrase("state of the art") == [("state", 0), ("art", 3)]
+    assert analyze_phrase("mergeSort") == [("merge", 0), ("sort", 1)]
+    assert analyze_phrase("the a of") == []
+
+
+def test_positions_gap_numbering(spark, tmp_path):
+    from engine.index_build import build_index
+    from engine.search import Index
+
+    corpus = spark.createDataFrame(
+        [("r", "p0", "c", "py", "the quick brown fox"),
+         ("r", "p1", "c", "py", "quick the quick")],
+        "repo string, path string, commit string, lang string, content string")
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, n_buckets=2, n_doc_buckets=1)
+    build_positions(spark, d)
+    idx = Index(spark, d)
+    rows = {(r["term"], r["doc_id"]): list(r["positions"])
+            for r in spark.read.parquet(d + "/positions").collect()}
+    # doc_id 0 = path p0 (canonical order): "the"@0 dropped, gaps kept
+    assert rows[("quick", 0)] == [1]
+    assert rows[("brown", 0)] == [2]
+    assert rows[("fox", 0)] == [3]
+    assert rows[("quick", 1)] == [0, 2]
+
+
+def test_build_positions_is_resumable(spark, pos_index):
+    assert build_positions(spark, pos_index.index_dir)["resumed"] is True
+
+
+@pytest.fixture(scope="module")
+def real_phrases(doc_contents) -> list[tuple[str, str]]:
+    """Phrases lifted from actual docs (so matches exist) + misses."""
+    toks = tokenize_texts([doc_contents[0]], keep_stopwords=True)[0]
+    nonstop = [t for t in toks if t not in _STOPSET]
+    return [
+        ("ph2", " ".join(toks[0:2])),
+        ("ph3", " ".join(toks[3:7])),
+        ("ph_single", nonstop[0]),
+        ("ph_miss", f"{nonstop[0]} zzznope"),
+        ("ph_rep", f"{nonstop[0]} {nonstop[0]}"),
+    ]
+
+
+def test_phrase_match_vs_bruteforce(pos_index, doc_contents, real_phrases):
+    res = phrase_match(pos_index, real_phrases).collect()
+    got: dict[str, set[int]] = {q: set() for q, _ in real_phrases}
+    for r in res:
+        got[r["qid"]].add(int(r["doc_id"]))
+    for qid, phrase in real_phrases:
+        if not analyze_phrase(phrase):
+            continue
+        expect = _brute_phrase(doc_contents, phrase)
+        assert got[qid] == expect, f"{qid}: {phrase!r}"
+    # at least one phrase must actually match something, else the test
+    # proves nothing
+    assert any(got[q] for q, _ in real_phrases)
+
+
+def test_phrase_lead_gating_equivalence(pos_index, real_phrases):
+    a = sorted(map(tuple, phrase_match(pos_index, real_phrases,
+                                       lead_max_df=0).collect()))
+    b = sorted(map(tuple, phrase_match(pos_index, real_phrases,
+                                       lead_max_df=10**9).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_proximity_vs_bruteforce(pos_index, doc_contents):
+    toks = tokenize_texts([doc_contents[1]], keep_stopwords=True)[0]
+    nonstop = [t for t in toks if t not in _STOPSET]
+    queries = [
+        ("x1", [nonstop[0], nonstop[3]]),
+        ("x2", [nonstop[2], nonstop[0], nonstop[5]]),
+        ("x_single", [nonstop[4]]),
+        ("x_miss", [nonstop[0], "zzznope"]),
+    ]
+    for window in (2, 5):
+        res = proximity_match(pos_index, queries, window).collect()
+        got: dict[str, set[int]] = {q: set() for q, _ in queries}
+        for r in res:
+            got[r["qid"]].add(int(r["doc_id"]))
+        for qid, terms in queries:
+            if any(not tokenize_texts([t])[0] for t in terms):
+                continue
+            expect = _brute_prox(doc_contents, terms, window)
+            assert got[qid] == expect, f"{qid} w={window}"
+        assert any(got[q] for q, _ in queries)
