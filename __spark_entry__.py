@@ -157,16 +157,21 @@ def _sql_values(queries) -> str:
     return f"(VALUES {vals}) AS q(qid, term)"
 
 
-def _sql_bm25_topk(queries, k: int = TOPK) -> str:
+def _sql_bm25_topk(queries, k: int = TOPK, doc_where: str = "") -> str:
+    """``doc_where``: optional SQL predicate over the documents row
+    aliased ``docf`` — the FILTER-clause oracle (filtered_topk)."""
     score = bm25_sql("tf.tf", "dfs.df", "dl.dl", "stats.avgdl", "stats.n")
     r4 = round_half_up_sql("s", 4)
+    fjoin = (f"JOIN documents docf ON docf.doc_id = tf.doc_id "
+             f"AND ({doc_where})" if doc_where else "")
     return f"""
 WITH {_sql_fts_ctes()},
 matched AS (
   SELECT q.qid, tf.doc_id, sum({score}) AS s
   FROM {_sql_values(queries)}
   JOIN tf USING (term) JOIN dfs USING (term)
-  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  JOIN dl ON tf.doc_id = dl.doc_id
+  {fjoin}, stats
   GROUP BY q.qid, tf.doc_id)
 SELECT qid, doc_id, {r4} AS score, rank FROM (
   SELECT qid, doc_id, s,
@@ -585,6 +590,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             round_half_up(F.col("total_value"), 4).alias("total_value"))
             .orderBy("user_id", "session_start"))
 
+    def filtered_topk(spark, sf_dir):
+        """BM25 top-k restricted to lang='en' docs via the index's
+        doc_filter (Lucene FILTER clause): exact top-k WITHIN the
+        filtered set, not a post-filter of the global top-k."""
+        from engine.search import score_exhaustive
+
+        idx = _cached_index(spark, sf_dir)
+        allowed = idx.docs.where(F.col("lang") == "en")
+        qt = [(q, t, 1.0) for q, terms in BM25_QUERIES for t in terms]
+        res = score_exhaustive(idx, qt, TOPK + 50, doc_filter=allowed)
+        r = round_half_up(F.col("score"), 4)
+        w = Window.partitionBy("qid").orderBy(r.desc(), F.asc("doc_id"))
+        return (res.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= TOPK)
+                .select("qid", "doc_id", r.alias("score"), "rank"))
+
     def phrase_hits(spark, sf_dir):
         """Exact-phrase retrieval over the positional index
         (engine/positions.py; anchor-alignment plan, lead-gated)."""
@@ -644,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_counts": event_window_counts,
         "phrase_hits": phrase_hits,
         "proximity_hits": proximity_hits,
+        "filtered_topk": filtered_topk,
     }
 
 
@@ -692,6 +714,8 @@ HAVING count(DISTINCT tf.term) = (SELECT n_terms FROM nt WHERE nt.qid = q.qid)
 
     sql["phrase_hits"] = _sql_phrase(PHRASE_QUERIES)
     sql["proximity_hits"] = _sql_proximity(PROX_QUERIES, PROX_WINDOW)
+    sql["filtered_topk"] = _sql_bm25_topk(BM25_QUERIES, TOPK,
+                                          doc_where="docf.lang = 'en'")
 
     sql["dedup_exact"] = """
 SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs,

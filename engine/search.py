@@ -118,12 +118,20 @@ def _matched_postings(index: Index, query_terms: QueryTerms) -> DataFrame:
 def score_exhaustive(index: Index, query_terms: QueryTerms, k: int,
                      include_docno: bool = False,
                      k1: float | None = None,
-                     b: float | None = None) -> DataFrame:
+                     b: float | None = None,
+                     doc_filter: DataFrame | None = None) -> DataFrame:
     """Weighted-OR BM25 top-k, scoring every matching document.
 
     ``k1``/``b`` override the index's pinned BM25 constants at query
     time (the sweep harness's knob — exact scoring never reads the
     build-frozen block_max_w, only WAND's pruning bounds do).
+
+    ``doc_filter``: optional DataFrame with a ``doc_id`` column — the
+    Lucene FILTER-clause equivalent: only docs in the set are scored
+    and ranked (top-k is exact WITHIN the filtered set, not a post-
+    filter of the unfiltered top-k). Applied as a semi-join on the
+    decoded posting rows before aggregation, so AQE broadcasts a
+    selective filter and the top-k window never sees excluded docs.
     Returns (qid, doc_id, score, rank) ordered by qid, rank.
     """
     matched = _matched_postings(index, query_terms)
@@ -141,6 +149,9 @@ def score_exhaustive(index: Index, query_terms: QueryTerms, k: int,
     rows = rows.join(F.broadcast(
         ts.join(_query_df(index.spark, query_terms).select("term").distinct(),
                 "term")), "term")
+    if doc_filter is not None:
+        rows = rows.join(doc_filter.select("doc_id").distinct(),
+                         "doc_id", "left_semi")
     scored = rows.withColumn(
         "pscore",
         F.col("weight") * bm25_col(F.col("tf"), F.col("df"), F.col("dl"),

@@ -154,3 +154,29 @@ def test_boolean_and_lead_gating_identical(tiny_index):
     plain = sorted((r["qid"], r["doc_id"]) for r in
                    boolean_and(tiny_index, qs, lead_max_df=0).collect())
     assert gated == plain
+
+
+def test_filtered_topk_exact_within_filter(tiny_index):
+    """doc_filter (Lucene FILTER-clause equivalent) ranks top-k WITHIN
+    the filtered doc set — verified against filtering the full score
+    table and re-ranking."""
+    qt = topics_to_query_terms(synthetic_topics(5))
+    allowed = tiny_index.docs.where(F.col("lang") == "python")
+    allowed_ids = {r["doc_id"] for r in allowed.select("doc_id").collect()}
+    assert 0 < len(allowed_ids) < tiny_index.n_docs
+    full = score_exhaustive(tiny_index, qt, 10 ** 6).collect()
+    expect: dict[str, list] = {}
+    for r in full:
+        if r["doc_id"] in allowed_ids:
+            expect.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    k = 7
+    for q in expect:
+        expect[q].sort(key=lambda x: (-x[1], x[0]))
+        expect[q] = [(d, round(s, 9)) for d, s in expect[q][:k]]
+    got: dict[str, list] = {}
+    for r in score_exhaustive(tiny_index, qt, k, doc_filter=allowed).collect():
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9)))
+    for q in got:
+        got[q].sort()
+    assert {q: [(d, s) for _, d, s in got[q]] for q in got} == expect
