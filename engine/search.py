@@ -170,10 +170,16 @@ def score_exhaustive(index: Index, query_terms: QueryTerms, k: int,
 
 
 BOOLEAN_LEAD_MAX_DF = 100_000  # broadcastable lead-list bound (~0.8 MB)
+# engage gating only when the OTHER lists would shuffle at least this
+# many postings — below it the extra lead-decode job costs more than
+# the shuffle it saves (pure small-scale latency; at cluster scale any
+# head-term query clears this instantly)
+BOOLEAN_LEAD_MIN_SAVED = 250_000
 
 
 def boolean_and(index: Index, queries: Sequence[tuple[str, Sequence[str]]],
-                lead_max_df: int = BOOLEAN_LEAD_MAX_DF) -> DataFrame:
+                lead_max_df: int = BOOLEAN_LEAD_MAX_DF,
+                lead_min_saved: int = BOOLEAN_LEAD_MIN_SAVED) -> DataFrame:
     """Conjunctive (AND) retrieval: docs containing ALL query terms
     (north-rule Q13; posting-list intersection as a count-match agg).
 
@@ -195,7 +201,9 @@ def boolean_and(index: Index, queries: Sequence[tuple[str, Sequence[str]]],
         if len(ts) < len(set(terms)):
             continue  # a term is absent from the index → empty result
         rare = min(ts, key=lambda t: (dfm[t], t))
-        if dfm[rare] <= lead_max_df and len(ts) > 1:
+        saved = sum(dfm[t] for t in ts) - dfm[rare]
+        if dfm[rare] <= lead_max_df and len(ts) > 1 \
+                and saved >= lead_min_saved:
             lead[q] = rare
     matched = _matched_postings(index, qt)
     dec = matched.withColumn("d", decode_udf("blob"))

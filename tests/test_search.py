@@ -150,7 +150,8 @@ def test_boolean_and_lead_gating_identical(tiny_index):
              tiny_index.termstats.orderBy("df").limit(50).collect()]
     qs = [("q1", terms[:2]), ("q2", [terms[-1]]), ("q3", terms[10:13])]
     gated = sorted((r["qid"], r["doc_id"]) for r in
-                   boolean_and(tiny_index, qs).collect())
+                   boolean_and(tiny_index, qs,
+                               lead_min_saved=0).collect())
     plain = sorted((r["qid"], r["doc_id"]) for r in
                    boolean_and(tiny_index, qs, lead_max_df=0).collect())
     assert gated == plain
