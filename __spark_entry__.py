@@ -590,6 +590,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             round_half_up(F.col("total_value"), 4).alias("total_value"))
             .orderBy("user_id", "session_start"))
 
+    def dedup_components(spark, sf_dir):
+        """Near-dup clusters: connected components (hash-min label
+        propagation) over the MinHash-LSH pair graph."""
+        pairs = dedup.minhash_near_dups(_docs(spark, sf_dir), threshold=0.3)
+        out = dedup.connected_components(pairs)
+        pairs._minhash_sigs.unpersist()
+        return out.orderBy("doc_id")
+
+    def pmi_bigrams(spark, sf_dir):
+        """Collocation mining: top-20 adjacent bigrams by PMI."""
+        return (textstats.pmi_bigrams(_docs(spark, sf_dir),
+                                      min_count=5, k=20)
+                .orderBy("rank"))
+
     def filtered_topk(spark, sf_dir):
         """BM25 top-k restricted to lang='en' docs via the index's
         doc_filter (Lucene FILTER clause): exact top-k WITHIN the
@@ -666,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_hits": phrase_hits,
         "proximity_hits": proximity_hits,
         "filtered_topk": filtered_topk,
+        "dedup_components": dedup_components,
+        "pmi_bigrams": pmi_bigrams,
     }
 
 
@@ -722,8 +738,8 @@ SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs,
        min(doc_id) AS min_doc_id
 FROM documents GROUP BY md5(text)
 """
-    sql["minhash_near_dups"] = f"""
-WITH t AS (SELECT doc_id, {raw_tok} AS t FROM documents),
+    minhash_ctes = f"""
+t AS (SELECT doc_id, {raw_tok} AS t FROM documents),
 sh AS (SELECT doc_id,
               list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                              for i in generate_series(1, len(t) - 2)]) AS shingles
@@ -748,7 +764,24 @@ ver AS (SELECT doc_a, doc_b,
                / len(list_distinct(x.shingles || y.shingles)) AS j
         FROM pairs JOIN sh x ON x.doc_id = doc_a
                    JOIN sh y ON y.doc_id = doc_b)
+""".strip()
+    sql["minhash_near_dups"] = f"""
+WITH {minhash_ctes}
 SELECT doc_a, doc_b, (floor(j * 1e6 + 0.5) / 1e6) AS jaccard FROM ver WHERE j >= 0.3
+"""
+    # connected components over the same near-dup pair graph:
+    # recursive min-label closure (walk enumerates reachable nodes;
+    # min over the reachable set == the converged hash-min label)
+    sql["dedup_components"] = f"""
+WITH RECURSIVE {minhash_ctes},
+np AS (SELECT doc_a, doc_b FROM ver WHERE j >= 0.3),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM np
+          UNION SELECT doc_b, doc_a FROM np),
+walk(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+  UNION
+  SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v)
+SELECT u AS doc_id, min(label)::BIGINT AS component FROM walk GROUP BY u
 """
     sql["simhash"] = f"""
 WITH t AS (
@@ -776,6 +809,31 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              / len(list_distinct(a.shingles || b.shingles))) * 1e6 + 0.5) / 1e6) AS jaccard
 FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 """
+    r6p = round_half_up_sql("p", 6)
+    sql["pmi_bigrams"] = f"""
+WITH tok AS (SELECT doc_id, {raw_tok} AS t FROM documents),
+uc AS (SELECT tok, count(*)::BIGINT AS n_tok
+       FROM (SELECT unnest(t) AS tok FROM tok) GROUP BY tok),
+bc AS (SELECT bigram, count(*)::BIGINT AS n_ab FROM
+        (SELECT unnest([t[i] || ' ' || t[i + 1]
+                        for i in generate_series(1, len(t) - 1)]) AS bigram
+         FROM tok WHERE len(t) >= 2)
+       GROUP BY bigram),
+tots AS (SELECT (SELECT sum(n_tok) FROM uc)::DOUBLE AS t_uni,
+                (SELECT sum(n_ab) FROM bc)::DOUBLE AS t_bi),
+sc AS (SELECT bigram, n_ab,
+              ln((n_ab / t_bi) / ((a.n_tok / t_uni) * (b.n_tok / t_uni))) AS p
+       FROM bc CROSS JOIN tots
+       JOIN uc a ON a.tok = split_part(bc.bigram, ' ', 1)
+       JOIN uc b ON b.tok = split_part(bc.bigram, ' ', 2)
+       WHERE n_ab >= 5)
+SELECT bigram, n_ab, {r6p} AS pmi, rank FROM (
+  SELECT bigram, n_ab, p,
+         row_number() OVER (ORDER BY {r6p} DESC, bigram)::INT AS rank
+  FROM sc) q
+WHERE rank <= 20
+"""
+
     qids = ", ".join(str(i) for i in ANN_QUERY_IDS)
     sql["cosine_topk"] = f"""
 WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),

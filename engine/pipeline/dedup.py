@@ -243,3 +243,62 @@ def ngram_jaccard_consecutive(docs: DataFrame, text_col: str = "text",
                         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
                         / F.size(F.array_union("sh_a", "sh_b")))
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b", max_iter: int = 25
+                         ) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over a pair graph,
+    (doc_id, component) where component = min doc_id in the cluster.
+
+    A transitive-closure keep-one policy needs clusters, not pairs: the
+    keep-first pair filter drops c in a chain a-b-c only after a
+    fixpoint, while the component label makes every cluster's survivor
+    explicit in one result.
+
+    Algorithm: distributed hash-min label propagation — every node
+    starts labeled with itself; each round every node takes the min of
+    its own and its neighbors' labels (one equi-join + groupBy-min per
+    round, all shuffle-partitioned on the node key, nothing driver-
+    side except the converged? count). Rounds needed = graph diameter;
+    near-dup graphs are unions of small cliques (diameter ≤ ~3 per LSH
+    banding), so this converges in a handful of rounds. For adversarial
+    long-chain graphs at cluster scale, switch to the large-star/
+    small-star variant (Kiveris et al., "Connected Components in
+    MapReduce"), which squares the label-jump distance per round; the
+    hash-min form is kept here because dedup graphs are clique-shaped
+    and each round is one shuffle.
+
+    Each round's labels are ``persist()``-ed and the previous round
+    unpersisted, so the lineage (and thus task recomputation) stays
+    one round deep.
+    """
+    edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+             .unionByName(
+                 pairs.select(F.col(b_col).alias("u"),
+                              F.col(a_col).alias("v")))
+             .distinct())
+    labels = (edges.select(F.col("u").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))
+              .persist())
+    labels.count()
+    for _ in range(max_iter):
+        from_nbrs = (edges.join(labels,
+                                edges["v"] == labels["node"])
+                     .select(edges["u"].alias("node"),
+                             F.col("label")))
+        new = (labels.select("node", "label").unionByName(from_nbrs)
+               .groupBy("node").agg(F.min("label").alias("label"))
+               .persist())
+        changed = (new.join(labels.withColumnRenamed("label", "old"),
+                            "node")
+                   .where(F.col("label") != F.col("old")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    out = labels.select(F.col("node").alias("doc_id"),
+                        F.col("label").alias("component"))
+    out._cc_labels = labels  # cleanup handle (caller may unpersist)
+    return out

@@ -115,3 +115,58 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
             .select("doc_id",
                     F.array_min(F.transform(F.col("sh"), F.md5)).alias("fp"),
                     F.size("sh").alias("n_shingles")))
+
+
+def pmi_bigrams(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", min_count: int = 5,
+                k: int = 20) -> DataFrame:
+    """Collocation mining: top-k adjacent-token bigrams by pointwise
+    mutual information — phrase discovery for training-data curation
+    (e.g. tokenizer merge candidates, entity phrases).
+
+    pmi(a,b) = ln( (n_ab / T_bi) / ((n_a / T_uni) · (n_b / T_uni)) )
+    over lowercase alnum tokens (stopwords kept — PMI's marginals
+    penalize them naturally). ``min_count`` filters noise bigrams.
+    Returns (bigram, n_ab, pmi, rank), rank over (pmi_rounded desc,
+    bigram asc).
+
+    Scale shape: bigram construction is a per-row zip_with (narrow);
+    the only shuffles are two hash-aggs (bigram counts, unigram
+    counts) and the unigram side broadcasts when the vocabulary fits —
+    all map-side-combinable. The final top-k window runs on the
+    min_count-filtered bigram set.
+    """
+    from pyspark.sql import Window
+
+    from ..portable import round_half_up
+
+    toks = _alnum_tokens(F.col(text_col))
+    n = F.size(toks)
+    big = F.filter(
+        F.zip_with(toks, F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull())
+    bi = (docs.select(F.explode(big).alias("bigram"))
+          .groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab")))
+    uni = (docs.select(F.explode(toks).alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok")))
+    t_uni = uni.agg(F.sum("n_tok")).collect()[0][0]
+    t_bi = bi.agg(F.sum("n_ab")).collect()[0][0]
+    parts = F.split(F.col("bigram"), " ")
+    scored = (bi.where(F.col("n_ab") >= min_count)
+              .withColumn("w_a", parts.getItem(0))
+              .withColumn("w_b", parts.getItem(1))
+              .join(uni.withColumnRenamed("tok", "w_a")
+                    .withColumnRenamed("n_tok", "n_a"), "w_a")
+              .join(uni.withColumnRenamed("tok", "w_b")
+                    .withColumnRenamed("n_tok", "n_b"), "w_b")
+              .withColumn(
+                  "pmi",
+                  F.log((F.col("n_ab") / F.lit(float(t_bi)))
+                        / ((F.col("n_a") / F.lit(float(t_uni)))
+                           * (F.col("n_b") / F.lit(float(t_uni)))))))
+    r = round_half_up(F.col("pmi"), 6)
+    w = Window.orderBy(r.desc(), F.asc("bigram"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("bigram", "n_ab", r.alias("pmi"), "rank"))

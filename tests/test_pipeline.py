@@ -219,3 +219,42 @@ def test_multiprobe_recall_dominates_single_bucket(spark):
     assert r_multi >= r_single
     assert r_multi >= 0.9     # Hamming-1 probes recover the split bucket
     assert r_single <= 0.75   # ...which single-probe provably misses
+
+
+def test_connected_components_chain_and_cliques(spark):
+    # chain 1-2-3 (needs >1 propagation round), pair 7-8, isolated 9-10
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 8), (9, 10), (3, 4), (4, 5)],
+        "doc_a long, doc_b long")
+    out = {(r["doc_id"], r["component"])
+           for r in dedup.connected_components(pairs).collect()}
+    assert out == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                   (7, 7), (8, 7), (9, 9), (10, 9)}
+
+
+def test_connected_components_max_iter_cap(spark):
+    # a long path needs ~diameter rounds; with max_iter=1 labels must
+    # still be a valid partial propagation (monotone, no crash)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long")
+    full = {(r["doc_id"], r["component"])
+            for r in dedup.connected_components(pairs).collect()}
+    assert full == {(i, 1) for i in range(1, 9)}
+    partial = dedup.connected_components(pairs, max_iter=1).collect()
+    assert all(r["component"] <= r["doc_id"] for r in partial)
+
+
+def test_pmi_bigrams_hand_computed(spark):
+    import math
+
+    # "aa bb" co-occurs exclusively; "cc" is frequent background noise
+    docs = spark.createDataFrame(
+        [(i, "aa bb cc cc cc cc") for i in range(6)],
+        "doc_id long, text string")
+    out = textstats.pmi_bigrams(docs, min_count=5, k=3).collect()
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["bigram"] == "aa bb"
+    # hand PMI: T_uni=36, T_bi=30, n_ab=6, n_a=6, n_b=6
+    expect = math.log((6 / 30) / ((6 / 36) * (6 / 36)))
+    assert by_rank[1]["pmi"] == pytest.approx(expect, abs=1e-6)
+    assert by_rank[1]["n_ab"] == 6
