@@ -108,19 +108,27 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
             .drop("hs"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
-                        rows_per_band: int = 4) -> DataFrame:
-    """Banded LSH: docs sharing any band hash → candidate pairs
-    (doc_a < doc_b), distinct."""
+def band_table(sigs: DataFrame, bands: int = 4,
+               rows_per_band: int = 4) -> DataFrame:
+    """Banded signature table (doc_id, band_idx, band_hash) — the LSH
+    join key set; also the accumulated state of the streaming near-dup
+    filter (engine/streaming.py:streaming_dedup_filter)."""
     band_arr = F.array(*[
         F.md5(F.concat_ws("|", *[
             F.element_at("sig", b * rows_per_band + r + 1)
             for r in range(rows_per_band)]))
         for b in range(bands)
     ])
-    banded = (sigs.select("doc_id", band_arr.alias("bands"))
-              .select("doc_id",
-                      F.posexplode("bands").alias("band_idx", "band_hash")))
+    return (sigs.select("doc_id", band_arr.alias("bands"))
+            .select("doc_id",
+                    F.posexplode("bands").alias("band_idx", "band_hash")))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
+                        rows_per_band: int = 4) -> DataFrame:
+    """Banded LSH: docs sharing any band hash → candidate pairs
+    (doc_a < doc_b), distinct."""
+    banded = band_table(sigs, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, ["band_idx", "band_hash"])

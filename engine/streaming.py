@@ -378,3 +378,93 @@ def sessionize_stream(events, gap: str = "30 minutes",
                 stateStructType=_SESSION_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental near-dup filter
+# ---------------------------------------------------------------------------
+
+def _dedup_filter_writer(out_dir: str, n_hashes: int, shingle_k: int,
+                         bands: int, rows_per_band: int, text_col: str):
+    """foreachBatch fn for :func:`streaming_dedup_filter`."""
+    from .pipeline.dedup import band_table, minhash_signatures
+
+    store_path = f"{out_dir}/band_store"
+    kept_path = f"{out_dir}/kept"
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures(batch_df, text_col=text_col,
+                                  n_hashes=n_hashes, shingle_k=shingle_k)
+        bt = band_table(sigs, bands, rows_per_band).persist()
+        try:
+            drops = (bt.groupBy("band_idx", "band_hash")
+                     .agg(F.min("doc_id").alias("keeper"))
+                     .join(bt, ["band_idx", "band_hash"])
+                     .where(F.col("doc_id") > F.col("keeper"))
+                     .select("doc_id"))
+            try:
+                store = spark.read.parquet(store_path)
+                drops = drops.unionByName(
+                    bt.join(store.select("band_idx", "band_hash").distinct(),
+                            ["band_idx", "band_hash"], "left_semi")
+                    .select("doc_id"))
+            except Exception:
+                pass  # first batch: no store yet
+            drops = drops.distinct()
+            kept = batch_df.join(drops, "doc_id", "left_anti")
+            (kept.withColumn("epoch", F.lit(int(epoch_id)))
+             .write.mode("append").parquet(kept_path))
+            (bt.join(drops, "doc_id", "left_anti")
+             .withColumn("epoch", F.lit(int(epoch_id)))
+             .write.mode("append").parquet(store_path))
+        finally:
+            bt.unpersist()
+
+    return write_batch
+
+
+def streaming_dedup_filter(spark: SparkSession, watch_dir: str,
+                           out_dir: str, *, n_hashes: int = 16,
+                           shingle_k: int = 3, bands: int = 4,
+                           rows_per_band: int = 4,
+                           text_col: str = "content",
+                           checkpoint: str | None = None,
+                           available_now: bool = True):
+    """Incremental near-dup FILTER over a growing corpus — the
+    continuous-ingest form of MinHash dedup a training-data pipeline
+    runs on every arriving shard.
+
+    Keep rule (deterministic, order-insensitive within a batch):
+    a document is DROPPED iff one of its LSH band hashes collides with
+    (a) any previously-KEPT document's band (the accumulated
+    ``out_dir/band_store``) or (b) a lower-``doc_id`` document in the
+    same micro-batch (bucket-leader rule: the lowest doc_id in every
+    band bucket survives that bucket). Documents too short to shingle
+    are always kept. This is candidate-level (LSH-only) dedup — the
+    high-recall streaming gate; the exact-Jaccard verification lives in
+    the batch path (``minhash_near_dups``), which a periodic compaction
+    can run over ``kept`` to reclaim false positives.
+
+    Scale shape: per batch, one narrow signature pass, one groupBy on
+    (band_idx, band_hash) and one semi-join against the band store —
+    the store read is a parquet scan whose join is shuffle-partitioned
+    on the band hash; at cluster scale, partition/bucket the store by
+    ``band_hash`` so each batch touches only matching partitions. The
+    kept/band-store appends are per-epoch-labeled; on micro-batch retry
+    the epoch's files are replayed (overwrite-by-epoch compaction or
+    idempotent sinks harden this, as with every foreachBatch append).
+
+    Returns the StreamingQuery. Outputs: ``out_dir/kept`` (surviving
+    corpus rows + epoch) and ``out_dir/band_store`` (their bands).
+    """
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(watch_dir)
+    writer = _dedup_filter_writer(out_dir, n_hashes, shingle_k, bands,
+                                  rows_per_band, text_col)
+    q = (stream.writeStream
+         .foreachBatch(writer)
+         .option("checkpointLocation",
+                 checkpoint or f"{out_dir}/dedup_checkpoint"))
+    if available_now:
+        q = q.trigger(availableNow=True)
+    return q.start()

@@ -183,3 +183,66 @@ def test_sessionize_stream_late_event_does_not_regress(spark, tmp_path):
     assert s["session_start"] == base - dt.timedelta(minutes=2)
     assert s["session_end"] == base + dt.timedelta(minutes=5)  # no regress
     assert s["n_events"] == 3
+
+
+def test_streaming_dedup_filter_matches_reference(spark, tmp_path):
+    """Two micro-batches through streaming_dedup_filter == a Python
+    reference applying the documented keep rule to the engine's own
+    band hashes (store collision OR in-batch bucket-leader loss)."""
+    from engine.pipeline.dedup import band_table, minhash_signatures
+
+    watch = str(tmp_path / "dd_in")
+    out = str(tmp_path / "dd_out")
+
+    def doc(i, text):
+        return ("r", f"f{i}", "-", "py", text, i)
+
+    wave1 = [
+        doc(0, "the quick brown fox jumps over the lazy dog today"),
+        doc(1, "merge sort runs in n log n time on any input array"),
+        doc(2, "hash join builds a table from the smaller input side"),
+        doc(3, "merge sort runs in n log n time on any input array"),  # dup of 1
+        doc(4, "short doc"),  # too short to shingle → always kept
+    ]
+    wave2 = [
+        doc(10, "the quick brown fox jumps over the lazy dog today"),  # dup of 0
+        doc(11, "window functions rank rows within partitions by order"),
+        doc(12, "window functions rank rows within partitions by order"),  # dup of 11
+        doc(13, "vectorized execution processes batches of columnar data"),
+    ]
+
+    spark.createDataFrame(wave1, streaming.CORPUS_SCHEMA).write.parquet(watch)
+    q = streaming.streaming_dedup_filter(spark, watch, out)
+    q.awaitTermination(180)
+    spark.createDataFrame(wave2, streaming.CORPUS_SCHEMA) \
+        .write.mode("append").parquet(watch)
+    q = streaming.streaming_dedup_filter(spark, watch, out)
+    q.awaitTermination(180)
+
+    kept = {int(r["doc_id"])
+            for r in spark.read.parquet(f"{out}/kept").collect()}
+
+    # reference: engine band hashes + the documented rule in Python
+    alldf = spark.createDataFrame(wave1 + wave2, streaming.CORPUS_SCHEMA)
+    bt = band_table(minhash_signatures(alldf, text_col="content")).collect()
+    bands_of: dict[int, set] = {}
+    for r in bt:
+        bands_of.setdefault(int(r["doc_id"]), set()).add(
+            (r["band_idx"], r["band_hash"]))
+    store: set = set()
+    expect: set = set()
+    for wave in ([d[5] for d in wave1], [d[5] for d in wave2]):
+        bucket_min: dict = {}
+        for d in wave:
+            for bh in bands_of.get(d, ()):
+                bucket_min[bh] = min(bucket_min.get(bh, d), d)
+        kept_wave = {
+            d for d in wave
+            if not any(bh in store or bucket_min[bh] < d
+                       for bh in bands_of.get(d, ()))}
+        for d in kept_wave:
+            store |= bands_of.get(d, set())
+        expect |= kept_wave
+    assert kept == expect
+    assert 4 in kept          # unshingleable doc always kept
+    assert 3 not in kept and 10 not in kept and 12 not in kept
