@@ -590,6 +590,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             round_half_up(F.col("total_value"), 4).alias("total_value"))
             .orderBy("user_id", "session_start"))
 
+    def unigram_logprob(spark, sf_dir):
+        """Perplexity-style filter signal: per-doc mean log-prob under
+        the corpus's add-one unigram LM."""
+        return (textstats.unigram_logprob(_docs(spark, sf_dir))
+                .orderBy("doc_id"))
+
+    def source_mix(spark, sf_dir):
+        """Data-mixture report per (source, lang)."""
+        return (textstats.source_mix(_docs(spark, sf_dir))
+                .orderBy("source", "lang"))
+
     def dedup_components(spark, sf_dir):
         """Near-dup clusters: connected components (hash-min label
         propagation) over the MinHash-LSH pair graph."""
@@ -682,6 +693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_topk": filtered_topk,
         "dedup_components": dedup_components,
         "pmi_bigrams": pmi_bigrams,
+        "unigram_logprob": unigram_logprob,
+        "source_mix": source_mix,
     }
 
 
@@ -809,6 +822,36 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              / len(list_distinct(a.shingles || b.shingles))) * 1e6 + 0.5) / 1e6) AS jaccard
 FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 """
+    r6m = round_half_up_sql("mlp", 6)
+    sql["unigram_logprob"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({raw_tok}) AS tok FROM documents),
+uc AS (SELECT tok, count(*)::BIGINT AS n_w FROM tok GROUP BY tok),
+tv AS (SELECT sum(n_w)::DOUBLE AS t_tot, count(*)::DOUBLE AS vocab FROM uc),
+pd AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+              avg(ln((n_w + 1.0) / (t_tot + vocab))) AS mlp
+       FROM tok JOIN uc USING (tok) CROSS JOIN tv
+       GROUP BY doc_id)
+SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+       {r6m} AS mean_logprob
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
+    r6c = round_half_up_sql("mc", 6)
+    r6s = round_half_up_sql("n_docs / tot", 6)
+    sql["source_mix"] = f"""
+WITH base AS (
+  SELECT source, lang, len({raw_tok})::BIGINT AS n_tok,
+         length(text)::BIGINT AS n_chars
+  FROM documents),
+tot AS (SELECT count(*)::DOUBLE AS tot FROM base),
+g AS (SELECT source, lang, count(*)::BIGINT AS n_docs,
+             sum(n_tok)::BIGINT AS n_tokens, avg(n_chars) AS mc
+      FROM base GROUP BY source, lang)
+SELECT source, lang, n_docs, n_tokens, {r6c} AS mean_chars,
+       {r6s} AS doc_share
+FROM g CROSS JOIN tot
+"""
+
     r6p = round_half_up_sql("p", 6)
     sql["pmi_bigrams"] = f"""
 WITH tok AS (SELECT doc_id, {raw_tok} AS t FROM documents),

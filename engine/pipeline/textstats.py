@@ -170,3 +170,57 @@ def pmi_bigrams(docs: DataFrame, text_col: str = "text",
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("bigram", "n_ab", r.alias("pmi"), "rank"))
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Perplexity-style quality signal: per-doc mean log-probability
+    under the corpus's own add-one-smoothed unigram LM — the cheap
+    first-stage of a CCNet/Gopher-style perplexity filter (docs far
+    below the corpus mean are boilerplate/noise candidates).
+
+    p(w) = (c(w) + 1) / (T + V) over lowercase alnum tokens;
+    returns (doc_id, n_tokens, mean_logprob) — mean_logprob NULL for
+    token-less docs. Scale shape: one explode + two hash-aggs (token
+    counts, per-doc mean); the vocabulary join broadcasts when it
+    fits, and T/V are two driver scalars.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(_alnum_tokens(F.col(text_col))).alias("tok"))
+    uc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_w"))
+    tv = uc.agg(F.sum("n_w").alias("T"),
+                F.count(F.lit(1)).alias("V")).collect()[0]
+    t_tot, vocab = float(tv["T"] or 0), float(tv["V"] or 0)
+    lp = F.log((F.col("n_w") + 1.0) / F.lit(t_tot + vocab))
+    per_doc = (toks.join(uc, "tok")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.avg(lp).alias("mlp")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+                    round_half_up(F.col("mlp"), 6).alias("mean_logprob")))
+
+
+def source_mix(docs: DataFrame, text_col: str = "text",
+               source_col: str = "source", lang_col: str = "lang"
+               ) -> DataFrame:
+    """Data-mixture report: per (source, lang) corpus composition —
+    what a training-data pipeline checks before fixing sampling
+    weights. Returns (source, lang, n_docs, n_tokens, mean_chars,
+    doc_share); one hash-agg plus a broadcast total."""
+    base = docs.select(
+        F.col(source_col).alias("source"), F.col(lang_col).alias("lang"),
+        F.size(_alnum_tokens(F.col(text_col))).cast("long").alias("n_tok"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"))
+    total = base.count()
+    g = (base.groupBy("source", "lang")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("n_tok").alias("n_tokens"),
+              F.avg("n_chars").alias("mc")))
+    return g.select(
+        "source", "lang", "n_docs", "n_tokens",
+        round_half_up(F.col("mc"), 6).alias("mean_chars"),
+        round_half_up(F.col("n_docs") / F.lit(float(total)), 6)
+        .alias("doc_share"))

@@ -258,3 +258,35 @@ def test_pmi_bigrams_hand_computed(spark):
     expect = math.log((6 / 30) / ((6 / 36) * (6 / 36)))
     assert by_rank[1]["pmi"] == pytest.approx(expect, abs=1e-6)
     assert by_rank[1]["n_ab"] == 6
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa bb"), (1, "bb cc"), (2, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.unigram_logprob(docs).collect()}
+    # counts: aa=2, bb=2, cc=1 → T=5, V=3; p(w) = (c+1)/8
+    lp = {w: math.log((c + 1) / 8) for w, c in
+          [("aa", 2), ("bb", 2), ("cc", 1)]}
+    exp0 = (2 * lp["aa"] + lp["bb"]) / 3
+    exp1 = (lp["bb"] + lp["cc"]) / 2
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["mean_logprob"] == pytest.approx(exp0, abs=1e-6)
+    assert out[1]["mean_logprob"] == pytest.approx(exp1, abs=1e-6)
+    assert out[2]["n_tokens"] == 0 and out[2]["mean_logprob"] is None
+
+
+def test_source_mix_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b", "web", "en"), (1, "c", "web", "en"),
+         (2, "dd ee", "book", "fr"), (3, "x y z w", "web", "fr")],
+        "doc_id long, text string, source string, lang string")
+    out = {(r["source"], r["lang"]): r for r in
+           textstats.source_mix(docs).collect()}
+    web_en = out[("web", "en")]
+    assert web_en["n_docs"] == 2 and web_en["n_tokens"] == 3
+    assert web_en["doc_share"] == pytest.approx(0.5)
+    assert out[("book", "fr")]["mean_chars"] == pytest.approx(5.0)
