@@ -269,11 +269,15 @@ _SLICE_SCHEMA = T.StructType([
     T.StructField("base", T.LongType()),         # docID base of the run
     T.StructField("codec", T.IntegerType()),
     T.StructField("n_shards", T.IntegerType()),
+    T.StructField("shard_rows", T.LongType()),
 ])
 
 
-def _make_slice_fn(n_shards: int, shard_rows: int):
-    """mapInPandas fn: matched posting row → ≤ n_shards block runs."""
+def _make_slice_fn():
+    """mapInPandas fn: matched posting row → ≤ n_shards block runs.
+    Shard count and width are PER QUERY (columns joined in from the
+    query side): a small query stays in one shard — one kernel task,
+    full-strength local seed — while a head-term query fans out."""
 
     def slice_rows(batches):
         from .postings import block_counts, split_payload
@@ -289,6 +293,8 @@ def _make_slice_fn(n_shards: int, shard_rows: int):
                 bmw = np.asarray(pdf["block_max_w"].iloc[i], dtype=np.float64)
                 off = np.asarray(pdf["block_off"].iloc[i], dtype=np.int64)
                 counts = block_counts(n, bs)
+                n_shards = int(pdf["n_shards"].iloc[i])
+                shard_rows = int(pdf["shard_rows"].iloc[i])
                 prev = np.concatenate(([np.int64(-1)], bl[:-1]))
                 s_lo = np.maximum(prev + 1, 0) // shard_rows
                 s_hi = bl // shard_rows
@@ -317,6 +323,7 @@ def _make_slice_fn(n_shards: int, shard_rows: int):
                     out["base"].append(int(bl[lo_b - 1]) if lo_b > 0 else 0)
                     out["codec"].append(codec)
                     out["n_shards"].append(n_shards)
+                    out["shard_rows"].append(shard_rows)
             yield pd.DataFrame(out)
 
     return slice_rows
@@ -334,7 +341,7 @@ def _runs(sorted_ids: np.ndarray) -> list[tuple[int, int]]:
 
 
 def _bmw_kernel(pdf: pd.DataFrame, k: int, k1: float, b: float,
-                avgdl: float, shard_rows: int, thetas: dict[str, float],
+                avgdl: float, thetas: dict[str, float],
                 emit: str = "topk") -> pd.DataFrame:
     """Block-max top-k over ONE (query, doc-shard) group — a
     MaxScore/block-max-WAND hybrid that provably skips decode:
@@ -362,6 +369,7 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, k1: float, b: float,
     qid = pdf["qid"].iloc[0]
     shard = int(pdf["shard"].iloc[0])
     n_shards = int(pdf["n_shards"].iloc[0])
+    shard_rows = int(pdf["shard_rows"].iloc[0])
     lo = shard * shard_rows
     hi = (shard + 1) * shard_rows if shard < n_shards - 1 else np.iinfo(
         np.int64).max  # last shard unbounded (see slice fn)
@@ -658,31 +666,39 @@ def _wand_sharded(index: Index, query_terms: QueryTerms, k: int,
     schema = _WAND_SCHEMA if emit == "topk" else _WAND_STATS_SCHEMA
     if not rows:
         return index.spark.createDataFrame([], schema)
+    # PER-QUERY shard count: a query fans out only as wide as ITS
+    # matched postings require (ceil(Σ df / target)). A global count
+    # sized by the batch's biggest query would over-shard every small
+    # query — multiplying kernel fixed costs and weakening the local
+    # seeds (each shard then sees 1/n of the strongest list).
+    per_q: dict[str, int] = {}
+    for q, t, _, _ in rows:
+        per_q[q] = per_q.get(q, 0) + dfm[t]
     if n_shards is None:
-        per_q: dict[str, int] = {}
-        for q, t, _, _ in rows:
-            per_q[q] = per_q.get(q, 0) + dfm[t]
-        n_shards = max(1, -(-max(per_q.values())
-                            // WAND_TARGET_POSTINGS_PER_TASK))
-    shard_rows = max(1, -(-index.n_docs // n_shards))
+        s_q = {q: max(1, -(-v // WAND_TARGET_POSTINGS_PER_TASK))
+               for q, v in per_q.items()}
+    else:
+        s_q = {q: n_shards for q in per_q}
+    shard_rows_q = {q: max(1, -(-index.n_docs // s)) for q, s in s_q.items()}
     # threshold sharing only pays when there ARE shards to share with:
-    # at n_shards=1 the kernel's local seed decodes the same strongest
-    # list, so the extra job would be pure latency
-    thetas = (_seed_thetas(index, rows, dfm, k, k1, b, avgdl)
-              if n_shards > 1 else {})
+    # single-shard queries' kernels decode the same strongest list as
+    # their local seed, so the extra job would be pure latency for them
+    multi = [r for r in rows if s_q[r[0]] > 1]
+    thetas = (_seed_thetas(index, multi, dfm, k, k1, b, avgdl)
+              if multi else {})
     qt = index.spark.createDataFrame(
-        rows, "qid string, term string, weight double, idf double")
+        [(q, t, w, i, s_q[q], shard_rows_q[q]) for q, t, w, i in rows],
+        "qid string, term string, weight double, idf double, "
+        "n_shards int, shard_rows long")
     buckets = index.term_buckets(terms)
     matched = (index.postings
                .where(F.col("bucket").isin(buckets))
                .join(F.broadcast(qt), "term")
-               .select("qid", "weight", "idf", "blob",
-                       "block_last", "block_max_w", "block_off"))
-    sliced = matched.mapInPandas(_make_slice_fn(n_shards, shard_rows),
-                                 schema=_SLICE_SCHEMA)
+               .select("qid", "weight", "idf", "n_shards", "shard_rows",
+                       "blob", "block_last", "block_max_w", "block_off"))
+    sliced = matched.mapInPandas(_make_slice_fn(), schema=_SLICE_SCHEMA)
     return sliced.groupBy("qid", "shard").applyInPandas(
-        lambda pdf: _bmw_kernel(pdf, k, k1, b, avgdl, shard_rows, thetas,
-                                emit),
+        lambda pdf: _bmw_kernel(pdf, k, k1, b, avgdl, thetas, emit),
         schema=schema)
 
 
