@@ -222,6 +222,52 @@ WHERE g.c = n.n_offs
 """
 
 
+def _sql_phrase_topk(phrases, k: int) -> str:
+    """Phrase-gated BM25 top-k oracle: the phrase-match closure joined
+    against the summed weighted BM25 scores before the rank window."""
+    from engine.positions import analyze_phrase
+
+    qv, nv, wv = [], [], []
+    for qid, ph in phrases:
+        qt = analyze_phrase(ph)
+        nv.append(f"('{qid}', {len(qt)})")
+        weights: dict[str, float] = {}
+        for t, off in qt:
+            qv.append(f"('{qid}', '{t}', {off})")
+            weights[t] = weights.get(t, 0.0) + 1.0
+        for t, w in sorted(weights.items()):
+            wv.append(f"('{qid}', '{t}', {w})")
+    score = bm25_sql("tf.tf", "dfs.df", "dl.dl", "stats.avgdl", "stats.n")
+    r4 = round_half_up_sql("s", 4)
+    return f"""
+WITH {_sql_fts_ctes()},
+{_sql_positions_ctes()},
+q(qid, term, off) AS (VALUES {', '.join(qv)}),
+n(qid, n_offs) AS (VALUES {', '.join(nv)}),
+a AS (
+  SELECT q.qid, p.doc_id, p.pos - q.off AS anchor, q.off
+  FROM q JOIN pt p USING (term) WHERE p.pos - q.off >= 0),
+g AS (SELECT qid, doc_id, anchor, count(DISTINCT off) AS c
+      FROM a GROUP BY 1, 2, 3),
+m AS (SELECT DISTINCT g.qid, g.doc_id FROM g JOIN n USING (qid)
+      WHERE g.c = n.n_offs),
+qw(qid, term, weight) AS (VALUES {', '.join(wv)}),
+sc AS (
+  SELECT qw.qid, tf.doc_id, sum(qw.weight * {score}) AS s
+  FROM qw JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY qw.qid, tf.doc_id),
+j AS (SELECT sc.qid, sc.doc_id, sc.s
+      FROM sc JOIN m ON m.qid = sc.qid AND m.doc_id = sc.doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM j) t
+WHERE rank <= {k}
+"""
+
+
 def _sql_proximity(queries, window: int) -> str:
     from engine.analysis import tokenize_texts
 
@@ -615,6 +661,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       min_count=5, k=20)
                 .orderBy("rank"))
 
+    def phrase_topk(spark, sf_dir):
+        """Phrase-gated BM25 ranking (PhraseQuery analog): docs
+        containing the exact phrase, ranked by the phrase terms' BM25."""
+        from engine.positions import build_positions
+        from engine.positions import phrase_topk as _pt
+
+        idx = _cached_index(spark, sf_dir)
+        build_positions(spark, idx.index_dir)
+        return _pt(idx, PHRASE_QUERIES, TOPK)
+
     def filtered_topk(spark, sf_dir):
         """BM25 top-k restricted to lang='en' docs via the index's
         doc_filter (Lucene FILTER clause): exact top-k WITHIN the
@@ -695,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": pmi_bigrams,
         "unigram_logprob": unigram_logprob,
         "source_mix": source_mix,
+        "phrase_topk": phrase_topk,
     }
 
 
@@ -745,6 +802,7 @@ HAVING count(DISTINCT tf.term) = (SELECT n_terms FROM nt WHERE nt.qid = q.qid)
     sql["proximity_hits"] = _sql_proximity(PROX_QUERIES, PROX_WINDOW)
     sql["filtered_topk"] = _sql_bm25_topk(BM25_QUERIES, TOPK,
                                           doc_where="docf.lang = 'en'")
+    sql["phrase_topk"] = _sql_phrase_topk(PHRASE_QUERIES, TOPK)
 
     sql["dedup_exact"] = """
 SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs,

@@ -268,3 +268,66 @@ def proximity_match(index: Index,
     else:
         hits = hits_multi
     return hits.orderBy("qid", "doc_id")
+
+
+def phrase_topk(index: Index, phrases: Sequence[tuple[str, str]],
+                k: int) -> DataFrame:
+    """Phrase-filtered BM25 top-k (Lucene PhraseQuery analog at doc
+    granularity): only docs containing the exact phrase are ranked, by
+    the BM25 sum of the phrase's terms (term multiplicity = weight,
+    the reference's term-bag weighting). Returns
+    (qid, doc_id, score, rank) with score rounded engine-stably.
+
+    Plan: phrase_match's anchor-alignment hit set (qid, doc_id) inner-
+    joins the decoded BM25 partial scores BEFORE the top-k window — the
+    window only ever sees phrase-matching docs, so top-k is exact
+    within the phrase set (same guarantee as score_exhaustive's
+    doc_filter, but per-query).
+    """
+    import numpy as np  # noqa: F401  (kept local: scoring is Catalyst)
+    from pyspark.sql import Window
+
+    from .portable import round_half_up
+    from .scoring import bm25_col
+    from .search import _matched_postings, decode_udf
+
+    stem = bool(index.stats.get("stem"))
+    weights: dict[tuple[str, str], float] = {}
+    for qid, text in phrases:
+        for t, _ in analyze_phrase(text, stem=stem):
+            weights[(qid, t)] = weights.get((qid, t), 0.0) + 1.0
+    spark = index.spark
+    if not weights:
+        return spark.createDataFrame(
+            [], "qid string, doc_id long, score double, rank int")
+    qt = [(q, t, w) for (q, t), w in sorted(weights.items())]
+
+    hits = phrase_match(index, phrases)
+    matched = _matched_postings(index, qt)
+    dec = matched.withColumn("d", decode_udf("blob"))
+    rows = dec.select(
+        "qid", "term", "weight",
+        F.explode(F.arrays_zip("d.doc_ids", "d.tfs", "d.dls")).alias("e"),
+    ).select("qid", "term", "weight",
+             F.col("e.doc_ids").alias("doc_id"),
+             F.col("e.tfs").alias("tf"),
+             F.col("e.dls").alias("dl"))
+    ts = index.termstats.select("term", "df")
+    qterms = spark.createDataFrame([(t,) for t in
+                                    sorted({t for _, t, _ in qt})],
+                                   "term string")
+    rows = rows.join(F.broadcast(ts.join(qterms, "term")), "term")
+    scored = rows.withColumn(
+        "pscore",
+        F.col("weight") * bm25_col(F.col("tf"), F.col("df"), F.col("dl"),
+                                   index.avgdl, float(index.n_docs),
+                                   index.stats["k1"], index.stats["b"]))
+    agg = (scored.groupBy("qid", "doc_id")
+           .agg(F.sum("pscore").alias("s"))
+           .join(hits, ["qid", "doc_id"]))  # phrase gate BEFORE the window
+    r = round_half_up(F.col("s"), 4)
+    w = Window.partitionBy("qid").orderBy(r.desc(), F.asc("doc_id"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", r.alias("score"), "rank")
+            .orderBy("qid", "rank"))

@@ -151,3 +151,37 @@ def test_proximity_vs_bruteforce(pos_index, doc_contents):
             expect = _brute_prox(doc_contents, terms, window)
             assert got[qid] == expect, f"{qid} w={window}"
         assert any(got[q] for q, _ in queries)
+
+
+def test_phrase_topk_gates_and_ranks(pos_index, doc_contents, real_phrases):
+    """phrase_topk = BM25 over phrase terms restricted to phrase-
+    matching docs; checked against brute force + exhaustive scoring."""
+    import math
+
+    from engine.positions import phrase_topk
+    from engine.search import score_exhaustive
+
+    k = 5
+    out = phrase_topk(pos_index, real_phrases, k).collect()
+    got: dict[str, list] = {}
+    for r in out:
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], int(r["doc_id"]), r["score"]))
+    for qid, phrase in real_phrases:
+        qt = analyze_phrase(phrase)
+        if not qt:
+            continue
+        match = _brute_phrase(doc_contents, phrase)
+        # expected: exhaustive scores of the phrase's term bag,
+        # filtered to the match set, re-ranked on the rounded score
+        weights: dict[str, float] = {}
+        for t, _ in qt:
+            weights[t] = weights.get(t, 0.0) + 1.0
+        sc = score_exhaustive(
+            pos_index, [(qid, t, w) for t, w in sorted(weights.items())],
+            10 ** 6).collect()
+        rows = [(math.floor(r["score"] * 1e4 + 0.5) / 1e4,
+                 int(r["doc_id"])) for r in sc if int(r["doc_id"]) in match]
+        rows.sort(key=lambda x: (-x[0], x[1]))
+        expect = [(i + 1, d, s) for i, (s, d) in enumerate(rows[:k])]
+        assert got.get(qid, []) == expect, qid
