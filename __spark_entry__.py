@@ -67,6 +67,14 @@ PROX_QUERIES: list[tuple[str, list[str]]] = [
 ]
 PROX_WINDOW = 4
 
+# Term-expansion queries (Lucene PrefixQuery / FuzzyQuery rewrites)
+PREFIX_QUERIES: list[tuple[str, str]] = [
+    ("pre1", "mer"), ("pre2", "win"), ("pre3", "cust"),
+]
+FUZZY_QUERIES: list[tuple[str, str]] = [
+    ("fz1", "mergo"), ("fz2", "windoe"), ("fz3", "batch"),
+]
+
 INDEX_VERSION = "v3"  # v3: block-framed blobs + block_off (sliceable runs)
 
 
@@ -687,6 +695,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .where(F.col("rank") <= TOPK)
                 .select("qid", "doc_id", r.alias("score"), "rank"))
 
+    def _rounded_rerank(res, k):
+        r = round_half_up(F.col("score"), 4)
+        w = Window.partitionBy("qid").orderBy(r.desc(), F.asc("doc_id"))
+        return (res.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("qid", "doc_id", r.alias("score"), "rank"))
+
+    def prefix_topk(spark, sf_dir):
+        """Lucene PrefixQuery rewrite: BM25 over all vocabulary terms
+        with the prefix."""
+        from engine.search import prefix_topk as _pt
+
+        idx = _cached_index(spark, sf_dir)
+        return _rounded_rerank(_pt(idx, PREFIX_QUERIES, TOPK + 50), TOPK)
+
+    def fuzzy_topk(spark, sf_dir):
+        """Lucene FuzzyQuery rewrite: BM25 over vocabulary terms within
+        1 Levenshtein edit."""
+        from engine.search import fuzzy_topk as _ft
+
+        idx = _cached_index(spark, sf_dir)
+        return _rounded_rerank(_ft(idx, FUZZY_QUERIES, TOPK + 50), TOPK)
+
     def phrase_hits(spark, sf_dir):
         """Exact-phrase retrieval over the positional index
         (engine/positions.py; anchor-alignment plan, lead-gated)."""
@@ -752,6 +783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": unigram_logprob,
         "source_mix": source_mix,
         "phrase_topk": phrase_topk,
+        "prefix_topk": prefix_topk,
+        "fuzzy_topk": fuzzy_topk,
     }
 
 
@@ -803,6 +836,44 @@ HAVING count(DISTINCT tf.term) = (SELECT n_terms FROM nt WHERE nt.qid = q.qid)
     sql["filtered_topk"] = _sql_bm25_topk(BM25_QUERIES, TOPK,
                                           doc_where="docf.lang = 'en'")
     sql["phrase_topk"] = _sql_phrase_topk(PHRASE_QUERIES, TOPK)
+
+    score = bm25_sql("tf.tf", "dfs.df", "dl.dl", "stats.avgdl", "stats.n")
+    r4 = round_half_up_sql("s", 4)
+    pv = ", ".join(f"('{q}', '{p}')" for q, p in PREFIX_QUERIES)
+    sql["prefix_topk"] = f"""
+WITH {fts},
+qp(qid, prefix) AS (VALUES {pv}),
+matched AS (
+  SELECT qp.qid, tf.doc_id, sum({score}) AS s
+  FROM qp JOIN tf ON tf.term LIKE qp.prefix || '%'
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY qp.qid, tf.doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM matched) t
+WHERE rank <= {TOPK}
+"""
+    fv = ", ".join(f"('{q}', '{t}')" for q, t in FUZZY_QUERIES)
+    sql["fuzzy_topk"] = f"""
+WITH {fts},
+qf(qid, qterm) AS (VALUES {fv}),
+matched AS (
+  SELECT qf.qid, tf.doc_id, sum({score}) AS s
+  FROM qf JOIN tf ON abs(length(tf.term) - length(qf.qterm)) <= 1
+                 AND levenshtein(tf.term, qf.qterm) <= 1
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY qf.qid, tf.doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM matched) t
+WHERE rank <= {TOPK}
+"""
 
     sql["dedup_exact"] = """
 SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs,

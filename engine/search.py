@@ -724,3 +724,55 @@ def wand_stats(index: Index, query_terms: QueryTerms, k: int,
     (qid, shard, blocks_total, blocks_decoded, postings_total,
     postings_scored). Evidence that block-max pruning skips work."""
     return _wand_sharded(index, query_terms, k, n_shards, "stats")
+
+
+# ---------------------------------------------------------------------------
+# Term-expansion queries (Lucene MultiTermQuery rewrites: Prefix/Fuzzy)
+# ---------------------------------------------------------------------------
+
+def expand_prefix_terms(index: Index,
+                        queries: Sequence[tuple[str, str]]) -> QueryTerms:
+    """Prefix rewrite: (qid, prefix) → [(qid, term, 1.0)] for every
+    vocabulary term starting with the prefix (Lucene PrefixQuery's
+    scoring-boolean rewrite). The dictionary scan is distributed over
+    termstats (vocabulary-sized — no bucket pruning is possible before
+    the terms are known); only the MATCHED terms come to the driver,
+    exactly what Lucene's rewrite enumerates, after which the normal
+    bucket-pruned scoring path applies."""
+    qdf = index.spark.createDataFrame(list(queries),
+                                      "qid string, prefix string")
+    rows = (index.termstats.select("term")
+            .join(F.broadcast(qdf),
+                  F.col("term").startswith(F.col("prefix")))
+            .select("qid", "term").collect())
+    return [(r["qid"], r["term"], 1.0) for r in rows]
+
+
+def expand_fuzzy_terms(index: Index, queries: Sequence[tuple[str, str]],
+                       max_edits: int = 1) -> QueryTerms:
+    """Fuzzy rewrite: vocabulary terms within ``max_edits`` Levenshtein
+    edits of the query term (Lucene FuzzyQuery). Brute-force dictionary
+    scan with a length pre-filter (|len(t) − len(q)| ≤ max_edits culls
+    most of the vocabulary before the DP runs); Lucene's automaton is
+    an optimization of the same enumeration."""
+    qdf = index.spark.createDataFrame(list(queries),
+                                      "qid string, qterm string")
+    cond = ((F.abs(F.length("term") - F.length("qterm")) <= max_edits)
+            & (F.levenshtein("term", "qterm") <= max_edits))
+    rows = (index.termstats.select("term")
+            .join(F.broadcast(qdf), cond)
+            .select("qid", "term").collect())
+    return [(r["qid"], r["term"], 1.0) for r in rows]
+
+
+def prefix_topk(index: Index, queries: Sequence[tuple[str, str]],
+                k: int) -> DataFrame:
+    """BM25 top-k for prefix queries (scoring-boolean rewrite)."""
+    return score_exhaustive(index, expand_prefix_terms(index, queries), k)
+
+
+def fuzzy_topk(index: Index, queries: Sequence[tuple[str, str]],
+               k: int, max_edits: int = 1) -> DataFrame:
+    """BM25 top-k for fuzzy queries (edit-distance term rewrite)."""
+    return score_exhaustive(index,
+                            expand_fuzzy_terms(index, queries, max_edits), k)

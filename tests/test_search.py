@@ -181,3 +181,27 @@ def test_filtered_topk_exact_within_filter(tiny_index):
     for q in got:
         got[q].sort()
     assert {q: [(d, s) for _, d, s in got[q]] for q in got} == expect
+
+
+def test_term_expansion_rewrites(tiny_index):
+    """Prefix/fuzzy rewrites enumerate exactly the matching vocabulary
+    terms (checked against a Python scan of the collected dictionary)."""
+    from engine.search import expand_fuzzy_terms, expand_prefix_terms
+
+    vocab = [r["term"] for r in tiny_index.termstats.select("term").collect()]
+    pre = expand_prefix_terms(tiny_index, [("p", "mer")])
+    assert {t for _, t, _ in pre} == {t for t in vocab if t.startswith("mer")}
+    assert pre and all(w == 1.0 for _, _, w in pre)
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    fz = expand_fuzzy_terms(tiny_index, [("f", "mergo")], max_edits=1)
+    assert {t for _, t, _ in fz} == {t for t in vocab if lev(t, "mergo") <= 1}
+    assert fz  # "merge" is in the corpus vocabulary
