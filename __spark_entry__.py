@@ -679,6 +679,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         build_positions(spark, idx.index_dir)
         return _pt(idx, PHRASE_QUERIES, TOPK)
 
+    def snippets(spark, sf_dir):
+        """KWIC snippets (Lucene highlighter analog): ±5 analyzed
+        tokens around the first query-term occurrence in each BM25
+        top-10 hit."""
+        from engine.positions import build_positions
+        from engine.positions import snippets as _sn
+
+        idx = _cached_index(spark, sf_dir)
+        build_positions(spark, idx.index_dir)
+        hits = _topk(_bm25_scored(spark, sf_dir, BM25_QUERIES))
+        qv = [(q, t) for q, ts in BM25_QUERIES for t in ts]
+        return _sn(idx, hits, qv, width=5)
+
     def filtered_topk(spark, sf_dir):
         """BM25 top-k restricted to lang='en' docs via the index's
         doc_filter (Lucene FILTER clause): exact top-k WITHIN the
@@ -785,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": phrase_topk,
         "prefix_topk": prefix_topk,
         "fuzzy_topk": fuzzy_topk,
+        "snippets": snippets,
     }
 
 
@@ -856,6 +870,39 @@ SELECT qid, doc_id, {r4} AS score, rank FROM (
   FROM matched) t
 WHERE rank <= {TOPK}
 """
+    qv_sn = ", ".join(f"('{q}', '{t}')"
+                      for q, ts in BM25_QUERIES for t in ts)
+    r4s = round_half_up_sql("s", 4)
+    sql["snippets"] = f"""
+WITH {fts},
+{_sql_positions_ctes()},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({score}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id),
+topk AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY {r4s} DESC, doc_id) AS rank
+    FROM matched) t
+  WHERE rank <= {TOPK}),
+qv(qid, term) AS (VALUES {qv_sn}),
+fp AS (SELECT q.qid, p.doc_id, min(p.pos) AS first_pos
+       FROM qv q JOIN pt p USING (term) GROUP BY 1, 2),
+sn AS (SELECT t.qid, t.doc_id, fp.first_pos, f.toks
+       FROM topk t JOIN fp ON fp.qid = t.qid AND fp.doc_id = t.doc_id
+       JOIN fulltok f ON f.doc_id = t.doc_id)
+SELECT qid, doc_id, first_pos,
+       array_to_string(
+         toks[greatest(first_pos + 1 - 5, 1):least(first_pos + 1 + 5,
+                                                   len(toks))],
+         ' ') AS snippet
+FROM sn
+"""
+
     fv = ", ".join(f"('{q}', '{t}')" for q, t in FUZZY_QUERIES)
     sql["fuzzy_topk"] = f"""
 WITH {fts},

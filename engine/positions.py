@@ -331,3 +331,50 @@ def phrase_topk(index: Index, phrases: Sequence[tuple[str, str]],
             .where(F.col("rank") <= k)
             .select("qid", "doc_id", r.alias("score"), "rank")
             .orderBy("qid", "rank"))
+
+
+def snippets(index: Index, hits: DataFrame,
+             query_terms: Sequence[tuple[str, str]],
+             width: int = 5) -> DataFrame:
+    """KWIC snippet generation (Lucene highlighter analog): for each
+    (qid, doc_id) hit, the ±``width``-token window around the doc's
+    FIRST occurrence of any of the query's terms. Returns
+    (qid, doc_id, first_pos, snippet).
+
+    The snippet is over the ANALYZED full token stream (lowercased,
+    camel/snake-split, stopwords present — the same stream positions
+    index), so the window aligns exactly with the positional index;
+    original-byte highlighting would need stored char offsets, which
+    this index does not keep (documented divergence from Lucene's
+    offset-bearing term vectors).
+
+    Plan: positions table (bucket-pruned, broadcast query join) →
+    min first position per (qid, doc) → inner join the hit set →
+    join docs and slice the re-derived token array. Every step is a
+    Catalyst expression; the only shuffle is the per-(qid, doc) min.
+    """
+    stem = bool(index.stats.get("stem"))
+
+    def _an(t: str) -> str:
+        toks = tokenize_texts([t], stem=stem)[0]
+        return toks[0] if toks else ""
+
+    qrows = sorted({(q, _an(t)) for q, t in query_terms if _an(t)})
+    spark = index.spark
+    qdf = spark.createDataFrame(qrows, "qid string, term string")
+    pos = _positions_df(index, [t for _, t in qrows])
+    first = (pos.join(F.broadcast(qdf), "term")
+             .groupBy("qid", "doc_id")
+             .agg(F.min(F.element_at("positions", 1)).alias("first_pos")))
+    docs = index.docs.select("doc_id",
+                             _full_tokens_col(F.col("content")).alias("toks"))
+    joined = (hits.select("qid", "doc_id")
+              .join(first, ["qid", "doc_id"])
+              .join(docs, "doc_id"))
+    start = F.greatest(F.col("first_pos") + 1 - width, F.lit(1))
+    end = F.least(F.col("first_pos") + 1 + width, F.size("toks"))
+    return (joined.select(
+        "qid", "doc_id", "first_pos",
+        F.concat_ws(" ", F.slice("toks", start, end - start + 1))
+        .alias("snippet"))
+        .orderBy("qid", "doc_id"))

@@ -185,3 +185,30 @@ def test_phrase_topk_gates_and_ranks(pos_index, doc_contents, real_phrases):
         rows.sort(key=lambda x: (-x[0], x[1]))
         expect = [(i + 1, d, s) for i, (s, d) in enumerate(rows[:k])]
         assert got.get(qid, []) == expect, qid
+
+
+def test_snippets_window(spark, tmp_path):
+    """KWIC window: ±width analyzed tokens around the first query-term
+    occurrence, clamped at document edges."""
+    from engine.index_build import build_index
+    from engine.positions import build_positions, snippets
+    from engine.search import Index
+
+    corpus = spark.createDataFrame(
+        [("r", "p0", "c", "py",
+          "one two three four five target six seven eight nine ten"),
+         ("r", "p1", "c", "py", "target at start of this doc")],
+        "repo string, path string, commit string, lang string, content string")
+    d = str(tmp_path / "sidx")
+    build_index(spark, corpus, d, n_buckets=2, n_doc_buckets=1)
+    build_positions(spark, d)
+    idx = Index(spark, d)
+    hits = spark.createDataFrame([("q", 0), ("q", 1)],
+                                 "qid string, doc_id long")
+    out = {int(r["doc_id"]): r for r in
+           snippets(idx, hits, [("q", "target")], width=2).collect()}
+    assert out[0]["first_pos"] == 5
+    assert out[0]["snippet"] == "four five target six seven"
+    # doc 1: "target" at position 0 → window clamps at the left edge
+    assert out[1]["first_pos"] == 0
+    assert out[1]["snippet"] == "target at start"  # stopwords kept in stream
