@@ -85,6 +85,17 @@ def main() -> None:
     score_wand(idx, qt, 10).collect()
     timings["wand_topk"] = time.time() - t0
 
+    # decode-skip evidence (not timed into the headline): fraction of
+    # postings the BMW kernel actually scored for the same queries
+    from engine.search import wand_stats
+    ws = wand_stats(idx, qt, 10).groupBy().sum(
+        "blocks_total", "blocks_decoded",
+        "postings_total", "postings_scored").collect()[0]
+    wand_skip = {
+        "blocks_decoded_pct": round(100.0 * ws[1] / max(ws[0], 1), 1),
+        "postings_scored_pct": round(100.0 * ws[3] / max(ws[2], 1), 1),
+    }
+
     t0 = time.time()
     score_exhaustive(idx, qt, 10).collect()
     timings["exhaustive_topk"] = time.time() - t0
@@ -141,6 +152,7 @@ def main() -> None:
         "docs_per_sec": round(metrics["docs_per_sec"], 1),
         "index_bytes": metrics["index_bytes"],
         "n_postings": metrics["n_postings"],
+        "wand_skip": wand_skip,
     }
     spark.stop()
     print(json.dumps(out))
