@@ -459,6 +459,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .where(F.col("rank") <= TOPK)
                 .select("qid", "vec_id", rc.alias("cosine"), "rank"))
 
+    def ann_pq_topk(spark, sf_dir):
+        """Product-quantization ANN (ADC over 16×16 codebooks) with
+        exact rerank of the 60-candidate shortlist."""
+        return (similarity.pq_topk(_emb(spark, sf_dir), ANN_QUERY_IDS,
+                                   TOPK, m=16, n_centroids=16, rerank=60)
+                .orderBy("qid", "rank"))
+
     def ann_multiprobe_topk(spark, sf_dir):
         """Multi-probe LSH ANN (own bucket + all Hamming-1 flips),
         exact rerank; deterministic → full oracle. Overfetch + rounded
@@ -775,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_buckets": ann_buckets,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_multiprobe_topk": ann_multiprobe_topk,
+        "ann_pq_topk": ann_pq_topk,
         "token_counts": token_counts,
         "quality_scores": quality_scores,
         "lang_id": lang_id,
@@ -1151,6 +1159,83 @@ SELECT qid, vec_id, (floor(c * 1e4 + 0.5) / 1e4) AS cosine, rank FROM (
          row_number() OVER (PARTITION BY qid
              ORDER BY (floor(c * 1e4 + 0.5) / 1e4) DESC, vec_id)::INT AS rank
   FROM sc) t
+WHERE rank <= {TOPK}
+"""
+
+    # --- ann_pq_topk: full deterministic PQ replica ------------------------
+    # (16 subspaces × 4 dims, 16 centroids each, 2 Lloyd iterations,
+    #  ADC scan + exact rerank of the 60-candidate shortlist — mirrors
+    #  engine/pipeline/similarity.py pq_* exactly; L2 is computed as
+    #  dot(a,a) − 2·dot(a,b) + dot(b,b) on BOTH engines so the fold
+    #  order matches bitwise)
+    def _l2s(a: str, b: str) -> str:
+        return (f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+                f" + list_dot_product({b}, {b}))")
+
+    def _pq_assign_cte(name: str, cents: str) -> str:
+        return f"""
+{name} AS (
+  SELECT vec_id, sub_id, centroid_id FROM (
+    SELECT s.vec_id, s.sub_id, c.centroid_id,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+               ORDER BY {_l2s('s.sv', 'c.cv')} ASC, c.centroid_id) AS rn
+    FROM sub s JOIN {cents} c USING (sub_id)) t WHERE rn = 1)"""
+
+    def _pq_mean_cte(name: str, assign: str) -> str:
+        return f"""
+{name} AS (
+  SELECT sub_id, centroid_id, list(mn ORDER BY d) AS cv FROM (
+    SELECT {assign}.sub_id, {assign}.centroid_id, g.d,
+           (floor(avg(s.sv[g.d]) * 1e9 + 0.5) / 1e9) AS mn
+    FROM {assign} JOIN sub s ON s.vec_id = {assign}.vec_id
+                           AND s.sub_id = {assign}.sub_id,
+         generate_series(1, 4) g(d)
+    GROUP BY {assign}.sub_id, {assign}.centroid_id, g.d) t
+  GROUP BY sub_id, centroid_id)"""
+
+    r6a = "(floor(ad * 1e6 + 0.5) / 1e6)"
+    r6e = "(floor(ed * 1e6 + 0.5) / 1e6)"
+    sql["ann_pq_topk"] = f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+sub AS (SELECT vec_id, s.s AS sub_id, v[s.s * 4 + 1 : s.s * 4 + 4] AS sv
+        FROM e, generate_series(0, 15) s(s)),
+params AS (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) AS stride FROM e),
+c0 AS (
+  SELECT sub_id, centroid_id, cv FROM (
+    SELECT sub_id, CAST(floor(vec_id / stride) AS INT) AS centroid_id,
+           sv AS cv,
+           row_number() OVER (PARTITION BY sub_id ORDER BY vec_id) AS rn
+    FROM sub, params WHERE vec_id % stride = 0) t
+  WHERE rn <= 16),
+{_pq_assign_cte('a1', 'c0')},
+{_pq_mean_cte('c1', 'a1')},
+{_pq_assign_cte('a2', 'c1')},
+{_pq_mean_cte('c2', 'a2')},
+{_pq_assign_cte('af', 'c2')},
+qsub AS (SELECT vec_id AS qid, sub_id, sv AS qsv FROM sub
+         WHERE vec_id IN ({qids})),
+tbl AS (SELECT q.qid, c.sub_id, c.centroid_id AS code,
+               {_l2s('q.qsv', 'c.cv')} AS d2
+        FROM qsub q JOIN c2 c USING (sub_id)),
+cand AS (SELECT t.qid, af.vec_id, sum(t.d2) AS ad
+         FROM af JOIN tbl t ON t.sub_id = af.sub_id
+                           AND t.code = af.centroid_id
+         WHERE af.vec_id <> t.qid
+         GROUP BY t.qid, af.vec_id),
+short AS (SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY {r6a} ASC, vec_id) AS rn
+    FROM cand) t WHERE rn <= 60),
+qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qids})),
+ex AS (SELECT s.qid, s.vec_id, {_l2s('q.qv', 'e.v')} AS ed
+       FROM short s JOIN e ON e.vec_id = s.vec_id
+       JOIN qv q ON q.qid = s.qid)
+SELECT qid, vec_id, {r6e} AS adist, rank FROM (
+  SELECT qid, vec_id, ed,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r6e} ASC, vec_id)::INT AS rank
+  FROM ex) t
 WHERE rank <= {TOPK}
 """
 

@@ -290,3 +290,38 @@ def test_source_mix_hand_computed(spark):
     assert web_en["n_docs"] == 2 and web_en["n_tokens"] == 3
     assert web_en["doc_share"] == pytest.approx(0.5)
     assert out[("book", "fr")]["mean_chars"] == pytest.approx(5.0)
+
+
+def test_pq_ann_recall_and_rerank(spark):
+    """PQ with exact rerank recovers the true L2 neighbors on
+    separable clusters; rerank output carries EXACT (rounded)
+    distances, so it must agree with a numpy brute force."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(60):
+        center = np.zeros(16)
+        center[0 if i < 30 else 8] = 10.0
+        v = center + rng.normal(0, 0.1, 16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    V = {i: np.array(v, dtype=np.float64) for i, v in rows}
+
+    out = similarity.pq_topk(emb, [0, 40], k=5, m=4, n_centroids=8,
+                             rerank=20).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    for q in (0, 40):
+        exact = sorted((float(np.sum((V[q] - V[i]) ** 2)), i)
+                       for i in V if i != q)[:5]
+        exact_ids = [i for _, i in exact]
+        ours = [v for _, v in sorted(got[q])]
+        # separable clusters + rerank → exact top-5 recovered in order
+        assert ours == exact_ids, (q, ours, exact_ids)
+
+    # determinism: a second run is identical (seedless stride init)
+    out2 = similarity.pq_topk(emb, [0, 40], k=5, m=4, n_centroids=8,
+                              rerank=20).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
