@@ -28,7 +28,7 @@ from engine.analysis import (
     duckdb_clean_sql, duckdb_stoplist_sql, tokenize_pandas_udf, tokens_col,
 )
 from engine.portable import round_half_up, round_half_up_sql
-from engine.scoring import B, K1, bm25_col, bm25_sql
+from engine.scoring import B, K1, bm25_col, bm25_sql, lmd_sql
 
 # ---------------------------------------------------------------------------
 # Fixed query sets (terms drawn from the driver testdata vocabulary)
@@ -756,6 +756,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         build_positions(spark, idx.index_dir)
         return proximity_match(idx, PROX_QUERIES, PROX_WINDOW)
 
+    def lmdirichlet_topk(spark, sf_dir):
+        """LMDirichlet (μ=2000) top-k via the index-backed
+        ``score_lmd`` — the reference's published alternative
+        similarity (GROUP_12.pdf §5.2.2, Lucene LMDirichletSimilarity;
+        formula pinned in engine/scoring.py). ctf is recovered from the
+        decoded postings themselves; total_tokens from the index stats."""
+        from engine.search import score_lmd
+
+        idx = _cached_index(spark, sf_dir)
+        qt = [(q, t, 1.0) for q, terms in BM25_QUERIES for t in terms]
+        return _rounded_rerank(score_lmd(idx, qt, TOPK + 50), TOPK)
+
     def trec_run(spark, sf_dir):
         """TREC run-file rows (SURVEY.md S6; Searcher.java:79 format)."""
         hits = _topk(_bm25_scored(spark, sf_dir, BM25_QUERIES))
@@ -807,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk": prefix_topk,
         "fuzzy_topk": fuzzy_topk,
         "snippets": snippets,
+        "lmdirichlet_topk": lmdirichlet_topk,
     }
 
 
@@ -852,6 +865,28 @@ HAVING count(DISTINCT tf.term) = (SELECT n_terms FROM nt WHERE nt.qid = q.qid)
 """
     # the index-backed WAND path must equal the pure-SQL BM25 oracle
     sql["index_wand_topk"] = _sql_bm25_topk(BM25_QUERIES, TOPK)
+
+    # LMDirichlet: ctf = Σ tf per term, C = Σ dl; formula in lmd_sql
+    # mirrors engine/scoring.py lmd_col expression-for-expression
+    lmd = lmd_sql("tf.tf", "ctfs.ctf", "dl.dl", "coll.c")
+    r4lmd = round_half_up_sql("s", 4)
+    sql["lmdirichlet_topk"] = f"""
+WITH {fts},
+ctfs AS (SELECT term, sum(tf)::DOUBLE AS ctf FROM tf GROUP BY term),
+coll AS (SELECT sum(dl)::DOUBLE AS c FROM dl),
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({lmd}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN ctfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, coll
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, doc_id, {r4lmd} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4lmd} DESC, doc_id)::INT AS rank
+  FROM matched) t
+WHERE rank <= {TOPK}
+"""
 
     sql["phrase_hits"] = _sql_phrase(PHRASE_QUERIES)
     sql["proximity_hits"] = _sql_proximity(PROX_QUERIES, PROX_WINDOW)

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 import pyspark.sql.types as T
 
 from .index_build import load_stats, _paths
-from .scoring import bm25_col, idf_col
+from .scoring import MU, bm25_col, idf_col, lmd_col
 
 QueryTerms = Sequence[tuple[str, str, float]]  # (qid, term, weight)
 
@@ -158,6 +158,49 @@ def score_exhaustive(index: Index, query_terms: QueryTerms, k: int,
                                    index.avgdl, float(index.n_docs),
                                    k1 if k1 is not None else index.stats["k1"],
                                    b if b is not None else index.stats["b"]))
+    agg = scored.groupBy("qid", "doc_id").agg(F.sum("pscore").alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (agg.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k)
+           .select("qid", "doc_id", "score", "rank"))
+    if include_docno:
+        out = out.join(index.docs.select("doc_id", "docno"), "doc_id") \
+                 .select("qid", "doc_id", "docno", "score", "rank")
+    return out.orderBy("qid", "rank")
+
+
+def score_lmd(index: Index, query_terms: QueryTerms, k: int,
+              mu: float = MU, include_docno: bool = False) -> DataFrame:
+    """Weighted-OR **LMDirichlet** top-k — the reference's published
+    alternative similarity (Lucene LMDirichletSimilarity, GROUP_12.pdf
+    §5.2.2; formula pinned in engine/scoring.py:lmd_col).
+
+    The collection term frequency ctf(t) is not stored in termstats; it
+    is recovered exactly from the matched postings themselves — the
+    weighted-OR plan already decodes the full posting list of every
+    query term, so ``Σ tf`` over a (qid, term) window IS ctf(t). One
+    window shuffle keyed like the downstream (qid, doc) aggregate; at
+    cluster scale this path shares the exhaustive plan's shape (the
+    correctness baseline — WAND remains the pruned scale path for BM25).
+    """
+    matched = _matched_postings(index, query_terms)
+    dec = matched.withColumn("d", decode_udf("blob"))
+    rows = dec.select(
+        "qid", "term", "weight",
+        F.explode(F.arrays_zip("d.doc_ids", "d.tfs", "d.dls")).alias("e"),
+    ).select(
+        "qid", "term", "weight",
+        F.col("e.doc_ids").alias("doc_id"),
+        F.col("e.tfs").alias("tf"),
+        F.col("e.dls").alias("dl"),
+    )
+    wt = Window.partitionBy("qid", "term")
+    rows = rows.withColumn("ctf", F.sum("tf").over(wt))
+    total_tokens = float(index.stats["total_tokens"])
+    scored = rows.withColumn(
+        "pscore",
+        F.col("weight") * lmd_col(F.col("tf"), F.col("ctf"), F.col("dl"),
+                                  total_tokens, mu))
     agg = scored.groupBy("qid", "doc_id").agg(F.sum("pscore").alias("score"))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     out = (agg.withColumn("rank", F.row_number().over(w))

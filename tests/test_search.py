@@ -205,3 +205,65 @@ def test_term_expansion_rewrites(tiny_index):
     fz = expand_fuzzy_terms(tiny_index, [("f", "mergo")], max_edits=1)
     assert {t for _, t, _ in fz} == {t for t in vocab if lev(t, "mergo") <= 1}
     assert fz  # "merge" is in the corpus vocabulary
+
+
+def lmd(tf, ctf, dl, total_tokens, mu=2000.0):
+    p = (ctf + 1.0) / (total_tokens + 1.0)
+    return max(0.0, math.log(1 + tf / (mu * p)) + math.log(mu / (dl + mu)))
+
+
+def test_lmdirichlet_hand_computed(spark, tmp_path):
+    """score_lmd matches the pinned Lucene LMDirichletSimilarity formula
+    (GROUP_12.pdf §5.2.2) computed by hand: ctf from the corpus, exact
+    doc lengths, per-clause clamp at 0 before the SHOULD sum."""
+    from engine.search import score_lmd
+
+    docs = [
+        "apple banana apple",           # dl=3, tf(apple)=2
+        "apple cherry",                 # dl=2
+        "banana banana banana cherry",  # dl=4
+    ]
+    idx = _mini_index(spark, tmp_path, docs, name="lmd")
+    total = 9.0  # Σ dl
+    ctf = {"apple": 3, "banana": 4, "cherry": 2}
+    res = score_lmd(idx, [("q", "apple", 1.0), ("q", "banana", 2.0)], 10)
+    id2doc = {r["doc_id"]: r["docno"] for r in
+              idx.docs.select("doc_id", "docno").collect()}
+    got = {id2doc[r["doc_id"]]: r["score"] for r in res.collect()}
+    exp = {
+        "org/r0/f0.py": lmd(2, ctf["apple"], 3, total)
+                        + 2.0 * lmd(1, ctf["banana"], 3, total),
+        "org/r1/f1.py": lmd(1, ctf["apple"], 2, total),
+        "org/r2/f2.py": 2.0 * lmd(3, ctf["banana"], 4, total),
+    }
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key] == pytest.approx(exp[key], abs=1e-12)
+
+
+def test_lmdirichlet_clamps_per_clause(spark, tmp_path):
+    """A clause whose raw LMD score is negative contributes exactly 0
+    (Lucene clamps per TermScorer, BEFORE the boolean sum): a long doc
+    where every matching term scores negative raw must surface with
+    score exactly 0.0, not a negative sum."""
+    from engine.search import score_lmd
+
+    pads = " ".join("pad%d" % i for i in range(140))
+    docs = [" ".join(["zzz"] * 60) + " rare " + pads,  # dl=201
+            " ".join(["zzz"] * 10)]                    # dl=10
+    idx = _mini_index(spark, tmp_path, docs, name="lmdclamp")
+    total = float(idx.stats["total_tokens"])
+    assert total == 211.0
+    res = score_lmd(idx, [("q", "rare", 1.0), ("q", "zzz", 1.0)], 10)
+    id2doc = {r["doc_id"]: r["docno"] for r in
+              idx.docs.select("doc_id", "docno").collect()}
+    got = {id2doc[r["doc_id"]]: r["score"] for r in res.collect()}
+    # hand check: BOTH clauses raw-negative in the long doc (ctf_zzz=70,
+    # ctf_rare=1; dl=201 drags log(mu/(dl+mu)) below the tf lift)
+    for term, tf, ctf in [("zzz", 60, 70), ("rare", 1, 1)]:
+        p = (ctf + 1.0) / (total + 1.0)
+        raw = math.log(1 + tf / (2000.0 * p)) + math.log(2000.0 / 2201.0)
+        assert raw < 0.0
+    assert got["org/r0/f0.py"] == 0.0
+    assert got["org/r1/f1.py"] == pytest.approx(
+        lmd(10, 70, 10, total), abs=1e-12)
