@@ -77,6 +77,9 @@ FUZZY_QUERIES: list[tuple[str, str]] = [
 
 INDEX_VERSION = "v3"  # v3: block-framed blobs + block_off (sliceable runs)
 
+# target per-lang mixture rates for the deterministic sampling op
+MIX_RATES = {"en": 0.5, "de": 0.25, "zh": 0.0}
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -756,6 +759,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         build_positions(spark, idx.index_dir)
         return proximity_match(idx, PROX_QUERIES, PROX_WINDOW)
 
+    def decontam_report(spark, sf_dir):
+        """Benchmark decontamination: flag docs whose distinct 5-grams
+        overlap the eval slice (doc_id % 97 == 0 — a deterministic
+        stand-in benchmark drawn from the same table)."""
+        from engine.pipeline import curation
+
+        docs = _docs(spark, sf_dir)
+        ev = docs.where(F.col("doc_id") % 97 == 0)
+        return curation.decontaminate(docs, ev, n=5).orderBy("doc_id")
+
+    def repetition_scores(spark, sf_dir):
+        """Gopher-style repetition quality signals (dup n-gram fracs,
+        top-2-gram frac) — pure per-row array math, zero shuffle."""
+        from engine.pipeline import curation
+
+        return (curation.repetition_scores(_docs(spark, sf_dir))
+                .orderBy("doc_id"))
+
+    def mixture_sample(spark, sf_dir):
+        """Deterministic stratified downsampling to target per-lang
+        mixture rates (md5-hash uniform, reproducible across engines
+        and partitionings — unlike DataFrame.sample)."""
+        from engine.pipeline import curation
+
+        return (curation.hash_sample(_docs(spark, sf_dir), MIX_RATES)
+                .orderBy("doc_id"))
+
+    def shared_ngrams(spark, sf_dir):
+        """Cross-doc exact-substring duplication (Lee et al. window-
+        hash form): fraction of each doc's 10-token windows occurring
+        verbatim in another doc."""
+        from engine.pipeline import curation
+
+        return (curation.shared_ngram_report(_docs(spark, sf_dir), n=10)
+                .orderBy("doc_id"))
+
+    def pack_layout(spark, sf_dir):
+        """GPT-style packing layout: per-lang concatenate-and-split
+        into 512-token training sequences (window cumsum)."""
+        from engine.pipeline import curation
+
+        return (curation.pack_sequences(_docs(spark, sf_dir), budget=512)
+                .orderBy("doc_id"))
+
+    def pii_scrub(spark, sf_dir):
+        """PII redaction counts + scrubbed-text hash. The synthetic
+        corpus carries no PII, so a deterministic email+IP suffix is
+        appended per doc (identically in the SQL oracle) to exercise
+        the redaction for real."""
+        from engine.pipeline import curation
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" mail u"),
+                     F.col("doc_id").cast("string"),
+                     F.lit("@ex.com ip 10.0.0."),
+                     (F.col("doc_id") % 256).cast("string")).alias("text"))
+        return curation.pii_scrub(docs).orderBy("doc_id")
+
     def lmdirichlet_topk(spark, sf_dir):
         """LMDirichlet (μ=2000) top-k via the index-backed
         ``score_lmd`` — the reference's published alternative
@@ -820,10 +882,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": fuzzy_topk,
         "snippets": snippets,
         "lmdirichlet_topk": lmdirichlet_topk,
+        "decontam_report": decontam_report,
+        "repetition_scores": repetition_scores,
+        "mixture_sample": mixture_sample,
+        "pii_scrub": pii_scrub,
+        "shared_ngrams": shared_ngrams,
+        "pack_layout": pack_layout,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from engine.pipeline.curation import PII_PATTERNS
+
     clean = duckdb_clean_sql("text")
     stops = duckdb_stoplist_sql()
     fts = _sql_fts_ctes()
@@ -886,6 +956,115 @@ SELECT qid, doc_id, {r4lmd} AS score, rank FROM (
              ORDER BY {r4lmd} DESC, doc_id)::INT AS rank
   FROM matched) t
 WHERE rank <= {TOPK}
+"""
+
+    # -- curation ops (engine/pipeline/curation.py) --------------------
+    r6 = round_half_up_sql
+    sql["decontam_report"] = f"""
+WITH tokd AS (
+  SELECT doc_id, {raw_tok} AS t FROM documents),
+grams AS (
+  SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ')
+                 for i in generate_series(1, len(t) - 4)]) AS gs
+  FROM tokd),
+ev AS (SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 97 = 0),
+ex AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+hits AS (SELECT ex.doc_id, count(*)::BIGINT AS n_hit
+         FROM ex JOIN ev USING (gram) GROUP BY ex.doc_id)
+SELECT g.doc_id, len(gs)::BIGINT AS n_grams,
+       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       CASE WHEN len(gs) > 0
+            THEN {r6("coalesce(h.n_hit, 0) / len(gs)::DOUBLE", 6)} END
+         AS hit_frac,
+       coalesce(CASE WHEN len(gs) > 0
+                THEN coalesce(h.n_hit, 0) / len(gs)::DOUBLE >= 0.05 END,
+                FALSE) AS contaminated
+FROM grams g LEFT JOIN hits h USING (doc_id)
+"""
+    sql["repetition_scores"] = f"""
+WITH tokd AS (SELECT doc_id, {raw_tok} AS t FROM documents),
+g AS (SELECT doc_id,
+        [array_to_string(t[i:i+1], ' ')
+         for i in generate_series(1, len(t) - 1)] AS g2,
+        [array_to_string(t[i:i+2], ' ')
+         for i in generate_series(1, len(t) - 2)] AS g3
+      FROM tokd),
+c2 AS (SELECT doc_id, gg, count(*)::BIGINT AS c
+       FROM (SELECT doc_id, unnest(g2) AS gg FROM g) GROUP BY doc_id, gg),
+m2 AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot, count(*) AS dist
+       FROM c2 GROUP BY doc_id),
+c3 AS (SELECT doc_id, gg, count(*)::BIGINT AS c
+       FROM (SELECT doc_id, unnest(g3) AS gg FROM g) GROUP BY doc_id, gg),
+m3 AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot, count(*) AS dist
+       FROM c3 GROUP BY doc_id)
+SELECT g.doc_id,
+  {r6("coalesce(1.0 - m2.dist / m2.tot::DOUBLE, 0.0)", 6)} AS dup_2gram_frac,
+  {r6("coalesce(1.0 - m3.dist / m3.tot::DOUBLE, 0.0)", 6)} AS dup_3gram_frac,
+  {r6("coalesce(m2.topc / m2.tot::DOUBLE, 0.0)", 6)} AS top_2gram_frac
+FROM g LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+"""
+    sql["shared_ngrams"] = f"""
+WITH tokd AS (SELECT doc_id, {raw_tok} AS t FROM documents),
+grams AS (
+  SELECT doc_id, list_distinct([array_to_string(t[i:i+9], ' ')
+                 for i in generate_series(1, len(t) - 9)]) AS gs
+  FROM tokd),
+ex AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+pg AS (SELECT gram, count(DISTINCT doc_id) AS n_docs_g FROM ex GROUP BY gram),
+per AS (
+  SELECT ex.doc_id, count(*)::BIGINT AS n_windows,
+         count(CASE WHEN pg.n_docs_g >= 2 THEN 1 END)::BIGINT AS n_shared
+  FROM ex JOIN pg USING (gram) GROUP BY ex.doc_id)
+SELECT g.doc_id, coalesce(p.n_windows, 0)::BIGINT AS n_windows,
+       coalesce(p.n_shared, 0)::BIGINT AS n_shared,
+       CASE WHEN coalesce(p.n_windows, 0) > 0
+            THEN {round_half_up_sql("p.n_shared / p.n_windows::DOUBLE", 6)}
+       END AS shared_frac
+FROM grams g LEFT JOIN per p USING (doc_id)
+"""
+    sql["pack_layout"] = f"""
+WITH base AS (
+  SELECT doc_id, lang AS grp,
+         len({raw_tok})::BIGINT AS n_tok
+  FROM documents),
+off AS (
+  SELECT doc_id, grp, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS tok_start
+  FROM base)
+SELECT doc_id, grp, n_tok, tok_start,
+       (tok_start // 512)::BIGINT AS seq_start,
+       ((tok_start + greatest(n_tok - 1, 0)) // 512)::BIGINT AS seq_end,
+       ((tok_start + greatest(n_tok - 1, 0)) // 512
+        - tok_start // 512 + 1)::BIGINT AS n_seqs
+FROM off
+"""
+    mix_case = " ".join(f"WHEN '{g}' THEN {r}"
+                        for g, r in sorted(MIX_RATES.items()))
+    sql["mixture_sample"] = f"""
+SELECT doc_id, grp, {r6("u", 6)} AS u FROM (
+  SELECT doc_id, lang AS grp,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents) t
+WHERE u < CASE grp {mix_case} ELSE 1.0 END
+"""
+    em, ip, ph = (p for _, p, _ in PII_PATTERNS)
+    after_em = f"regexp_replace(text, '{em}', '[EMAIL]', 'g')"
+    after_ip = f"regexp_replace({after_em}, '{ip}', '[IP]', 'g')"
+    after_ph = f"regexp_replace({after_ip}, '{ph}', '[PHONE]', 'g')"
+    sql["pii_scrub"] = f"""
+WITH aug AS (
+  SELECT doc_id, text || ' mail u' || doc_id::VARCHAR ||
+         '@ex.com ip 10.0.0.' || (doc_id % 256)::VARCHAR AS text
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{em}'))::BIGINT AS n_email,
+  len(regexp_extract_all({after_em}, '{ip}'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all({after_ip}, '{ph}'))::BIGINT AS n_phone,
+  md5({after_ph}) AS clean_hash
+FROM aug
 """
 
     sql["phrase_hits"] = _sql_phrase(PHRASE_QUERIES)

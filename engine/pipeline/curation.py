@@ -1,0 +1,270 @@
+"""Training-data curation operators beyond dedup/stats: benchmark
+decontamination, Gopher-style repetition filters, deterministic
+stratified sampling, PII scrubbing.
+
+All pure Catalyst column expressions / hash-agg plans (portable to the
+DuckDB oracle; no Python on the hot path). Scale notes inline — every
+op is a narrow per-row transform plus at most one map-side-combinable
+hash aggregation; the only join (decontamination) broadcasts the small
+eval side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..portable import round_half_up
+
+_ALNUM_TOKEN = "[^a-z0-9]+"
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), _ALNUM_TOKEN),
+                    lambda t: t != F.lit(""))
+
+
+def ngrams_col(toks, n: int):
+    """Consecutive word n-grams (NON-distinct, order-preserving) as an
+    array column — zip_with against 1..n-1 shifted slices, O(len) per
+    row (the element_at-in-transform trap re-evaluates the tokenize
+    subtree per element: O(len²); see CLAUDE.md)."""
+    size = F.size(toks)
+    out = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(size - j, F.lit(0)))
+        out = F.zip_with(out, shifted,
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(out, lambda x: x.isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
+                  threshold: float = 0.05, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Flag training docs that overlap an evaluation benchmark — the
+    standard n-gram decontamination pass (GPT-3 appx C / PaLM-style:
+    a doc is contaminated when a fraction of its n-grams appears
+    verbatim in any eval document).
+
+    Returns (doc_id, n_grams, n_hit, hit_frac, contaminated) where
+    n_grams counts the doc's DISTINCT word n-grams, n_hit how many of
+    them occur anywhere in ``eval_docs``, hit_frac their ratio (NULL
+    when the doc has no n-gram), contaminated = hit_frac >= threshold.
+
+    Scale shape: the eval n-gram set is benchmark-sized (thousands of
+    docs) → distinct + broadcast left join; the corpus side is one
+    explode over distinct per-doc n-grams and one (doc_id) hash-agg.
+    At 100 TB the corpus explode shuffles nothing — the join is
+    map-side against the broadcast eval set, and the agg combines
+    map-side. Grams compare as md5 hashes (8-byte join keys, not raw
+    strings) — collision odds at benchmark scale are negligible and
+    identical cross-engine.
+    """
+    grams = F.array_distinct(ngrams_col(_tokens(F.col(text_col)), n))
+    ev = (eval_docs
+          .select(F.explode(F.array_distinct(
+              ngrams_col(_tokens(F.col(text_col)), n))).alias("gram"))
+          .select(F.md5("gram").alias("h")).distinct()
+          .withColumn("_hit", F.lit(1)))
+    doc_grams = (docs.select(F.col(id_col).alias("doc_id"),
+                             F.explode_outer(grams).alias("gram"))
+                 .withColumn("h", F.md5("gram")))
+    per_doc = (doc_grams
+               .join(F.broadcast(ev), "h", "left")
+               .groupBy("doc_id")
+               .agg(F.count("gram").alias("n_grams"),
+                    F.count("_hit").alias("n_hit")))
+    hf = F.when(F.col("n_grams") > 0,
+                F.col("n_hit").cast("double") / F.col("n_grams"))
+    return per_doc.select(
+        "doc_id", "n_grams", "n_hit",
+        round_half_up(hf, 6).alias("hit_frac"),
+        F.coalesce(hf >= threshold, F.lit(False)).alias("contaminated"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters
+# ---------------------------------------------------------------------------
+
+def repetition_scores(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-doc repetition signals (Gopher §A1.1 repetition rules,
+    adapted to word n-grams):
+
+    dup_2gram_frac / dup_3gram_frac — fraction of n-gram OCCURRENCES
+        that are repeats: 1 − distinct/total (0 when total = 0);
+    top_2gram_frac — occurrences of the single most frequent 2-gram
+        over all 2-gram occurrences (Gopher's top-n-gram rule; ties on
+        count don't matter — the max count is unique by value).
+
+    Pure per-row array math — no shuffle at all; at 100 TB this is a
+    single narrow pass over the corpus.
+    """
+    toks = _tokens(F.col(text_col))
+    out = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    cols = ["doc_id"]
+    for n in (2, 3):
+        g = ngrams_col(F.col("t"), n)
+        tot = F.size(g)
+        dup = F.when(tot > 0,
+                     F.lit(1.0) - F.size(F.array_distinct(g)) / tot
+                     .cast("double")).otherwise(F.lit(0.0))
+        out = out.withColumn(f"dup_{n}gram_frac", round_half_up(dup, 6))
+        cols.append(f"dup_{n}gram_frac")
+    # materialize the 2-gram array FIRST: an expression referenced
+    # inside transform() re-evaluates its whole subtree per element
+    # (the repo's documented O(n²)→O(n³) trap); a column reference is
+    # evaluated once per row
+    out = out.withColumn("g2", ngrams_col(F.col("t"), 2))
+    g2 = F.col("g2")
+    # max occurrence count of any 2-gram: for each element, count its
+    # occurrences in the array, take the max (O(len²) element compares
+    # inside ONE row's array — arrays are document-sized, not corpus-
+    # sized, and it stays whole-stage-codegen JVM work)
+    topc = F.array_max(F.transform(
+        g2, lambda x: F.size(F.filter(g2, lambda y: y == x))))
+    top = F.when(F.size(g2) > 0,
+                 topc.cast("double") / F.size(g2)).otherwise(F.lit(0.0))
+    out = out.withColumn("top_2gram_frac", round_half_up(top, 6))
+    cols.append("top_2gram_frac")
+    return out.select(*cols)
+
+
+def shared_ngram_report(docs: DataFrame, n: int = 10,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Cross-document exact-substring duplication signal (the window-
+    hash form of Lee et al.'s "Deduplicating Training Data Makes
+    Language Models Better": an n-token window occurring verbatim in
+    ≥2 documents marks duplicated text that near-dup doc-level methods
+    miss — boilerplate, licenses, quoted passages).
+
+    Returns (doc_id, n_windows, n_shared, shared_frac): distinct
+    n-token windows per doc, how many of them occur in at least one
+    OTHER doc, and their ratio (NULL when the doc is shorter than n).
+
+    Scale shape: windows explode once (distinct per doc), aggregate by
+    window hash counting distinct docs (map-side combinable), join the
+    shared flag back on the hash — two shuffles, both on 8-byte md5
+    prefixes, nothing quadratic; the standard 100 TB exact-substring
+    pass."""
+    grams = F.array_distinct(ngrams_col(_tokens(F.col(text_col)), n))
+    dg = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode_outer(grams).alias("gram"))
+          .withColumn("h", F.md5("gram")))
+    per_gram = (dg.where(F.col("h").isNotNull())
+                .groupBy("h")
+                .agg(F.count_distinct("doc_id").alias("n_docs_g")))
+    joined = dg.join(per_gram, "h", "left")
+    out = (joined.groupBy("doc_id")
+           .agg(F.count("gram").alias("n_windows"),
+                F.count(F.when(F.col("n_docs_g") >= 2, 1)).alias("n_shared")))
+    sf = F.when(F.col("n_windows") > 0,
+                F.col("n_shared").cast("double") / F.col("n_windows"))
+    return out.select("doc_id", "n_windows", "n_shared",
+                      round_half_up(sf, 6).alias("shared_frac"))
+
+
+def pack_sequences(docs: DataFrame, budget: int = 512,
+                   group_col: str = "lang", text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """GPT-style sequence packing layout: within each group, documents
+    are concatenated in doc_id order and split into fixed ``budget``-
+    token training sequences (documents straddle sequence boundaries —
+    the standard causal-LM packing, not first-fit binning).
+
+    Returns (doc_id, grp, n_tok, tok_start, seq_start, seq_end,
+    n_seqs): the exclusive cumulative token offset and the first/last
+    sequence index the doc lands in. Zero-token docs occupy the
+    sequence at their offset (seq_end = seq_start, n_seqs = 1).
+
+    Scale shape: one window cumsum per group — at 100 TB the group key
+    would include a time/shard component so no single group's sort
+    dominates; the layout stays deterministic because offsets depend
+    only on (grp, doc_id) order, not partitioning."""
+    from pyspark.sql import Window
+
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(group_col).alias("grp"),
+                       F.size(_tokens(F.col(text_col)))
+                       .cast("long").alias("n_tok"))
+    w = Window.partitionBy("grp").orderBy("doc_id") \
+              .rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    out = base.withColumn("tok_start", start)
+    seq_start = F.floor(F.col("tok_start") / budget)
+    seq_end = F.floor(
+        (F.col("tok_start") + F.greatest(F.col("n_tok") - 1, F.lit(0)))
+        / budget)
+    return out.select(
+        "doc_id", "grp", "n_tok", "tok_start",
+        seq_start.cast("long").alias("seq_start"),
+        seq_end.cast("long").alias("seq_end"),
+        (seq_end - seq_start + 1).cast("long").alias("n_seqs"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (data mixing)
+# ---------------------------------------------------------------------------
+
+def hash_sample(docs: DataFrame, rates: dict[str, float],
+                group_col: str = "lang", id_col: str = "doc_id",
+                default_rate: float = 1.0) -> DataFrame:
+    """Deterministic per-group downsampling to target mixture rates:
+    keep a row iff u(doc) < rate(group), where u is a uniform-ish
+    [0,1) hash of the doc id — md5's first 8 hex digits / 2³²
+    (reproducible across engines AND across runs/partitionings, unlike
+    DataFrame.sample whose outcome depends on partition layout).
+
+    Returns the kept rows (doc_id, group, u) with u rounded. Narrow
+    per-row filter — zero shuffle; rebalancing a 100 TB mixture is one
+    scan. Rates outside [0,1] clamp naturally (u < rate).
+    """
+    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16, 10).cast("double") / F.lit(4294967296.0))
+    rate = F.lit(float(default_rate))
+    for g_val, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g_val, F.lit(float(r))) \
+                .otherwise(rate)
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(group_col).alias("grp"), u.alias("u"))
+            .where(F.col("u") < rate)
+            .select("doc_id", "grp", round_half_up(F.col("u"), 6).alias("u")))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction)
+# ---------------------------------------------------------------------------
+
+# RE2-safe (no lookaround/backreferences) so the DuckDB oracle runs the
+# IDENTICAL patterns; applied in this order (email first — an email
+# contains digit runs a later rule could half-match)
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}",
+     "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[ \-]\d{3,4}[ \-]\d{4}\b", "[PHONE]"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped numbers; returns
+    (doc_id, n_email, n_ipv4, n_phone, clean_hash) where clean_hash is
+    md5 of the redacted text (the scrubbed corpus itself would be
+    written at scale; the hash keeps the oracle row narrow). Counting
+    uses the SAME patterns as replacement, matched on the progressively
+    redacted text, so overlapping rules count consistently. Narrow
+    per-row transform — zero shuffle."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+                      .cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select(F.col(id_col).alias("doc_id"), *counts,
+                       F.md5(cur).alias("clean_hash"))

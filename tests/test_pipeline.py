@@ -325,3 +325,153 @@ def test_pq_ann_recall_and_rerank(spark):
     out2 = similarity.pq_topk(emb, [0, 40], k=5, m=4, n_centroids=8,
                               rerank=20).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+# ---------------------------------------------------------------------------
+# Curation ops (engine/pipeline/curation.py)
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_hand_computed(spark):
+    """Doc 0 shares its one 3-gram with the eval set → contaminated;
+    doc 1 shares nothing; doc 2 is too short for any 3-gram (NULL
+    frac, not contaminated)."""
+    from engine.pipeline import curation
+
+    train = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"),      # grams: a b g, b g d
+         (1, "epsilon zeta eta theta"),
+         (2, "just two")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(100, "alpha beta gamma")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curation.decontaminate(train, ev, n=3, threshold=0.5).collect()}
+    assert out[0]["n_grams"] == 2 and out[0]["n_hit"] == 1
+    assert out[0]["hit_frac"] == pytest.approx(0.5)
+    assert out[0]["contaminated"] is True
+    assert out[1]["n_hit"] == 0 and out[1]["contaminated"] is False
+    assert out[2]["n_grams"] == 0 and out[2]["hit_frac"] is None
+    assert out[2]["contaminated"] is False
+
+
+def test_repetition_scores_hand_computed(spark):
+    from engine.pipeline import curation
+
+    rows = [
+        (0, "a b a b a"),   # 2-grams: ab ba ab ba → dup 0.5; top 2/4
+        (1, "x y z w"),     # all distinct → dup 0, top 1/3
+        (2, "solo"),        # no 2-grams → 0.0 by convention
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curation.repetition_scores(df).collect()}
+    assert out[0]["dup_2gram_frac"] == pytest.approx(0.5)
+    assert out[0]["top_2gram_frac"] == pytest.approx(0.5)
+    # 3-grams of doc0: aba bab aba → 1 - 2/3
+    assert out[0]["dup_3gram_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert out[1]["dup_2gram_frac"] == 0.0
+    assert out[1]["top_2gram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[2]["top_2gram_frac"] == 0.0
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    """Same input → identical kept set at any parallelism; kept rate
+    tracks the per-group target; rate 0 drops the group entirely."""
+    from engine.pipeline import curation
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(600)]
+    df1 = spark.createDataFrame(rows, "doc_id long, lang string")
+    df8 = df1.repartition(8)
+    rates = {"en": 0.5, "de": 0.0}
+    kept1 = sorted(r["doc_id"] for r in
+                   curation.hash_sample(df1, rates).collect())
+    kept8 = sorted(r["doc_id"] for r in
+                   curation.hash_sample(df8, rates).collect())
+    assert kept1 == kept8 and kept1
+    langs = {r["grp"] for r in curation.hash_sample(df8, rates).collect()}
+    assert langs == {"en"}
+    n_en = sum(1 for i, l in rows if l == "en")
+    assert abs(len(kept1) / n_en - 0.5) < 0.1  # u is uniform-ish
+
+
+def test_pii_scrub_hand_computed(spark):
+    from engine.pipeline import curation
+
+    rows = [
+        (0, "mail me at jo.doe+x@ex-corp.io or 555-123-4567, "
+            "host 10.0.0.1 ok"),
+        (1, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.pii_scrub(df).collect()}
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) \
+        == (1, 1, 1)
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) \
+        == (0, 0, 0)
+    import hashlib
+    clean = ("mail me at [EMAIL] or [PHONE], host [IP] ok")
+    assert out[0]["clean_hash"] == hashlib.md5(clean.encode()).hexdigest()
+    assert out[1]["clean_hash"] == hashlib.md5(b"no pii here").hexdigest()
+
+
+def test_shared_ngram_report_hand_computed(spark):
+    """Docs 0 and 1 share the window 'a b c'; doc 2 repeats a window
+    internally only (not shared); doc 3 is too short (NULL frac)."""
+    from engine.pipeline import curation
+
+    rows = [
+        (0, "a b c x"),        # windows: abc, bcx
+        (1, "z a b c"),        # windows: zab, abc
+        (2, "q r q r q"),      # windows: qrq, rqr (distinct; not shared)
+        (3, "one two"),        # too short for 3-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curation.shared_ngram_report(df, n=3).collect()}
+    assert (out[0]["n_windows"], out[0]["n_shared"]) == (2, 1)
+    assert out[0]["shared_frac"] == pytest.approx(0.5)
+    assert (out[1]["n_windows"], out[1]["n_shared"]) == (2, 1)
+    assert (out[2]["n_windows"], out[2]["n_shared"]) == (2, 0)
+    assert out[3]["n_windows"] == 0 and out[3]["shared_frac"] is None
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Concatenate-and-split packing: offsets are exclusive cumsums in
+    doc_id order per group; a doc straddling a budget boundary spans
+    both sequences; zero-token docs occupy one sequence."""
+    from engine.pipeline import curation
+
+    rows = [
+        (0, "en", "t " * 3),   # 3 toks: [0,3) → seq 0
+        (1, "en", "t " * 4),   # [3,7) → seqs 0-1 (budget 5)
+        (2, "en", ""),         # zero tokens at 7 → seq 1
+        (3, "en", "t " * 5),   # [7,12) → seqs 1-2
+        (4, "de", "t " * 2),   # separate group restarts at 0
+    ]
+    df = spark.createDataFrame([(i, g, t.strip()) for i, g, t in rows],
+                               "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in
+           curation.pack_sequences(df, budget=5).collect()}
+    assert (out[0]["tok_start"], out[0]["seq_start"], out[0]["seq_end"]) \
+        == (0, 0, 0)
+    assert (out[1]["tok_start"], out[1]["seq_start"], out[1]["seq_end"]) \
+        == (3, 0, 1)
+    assert out[1]["n_seqs"] == 2
+    assert (out[2]["tok_start"], out[2]["n_tok"], out[2]["seq_start"],
+            out[2]["seq_end"]) == (7, 0, 1, 1)
+    assert (out[3]["tok_start"], out[3]["seq_start"], out[3]["seq_end"]) \
+        == (7, 1, 2)
+    assert (out[4]["grp"], out[4]["tok_start"], out[4]["seq_start"]) \
+        == ("de", 0, 0)
+
+
+def test_pack_sequences_parallelism_invariant(spark):
+    from engine.pipeline import curation
+
+    rows = [(i, "en", "w " * (i % 7 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    a = sorted(map(tuple, curation.pack_sequences(df, 16).collect()))
+    b = sorted(map(tuple,
+                   curation.pack_sequences(df.repartition(8), 16).collect()))
+    assert a == b

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Similarity comparison on the REAL reference corpora — reproduces the
+reference's §5.2.2 experiment (GROUP_12.pdf: boosted title/desc/narr
+query, NO RM3, similarity swapped): BM25 published MAP 0.3044, then
+LMDirichlet published MAP 0.2791 / P@20 0.432 / nDCG@20 0.4827.
+
+Reuses an already-built index (tools/trec_e2e.py --index-dir) — the
+similarity is a query-time choice in this engine, exactly as
+``IndexSearcher.setSimilarity`` is in the reference (Searcher.java).
+
+Usage: python tools/trec_similarity.py --index-dir /tmp/trec_idx \
+           [--similarity lmd|bm25] [--num-docs 1000] [--stem]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference"
+
+PUBLISHED = {
+    "lmd": {"MAP": 0.2791, "P@20": 0.432, "nDCG@20": 0.4827},
+    "bm25": {"MAP": 0.3044, "P@20": 0.482, "nDCG@20": 0.55335},
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref", default=REF)
+    ap.add_argument("--index-dir", default="/tmp/trec_idx")
+    ap.add_argument("--similarity", choices=("lmd", "bm25"), default="lmd")
+    ap.add_argument("--num-docs", type=int, default=1000)
+    ap.add_argument("--stem", action="store_true", default=True)
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "12"))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from engine.evaluate import macro_metrics
+    from engine.search import Index, score_exhaustive, score_lmd
+    from engine.session import get_spark
+    from engine.topics import parse_topics, topics_to_query_terms
+    from engine.expand import drop_malformed_topics
+
+    spark = get_spark(app=f"trec-sim-{args.similarity}",
+                      master=f"local[{args.cpus}]",
+                      shuffle_partitions=int(args.cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    idx = Index(spark, args.index_dir)
+
+    with open(f"{args.ref}/topics") as f:
+        topics = drop_malformed_topics(parse_topics(f.read()),
+                                       stem=args.stem)
+    qt = topics_to_query_terms(topics, stem=args.stem)
+
+    t0 = time.time()
+    if args.similarity == "lmd":
+        hits = score_lmd(idx, qt, args.num_docs)
+    else:
+        hits = score_exhaustive(idx, qt, args.num_docs)
+    run = (hits.join(idx.docs.select("doc_id", "path"), "doc_id")
+           .select("qid", F.col("path").alias("docno"), "rank")
+           .orderBy("qid", "rank"))
+    run_rows = run.collect()
+    t1 = time.time()
+
+    qrels = (spark.read.csv(f"{args.ref}/qrels.assignment2.part1", sep=" ")
+             .toDF("qid", "iter", "docno", "rel")
+             .select("qid", "docno", F.col("rel").cast("int").alias("rel")))
+    m = macro_metrics(spark.createDataFrame(run_rows), qrels, k=20)
+    print("RESULT " + json.dumps({
+        "similarity": args.similarity,
+        "n_run_rows": len(run_rows),
+        "search_sec": round(t1 - t0, 1),
+        "metrics": {k: round(v, 4) for k, v in m.items()},
+        "reference_published": PUBLISHED[args.similarity],
+    }), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
