@@ -74,6 +74,11 @@ PREFIX_QUERIES: list[tuple[str, str]] = [
 FUZZY_QUERIES: list[tuple[str, str]] = [
     ("fz1", "mergo"), ("fz2", "windoe"), ("fz3", "batch"),
 ]
+WILDCARD_QUERIES: list[tuple[str, str]] = [
+    ("w1", "mer*"), ("w2", "?ash"), ("w3", "s*m"), ("w4", "valu?"),
+]
+MLT_SEEDS = [0, 1, 2]
+MLT_TERMS = 10
 
 INDEX_VERSION = "v3"  # v3: block-framed blobs + block_off (sliceable runs)
 
@@ -741,6 +746,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _cached_index(spark, sf_dir)
         return _rounded_rerank(_ft(idx, FUZZY_QUERIES, TOPK + 50), TOPK)
 
+    def wildcard_topk(spark, sf_dir):
+        """Lucene WildcardQuery rewrite: distributed LIKE dictionary
+        scan ('*'→'%', '?'→'_'), then bucket-pruned BM25 scoring."""
+        from engine.search import wildcard_topk as _wt
+
+        idx = _cached_index(spark, sf_dir)
+        return _rounded_rerank(_wt(idx, WILDCARD_QUERIES, TOPK + 50), TOPK)
+
+    def more_like_this(spark, sf_dir):
+        """Lucene MoreLikeThis analog: seed docs become queries via
+        their top tf·idf terms; the seed is excluded from its hits."""
+        from engine.search import more_like_this as _mlt
+
+        idx = _cached_index(spark, sf_dir)
+        return _rounded_rerank(
+            _mlt(idx, MLT_SEEDS, TOPK + 50, n_terms=MLT_TERMS), TOPK)
+
+    def facet_counts(spark, sf_dir):
+        """Faceting analog: top lang values (distinct-doc counts) over
+        each query's matched doc set."""
+        from engine.search import facet_counts as _fc
+
+        idx = _cached_index(spark, sf_dir)
+        return _fc(idx, BM25_QUERIES, "lang", 3)
+
     def phrase_hits(spark, sf_dir):
         """Exact-phrase retrieval over the positional index
         (engine/positions.py; anchor-alignment plan, lead-gated)."""
@@ -888,6 +918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": pii_scrub,
         "shared_ngrams": shared_ngrams,
         "pack_layout": pack_layout,
+        "wildcard_topk": wildcard_topk,
+        "more_like_this": more_like_this,
+        "facet_counts": facet_counts,
     }
 
 
@@ -1002,6 +1035,71 @@ SELECT g.doc_id,
   {r6("coalesce(1.0 - m3.dist / m3.tot::DOUBLE, 0.0)", 6)} AS dup_3gram_frac,
   {r6("coalesce(m2.topc / m2.tot::DOUBLE, 0.0)", 6)} AS top_2gram_frac
 FROM g LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+"""
+    # wildcard: same scoring shape as prefix_topk, LIKE-matched terms
+    from engine.search import wildcard_to_like
+    score = bm25_sql("tf.tf", "dfs.df", "dl.dl", "stats.avgdl", "stats.n")
+    r4 = round_half_up_sql("s", 4)
+    wv = ", ".join(f"('{q}', '{wildcard_to_like(p)}')"
+                   for q, p in WILDCARD_QUERIES)
+    sql["wildcard_topk"] = f"""
+WITH {fts},
+qw(qid, pat) AS (VALUES {wv}),
+matched AS (
+  SELECT qw.qid, tf.doc_id, sum({score}) AS s
+  FROM qw JOIN tf ON tf.term LIKE qw.pat
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY qw.qid, tf.doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM matched) t
+WHERE rank <= {TOPK}
+"""
+    seeds_v = ", ".join(f"({s})" for s in MLT_SEEDS)
+    tfidf6 = round_half_up_sql(
+        "tf.tf * ln(1.0 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))", 6)
+    sql["more_like_this"] = f"""
+WITH {fts},
+seeds(sid) AS (VALUES {seeds_v}),
+interesting AS (
+  SELECT sid, term FROM (
+    SELECT seeds.sid, tf.term,
+           row_number() OVER (PARTITION BY seeds.sid
+               ORDER BY {tfidf6} DESC, tf.term) AS rnk
+    FROM seeds JOIN tf ON tf.doc_id = seeds.sid
+    JOIN dfs USING (term), stats) t
+  WHERE rnk <= {MLT_TERMS}),
+matched AS (
+  SELECT i.sid::VARCHAR AS qid, tf.doc_id, sum({score}) AS s
+  FROM interesting i JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  WHERE tf.doc_id <> i.sid
+  GROUP BY i.sid, tf.doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM matched) t
+WHERE rank <= {TOPK}
+"""
+    sql["facet_counts"] = f"""
+WITH {fts},
+hits AS (
+  SELECT DISTINCT q.qid, tf.doc_id
+  FROM {_sql_values(BM25_QUERIES)} JOIN tf USING (term)),
+agg AS (
+  SELECT h.qid, d.lang AS value, count(DISTINCT h.doc_id)::BIGINT AS n_docs
+  FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+  GROUP BY h.qid, d.lang)
+SELECT qid, value, n_docs, rank FROM (
+  SELECT qid, value, n_docs,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY n_docs DESC, value)::INT AS rank
+  FROM agg) t
+WHERE rank <= 3
 """
     sql["shared_ngrams"] = f"""
 WITH tokd AS (SELECT doc_id, {raw_tok} AS t FROM documents),

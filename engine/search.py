@@ -808,6 +808,107 @@ def expand_fuzzy_terms(index: Index, queries: Sequence[tuple[str, str]],
     return [(r["qid"], r["term"], 1.0) for r in rows]
 
 
+def wildcard_to_like(pattern: str) -> str:
+    """Lucene wildcard syntax → SQL LIKE: '*' = any run → '%',
+    '?' = one char → '_'. Index terms are lowercase alnum, so the LIKE
+    metacharacters never occur literally and need no escaping."""
+    return pattern.replace("*", "%").replace("?", "_")
+
+
+def expand_wildcard_terms(index: Index,
+                          queries: Sequence[tuple[str, str]]) -> QueryTerms:
+    """Wildcard rewrite (Lucene WildcardQuery scoring-boolean rewrite):
+    enumerate vocabulary terms matching the pattern via a distributed
+    dictionary scan with SQL LIKE. A leading wildcard forces a full
+    vocabulary scan — the cost Lucene's docs warn about — but here the
+    scan distributes over termstats instead of walking a single-node
+    term dictionary."""
+    pats = [(q, wildcard_to_like(p)) for q, p in queries]
+    qdf = index.spark.createDataFrame(pats, "qid string, pat string")
+    rows = (index.termstats.select("term")
+            .join(F.broadcast(qdf), F.expr("term LIKE pat"))
+            .select("qid", "term").collect())
+    return [(r["qid"], r["term"], 1.0) for r in rows]
+
+
+def wildcard_topk(index: Index, queries: Sequence[tuple[str, str]],
+                  k: int) -> DataFrame:
+    """BM25 top-k for wildcard queries (LIKE dictionary rewrite)."""
+    return score_exhaustive(index, expand_wildcard_terms(index, queries), k)
+
+
+def more_like_this(index: Index, seed_ids: Sequence[int], k: int,
+                   n_terms: int = 25) -> DataFrame:
+    """Lucene MoreLikeThis analog: treat a document as the query.
+
+    Per seed doc: rank its terms by tf·idf (the MLT "interesting
+    terms" heuristic; idf is the engine's pinned BM25 idf), keep the
+    top ``n_terms`` (rounded-score desc, term asc — deterministic
+    cross-engine), issue them as a weight-1.0 weighted-OR query, and
+    exclude the seed itself from the hits (MLT's default). qid is the
+    seed doc_id as a string.
+
+    The forward lookup (doc → terms) reuses the build's tf table; at
+    cluster scale that table is doc-bucketed parquet, so the seed
+    filter prunes files. The interesting-term sets (n_seeds × n_terms
+    rows) come to the driver exactly like RM3's expansion terms do.
+    """
+    from .portable import round_half_up
+
+    p = _paths(index.index_dir)
+    seeds = [int(s) for s in seed_ids]
+    tf_seed = (index.spark.read.parquet(p["tf"])
+               .where(F.col("doc_id").isin(seeds))
+               .select("doc_id", "term", "tf"))
+    scored = (index.termstats.select("term", "df")
+              .join(F.broadcast(tf_seed), "term")
+              .withColumn("tfidf", F.col("tf").cast("double") *
+                          idf_col(F.col("df").cast("double"),
+                                  float(index.n_docs))))
+    r = round_half_up(F.col("tfidf"), 6)
+    w = Window.partitionBy("doc_id").orderBy(r.desc(), F.asc("term"))
+    top = (scored.withColumn("rnk", F.row_number().over(w))
+           .where(F.col("rnk") <= n_terms)
+           .select("doc_id", "term").collect())
+    qt = [(str(r_["doc_id"]), r_["term"], 1.0) for r_ in top]
+    if not qt:
+        return index.spark.createDataFrame(
+            [], "qid string, doc_id long, score double, rank int")
+    res = score_exhaustive(index, qt, k + 1)
+    res = res.where(F.col("qid") != F.col("doc_id").cast("string"))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (res.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", "score", "rank")
+            .orderBy("qid", "rank"))
+
+
+def facet_counts(index: Index, queries: Sequence[tuple[str, Sequence[str]]],
+                 facet_col: str, k: int) -> DataFrame:
+    """Faceting analog (Lucene facets module): for each query, the
+    top-k values of a stored doc field over the MATCHED document set
+    (docs containing ≥1 query term), with distinct-doc counts.
+    Ordered by (n_docs desc, value asc). The matched set comes from
+    the same bucket-pruned posting decode as scoring; the facet field
+    joins in from the docs table (broadcast the hit side when small,
+    AQE's call); the count is one map-side-combinable hash agg."""
+    qt = [(q, t, 1.0) for q, terms in queries for t in set(terms)]
+    matched = _matched_postings(index, qt)
+    dec = matched.withColumn("d", decode_udf("blob"))
+    hits = (dec.select("qid", F.explode("d.doc_ids").alias("doc_id"))
+            .distinct())
+    vals = hits.join(index.docs.select("doc_id",
+                                       F.col(facet_col).alias("value")),
+                     "doc_id")
+    agg = vals.groupBy("qid", "value").agg(
+        F.count_distinct("doc_id").alias("n_docs"))
+    w = Window.partitionBy("qid").orderBy(F.desc("n_docs"), F.asc("value"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "value", "n_docs", "rank")
+            .orderBy("qid", "rank"))
+
+
 def prefix_topk(index: Index, queries: Sequence[tuple[str, str]],
                 k: int) -> DataFrame:
     """BM25 top-k for prefix queries (scoring-boolean rewrite)."""

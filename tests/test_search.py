@@ -267,3 +267,66 @@ def test_lmdirichlet_clamps_per_clause(spark, tmp_path):
     assert got["org/r0/f0.py"] == 0.0
     assert got["org/r1/f1.py"] == pytest.approx(
         lmd(10, 70, 10, total), abs=1e-12)
+
+
+def test_wildcard_rewrite_matches_fnmatch(tiny_index):
+    """The LIKE dictionary rewrite enumerates exactly the vocabulary
+    terms a glob match would (Lucene WildcardQuery semantics)."""
+    import fnmatch
+
+    from engine.search import expand_wildcard_terms
+
+    vocab = [r["term"] for r in
+             tiny_index.termstats.select("term").collect()]
+    for pat in ["mer*", "?ash", "s*m", "*ing"]:
+        got = {t for _, t, _ in
+               expand_wildcard_terms(tiny_index, [("w", pat)])}
+        exp = {t for t in vocab if fnmatch.fnmatchcase(t, pat)}
+        assert got == exp, pat
+    assert {t for _, t, _ in
+            expand_wildcard_terms(tiny_index, [("w", "mer*")])}
+
+
+def test_more_like_this_finds_near_duplicate(spark, tmp_path):
+    """A seed doc's MLT hits rank its near-duplicate first and never
+    include the seed itself."""
+    from engine.search import more_like_this
+
+    docs = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",   # near-dup of 0
+        "totally unrelated words here none",
+    ]
+    idx = _mini_index(spark, tmp_path, docs, name="mlt")
+    id2doc = {r["docno"]: r["doc_id"] for r in
+              idx.docs.select("doc_id", "docno").collect()}
+    seed = id2doc["org/r0/f0.py"]
+    res = more_like_this(idx, [seed], k=5, n_terms=10).collect()
+    assert all(r["doc_id"] != seed for r in res)
+    assert res[0]["doc_id"] == id2doc["org/r1/f1.py"]
+
+
+def test_facet_counts_hand_computed(spark, tmp_path):
+    from engine.index_build import build_index
+    from engine.search import facet_counts
+
+    rows = [
+        ("o/r", "a.py", "c" * 12, "python", "apple banana"),
+        ("o/r", "b.py", "c" * 12, "python", "apple cherry"),
+        ("o/r", "c.java", "c" * 12, "java", "apple plum"),
+        ("o/r", "d.java", "c" * 12, "java", "pear plum"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string")
+    path = str(tmp_path / "facets")
+    build_index(spark, df, path, n_buckets=2, n_doc_buckets=2)
+    from engine.search import Index
+    idx = Index(spark, path)
+    out = facet_counts(idx, [("q", ["apple"]), ("p", ["plum"])],
+                       "lang", 3).collect()
+    got = {(r["qid"], r["value"]): (r["n_docs"], r["rank"]) for r in out}
+    assert got[("q", "python")] == (2, 1)
+    assert got[("q", "java")] == (1, 2)
+    assert got[("p", "java")] == (2, 1)
+    assert ("p", "python") not in got
