@@ -746,6 +746,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _cached_index(spark, sf_dir)
         return _rounded_rerank(_ft(idx, FUZZY_QUERIES, TOPK + 50), TOPK)
 
+    def score_explain(spark, sf_dir):
+        """IndexSearcher.explain analog: per-term score breakdown for
+        the first 10 docs under every BM25 query."""
+        from engine.search import score_explain as _se
+
+        idx = _cached_index(spark, sf_dir)
+        qt = [(q, t, 1.0) for q, terms in BM25_QUERIES for t in terms]
+        res = _se(idx, qt, list(range(10)))
+        return res.select(
+            "qid", "doc_id", "term", "weight", "tf", "df", "dl",
+            round_half_up(F.col("idf"), 6).alias("idf"),
+            round_half_up(F.col("pscore"), 6).alias("pscore"))
+
     def wildcard_topk(spark, sf_dir):
         """Lucene WildcardQuery rewrite: distributed LIKE dictionary
         scan ('*'→'%', '?'→'_'), then bucket-pruned BM25 scoring."""
@@ -921,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": wildcard_topk,
         "more_like_this": more_like_this,
         "facet_counts": facet_counts,
+        "score_explain": score_explain,
     }
 
 
@@ -1057,6 +1071,18 @@ SELECT qid, doc_id, {r4} AS score, rank FROM (
              ORDER BY {r4} DESC, doc_id)::INT AS rank
   FROM matched) t
 WHERE rank <= {TOPK}
+"""
+    idf6 = round_half_up_sql(
+        "ln(1.0 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))", 6)
+    p6 = round_half_up_sql(score, 6)
+    sql["score_explain"] = f"""
+WITH {fts}
+SELECT q.qid, tf.doc_id, tf.term, 1.0::DOUBLE AS weight,
+       tf.tf, dfs.df, dl.dl, {idf6} AS idf, {p6} AS pscore
+FROM {_sql_values(BM25_QUERIES)}
+JOIN tf USING (term) JOIN dfs USING (term)
+JOIN dl ON tf.doc_id = dl.doc_id, stats
+WHERE tf.doc_id < 10
 """
     seeds_v = ", ".join(f"({s})" for s in MLT_SEEDS)
     tfidf6 = round_half_up_sql(

@@ -808,6 +808,45 @@ def expand_fuzzy_terms(index: Index, queries: Sequence[tuple[str, str]],
     return [(r["qid"], r["term"], 1.0) for r in rows]
 
 
+def score_explain(index: Index, query_terms: QueryTerms,
+                  doc_ids: Sequence[int],
+                  k1: float | None = None,
+                  b: float | None = None) -> DataFrame:
+    """Score-breakdown for specific (query, doc) pairs — the
+    ``IndexSearcher.explain`` analog: one row per contributing term
+    with every formula input exposed.
+
+    Returns (qid, doc_id, term, weight, tf, df, dl, idf, pscore)
+    ordered by (qid, doc_id, term); Σ pscore over a (qid, doc_id)
+    group equals that doc's score_exhaustive score exactly (same
+    column math). The doc filter applies right after decode, so only
+    the requested docs' rows survive to the small output."""
+    matched = _matched_postings(index, query_terms)
+    dec = matched.withColumn("d", decode_udf("blob"))
+    rows = dec.select(
+        "qid", "term", "weight",
+        F.explode(F.arrays_zip("d.doc_ids", "d.tfs", "d.dls")).alias("e"),
+    ).select(
+        "qid", "term", "weight",
+        F.col("e.doc_ids").alias("doc_id"),
+        F.col("e.tfs").alias("tf"),
+        F.col("e.dls").alias("dl"),
+    ).where(F.col("doc_id").isin([int(d) for d in doc_ids]))
+    ts = index.termstats.select("term", "df")
+    rows = rows.join(F.broadcast(
+        ts.join(_query_df(index.spark, query_terms).select("term").distinct(),
+                "term")), "term")
+    idf = idf_col(F.col("df").cast("double"), float(index.n_docs))
+    pscore = F.col("weight") * bm25_col(
+        F.col("tf"), F.col("df"), F.col("dl"), index.avgdl,
+        float(index.n_docs),
+        k1 if k1 is not None else index.stats["k1"],
+        b if b is not None else index.stats["b"])
+    return (rows.select("qid", "doc_id", "term", "weight", "tf", "df",
+                        "dl", idf.alias("idf"), pscore.alias("pscore"))
+            .orderBy("qid", "doc_id", "term"))
+
+
 def wildcard_to_like(pattern: str) -> str:
     """Lucene wildcard syntax → SQL LIKE: '*' = any run → '%',
     '?' = one char → '_'. Index terms are lowercase alnum, so the LIKE

@@ -330,3 +330,24 @@ def test_facet_counts_hand_computed(spark, tmp_path):
     assert got[("q", "java")] == (1, 2)
     assert got[("p", "java")] == (2, 1)
     assert ("p", "python") not in got
+
+
+def test_score_explain_sums_to_score(tiny_index):
+    """Σ pscore over a (qid, doc_id) explain group equals the
+    exhaustive score exactly (same column math, float64)."""
+    from engine.search import score_explain
+
+    qt = [("q", "merge", 2.0), ("q", "sort", 1.0)]
+    top = score_exhaustive(tiny_index, qt, 5).collect()
+    docs = [r["doc_id"] for r in top]
+    exp = score_explain(tiny_index, qt, docs).collect()
+    sums = {}
+    for r in exp:
+        sums[r["doc_id"]] = sums.get(r["doc_id"], 0.0) + r["pscore"]
+    for r in top:
+        assert sums[r["doc_id"]] == pytest.approx(r["score"], abs=1e-12)
+    # every row exposes consistent formula inputs
+    for r in exp:
+        idf = math.log(1 + (tiny_index.n_docs - r["df"] + 0.5)
+                       / (r["df"] + 0.5))
+        assert r["idf"] == pytest.approx(idf, abs=1e-12)
