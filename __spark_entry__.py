@@ -873,6 +873,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qt = [(q, t, 1.0) for q, terms in BM25_QUERIES for t in terms]
         return _rounded_rerank(score_lmd(idx, qt, TOPK + 50), TOPK)
 
+    def ascii_fold_tf(spark, sf_dir):
+        """T6 ASCII folding (Lucene ASCIIFoldingFilter analog;
+        reference CustomAnalyzer.java:31). The documents table is pure
+        ASCII, so accents are injected deterministically first
+        (translate + 'th'→'þ'), then the fold+tokenize chain runs —
+        both engines perform the identical injection, so the oracle
+        genuinely exercises the fold's 1:1 table, multi-char
+        expansions, and case-restoring camel interaction."""
+        docs = _docs(spark, sf_dir)
+        injected = F.replace(F.translate(F.col("text"), "aeoAEO", "áèøÀÉØ"),
+                             F.lit("th"), F.lit("þ"))
+        toks = tokens_col(injected, ascii_fold=True)
+        return (docs.select("doc_id", F.explode(toks).alias("term"))
+                .groupBy("doc_id", "term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .orderBy("doc_id", "term"))
+
     def trec_run(spark, sf_dir):
         """TREC run-file rows (SURVEY.md S6; Searcher.java:79 format)."""
         hits = _topk(_bm25_scored(spark, sf_dir, BM25_QUERIES))
@@ -935,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": more_like_this,
         "facet_counts": facet_counts,
         "score_explain": score_explain,
+        "ascii_fold_tf": ascii_fold_tf,
     }
 
 
@@ -956,6 +974,18 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
     sql["tokenize_tf"] = f"WITH {fts} SELECT doc_id, term, tf FROM tf"
+    fold_clean = duckdb_clean_sql(
+        "replace(translate(text, 'aeoAEO', 'áèøÀÉØ'), 'th', 'þ')",
+        ascii_fold=True)
+    sql["ascii_fold_tf"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array({fold_clean},
+         '[^a-z0-9]+')) AS term
+  FROM documents)
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+WHERE term <> '' AND term NOT IN {stops}
+GROUP BY doc_id, term
+"""
     sql["doc_lengths"] = f"WITH {fts} SELECT doc_id, dl FROM dl"
     sql["term_stats"] = (
         f"WITH {fts} SELECT term, count(*)::BIGINT AS df, "

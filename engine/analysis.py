@@ -47,6 +47,72 @@ STOPWORDS: tuple[str, ...] = (
 )
 _STOPSET = frozenset(STOPWORDS)
 
+# ---------------------------------------------------------------------------
+# T6 — ASCII folding (Lucene ASCIIFoldingFilter analog; reference wired
+# it in the unused CustomAnalyzer.java:31 then abandoned it). Pinned
+# table: all Latin-1 Supplement letters + the Latin Extended-A letters
+# seen in European text. Lucene's full table covers further Unicode
+# blocks (Greek presentation forms etc.) — out of scope for the corpora
+# the reference targets; divergence documented here. 1:1 mappings go
+# through translate(); multi-char expansions through a replace chain —
+# both primitives exist identically in pandas, Catalyst and DuckDB, so
+# the fold is oracle-portable.
+# ---------------------------------------------------------------------------
+
+_FOLD_1TO1: tuple[tuple[str, str], ...] = (
+    ("ÀÁÂÃÄÅĀĂĄ", "A"), ("àáâãäåāăą", "a"),
+    ("ÇĆĈĊČ", "C"), ("çćĉċč", "c"),
+    ("ÐĎĐ", "D"), ("ðďđ", "d"),
+    ("ÈÉÊËĒĔĖĘĚ", "E"), ("èéêëēĕėęě", "e"),
+    ("ĜĞĠĢ", "G"), ("ĝğġģ", "g"),
+    ("ĤĦ", "H"), ("ĥħ", "h"),
+    ("ÌÍÎÏĨĪĬĮİ", "I"), ("ìíîïĩīĭįı", "i"),
+    ("Ĵ", "J"), ("ĵ", "j"),
+    ("Ķ", "K"), ("ķ", "k"),
+    ("ĹĻĽĿŁ", "L"), ("ĺļľŀł", "l"),
+    ("ÑŃŅŇ", "N"), ("ñńņň", "n"),
+    ("ÒÓÔÕÖØŌŎŐ", "O"), ("òóôõöøōŏő", "o"),
+    ("ŔŖŘ", "R"), ("ŕŗř", "r"),
+    ("ŚŜŞŠ", "S"), ("śŝşš", "s"),
+    ("ŢŤŦ", "T"), ("ţťŧ", "t"),
+    ("ÙÚÛÜŨŪŬŮŰŲ", "U"), ("ùúûüũūŭůűų", "u"),
+    ("Ŵ", "W"), ("ŵ", "w"),
+    ("ÝŶŸ", "Y"), ("ýÿŷ", "y"),
+    ("ŹŻŽ", "Z"), ("źżž", "z"),
+)
+FOLD_SRC = "".join(src for src, _ in _FOLD_1TO1)
+FOLD_DST = "".join(dst * len(src) for src, dst in _FOLD_1TO1)
+FOLD_MULTI: tuple[tuple[str, str], ...] = (
+    ("Æ", "AE"), ("æ", "ae"), ("Œ", "OE"), ("œ", "oe"),
+    ("ß", "ss"), ("Þ", "TH"), ("þ", "th"), ("Ĳ", "IJ"), ("ĳ", "ij"),
+)
+_FOLD_TRANS = str.maketrans(FOLD_SRC, FOLD_DST)
+
+
+def fold_series(s: pd.Series) -> pd.Series:
+    """ASCII-fold a pandas string series (vectorized)."""
+    s = s.str.translate(_FOLD_TRANS)
+    for a, b in FOLD_MULTI:
+        s = s.str.replace(a, b, regex=False)
+    return s
+
+
+def fold_col(col: "Column") -> "Column":
+    """ASCII-fold as a pure Catalyst column (whole-stage codegen)."""
+    c = F.translate(col, FOLD_SRC, FOLD_DST)
+    for a, b in FOLD_MULTI:
+        c = F.replace(c, F.lit(a), F.lit(b))
+    return c
+
+
+def duckdb_fold_sql(col: str) -> str:
+    """Identical fold as a DuckDB SQL fragment (oracle side)."""
+    expr = f"translate({col}, '{FOLD_SRC}', '{FOLD_DST}')"
+    for a, b in FOLD_MULTI:
+        expr = f"replace({expr}, '{a}', '{b}')"
+    return expr
+
+
 # RE2 / Java / Python compatible pieces of the spec.
 RE_POSSESSIVE = r"'[sS]\b"
 RE_CAMEL_A = r"([a-z0-9])([A-Z])"
@@ -192,11 +258,88 @@ def porter_stem(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# T7 — KStem (Krovetz 1993 "Viewing morphology as an inference
+# process"). The reference wired Lucene's KStemFilter in the unused
+# CustomAnalyzer.java:36 and abandoned it (MAP 0.22 vs 0.3044,
+# GROUP_12.pdf §5.2.1), so no parity target exists; this is the
+# algorithmic core — plural / past-tense / -ing conflation that
+# returns dictionary-looking words — with a pinned exception lexicon
+# standing in for Lucene's bundled 30k-headword dictionary (documented
+# divergence: rare lexicon-dependent words may stem differently).
+# ---------------------------------------------------------------------------
+
+_KSTEM_EXC = {
+    # irregular plurals / participles the rules below cannot derive
+    "children": "child", "men": "man", "women": "woman", "feet": "foot",
+    "geese": "goose", "mice": "mouse", "teeth": "tooth", "people": "person",
+    "dying": "die", "lying": "lie", "tying": "tie",
+    "goes": "go", "does": "do", "gases": "gas",
+    # lexicon-protected words (KStem leaves words already in its dict)
+    "series": "series", "species": "species", "news": "news",
+    "analysis": "analysis", "basis": "basis", "bias": "bias",
+    "this": "this", "is": "is", "its": "its", "as": "as", "us": "us",
+    "sing": "sing", "bring": "bring", "thing": "thing", "king": "king",
+    "string": "string", "spring": "spring", "during": "during",
+    "seed": "seed", "feed": "feed", "speed": "speed", "need": "need",
+}
+# undouble these after -ed/-ing stripping ("fitted"->"fit"); l/s/z stay
+# doubled ("called"->"call", "passed"->"pass", "buzzing"->"buzz")
+_KSTEM_UNDOUBLE = frozenset("bdgmnprt")
+
+
+@functools.lru_cache(maxsize=1 << 20)
+def kstem(w: str) -> str:
+    """Krovetz-style light stemmer (see block comment above). Pure
+    function, memoized like :func:`porter_stem`."""
+    if len(w) <= 3 or any(ch.isdigit() for ch in w):
+        return w
+    if w in _KSTEM_EXC:
+        return _KSTEM_EXC[w]
+
+    def _recode(stem: str) -> str:
+        # after -ed/-ing removal: undouble ("planned"->"plan") or
+        # e-restore CVC stems ("used"->"use", "making"->"make")
+        if (len(stem) >= 2 and stem[-1] == stem[-2]
+                and stem[-1] in _KSTEM_UNDOUBLE):
+            return stem[:-1]
+        if len(stem) <= 2 or (_measure(stem) == 1 and _cvc(stem)):
+            return stem + "e"                       # "used"->"use"
+        return stem
+
+    # plural step
+    if w.endswith("ies") and len(w) > 4:
+        return w[:-3] + "y"
+    if w.endswith("es") and len(w) > 3:
+        if w.endswith(("xes", "ches", "shes", "sses", "zes")):
+            return w[:-2]
+        return w[:-1]
+    if w.endswith("s") and not w.endswith(("ss", "us", "is")):
+        return w[:-1]
+    # past tense
+    if w.endswith("ied") and len(w) > 4:
+        return w[:-3] + "y"
+    if w.endswith("eed"):
+        return w[:-1] if len(w) > 5 else w          # "agreed"->"agree"
+    if w.endswith("ed") and _has_vowel(w[:-2]):
+        return _recode(w[:-2])
+    # present participle
+    if w.endswith("ying") and len(w) > 5:
+        return w[:-4] + "y"
+    if w.endswith("ing") and len(w) > 4 and _has_vowel(w[:-3]):
+        return _recode(w[:-3])
+    return w
+
+
+# ---------------------------------------------------------------------------
 # Implementation 1: vectorized pandas UDF (hot path)
 # ---------------------------------------------------------------------------
 
-def _tokenize_series(s: pd.Series, stem: bool, keep_stopwords: bool) -> pd.Series:
+def _tokenize_series(s: pd.Series, stem: bool, keep_stopwords: bool,
+                     ascii_fold: bool = False,
+                     stemmer: str = "porter") -> pd.Series:
     s = s.fillna("")
+    if ascii_fold:                                  # T6 (step 0)
+        s = fold_series(s)
     s = s.str.replace(RE_POSSESSIVE, "", regex=True)
     s = s.str.replace(RE_CAMEL_A, r"\1 \2", regex=True)
     s = s.str.replace(RE_CAMEL_B, r"\1 \2", regex=True)
@@ -205,13 +348,15 @@ def _tokenize_series(s: pd.Series, stem: bool, keep_stopwords: bool) -> pd.Serie
     if keep_stopwords and not stem:
         return toks
     if stem:
+        fn = porter_stem if stemmer == "porter" else kstem
         return toks.map(
-            lambda ts: [porter_stem(t) for t in ts if keep_stopwords or t not in _STOPSET]
+            lambda ts: [fn(t) for t in ts if keep_stopwords or t not in _STOPSET]
         )
     return toks.map(lambda ts: [t for t in ts if t not in _STOPSET])
 
 
-def tokenize_pandas_udf(stem: bool = False, keep_stopwords: bool = False):
+def tokenize_pandas_udf(stem: bool = False, keep_stopwords: bool = False,
+                        ascii_fold: bool = False, stemmer: str = "porter"):
     """Return a pandas UDF column function: string col -> array<string>.
 
     Vectorized per Arrow batch (pandas ``.str`` regex kernels); the only
@@ -221,15 +366,17 @@ def tokenize_pandas_udf(stem: bool = False, keep_stopwords: bool = False):
 
     @F.pandas_udf(ArrayType(StringType()))
     def _tok(s: pd.Series) -> pd.Series:
-        return _tokenize_series(s, stem, keep_stopwords)
+        return _tokenize_series(s, stem, keep_stopwords, ascii_fold, stemmer)
 
     return _tok
 
 
 def tokenize_texts(texts: Iterable[str], stem: bool = False,
-                   keep_stopwords: bool = False) -> List[List[str]]:
+                   keep_stopwords: bool = False, ascii_fold: bool = False,
+                   stemmer: str = "porter") -> List[List[str]]:
     """Driver-side tokenization (query strings, tests). Same spec."""
-    return _tokenize_series(pd.Series(list(texts), dtype=object), stem, keep_stopwords).tolist()
+    return _tokenize_series(pd.Series(list(texts), dtype=object), stem,
+                            keep_stopwords, ascii_fold, stemmer).tolist()
 
 
 # NOTE: a struct-returning "tokenize + per-doc tf pre-aggregation" UDF
@@ -243,10 +390,13 @@ def tokenize_texts(texts: Iterable[str], stem: bool = False,
 # Implementation 2: pure Catalyst column expression (no Python at all)
 # ---------------------------------------------------------------------------
 
-def tokens_col(col: Column, keep_stopwords: bool = False) -> Column:
+def tokens_col(col: Column, keep_stopwords: bool = False,
+               ascii_fold: bool = False) -> Column:
     """Tokenizer as a built-in-function column: stays in whole-stage
     codegen, no UDF. No stemming variant (stemming is parity-mode only).
     """
+    if ascii_fold:
+        col = fold_col(col)
     c = F.regexp_replace(col, RE_POSSESSIVE, "")
     c = F.regexp_replace(c, RE_CAMEL_A, r"$1 $2")
     c = F.regexp_replace(c, RE_CAMEL_B, r"$1 $2")
@@ -262,9 +412,11 @@ def tokens_col(col: Column, keep_stopwords: bool = False) -> Column:
 # Implementation 3: DuckDB oracle SQL fragment
 # ---------------------------------------------------------------------------
 
-def duckdb_clean_sql(col: str) -> str:
+def duckdb_clean_sql(col: str, ascii_fold: bool = False) -> str:
     """SQL expression producing the cleaned, lowercased string whose
     ``[a-z0-9]+`` runs are the tokens. RE2-safe."""
+    if ascii_fold:
+        col = duckdb_fold_sql(col)
     return (
         "lower(regexp_replace(regexp_replace(regexp_replace("
         f"{col}, '''[sS]\\b', '', 'g'), "

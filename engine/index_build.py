@@ -218,6 +218,8 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     codec: str = "vb",
     stem: bool = False,
+    stemmer: str = "porter",
+    ascii_fold: bool = False,
     k1: float = K1,
     b: float = B,
     overwrite: bool = False,
@@ -265,10 +267,11 @@ def build_index(
         # variant (identical semantics — tested 3-way vs DuckDB) is
         # used when stemming is on; both are SURVEY.md §2.3 T1-T5.
         if stem:
-            tok = tokenize_pandas_udf(stem=True)
+            tok = tokenize_pandas_udf(stem=True, ascii_fold=ascii_fold,
+                                      stemmer=stemmer)
             tokens = tok(F.col("content"))
         else:
-            tokens = tokens_col(F.col("content"))
+            tokens = tokens_col(F.col("content"), ascii_fold=ascii_fold)
         toks = (docs
                 .select("doc_id", tokens.alias("tokens"))
                 .select("doc_id",
@@ -325,7 +328,8 @@ def build_index(
             "total_tokens": total_tokens,
             "n_buckets": n_buckets, "split_threshold": split_threshold,
             "block_size": block_size, "codec": codec,
-            "k1": k1, "b": b, "stem": stem,
+            "k1": k1, "b": b, "stem": stem, "stemmer": stemmer,
+            "ascii_fold": ascii_fold,
         }
         spark.createDataFrame([json.dumps(stats)], "string") \
             .toDF("stats_json").write.mode("overwrite").parquet(p["stats"])

@@ -6,8 +6,8 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from engine.analysis import (
-    STOPWORDS, duckdb_clean_sql, duckdb_stoplist_sql, porter_stem,
-    tokenize_pandas_udf, tokenize_texts, tokens_col,
+    FOLD_DST, FOLD_SRC, STOPWORDS, duckdb_clean_sql, duckdb_stoplist_sql,
+    kstem, porter_stem, tokenize_pandas_udf, tokenize_texts, tokens_col,
 )
 
 CASES = {
@@ -72,6 +72,57 @@ def test_three_way_equivalence(spark):
     """).fetchall()
     duck_out = [list(r[1]) for r in duck]
     assert udf_out == col_out == duck_out
+
+
+def test_kstem_hand_cases():
+    """T7 — Krovetz-style conflation returns dictionary-looking words
+    (unlike Porter: kstem('policies')=='policy', porter=='polici')."""
+    cases = {
+        "cats": "cat", "policies": "policy", "boxes": "box",
+        "churches": "church", "classes": "class", "races": "race",
+        "buzzes": "buzz", "tried": "try", "carried": "carry",
+        "agreed": "agree", "feed": "feed", "fitted": "fit",
+        "planned": "plan", "called": "call", "passed": "pass",
+        "used": "use", "moved": "move", "hoped": "hope",
+        "running": "run", "making": "make", "sing": "sing",
+        "string": "string", "children": "child", "series": "series",
+        "tennis": "tennis", "campus": "campus", "goes": "go",
+        "dying": "die", "ties": "tie", "news": "news", "basis": "basis",
+        "utf8": "utf8",  # digit guard: identifiers never stem
+    }
+    for w, want in cases.items():
+        assert kstem(w) == want, (w, kstem(w))
+    assert porter_stem("policies") == "polici"  # the KStem difference
+
+
+def test_ascii_fold_three_way_equivalence(spark):
+    """T6 — the fold+tokenize chain agrees across pandas UDF, Catalyst
+    translate()/replace(), and the DuckDB oracle fragment."""
+    import duckdb as _dd
+    texts = ["café naïve Zürich", "Łódź Ærøskøbing straße",
+             "ĲsselmeerÇağrı İstanbul", "plain ascii stays",
+             FOLD_SRC]  # every pinned 1:1 mapping in one row
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf).orderBy("i")
+    udf_out = [r[0] for r in
+               sdf.select(tokenize_pandas_udf(ascii_fold=True)("text")).collect()]
+    col_out = [r[0] for r in
+               sdf.select(tokens_col(F.col("text"), ascii_fold=True)).collect()]
+    con = _dd.connect()
+    con.register("t", pdf)
+    duck = con.sql(f"""
+      SELECT i, [x for x in regexp_split_to_array(
+             {duckdb_clean_sql("text", ascii_fold=True)},
+             '[^a-z0-9]+') if x <> '' and x not in {duckdb_stoplist_sql()}]
+      FROM t ORDER BY i
+    """).fetchall()
+    duck_out = [list(r[1]) for r in duck]
+    assert udf_out == col_out == duck_out
+    assert udf_out[0] == ["cafe", "naive", "zurich"]
+    # folded uppercase participates in camel splitting: Ĳ→"IJ" then
+    # camel-B splits "IJsselmeer"→"I Jsselmeer"; "...Çağrı İ..."→camel-A
+    assert udf_out[2] == ["i", "jsselmeer", "cagri", "istanbul"]
+    assert len(FOLD_SRC) == len(FOLD_DST)
 
 
 def test_python_xxhash64_matches_spark(spark):
