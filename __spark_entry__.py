@@ -80,6 +80,21 @@ WILDCARD_QUERIES: list[tuple[str, str]] = [
 MLT_SEEDS = [0, 1, 2]
 MLT_TERMS = 10
 
+# Generic BooleanQuery clauses (qid, must, should, must_not) and the
+# remaining MultiTermQuery rewrites (RegexpQuery, TermRangeQuery)
+BOOLEAN_QUERIES: list[tuple[str, list[str], list[str], list[str]]] = [
+    ("b1", ["merge"], ["sort", "fast"], ["hash"]),
+    ("b2", ["hash", "join"], [], ["window"]),
+    ("b3", [], ["vector", "batch"], ["merge", "sort"]),
+    ("b4", ["customer"], ["table"], []),
+]
+REGEXP_QUERIES: list[tuple[str, str]] = [
+    ("rx1", "mer[a-z]*"), ("rx2", "[a-z]+[0-9]+"), ("rx3", "wind(ow)?s?"),
+]
+RANGE_QUERIES: list[tuple[str, str, str]] = [
+    ("rg1", "merge", "mergf"), ("rg2", "win", "wio"), ("rg3", "zz", "zzzz"),
+]
+
 INDEX_VERSION = "v3"  # v3: block-framed blobs + block_off (sliceable runs)
 
 # target per-lang mixture rates for the deterministic sampling op
@@ -730,6 +745,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .where(F.col("rank") <= k)
                 .select("qid", "doc_id", r.alias("score"), "rank"))
 
+    def boolean_query_topk(spark, sf_dir):
+        """Generic Lucene BooleanQuery (MUST/SHOULD/MUST_NOT) with BM25
+        scoring over must+should occurrences; gate and score share one
+        postings decode (engine/search.py:boolean_topk)."""
+        from engine.search import boolean_topk as _bt
+
+        idx = _cached_index(spark, sf_dir)
+        return _rounded_rerank(_bt(idx, BOOLEAN_QUERIES, TOPK + 50), TOPK)
+
+    def regexp_topk(spark, sf_dir):
+        """Lucene RegexpQuery rewrite: full-match dictionary scan →
+        bucket-pruned BM25 scoring (RE2-safe patterns only)."""
+        from engine.search import regexp_topk as _rt
+
+        idx = _cached_index(spark, sf_dir)
+        return _rounded_rerank(_rt(idx, REGEXP_QUERIES, TOPK + 50), TOPK)
+
+    def term_range_topk(spark, sf_dir):
+        """Lucene TermRangeQuery rewrite: [lo, hi) dictionary scan →
+        BM25 scoring (rg3 matches nothing — empty-result path)."""
+        from engine.search import term_range_topk as _tr
+
+        idx = _cached_index(spark, sf_dir)
+        return _rounded_rerank(_tr(idx, RANGE_QUERIES, TOPK + 50), TOPK)
+
     def prefix_topk(spark, sf_dir):
         """Lucene PrefixQuery rewrite: BM25 over all vocabulary terms
         with the prefix."""
@@ -953,6 +993,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": facet_counts,
         "score_explain": score_explain,
         "ascii_fold_tf": ascii_fold_tf,
+        "boolean_query_topk": boolean_query_topk,
+        "regexp_topk": regexp_topk,
+        "term_range_topk": term_range_topk,
     }
 
 
@@ -1239,6 +1282,78 @@ matched AS (
   JOIN dfs ON dfs.term = tf.term
   JOIN dl ON tf.doc_id = dl.doc_id, stats
   GROUP BY qp.qid, tf.doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM matched) t
+WHERE rank <= {TOPK}
+"""
+    bq_score = ", ".join(f"('{q}', '{t}')" for q, m, s, _n in BOOLEAN_QUERIES
+                         for t in sorted(set(m) | set(s)))
+    bq_must = ", ".join(f"('{q}', '{t}')" for q, m, _s, _n in BOOLEAN_QUERIES
+                        for t in sorted(set(m)))
+    bq_not = ", ".join(f"('{q}', '{t}')" for q, _m, _s, n in BOOLEAN_QUERIES
+                       for t in sorted(set(n)))
+    bq_nm = ", ".join(f"('{q}', {len(set(m))})"
+                      for q, m, _s, _n in BOOLEAN_QUERIES)
+    sql["boolean_query_topk"] = f"""
+WITH {fts},
+sq(qid, term) AS (VALUES {bq_score}),
+mq(qid, term) AS (VALUES {bq_must}),
+nq(qid, term) AS (VALUES {bq_not}),
+nm(qid, n_must) AS (VALUES {bq_nm}),
+cand AS (SELECT DISTINCT sq.qid, tf.doc_id FROM sq JOIN tf USING (term)),
+mhit AS (SELECT mq.qid, tf.doc_id, count(DISTINCT tf.term) AS n_hit
+         FROM mq JOIN tf USING (term) GROUP BY mq.qid, tf.doc_id),
+elig AS (
+  SELECT c.qid, c.doc_id FROM cand c
+  JOIN nm ON nm.qid = c.qid
+  LEFT JOIN mhit m ON m.qid = c.qid AND m.doc_id = c.doc_id
+  WHERE coalesce(m.n_hit, 0) = nm.n_must
+    AND NOT EXISTS (SELECT 1 FROM nq JOIN tf t2 USING (term)
+                    WHERE nq.qid = c.qid AND t2.doc_id = c.doc_id)),
+matched AS (
+  SELECT sq.qid, tf.doc_id, sum({score}) AS s
+  FROM sq JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY sq.qid, tf.doc_id),
+gated AS (SELECT m.* FROM matched m
+          JOIN elig e ON e.qid = m.qid AND e.doc_id = m.doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM gated) t
+WHERE rank <= {TOPK}
+"""
+    rxv = ", ".join(f"('{q}', '{p}')" for q, p in REGEXP_QUERIES)
+    sql["regexp_topk"] = f"""
+WITH {fts},
+qr(qid, pat) AS (VALUES {rxv}),
+matched AS (
+  SELECT qr.qid, tf.doc_id, sum({score}) AS s
+  FROM qr JOIN tf ON regexp_matches(tf.term, '^(?:' || qr.pat || ')$')
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY qr.qid, tf.doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM matched) t
+WHERE rank <= {TOPK}
+"""
+    rgv = ", ".join(f"('{q}', '{lo}', '{hi}')" for q, lo, hi in RANGE_QUERIES)
+    sql["term_range_topk"] = f"""
+WITH {fts},
+qg(qid, lo, hi) AS (VALUES {rgv}),
+matched AS (
+  SELECT qg.qid, tf.doc_id, sum({score}) AS s
+  FROM qg JOIN tf ON tf.term >= qg.lo AND tf.term < qg.hi
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY qg.qid, tf.doc_id)
 SELECT qid, doc_id, {r4} AS score, rank FROM (
   SELECT qid, doc_id, s,
          row_number() OVER (PARTITION BY qid

@@ -808,6 +808,136 @@ def expand_fuzzy_terms(index: Index, queries: Sequence[tuple[str, str]],
     return [(r["qid"], r["term"], 1.0) for r in rows]
 
 
+def expand_regexp_terms(index: Index,
+                        queries: Sequence[tuple[str, str]]) -> QueryTerms:
+    """Regexp rewrite (Lucene RegexpQuery's scoring-boolean rewrite):
+    enumerate vocabulary terms whose ENTIRE text matches the pattern
+    (Lucene anchors implicitly; we anchor explicitly). Distributed
+    dictionary scan over termstats, like the prefix/wildcard/fuzzy
+    rewrites. Patterns must stay in the RE2-safe subset (no
+    lookaround) so the DuckDB oracle can reproduce the scan."""
+    pats = [(q, f"^(?:{p})$") for q, p in queries]
+    qdf = index.spark.createDataFrame(pats, "qid string, pat string")
+    rows = (index.termstats.select("term")
+            .join(F.broadcast(qdf), F.expr("term RLIKE pat"))
+            .select("qid", "term").collect())
+    return [(r["qid"], r["term"], 1.0) for r in rows]
+
+
+def regexp_topk(index: Index, queries: Sequence[tuple[str, str]],
+                k: int) -> DataFrame:
+    """BM25 top-k for regexp queries (dictionary rewrite)."""
+    return score_exhaustive(index, expand_regexp_terms(index, queries), k)
+
+
+def expand_range_terms(index: Index,
+                       queries: Sequence[tuple[str, str, str]]) -> QueryTerms:
+    """Term-range rewrite (Lucene TermRangeQuery): every vocabulary
+    term in [lo, hi) by codepoint order — lo inclusive, hi exclusive
+    (Lucene's includeLower=true/includeUpper=false form). Same
+    distributed dictionary scan as the other MultiTermQuery rewrites."""
+    qdf = index.spark.createDataFrame(list(queries),
+                                      "qid string, lo string, hi string")
+    rows = (index.termstats.select("term")
+            .join(F.broadcast(qdf),
+                  (F.col("term") >= F.col("lo")) & (F.col("term") < F.col("hi")))
+            .select("qid", "term").collect())
+    return [(r["qid"], r["term"], 1.0) for r in rows]
+
+
+def term_range_topk(index: Index, queries: Sequence[tuple[str, str, str]],
+                    k: int) -> DataFrame:
+    """BM25 top-k for term-range queries (dictionary rewrite)."""
+    return score_exhaustive(index, expand_range_terms(index, queries), k)
+
+
+BooleanClauses = Sequence[tuple[str, Sequence[str], Sequence[str],
+                                Sequence[str]]]
+
+
+def boolean_topk(index: Index, queries: BooleanClauses, k: int,
+                 k1: float | None = None,
+                 b: float | None = None) -> DataFrame:
+    """Generic Lucene BooleanQuery analog — each query is
+    (qid, must, should, must_not).
+
+    Semantics (Lucene BooleanWeight, minimumNumberShouldMatch=0):
+    a doc matches iff it contains ALL ``must`` terms, NONE of the
+    ``must_not`` terms, and — when ``must`` is empty — at least one
+    ``should`` term (matching is what creates scoring rows, so that
+    holds structurally; pure-negation queries are unsatisfiable, as
+    in Lucene). Score = Σ BM25 over the doc's must+should occurrences;
+    must_not never contributes.
+
+    Plan shape: ONE decode of the scoring terms' postings feeds both
+    the must-count gate and the score aggregation (same (qid, doc_id)
+    shuffle keys, so the exchange is reused); must_not lists are
+    decoded separately (they are not in the scoring set) and applied
+    as a left_anti join. Everything is bucket-pruned + broadcast on
+    the query side like the other query paths.
+    Returns (qid, doc_id, score, rank) ordered by (qid, rank).
+    """
+    spark = index.spark
+    score_qt = [(q, t, 1.0) for q, m, s, _n in queries
+                for t in sorted(set(m) | set(s))]
+    matched = _matched_postings(index, score_qt)
+    dec = matched.withColumn("d", decode_udf("blob"))
+    rows = dec.select(
+        "qid", "term", "weight",
+        F.explode(F.arrays_zip("d.doc_ids", "d.tfs", "d.dls")).alias("e"),
+    ).select(
+        "qid", "term", "weight",
+        F.col("e.doc_ids").alias("doc_id"),
+        F.col("e.tfs").alias("tf"),
+        F.col("e.dls").alias("dl"),
+    )
+    # must-count gate over the SAME decoded rows
+    must_pairs = [(q, t) for q, m, _s, _n in queries for t in sorted(set(m))]
+    n_must = [(q, len(set(m))) for q, m, _s, _n in queries]
+    nm = F.broadcast(spark.createDataFrame(n_must,
+                                           "qid string, n_must int"))
+    if must_pairs:
+        mq = F.broadcast(spark.createDataFrame(must_pairs,
+                                               "qid string, term string"))
+        hit = (rows.join(mq, ["qid", "term"])
+               .groupBy("qid", "doc_id")
+               .agg(F.count_distinct("term").alias("n_hit")))
+    else:
+        hit = spark.createDataFrame(
+            [], "qid string, doc_id long, n_hit int")
+    eligible = (rows.select("qid", "doc_id").distinct()
+                .join(hit, ["qid", "doc_id"], "left")
+                .join(nm, "qid")
+                .where(F.coalesce(F.col("n_hit"), F.lit(0))
+                       == F.col("n_must"))
+                .select("qid", "doc_id"))
+    not_qt = [(q, t, 1.0) for q, _m, _s, n in queries for t in sorted(set(n))]
+    if not_qt:
+        not_dec = _matched_postings(index, not_qt) \
+            .withColumn("d", decode_udf("blob"))
+        not_docs = (not_dec
+                    .select("qid", F.explode("d.doc_ids").alias("doc_id"))
+                    .distinct())
+        eligible = eligible.join(not_docs, ["qid", "doc_id"], "left_anti")
+    ts = index.termstats.select("term", "df")
+    srows = rows.join(F.broadcast(
+        ts.join(_query_df(spark, score_qt).select("term").distinct(),
+                "term")), "term")
+    scored = srows.withColumn(
+        "pscore",
+        F.col("weight") * bm25_col(F.col("tf"), F.col("df"), F.col("dl"),
+                                   index.avgdl, float(index.n_docs),
+                                   k1 if k1 is not None else index.stats["k1"],
+                                   b if b is not None else index.stats["b"]))
+    agg = (scored.groupBy("qid", "doc_id").agg(F.sum("pscore").alias("score"))
+           .join(eligible, ["qid", "doc_id"], "left_semi"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", "score", "rank")
+            .orderBy("qid", "rank"))
+
+
 def score_explain(index: Index, query_terms: QueryTerms,
                   doc_ids: Sequence[int],
                   k1: float | None = None,

@@ -212,6 +212,62 @@ def lmd(tf, ctf, dl, total_tokens, mu=2000.0):
     return max(0.0, math.log(1 + tf / (mu * p)) + math.log(mu / (dl + mu)))
 
 
+def test_boolean_topk_semantics(spark, tmp_path):
+    """Generic BooleanQuery (must/should/must_not): membership follows
+    Lucene BooleanWeight; the score is the sum of BM25 over must+should
+    occurrences, hand-checked on one doc."""
+    from engine.search import boolean_topk
+
+    docs = ["apple banana cherry", "apple banana", "apple date",
+            "banana date"]
+    idx = _mini_index(spark, tmp_path, docs, name="boolq")
+    id2doc = {r["doc_id"]: r["path"] for r in
+              idx.docs.select("doc_id", "path").collect()}
+    res = boolean_topk(idx, [
+        ("q1", ["apple"], ["date"], ["cherry"]),   # {0,1,2} − {0} = {1,2}
+        ("q2", [], ["date", "cherry"], []),        # pure-should: {0,2,3}
+        ("q3", [], [], ["apple"]),                 # pure negation: empty
+        ("q4", ["apple", "banana"], [], []),       # pure must: {0,1}
+    ], 10)
+    got = {}
+    rows = res.collect()
+    for r in rows:
+        got.setdefault(r["qid"], set()).add(id2doc[r["doc_id"]])
+    assert got["q1"] == {"f1.py", "f2.py"}
+    assert got["q2"] == {"f0.py", "f2.py", "f3.py"}
+    assert "q3" not in got
+    assert got["q4"] == {"f0.py", "f1.py"}
+    # hand-check q1's top doc f2.py ("apple date"): apple + date both score
+    n, avgdl = 4, idx.avgdl
+    want = bm25(1, 3, 2, avgdl, n) + bm25(1, 2, 2, avgdl, n)
+    sc = {id2doc[r["doc_id"]]: r["score"] for r in rows if r["qid"] == "q1"}
+    assert sc["f2.py"] == pytest.approx(want, abs=1e-12)
+    # must_not term absent from the index is a no-op, not an error
+    res2 = boolean_topk(idx, [("q5", ["apple"], [], ["zzzmissing"])], 10)
+    assert len(res2.collect()) == 3
+
+
+def test_regexp_and_range_rewrites(tiny_index):
+    """Regexp and term-range dictionary rewrites enumerate exactly the
+    matching vocabulary (checked against a Python scan)."""
+    import re
+
+    from engine.search import expand_range_terms, expand_regexp_terms
+
+    vocab = [r["term"] for r in tiny_index.termstats.select("term").collect()]
+    rx = expand_regexp_terms(tiny_index, [("r", "mer.*"), ("r2", "[a-z]+[0-9]")])
+    got = {}
+    for q, t, w in rx:
+        assert w == 1.0
+        got.setdefault(q, set()).add(t)
+    assert got.get("r", set()) == {t for t in vocab if re.fullmatch("mer.*", t)}
+    assert got.get("r2", set()) == \
+        {t for t in vocab if re.fullmatch("[a-z]+[0-9]", t)}
+    rg = expand_range_terms(tiny_index, [("g", "m", "n")])
+    assert {t for _, t, _ in rg} == {t for t in vocab if "m" <= t < "n"}
+    assert rg
+
+
 def test_lmdirichlet_hand_computed(spark, tmp_path):
     """score_lmd matches the pinned Lucene LMDirichletSimilarity formula
     (GROUP_12.pdf §5.2.2) computed by hand: ctf from the corpus, exact
