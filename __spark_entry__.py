@@ -489,6 +489,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    TOPK, m=16, n_centroids=16, rerank=60)
                 .orderBy("qid", "rank"))
 
+    def ann_ivfpq_topk(spark, sf_dir):
+        """IVF-PQ composed ANN (Jégou IVFADC): 16 coarse cells probe 4,
+        residual-encoded 16×16 PQ codebooks, per-cell ADC, exact rerank
+        of the 60-candidate shortlist. Fully deterministic (stride init
+        + 9dp Lloyd means + 6dp distance ranks) → full DuckDB replica
+        oracle."""
+        return (similarity.ivfpq_topk(_emb(spark, sf_dir), ANN_QUERY_IDS,
+                                      TOPK, n_ivf=16, n_probe=4, m=16,
+                                      n_centroids=16, rerank=60)
+                .orderBy("qid", "rank"))
+
     def ann_multiprobe_topk(spark, sf_dir):
         """Multi-probe LSH ANN (own bucket + all Hamming-1 flips),
         exact rerank; deterministic → full oracle. Overfetch + rounded
@@ -957,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_multiprobe_topk": ann_multiprobe_topk,
         "ann_pq_topk": ann_pq_topk,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
         "token_counts": token_counts,
         "quality_scores": quality_scores,
         "lang_id": lang_id,
@@ -1714,6 +1726,84 @@ qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qids})),
 ex AS (SELECT s.qid, s.vec_id, {_l2s('q.qv', 'e.v')} AS ed
        FROM short s JOIN e ON e.vec_id = s.vec_id
        JOIN qv q ON q.qid = s.qid)
+SELECT qid, vec_id, {r6e} AS adist, rank FROM (
+  SELECT qid, vec_id, ed,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r6e} ASC, vec_id)::INT AS rank
+  FROM ex) t
+WHERE rank <= {TOPK}
+"""
+
+    # --- ann_ivfpq_topk: coarse IVF + residual PQ, full replica ------------
+    # composes the ann_ivf_topk coarse k-means CTEs with the ann_pq_topk
+    # codebook CTEs, retrained over RESIDUALS (v − assigned coarse
+    # centroid); ADC joins are restricted to each query's 4 probed cells.
+    sql["ann_ivfpq_topk"] = f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+params AS (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) AS stride FROM e),
+c0 AS (
+  SELECT CAST(floor(vec_id / stride) AS INT) AS centroid_id, v AS cv
+  FROM e, params WHERE vec_id % stride = 0
+  ORDER BY vec_id LIMIT 16),
+{_assign_cte('a1', 'c0')},
+{_mean_cte('c1', 'a1')},
+{_assign_cte('a2', 'c1')},
+{_mean_cte('c2', 'a2')},
+{_assign_cte('af', 'c2')},
+rlong AS (
+  SELECT e.vec_id, af.centroid_id AS cell, g.d, e.v[g.d] - c.cv[g.d] AS rv
+  FROM e JOIN af USING (vec_id)
+  JOIN c2 c ON c.centroid_id = af.centroid_id,
+       generate_series(1, 64) g(d)),
+sub AS (
+  SELECT vec_id, CAST(floor((d - 1) / 4) AS INT) AS sub_id,
+         list(rv ORDER BY d) AS sv
+  FROM rlong GROUP BY vec_id, sub_id),
+pc0 AS (
+  SELECT sub_id, centroid_id, cv FROM (
+    SELECT sub_id, CAST(floor(vec_id / stride) AS INT) AS centroid_id,
+           sv AS cv,
+           row_number() OVER (PARTITION BY sub_id ORDER BY vec_id) AS rn
+    FROM sub, params WHERE vec_id % stride = 0) t
+  WHERE rn <= 16),
+{_pq_assign_cte('pa1', 'pc0')},
+{_pq_mean_cte('pc1', 'pa1')},
+{_pq_assign_cte('pa2', 'pc1')},
+{_pq_mean_cte('pc2', 'pa2')},
+{_pq_assign_cte('paf', 'pc2')},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qids})),
+probes AS (
+  SELECT qid, qv, centroid_id FROM (
+    SELECT q.qid, q.qv, c.centroid_id,
+           row_number() OVER (PARTITION BY q.qid
+               ORDER BY {_cos('q.qv', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN c2 c) t WHERE rn <= 4),
+qrlong AS (
+  SELECT p.qid, p.centroid_id AS cell, g.d, p.qv[g.d] - c.cv[g.d] AS rv
+  FROM probes p JOIN c2 c USING (centroid_id),
+       generate_series(1, 64) g(d)),
+qsub AS (
+  SELECT qid, cell, CAST(floor((d - 1) / 4) AS INT) AS sub_id,
+         list(rv ORDER BY d) AS qsv
+  FROM qrlong GROUP BY qid, cell, sub_id),
+tbl AS (SELECT q.qid, q.cell, c.sub_id, c.centroid_id AS code,
+               {_l2s('q.qsv', 'c.cv')} AS d2
+        FROM qsub q JOIN pc2 c USING (sub_id)),
+cand AS (
+  SELECT t.qid, paf.vec_id, sum(t.d2) AS ad
+  FROM paf JOIN af ON af.vec_id = paf.vec_id
+  JOIN tbl t ON t.cell = af.centroid_id AND t.sub_id = paf.sub_id
+            AND t.code = paf.centroid_id
+  WHERE paf.vec_id <> t.qid
+  GROUP BY t.qid, paf.vec_id),
+short AS (SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY {r6a} ASC, vec_id) AS rn
+    FROM cand) t WHERE rn <= 60),
+ex AS (SELECT s.qid, s.vec_id, {_l2s('q.qv', 'e.v')} AS ed
+       FROM short s JOIN e ON e.vec_id = s.vec_id
+       JOIN q ON q.qid = s.qid)
 SELECT qid, vec_id, {r6e} AS adist, rank FROM (
   SELECT qid, vec_id, ed,
          row_number() OVER (PARTITION BY qid

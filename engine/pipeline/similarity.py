@@ -389,6 +389,96 @@ def pq_encode(emb: DataFrame, cents: DataFrame, m: int,
     return _pq_assign(sub, cents).withColumnRenamed("centroid_id", "code")
 
 
+def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+               n_ivf: int | None = 16, n_probe: int = 4,
+               m: int = 16, n_centroids: int = 16, rerank: int = 60,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """IVF-PQ composed ANN (the Jégou et al. 2011 IVFADC layout — the
+    standard billion-vector index): coarse k-means cells prune the
+    scan to n_probe/n_ivf of the data, PQ codes over RESIDUALS
+    (v − assigned coarse centroid) compress what remains ~dim·8/m×,
+    ADC approximates L2 inside the probed cells only, and the
+    shortlist is exactly reranked against the raw vectors.
+
+    At scale: cell id is the partition key of the codes table, the
+    codebooks (n_ivf·dim + m·K·dsub floats) broadcast, and a query
+    reads n_probe partitions of 1-byte-per-subspace codes — the only
+    full-precision fetch is the ``rerank``-row shortlist.
+
+    Determinism: both k-means stages reuse the seedless stride init +
+    9 dp-rounded Lloyd means (:func:`ivf_centroids`,
+    :func:`pq_codebooks`); residual subtraction is exact IEEE; ADC and
+    rerank distances are 6 dp-rounded before ranking — so the DuckDB
+    oracle replicates the whole pipeline bit-identically.
+    Returns (qid, vec_id, adist, rank), adist = exact L2 of the
+    reranked shortlist, ascending.
+    """
+    from engine.portable import round_half_up
+    from pyspark.sql import Window
+
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    dim = len(base.first()["v"])
+    dsub = dim // m
+    cents = ivf_centroids(emb, n_ivf, id_col=id_col, vec_col=vec_col)
+    assigned = _assign_to_centroids(base, cents)
+    resid = (base.join(assigned, "vec_id")
+             .join(F.broadcast(cents), "centroid_id")
+             .select("vec_id", "centroid_id",
+                     F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"))
+             .persist())
+    pq_cents = pq_codebooks(resid, m, n_centroids,
+                            id_col="vec_id", vec_col="rv")
+    codes = (pq_encode(resid, pq_cents, m, id_col="vec_id", vec_col="rv")
+             .join(assigned, "vec_id"))  # (vec_id, sub_id, code, centroid_id)
+    q = (base.where(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos"),
+                                           F.asc("centroid_id"))
+    probes = (qc.withColumn("r", F.row_number().over(wq))
+              .where(F.col("r") <= n_probe)
+              .select("qid", "centroid_id", "qv", "cv"))
+    # per-(query, probed cell) residual query, sliced into subvectors
+    qres = probes.select(
+        "qid", "centroid_id",
+        F.zip_with("qv", "cv", lambda a, b: a - b).alias("rqv"))
+    subs = F.array(*[
+        F.struct(F.lit(s).alias("sub_id"),
+                 F.slice(F.col("rqv"), s * dsub + 1, dsub).alias("qsv"))
+        for s in range(m)])
+    qsub = (qres.select("qid", "centroid_id", F.explode(subs).alias("e"))
+            .select("qid", "centroid_id", F.col("e.sub_id").alias("sub_id"),
+                    F.col("e.qsv").alias("qsv")))
+    pqc = pq_cents.select("sub_id", F.col("centroid_id").alias("code"),
+                          F.col("cv").alias("pcv"))
+    # ADC table: nq × n_probe × m × K sub-distances — tiny; broadcast
+    table = (qsub.join(F.broadcast(pqc), "sub_id")
+             .withColumn("d2", _l2("qsv", "pcv"))
+             .select("qid", "centroid_id", "sub_id", "code", "d2"))
+    cand = (codes.join(F.broadcast(table), ["centroid_id", "sub_id", "code"])
+            .where(F.col("vec_id") != F.col("qid"))
+            .groupBy("qid", "vec_id")
+            .agg(F.sum("d2").alias("ad")))
+    ra = round_half_up(F.col("ad"), 6)
+    wa = Window.partitionBy("qid").orderBy(ra.asc(), F.asc("vec_id"))
+    approx = (cand.withColumn("rank", F.row_number().over(wa))
+              .where(F.col("rank") <= rerank))
+    short = (approx.select("qid", "vec_id")
+             .join(base, "vec_id")
+             .join(F.broadcast(q), "qid")
+             .withColumn("ed", _l2("qv", "v")))
+    re = round_half_up(F.col("ed"), 6)
+    we = Window.partitionBy("qid").orderBy(re.asc(), F.asc("vec_id"))
+    out = (short.withColumn("rank", F.row_number().over(we))
+           .where(F.col("rank") <= k)
+           .select("qid", "vec_id", re.alias("adist"), "rank"))
+    out._ivfpq_resid = resid  # cleanup handle (caller may unpersist)
+    return out
+
+
 def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
             m: int = 4, n_centroids: int = 16,
             rerank: int | None = None,

@@ -327,6 +327,51 @@ def test_pq_ann_recall_and_rerank(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_ivfpq_recall_and_determinism(spark):
+    """IVF-PQ (residual-encoded IVFADC): on separable clusters the
+    probed-cell ADC + exact rerank recovers the true L2 top-k; output
+    is deterministic and distances match numpy brute force."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(80):
+        center = np.zeros(16)
+        center[(i % 4) * 4] = 10.0     # 4 well-separated clusters
+        v = center + rng.normal(0, 0.1, 16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # the DF column is float32 — quantize the reference identically
+    V = {i: np.array(v, dtype=np.float32).astype(np.float64)
+         for i, v in rows}
+
+    out = similarity.ivfpq_topk(emb, [0, 1], k=5, n_ivf=4, n_probe=2,
+                                m=4, n_centroids=8, rerank=20).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"],
+                                             r["adist"]))
+    import math
+
+    def l2(a, b):
+        # same dot-product identity AND half-up rounding as the engine
+        # (naive sum((a-b)^2) + banker's round() differ in the last
+        # ulp and flip the 6dp boundary)
+        d = float(np.dot(a, a) - 2 * np.dot(a, b) + np.dot(b, b))
+        return math.floor(d * 1e6 + 0.5) / 1e6
+
+    for q in (0, 1):
+        exact = sorted((l2(V[q], V[i]), i) for i in V if i != q)[:5]
+        ours = sorted(got[q])
+        assert [v for _, v, _ in ours] == [i for _, i in exact], q
+        for (_, _, ad), (ed, _) in zip(ours, exact):
+            assert ad == pytest.approx(ed, abs=1e-9)
+
+    out2 = similarity.ivfpq_topk(emb, [0, 1], k=5, n_ivf=4, n_probe=2,
+                                 m=4, n_centroids=8, rerank=20).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
 # ---------------------------------------------------------------------------
 # Curation ops (engine/pipeline/curation.py)
 # ---------------------------------------------------------------------------
