@@ -94,6 +94,9 @@ REGEXP_QUERIES: list[tuple[str, str]] = [
 RANGE_QUERIES: list[tuple[str, str, str]] = [
     ("rg1", "merge", "mergf"), ("rg2", "win", "wio"), ("rg3", "zz", "zzzz"),
 ]
+SPANFIRST_QUERIES: list[tuple[str, str, int]] = [
+    ("sp1", "merge", 6), ("sp2", "customer", 4), ("sp3", "window", 2),
+]
 
 INDEX_VERSION = "v3"  # v3: block-framed blobs + block_off (sliceable runs)
 
@@ -844,6 +847,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         build_positions(spark, idx.index_dir)
         return phrase_match(idx, PHRASE_QUERIES)
 
+    def span_first(spark, sf_dir):
+        """Lucene SpanFirstQuery analog: first gap-numbered occurrence
+        of the term must end within the per-query limit (shuffle-free:
+        scan → broadcast join → per-row filter)."""
+        from engine.positions import build_positions, span_first_match
+
+        idx = _cached_index(spark, sf_dir)
+        build_positions(spark, idx.index_dir)
+        return span_first_match(idx, SPANFIRST_QUERIES)
+
     def proximity_hits(spark, sf_dir):
         """Unordered proximity retrieval (first term anchors; all other
         terms within |Δpos| ≤ PROX_WINDOW)."""
@@ -983,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": tfidf_top_terms,
         "event_window_counts": event_window_counts,
         "phrase_hits": phrase_hits,
+        "span_first": span_first,
         "proximity_hits": proximity_hits,
         "filtered_topk": filtered_topk,
         "dedup_components": dedup_components,
@@ -1338,6 +1352,16 @@ SELECT qid, doc_id, {r4} AS score, rank FROM (
              ORDER BY {r4} DESC, doc_id)::INT AS rank
   FROM gated) t
 WHERE rank <= {TOPK}
+"""
+    spv = ", ".join(f"('{q}', '{t}', {lim})"
+                    for q, t, lim in SPANFIRST_QUERIES)
+    sql["span_first"] = f"""
+WITH {_sql_positions_ctes()},
+qv(qid, term, lim) AS (VALUES {spv}),
+fp AS (SELECT qv.qid, pt.doc_id, qv.lim, min(pt.pos)::BIGINT AS first_pos
+       FROM qv JOIN pt USING (term)
+       GROUP BY qv.qid, pt.doc_id, qv.lim)
+SELECT qid, doc_id, first_pos FROM fp WHERE first_pos + 1 <= lim
 """
     rxv = ", ".join(f"('{q}', '{p}')" for q, p in REGEXP_QUERIES)
     sql["regexp_topk"] = f"""

@@ -333,6 +333,40 @@ def phrase_topk(index: Index, phrases: Sequence[tuple[str, str]],
             .orderBy("qid", "rank"))
 
 
+def span_first_match(index: Index,
+                     queries: Sequence[tuple[str, str, int]]) -> DataFrame:
+    """Lucene SpanFirstQuery analog: docs whose first occurrence of the
+    (analyzed) term lies within the stream's first ``limit`` positions
+    — the single-term span's end (first_pos + 1) must be ≤ limit, over
+    the same gap-numbered positions the phrase plan uses (stopwords
+    consume a position). queries: (qid, term_text, limit).
+
+    Plan: bucket-pruned positions scan + broadcast query join; the
+    predicate is per-row (``element_at(positions, 1)`` — the build
+    sorts each doc's position list ascending), so there is NO shuffle
+    at all: scan → broadcast-join → filter → project.
+    Returns (qid, doc_id, first_pos) ordered.
+    """
+    stem = bool(index.stats.get("stem"))
+    qrows = []
+    for qid, text, limit in queries:
+        toks = tokenize_texts([text], stem=stem)[0]
+        if toks:
+            qrows.append((qid, toks[0], int(limit)))
+    spark = index.spark
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid string, doc_id long, first_pos long")
+    qdf = spark.createDataFrame(qrows, "qid string, term string, lim int")
+    pos = _positions_df(index, sorted({t for _, t, _ in qrows}))
+    return (pos.join(F.broadcast(qdf), "term")
+            .withColumn("first_pos",
+                        F.element_at("positions", 1).cast("long"))
+            .where(F.col("first_pos") + 1 <= F.col("lim"))
+            .select("qid", "doc_id", "first_pos")
+            .orderBy("qid", "doc_id"))
+
+
 def snippets(index: Index, hits: DataFrame,
              query_terms: Sequence[tuple[str, str]],
              width: int = 5) -> DataFrame:

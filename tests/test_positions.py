@@ -212,3 +212,28 @@ def test_snippets_window(spark, tmp_path):
     # doc 1: "target" at position 0 → window clamps at the left edge
     assert out[1]["first_pos"] == 0
     assert out[1]["snippet"] == "target at start"  # stopwords kept in stream
+
+
+def test_span_first_vs_bruteforce(pos_index, doc_contents):
+    """SpanFirstQuery analog: first gap-numbered occurrence must end
+    within the limit; checked against a Python position-map scan."""
+    from engine.positions import span_first_match
+
+    # pick two terms that exist in the corpus vocabulary
+    vocab = [r["term"] for r in
+             pos_index.termstats.select("term").orderBy("term").limit(50)
+             .collect()]
+    t1, t2 = vocab[0], vocab[len(vocab) // 2]
+    queries = [("s1", t1, 5), ("s2", t2, 12), ("s3", t1, 1)]
+    res = span_first_match(pos_index, queries).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r["qid"], {})[r["doc_id"]] = r["first_pos"]
+    for qid, term, lim in queries:
+        want = {}
+        for doc_id, content in doc_contents.items():
+            pm = _pos_map(content)
+            ps = pm.get(term, set())
+            if ps and min(ps) + 1 <= lim:
+                want[doc_id] = min(ps)
+        assert got.get(qid, {}) == want, (qid, term, lim)
