@@ -759,6 +759,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .where(F.col("rank") <= k)
                 .select("qid", "doc_id", r.alias("score"), "rank"))
 
+    def count_matches(spark, sf_dir):
+        """IndexSearcher.count analog: distinct matching docs per
+        query, no scoring (TotalHitCountCollector)."""
+        from engine.search import count_matches as _cm
+
+        idx = _cached_index(spark, sf_dir)
+        return _cm(idx, BM25_QUERIES)
+
+    def collection_stats(spark, sf_dir):
+        """Lucene CollectionStatistics: maxDoc / sumTotalTermFreq /
+        avgdl / vocabulary size / total postings from the index's own
+        stats tables."""
+        from engine.search import collection_stats as _cs
+
+        return _cs(_cached_index(spark, sf_dir))
+
+    def field_sorted_topk(spark, sf_dir):
+        """Lucene Sort(SortField) analog: match set ranked by the
+        stored n_chars field (descending), not by score."""
+        from engine.search import field_sorted_topk as _fs
+
+        idx = _cached_index(spark, sf_dir)
+        field = _docs(spark, sf_dir).select(
+            "doc_id", F.col("n_chars").alias("sort_key"))
+        return _fs(idx, BM25_QUERIES, field, TOPK)
+
     def boolean_query_topk(spark, sf_dir):
         """Generic Lucene BooleanQuery (MUST/SHOULD/MUST_NOT) with BM25
         scoring over must+should occurrences; gate and score share one
@@ -1020,6 +1046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_explain": score_explain,
         "ascii_fold_tf": ascii_fold_tf,
         "boolean_query_topk": boolean_query_topk,
+        "count_matches": count_matches,
+        "collection_stats": collection_stats,
+        "field_sorted_topk": field_sorted_topk,
         "regexp_topk": regexp_topk,
         "term_range_topk": term_range_topk,
     }
@@ -1351,6 +1380,38 @@ SELECT qid, doc_id, {r4} AS score, rank FROM (
          row_number() OVER (PARTITION BY qid
              ORDER BY {r4} DESC, doc_id)::INT AS rank
   FROM gated) t
+WHERE rank <= {TOPK}
+"""
+    qidvals = ", ".join(f"('{q}')" for q, _ in BM25_QUERIES)
+    sql["count_matches"] = f"""
+WITH {fts},
+qs(qid) AS (VALUES {qidvals}),
+c AS (SELECT q.qid, count(DISTINCT tf.doc_id)::BIGINT AS n_hits
+      FROM {_sql_values(BM25_QUERIES)} JOIN tf USING (term)
+      GROUP BY q.qid)
+SELECT qs.qid, coalesce(c.n_hits, 0)::BIGINT AS n_hits
+FROM qs LEFT JOIN c USING (qid)
+"""
+    sql["collection_stats"] = f"""
+WITH {fts},
+tot AS (SELECT coalesce(sum(tf), 0)::BIGINT AS total_tokens FROM tf),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+SELECT nd.n_docs, tot.total_tokens,
+       (floor(tot.total_tokens::DOUBLE / nd.n_docs * 1e6 + 0.5) / 1e6)
+         AS avgdl,
+       (SELECT count(*) FROM dfs)::BIGINT AS vocab_size,
+       (SELECT coalesce(sum(df), 0) FROM dfs)::BIGINT AS total_postings
+FROM nd, tot
+"""
+    sql["field_sorted_topk"] = f"""
+WITH {fts},
+hits AS (SELECT DISTINCT q.qid, tf.doc_id
+         FROM {_sql_values(BM25_QUERIES)} JOIN tf USING (term))
+SELECT qid, doc_id, sort_key, rank FROM (
+  SELECT h.qid, h.doc_id, d.n_chars AS sort_key,
+         row_number() OVER (PARTITION BY h.qid
+             ORDER BY d.n_chars DESC, h.doc_id)::INT AS rank
+  FROM hits h JOIN documents d USING (doc_id)) t
 WHERE rank <= {TOPK}
 """
     spv = ", ".join(f"('{q}', '{t}', {lim})"

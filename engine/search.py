@@ -808,6 +808,74 @@ def expand_fuzzy_terms(index: Index, queries: Sequence[tuple[str, str]],
     return [(r["qid"], r["term"], 1.0) for r in rows]
 
 
+def count_matches(index: Index,
+                  queries: Sequence[tuple[str, Sequence[str]]]) -> DataFrame:
+    """``IndexSearcher.count(query)`` analog: the number of distinct
+    documents matching ANY of the query's terms (the weighted-OR match
+    set), without scoring or ranking. Lucene answers this with a
+    TotalHitCountCollector that skips scoring entirely; here the plan
+    is decode → explode doc_ids only (no tf/dl columns) → per-query
+    distinct count. Queries whose terms are all absent return 0 (kept
+    via the left join on the query list). Returns (qid, n_hits)."""
+    spark = index.spark
+    qt = [(q, t, 1.0) for q, terms in queries for t in sorted(set(terms))]
+    qids = spark.createDataFrame([(q,) for q, _ in queries], "qid string")
+    matched = _matched_postings(index, qt)
+    dec = matched.withColumn("d", decode_udf("blob"))
+    counts = (dec.select("qid", F.explode("d.doc_ids").alias("doc_id"))
+              .groupBy("qid")
+              .agg(F.count_distinct("doc_id").alias("n_hits")))
+    return (qids.join(counts, "qid", "left")
+            .select("qid", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+            .orderBy("qid"))
+
+
+def collection_stats(index: Index) -> DataFrame:
+    """Lucene ``CollectionStatistics`` / ``IndexReader`` counters as a
+    one-row DataFrame: maxDoc, sumTotalTermFreq, avg doc length,
+    vocabulary size and total postings — all from the index's own
+    termstats/stats tables (no corpus re-scan). avgdl is rounded to
+    6 dp for engine-stable comparison."""
+    from engine.portable import round_half_up
+
+    ts = (index.termstats
+          .agg(F.count_distinct("term").alias("vocab_size"),
+               F.sum("df").alias("total_postings")))
+    return ts.select(
+        F.lit(index.n_docs).cast("long").alias("n_docs"),
+        F.lit(int(index.stats["total_tokens"])).alias("total_tokens"),
+        round_half_up(F.lit(float(index.avgdl)), 6).alias("avgdl"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("total_postings").cast("long").alias("total_postings"))
+
+
+def field_sorted_topk(index: Index,
+                      queries: Sequence[tuple[str, Sequence[str]]],
+                      field_df: DataFrame, k: int,
+                      descending: bool = True) -> DataFrame:
+    """Lucene ``Sort(SortField)`` analog: the query's match set (docs
+    containing ANY term) ranked by a STORED FIELD instead of the
+    relevance score, ties broken by ascending doc_id.
+
+    ``field_df``: (doc_id, sort_key) — at scale a columnar doc-values
+    table (numeric parquet column), joined to the match set AFTER the
+    distinct, so the wide field column never rides through the
+    postings decode or the distinct shuffle.
+    Returns (qid, doc_id, sort_key, rank) ordered by (qid, rank)."""
+    qt = [(q, t, 1.0) for q, terms in queries for t in sorted(set(terms))]
+    matched = _matched_postings(index, qt)
+    dec = matched.withColumn("d", decode_udf("blob"))
+    hits = (dec.select("qid", F.explode("d.doc_ids").alias("doc_id"))
+            .distinct()
+            .join(field_df.select("doc_id", "sort_key"), "doc_id"))
+    key = F.desc("sort_key") if descending else F.asc("sort_key")
+    w = Window.partitionBy("qid").orderBy(key, F.asc("doc_id"))
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", "sort_key", "rank")
+            .orderBy("qid", "rank"))
+
+
 def expand_regexp_terms(index: Index,
                         queries: Sequence[tuple[str, str]]) -> QueryTerms:
     """Regexp rewrite (Lucene RegexpQuery's scoring-boolean rewrite):

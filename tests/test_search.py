@@ -247,6 +247,31 @@ def test_boolean_topk_semantics(spark, tmp_path):
     assert len(res2.collect()) == 3
 
 
+def test_count_stats_and_field_sort(spark, tmp_path):
+    """IndexSearcher.count / CollectionStatistics / Sort(SortField)
+    analogs, hand-checked on a 3-doc corpus."""
+    from engine.search import (collection_stats, count_matches,
+                               field_sorted_topk)
+
+    docs = ["xx yy", "xx", "zz"]
+    idx = _mini_index(spark, tmp_path, docs, name="cnt")
+    c = {r["qid"]: r["n_hits"] for r in count_matches(
+        idx, [("q1", ["xx"]), ("q2", ["xx", "zz"]),
+              ("q3", ["missing"])]).collect()}
+    assert c == {"q1": 2, "q2": 3, "q3": 0}
+
+    st = collection_stats(idx).collect()[0]
+    assert st["n_docs"] == 3 and st["vocab_size"] == 3
+    assert st["total_tokens"] == 4 and st["total_postings"] == 4
+    assert st["avgdl"] == pytest.approx(4 / 3, abs=1e-6)
+
+    field = idx.docs.select("doc_id",
+                            F.length("content").alias("sort_key"))
+    out = field_sorted_topk(idx, [("q1", ["xx"])], field, 10).collect()
+    keys = [r["sort_key"] for r in out]
+    assert keys == sorted(keys, reverse=True) and len(out) == 2
+
+
 def test_regexp_and_range_rewrites(tiny_index):
     """Regexp and term-range dictionary rewrites enumerate exactly the
     matching vocabulary (checked against a Python scan)."""
