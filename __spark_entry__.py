@@ -936,6 +936,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (curation.pack_sequences(_docs(spark, sf_dir), budget=512)
                 .orderBy("doc_id"))
 
+    def url_domains(spark, sf_dir):
+        """URL/domain curation stage (CCNet/RefinedWeb-style): URLs are
+        injected deterministically (the synthetic corpus has none),
+        then per-doc URL count, sorted distinct domains, and a
+        blocklist flag are computed — the identical injection runs on
+        the oracle side."""
+        from engine.pipeline import curation
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" http://d"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com/p"), (F.col("doc_id") % 3).cast("string"),
+                F.lit(" https://www.site"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".org/q")).alias("text"))
+        st = curation.url_stats(docs)
+        bl = F.array(F.lit("d3.example.com"), F.lit("www.site2.org"))
+        return (st.withColumn(
+            "blocked",
+            F.size(F.array_intersect(F.split("domains", ","), bl)) > 0)
+            .orderBy("doc_id"))
+
     def pii_scrub(spark, sf_dir):
         """PII redaction counts + scrubbed-text hash. The synthetic
         corpus carries no PII, so a deterministic email+IP suffix is
@@ -1038,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": repetition_scores,
         "mixture_sample": mixture_sample,
         "pii_scrub": pii_scrub,
+        "url_domains": url_domains,
         "shared_ngrams": shared_ngrams,
         "pack_layout": pack_layout,
         "wildcard_topk": wildcard_topk,
@@ -1306,6 +1330,26 @@ WHERE u < CASE grp {mix_case} ELSE 1.0 END
     after_em = f"regexp_replace(text, '{em}', '[EMAIL]', 'g')"
     after_ip = f"regexp_replace({after_em}, '{ip}', '[IP]', 'g')"
     after_ph = f"regexp_replace({after_ip}, '{ph}', '[PHONE]', 'g')"
+    sql["url_domains"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' http://d' || (doc_id % 7)::VARCHAR || '.example.com/p'
+              || (doc_id % 3)::VARCHAR || ' https://www.site'
+              || (doc_id % 5)::VARCHAR || '.org/q' AS text
+  FROM documents),
+u AS (SELECT doc_id,
+             regexp_extract_all(text, 'https?://[a-z0-9._/\-]+') AS urls
+      FROM t),
+d AS (SELECT doc_id, len(urls)::BIGINT AS n_urls,
+             list_sort(list_distinct(
+               [regexp_extract(x, 'https?://([a-z0-9.\-]+)', 1)
+                for x in urls])) AS doms
+      FROM u)
+SELECT doc_id, n_urls, array_to_string(doms, ',') AS domains,
+       len(list_filter(doms,
+           x -> x IN ('d3.example.com', 'www.site2.org'))) > 0 AS blocked
+FROM d
+"""
     sql["pii_scrub"] = f"""
 WITH aug AS (
   SELECT doc_id, text || ' mail u' || doc_id::VARCHAR ||

@@ -268,3 +268,43 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
         cur = F.regexp_replace(cur, pat, repl)
     return docs.select(F.col(id_col).alias("doc_id"), *counts,
                        F.md5(cur).alias("clean_hash"))
+
+
+# ---------------------------------------------------------------------------
+# URL / domain ops — the CCNet / RefinedWeb-style first curation stage:
+# extract URLs, aggregate per-doc domains, drop docs hitting a domain
+# blocklist. RE2-safe patterns shared verbatim with the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+URL_RE = r"https?://[a-z0-9._/\-]+"
+DOMAIN_RE = r"https?://([a-z0-9.\-]+)"
+
+
+def url_stats(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-doc URL extraction + domain summary: (doc_id, n_urls,
+    domains) with ``domains`` the sorted distinct domain list joined
+    by ',' (string form keeps the oracle hash stable across engines'
+    array renderings). Narrow per-row transform — zero shuffle; at
+    scale this is the column the domain-level reputation join keys on.
+    """
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+    doms = F.array_sort(F.array_distinct(F.transform(
+        urls, lambda u: F.regexp_extract(u, DOMAIN_RE, 1))))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(urls).cast("long").alias("n_urls"),
+        F.array_join(doms, ",").alias("domains"))
+
+
+def domain_filter(docs: DataFrame, blocklist: list[str],
+                  text_col: str = "text") -> DataFrame:
+    """Drop docs whose extracted URL domains intersect ``blocklist``
+    (broadcast as an in-expression array literal — membership is a
+    per-row filter, no join, no shuffle; at web scale a >100k-domain
+    list becomes a broadcast left_anti join instead)."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+    doms = F.array_distinct(F.transform(
+        urls, lambda u: F.regexp_extract(u, DOMAIN_RE, 1)))
+    bl = F.array(*[F.lit(d) for d in sorted(set(blocklist))])
+    return docs.where(F.size(F.array_intersect(doms, bl)) == 0)

@@ -520,3 +520,24 @@ def test_pack_sequences_parallelism_invariant(spark):
     b = sorted(map(tuple,
                    curation.pack_sequences(df.repartition(8), 16).collect()))
     assert a == b
+
+
+def test_url_stats_and_domain_filter(spark):
+    """URL extraction, domain summary, and blocklist filtering —
+    hand-computed."""
+    from engine.pipeline import curation
+
+    rows = [(0, "see http://a.com/x and https://b.org/y http://a.com/z"),
+            (1, "no urls here"),
+            (2, "tail https://c.net end")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    st = {r["doc_id"]: (r["n_urls"], r["domains"])
+          for r in curation.url_stats(docs).collect()}
+    assert st[0] == (3, "a.com,b.org")
+    assert st[1] == (0, "")
+    assert st[2] == (1, "c.net")
+    kept = sorted(r["doc_id"] for r in
+                  curation.domain_filter(docs, ["a.com"]).collect())
+    assert kept == [1, 2]
+    # blocklist domain that appears nowhere is a no-op
+    assert curation.domain_filter(docs, ["zz.example"]).count() == 3

@@ -107,6 +107,22 @@ def main() -> None:
     plans["stratified hash sampling"] = curation.hash_sample(
         docs, em.MIX_RATES)
 
+    from engine.positions import span_first_match
+    from engine.pipeline.similarity import ivfpq_topk
+    from engine.search import (boolean_topk, count_matches,
+                               field_sorted_topk)
+    plans["generic BooleanQuery (must/should/must_not)"] = boolean_topk(
+        idx, em.BOOLEAN_QUERIES, 10)
+    plans["IVF-PQ ANN (coarse cells + residual ADC + rerank)"] = ivfpq_topk(
+        em._emb(spark, sf_dir), em.ANN_QUERY_IDS, 10)
+    plans["span-first match (positional, shuffle-free)"] = span_first_match(
+        idx, em.SPANFIRST_QUERIES)
+    plans["field-sorted search (doc-values sort)"] = field_sorted_topk(
+        idx, em.BM25_QUERIES,
+        em._docs(spark, sf_dir).select(
+            "doc_id", F.col("n_chars").alias("sort_key")), 10)
+    plans["hit counting (no scoring)"] = count_matches(idx, em.BM25_QUERIES)
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
            f"Generated by `python tools/explain_audit.py {sf_dir}`. "
