@@ -33,9 +33,12 @@ CHECKS = {
 }
 # CartesianProduct is always wrong here. BroadcastNestedLoopJoin is
 # EXPECTED for brute-force cosine (tiny broadcast query side, non-equi
-# self-exclusion predicate) and flagged everywhere else.
+# self-exclusion predicate) and for the IVF-PQ probe step (n_queries ×
+# n_centroids cross join against the broadcast centroid table — both
+# sides tiny by construction); flagged everywhere else.
 RED_FLAGS = ["CartesianProduct"]
-BNLJ_OK = {"brute-force cosine top-k"}
+BNLJ_OK = {"brute-force cosine top-k",
+           "IVF-PQ ANN (coarse cells + residual ADC + rerank)"}
 
 
 def main() -> None:
