@@ -368,6 +368,30 @@ def _cached_index(spark: SparkSession, sf_dir: str):
     return Index(spark, idx_dir)
 
 
+def _cached_deleted_index(spark: SparkSession, sf_dir: str):
+    """A second cached index exercising the DELETE lifecycle: docs with
+    doc_id % 11 == 5 are tombstoned (engine/deletes.py) and physically
+    purged, so searches over it must equal SQL over the corpus WITHOUT
+    those docs — stats (n_docs/avgdl/df) refreshed by the purge."""
+    from engine.deletes import delete_docs, purge_deleted
+    from engine.index_build import build_index
+    from engine.search import Index
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/sfts_{INDEX_VERSION}_del_{tag}"
+    marker = f"{idx_dir}/_PURGED"
+    corpus = _documents_as_corpus(_docs(spark, sf_dir))
+    build_index(spark, corpus, idx_dir, n_buckets=8, n_doc_buckets=1)
+    if not os.path.exists(marker):
+        dead = _docs(spark, sf_dir).where(
+            F.col("doc_id") % 11 == 5).select("doc_id")
+        delete_docs(spark, idx_dir, dead)
+        purge_deleted(spark, idx_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return Index(spark, idx_dir)
+
+
 def _wand_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.search import score_wand
 
@@ -759,6 +783,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .where(F.col("rank") <= k)
                 .select("qid", "doc_id", r.alias("score"), "rank"))
 
+    def deleted_search(spark, sf_dir):
+        """Delete + purge lifecycle (IndexWriter.deleteDocuments →
+        forceMergeDeletes): BM25 top-k over the purged index equals
+        SQL over the corpus without the deleted docs."""
+        from engine.search import score_exhaustive
+
+        idx = _cached_deleted_index(spark, sf_dir)
+        qt = [(q, t, 1.0) for q, terms in BM25_QUERIES for t in terms]
+        return _rounded_rerank(score_exhaustive(idx, qt, TOPK + 50), TOPK)
+
     def count_matches(spark, sf_dir):
         """IndexSearcher.count analog: distinct matching docs per
         query, no scoring (TotalHitCountCollector)."""
@@ -1071,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ascii_fold_tf": ascii_fold_tf,
         "boolean_query_topk": boolean_query_topk,
         "count_matches": count_matches,
+        "deleted_search": deleted_search,
         "collection_stats": collection_stats,
         "field_sorted_topk": field_sorted_topk,
         "regexp_topk": regexp_topk,
@@ -1424,6 +1459,22 @@ SELECT qid, doc_id, {r4} AS score, rank FROM (
          row_number() OVER (PARTITION BY qid
              ORDER BY {r4} DESC, doc_id)::INT AS rank
   FROM gated) t
+WHERE rank <= {TOPK}
+"""
+    sql["deleted_search"] = f"""
+WITH documents AS (SELECT * FROM main.documents WHERE doc_id % 11 <> 5),
+{fts},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({score}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM matched) t
 WHERE rank <= {TOPK}
 """
     qidvals = ", ".join(f"('{q}')" for q, _ in BM25_QUERIES)

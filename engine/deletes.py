@@ -1,0 +1,169 @@
+"""Document deletes: tombstones + physical purge.
+
+Lucene analogs: ``IndexWriter.deleteDocuments`` marks docs in a
+liveDocs bitset and every search skips them; segments keep the dead
+postings until a merge (``forceMergeDeletes``) rewrites them out.
+Here the liveDocs set is a tiny ``tombstones/`` parquet under the
+index dir (append-only — each delete batch is one file), the query
+paths anti-join it (broadcast — the set is small by design between
+purges), and :func:`purge_deleted` is the merge: decode → drop dead
+docIDs → re-encode per (bucket, term), then refresh docs/tf/termstats
+and the global stats, exactly like Lucene's merge recomputing segment
+stats. Scoring BETWEEN delete and purge intentionally keeps the old
+df/avgdl (Lucene behaves the same way: deleted docs still count in
+collection statistics until their segments merge).
+
+At web scale the tombstone set between purges stays bounded (purge
+when it grows past a few % of the corpus); the purge itself is an
+embarrassingly parallel per-(bucket, term) rewrite — the same shape
+as the streaming compaction (engine/streaming.py:compact_deltas).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _tomb_dir(index_dir: str) -> str:
+    return f"{index_dir}/tombstones"
+
+
+def delete_docs(spark: SparkSession, index_dir: str,
+                doc_ids: Sequence[int] | DataFrame) -> int:
+    """Tombstone the given doc_ids (append-only; idempotent on purge —
+    duplicates across batches are fine, the readers distinct()).
+    Returns the number of ids written in this batch."""
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select(F.col("doc_id").cast("long"))
+    else:
+        df = spark.createDataFrame([(int(d),) for d in doc_ids],
+                                   "doc_id long")
+    df.write.mode("append").parquet(_tomb_dir(index_dir))
+    return df.count()
+
+
+def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The distinct tombstoned doc_ids, or None if none exist."""
+    from .index_build import _exists
+
+    if not _exists(spark, _tomb_dir(index_dir)):
+        return None
+    return spark.read.parquet(_tomb_dir(index_dir)) \
+        .select("doc_id").distinct()
+
+
+def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
+    """Physically rewrite the index without the tombstoned docs
+    (forceMergeDeletes): per-(bucket, term) decode → mask → re-encode
+    (terms left with zero postings are dropped), then docs/tf tables
+    filtered, termstats recomputed from the new postings, and the
+    global stats (n_docs, total_tokens, avgdl) refreshed. Directory
+    swaps are rename-aside (same recipe as compact_deltas) so every
+    crash point leaves a live directory. Returns purge metrics."""
+    from .index_build import _ENC_SCHEMA, _paths, load_stats
+    from .postings import BLOCK_SIZE as _BS
+    from .postings import decode_postings, encode_postings
+    from .streaming import _swap_dirs
+
+    t0 = time.time()
+    tomb = load_tombstones(spark, index_dir)
+    if tomb is None:
+        return {"purged": 0, "sec": 0.0}
+    dead = {int(r["doc_id"]) for r in tomb.collect()}
+    if not dead:
+        return {"purged": 0, "sec": 0.0}
+    p = _paths(index_dir)
+    stats = load_stats(spark, index_dir)
+    k1, b = stats["k1"], stats["b"]
+    codec = stats.get("codec", "vb")
+    bs = stats.get("block_size", _BS)
+    # NEW stats first: the re-encode must bake the post-purge avgdl
+    # into the block-max bounds, or WAND pruning under the new avgdl
+    # could skip blocks whose true scores exceed the stale bounds
+    n_docs = (spark.read.parquet(p["docs"])
+              .join(F.broadcast(tomb), "doc_id", "left_anti").count())
+    tok = (spark.read.parquet(p["tf"])
+           .join(F.broadcast(tomb), "doc_id", "left_anti")
+           .agg(F.sum("tf").alias("t")).collect()[0]["t"])
+    total_tokens = int(tok or 0)
+    avgdl = total_tokens / max(n_docs, 1)
+    dead_b = spark.sparkContext.broadcast(np.array(sorted(dead),
+                                                   dtype=np.int64))
+
+    def rewrite_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket, term = int(key[0]), key[1]
+        ds, ts, ls = [], [], []
+        for blob in pdf["blob"]:
+            d, t, dl = decode_postings(bytes(blob))
+            ds.append(d), ts.append(t), ls.append(dl)
+        d = np.concatenate(ds)
+        t = np.concatenate(ts)
+        dl = np.concatenate(ls)
+        order = np.argsort(d, kind="stable")
+        d, t, dl = d[order], t[order], dl[order]
+        keep = ~np.isin(d, dead_b.value)
+        d, t, dl = d[keep], t[keep], dl[keep]
+        if d.size == 0:   # every posting of this term was deleted
+            return pd.DataFrame({
+                c: pd.Series([], dtype=object)
+                for c in ("term", "salt", "df_part", "blob", "block_last",
+                          "block_max_tf", "block_max_w", "block_off",
+                          "bucket")})
+        blob, last, mtf, mw, off = encode_postings(d, t, dl, avgdl, k1, b,
+                                                   bs, codec)
+        return pd.DataFrame({
+            "term": [term], "salt": [0], "df_part": [int(d.size)],
+            "blob": [blob], "block_last": [last.tolist()],
+            "block_max_tf": [mtf.tolist()], "block_max_w": [mw.tolist()],
+            "block_off": [off.tolist()],
+            "bucket": [bucket],
+        })
+
+    rewritten = (spark.read.parquet(p["postings"])
+                 .groupBy("bucket", "term")
+                 .applyInPandas(rewrite_group, schema=_ENC_SCHEMA))
+    tmp = f"{index_dir}/postings_purge_tmp"
+    rewritten.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    _swap_dirs(spark, p["postings"], tmp)
+
+    # docs and tf tables drop the dead rows (broadcast anti-join);
+    # tf keeps its bucket partitioning (the forward-lookup readers
+    # and any future resume scan expect the partitioned layout)
+    for name, part in (("docs", None), ("tf", "bucket")):
+        src = spark.read.parquet(p[name])
+        out = src.join(F.broadcast(tomb), "doc_id", "left_anti")
+        t_dir = f"{index_dir}/{name}_purge_tmp"
+        w = out.write.mode("overwrite")
+        (w.partitionBy(part) if part else w).parquet(t_dir)
+        _swap_dirs(spark, p[name], t_dir)
+
+    # termstats from the new postings (df = Σ df_part)
+    ts_tmp = f"{index_dir}/termstats_purge_tmp"
+    (spark.read.parquet(p["postings"])
+     .groupBy("term", "bucket").agg(F.sum("df_part").alias("df"))
+     .select("term", "df", "bucket")
+     .write.mode("overwrite").parquet(ts_tmp))
+    _swap_dirs(spark, p["termstats"], ts_tmp)
+
+    # global stats refresh (the merge recomputes segment stats)
+    stats.update({"n_docs": n_docs, "total_tokens": total_tokens,
+                  "avgdl": avgdl})
+    st_tmp = f"{index_dir}/stats_purge_tmp"
+    spark.createDataFrame([json.dumps(stats)], "string") \
+        .toDF("stats_json").write.mode("overwrite").parquet(st_tmp)
+    _swap_dirs(spark, p["stats"], st_tmp)
+
+    # clear the tombstones (their docs are physically gone now)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(conf)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(_tomb_dir(index_dir)), True)
+    return {"purged": len(dead), "n_docs": n_docs,
+            "total_tokens": total_tokens, "sec": round(time.time() - t0, 2)}

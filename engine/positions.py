@@ -197,7 +197,7 @@ def phrase_match(index: Index,
             .join(ndf, "qid")
             .where(F.col("nmatch") == F.col("n_offs"))
             .select("qid", "doc_id").distinct())
-    return hits.orderBy("qid", "doc_id")
+    return index.live(hits).orderBy("qid", "doc_id")
 
 
 def proximity_match(index: Index,
@@ -359,12 +359,13 @@ def span_first_match(index: Index,
             [], "qid string, doc_id long, first_pos long")
     qdf = spark.createDataFrame(qrows, "qid string, term string, lim int")
     pos = _positions_df(index, sorted({t for _, t, _ in qrows}))
-    return (pos.join(F.broadcast(qdf), "term")
+    return index.live(
+        pos.join(F.broadcast(qdf), "term")
             .withColumn("first_pos",
                         F.element_at("positions", 1).cast("long"))
             .where(F.col("first_pos") + 1 <= F.col("lim"))
-            .select("qid", "doc_id", "first_pos")
-            .orderBy("qid", "doc_id"))
+            .select("qid", "doc_id", "first_pos")) \
+        .orderBy("qid", "doc_id")
 
 
 def snippets(index: Index, hits: DataFrame,

@@ -49,6 +49,22 @@ class Index:
         self.postings = spark.read.parquet(p["postings"])
         self.termstats = spark.read.parquet(p["termstats"])
         self.docs = spark.read.parquet(p["docs"])
+        # liveDocs: tombstoned deletes awaiting purge (engine/deletes.py)
+        from .deletes import load_tombstones
+        self.tombstones = load_tombstones(spark, index_dir)
+        self.n_tombstones = (self.tombstones.count()
+                             if self.tombstones is not None else 0)
+
+    def live(self, df: DataFrame, col: str = "doc_id") -> DataFrame:
+        """Drop tombstoned docs (the liveDocs filter every Lucene
+        search applies): broadcast left_anti; no-op without deletes.
+        The tombstone set stays small between purges by design."""
+        if self.tombstones is None:
+            return df
+        t = self.tombstones
+        if col != "doc_id":
+            t = t.withColumnRenamed("doc_id", col)
+        return df.join(F.broadcast(t), col, "left_anti")
 
     @property
     def n_docs(self) -> int:
@@ -145,6 +161,7 @@ def score_exhaustive(index: Index, query_terms: QueryTerms, k: int,
         F.col("e.tfs").alias("tf"),
         F.col("e.dls").alias("dl"),
     )
+    rows = index.live(rows)
     ts = index.termstats.select("term", "df")
     rows = rows.join(F.broadcast(
         ts.join(_query_df(index.spark, query_terms).select("term").distinct(),
@@ -196,6 +213,9 @@ def score_lmd(index: Index, query_terms: QueryTerms, k: int,
     )
     wt = Window.partitionBy("qid", "term")
     rows = rows.withColumn("ctf", F.sum("tf").over(wt))
+    # liveDocs AFTER the ctf window: Lucene keeps deleted docs in the
+    # collection statistics until their segments merge
+    rows = index.live(rows)
     total_tokens = float(index.stats["total_tokens"])
     scored = rows.withColumn(
         "pscore",
@@ -250,8 +270,8 @@ def boolean_and(index: Index, queries: Sequence[tuple[str, Sequence[str]]],
             lead[q] = rare
     matched = _matched_postings(index, qt)
     dec = matched.withColumn("d", decode_udf("blob"))
-    rows = dec.select("qid", "term",
-                      F.explode("d.doc_ids").alias("doc_id"))
+    rows = index.live(dec.select("qid", "term",
+                                 F.explode("d.doc_ids").alias("doc_id")))
     if lead:
         # decode ONLY the (small) lead lists for the broadcast filter —
         # never the full matched set — then gate the main decode in a
@@ -753,7 +773,12 @@ def score_wand(index: Index, query_terms: QueryTerms, k: int,
     each task stays under WAND_TARGET_POSTINGS_PER_TASK postings).
     Rank-identical to :func:`score_exhaustive` by construction.
     """
-    out = _wand_sharded(index, query_terms, k, n_shards, "topk")
+    # with pending deletes, each shard kernel overfetches by the
+    # tombstone count so the post-filter can never under-fill k (the
+    # set stays small between purges; purge restores k_eff == k)
+    k_eff = k + index.n_tombstones
+    out = index.live(_wand_sharded(index, query_terms, k_eff,
+                                   n_shards, "topk"))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (out.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -822,7 +847,8 @@ def count_matches(index: Index,
     qids = spark.createDataFrame([(q,) for q, _ in queries], "qid string")
     matched = _matched_postings(index, qt)
     dec = matched.withColumn("d", decode_udf("blob"))
-    counts = (dec.select("qid", F.explode("d.doc_ids").alias("doc_id"))
+    counts = (index.live(
+        dec.select("qid", F.explode("d.doc_ids").alias("doc_id")))
               .groupBy("qid")
               .agg(F.count_distinct("doc_id").alias("n_hits")))
     return (qids.join(counts, "qid", "left")
@@ -865,7 +891,8 @@ def field_sorted_topk(index: Index,
     qt = [(q, t, 1.0) for q, terms in queries for t in sorted(set(terms))]
     matched = _matched_postings(index, qt)
     dec = matched.withColumn("d", decode_udf("blob"))
-    hits = (dec.select("qid", F.explode("d.doc_ids").alias("doc_id"))
+    hits = (index.live(
+        dec.select("qid", F.explode("d.doc_ids").alias("doc_id")))
             .distinct()
             .join(field_df.select("doc_id", "sort_key"), "doc_id"))
     key = F.desc("sort_key") if descending else F.asc("sort_key")
@@ -959,6 +986,7 @@ def boolean_topk(index: Index, queries: BooleanClauses, k: int,
         F.col("e.tfs").alias("tf"),
         F.col("e.dls").alias("dl"),
     )
+    rows = index.live(rows)
     # must-count gate over the SAME decoded rows
     must_pairs = [(q, t) for q, m, _s, _n in queries for t in sorted(set(m))]
     n_must = [(q, len(set(m))) for q, m, _s, _n in queries]

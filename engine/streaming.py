@@ -132,6 +132,23 @@ def searchable_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     return base.select(*cols).unionByName(delta)
 
 
+def _swap_dirs(spark: SparkSession, live: str, tmp: str) -> None:
+    """Rename-aside swap: live → _old, tmp → live, delete _old.
+    A crash at any point leaves either the old dir live or the new
+    dir one rename away — never a missing directory. (Shared by
+    compaction and the delete purge, engine/deletes.py.)"""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(live).getFileSystem(conf)
+    live_p = jvm.org.apache.hadoop.fs.Path(live)
+    old_p = jvm.org.apache.hadoop.fs.Path(live + "_old")
+    if fs.exists(old_p):  # leftover from an earlier crash
+        fs.delete(old_p, True)
+    fs.rename(live_p, old_p)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live_p)
+    fs.delete(old_p, True)
+
+
 def compact_deltas(spark: SparkSession, index_dir: str,
                    block_size: int | None = None) -> int:
     """Fold delta segments into the base postings (the 'forceMerge'
@@ -193,16 +210,7 @@ def compact_deltas(spark: SparkSession, index_dir: str,
     p = _paths(index_dir)
 
     def _swap(live: str, tmp: str) -> None:
-        """Rename-aside swap: live → _old, tmp → live, delete _old.
-        A crash at any point leaves either the old dir live or the new
-        dir one rename away — never a missing directory."""
-        live_p = jvm.org.apache.hadoop.fs.Path(live)
-        old_p = jvm.org.apache.hadoop.fs.Path(live + "_old")
-        if fs.exists(old_p):  # leftover from an earlier crash
-            fs.delete(old_p, True)
-        fs.rename(live_p, old_p)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live_p)
-        fs.delete(old_p, True)
+        _swap_dirs(spark, live, tmp)
 
     _swap(p["postings"], tmp_dir)
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/delta_postings"), True)

@@ -1,0 +1,89 @@
+"""Document deletes: tombstone (liveDocs) filtering across the query
+paths, WAND rank-identity under deletes, and the physical purge
+(forceMergeDeletes analog) with stats refresh."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.deletes import delete_docs, purge_deleted
+from engine.index_build import build_index
+from engine.search import (Index, boolean_and, count_matches,
+                           score_exhaustive, score_wand)
+
+
+def test_delete_tombstones_and_purge(spark, tmp_path):
+    docs = ["xx yy", "xx zz", "yy zz qq", "xx yy zz"]
+    rows = [(f"org/r{i}", f"f{i}.py", "c" * 12, "python", t)
+            for i, t in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    path = str(tmp_path / "delidx")
+    build_index(spark, df, path, n_buckets=2, n_doc_buckets=2)
+    idx = Index(spark, path)
+    assert idx.tombstones is None
+
+    qq_doc = score_exhaustive(idx, [("f", "qq", 1.0)], 10) \
+        .collect()[0]["doc_id"]
+    n_before = count_matches(idx, [("c", ["zz"])]).collect()[0]["n_hits"]
+
+    delete_docs(spark, path, [qq_doc])
+    idx2 = Index(spark, path)
+    assert idx2.n_tombstones == 1
+    # searches exclude the deleted doc; collection stats stay frozen
+    # until purge (Lucene: deleted docs count in stats until merge)
+    q = [("q", "zz", 1.0), ("q", "yy", 1.0)]
+    hits = {r["doc_id"] for r in score_exhaustive(idx2, q, 10).collect()}
+    assert qq_doc not in hits and hits
+    assert idx2.n_docs == 4
+    # WAND stays rank-identical to exhaustive under pending deletes
+    ex = [(r["doc_id"], r["rank"])
+          for r in score_exhaustive(idx2, q, 3).collect()]
+    wa = [(r["doc_id"], r["rank"]) for r in score_wand(idx2, q, 3).collect()]
+    assert ex == wa
+    assert count_matches(idx2, [("c", ["zz"])]).collect()[0]["n_hits"] \
+        == n_before - 1
+    ba = {r["doc_id"] for r in
+          boolean_and(idx2, [("b", ["yy", "zz"])]).collect()}
+    assert qq_doc not in ba and ba
+
+    # physical purge: postings/docs/tf/termstats rewritten, stats fresh
+    m = purge_deleted(spark, path)
+    assert m["purged"] == 1 and m["n_docs"] == 3
+    idx3 = Index(spark, path)
+    assert idx3.tombstones is None and idx3.n_docs == 3
+    assert idx3.df_map(["qq"]) == {}          # vocabulary entry gone
+    hits3 = {r["doc_id"] for r in score_exhaustive(idx3, q, 10).collect()}
+    assert hits3 == hits
+    # purged index scores == an index built WITHOUT the doc (multiset —
+    # doc_ids are assignment-order-dependent across builds)
+    path2 = str(tmp_path / "delidx2")
+    build_index(spark, df.where(~F.col("content").contains("qq")), path2,
+                n_buckets=2, n_doc_buckets=2)
+    idxr = Index(spark, path2)
+    s_purged = sorted(round(r["score"], 9)
+                      for r in score_exhaustive(idx3, q, 10).collect())
+    s_rebuilt = sorted(round(r["score"], 9)
+                       for r in score_exhaustive(idxr, q, 10).collect())
+    assert s_purged == s_rebuilt
+    # purge with no tombstones is a no-op
+    assert purge_deleted(spark, path)["purged"] == 0
+
+
+def test_delete_batches_accumulate_and_dedupe(spark, tmp_path):
+    docs = ["aa bb", "bb cc", "cc dd"]
+    rows = [(f"org/r{i}", f"f{i}.py", "c" * 12, "python", t)
+            for i, t in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    path = str(tmp_path / "delidx3")
+    build_index(spark, df, path, n_buckets=2, n_doc_buckets=2)
+    idx = Index(spark, path)
+    ids = sorted(r["doc_id"] for r in idx.docs.select("doc_id").collect())
+    delete_docs(spark, path, [ids[0]])
+    delete_docs(spark, path, [ids[0], ids[1]])   # overlap across batches
+    idx2 = Index(spark, path)
+    assert idx2.n_tombstones == 2                # distinct
+    assert purge_deleted(spark, path)["purged"] == 2
+    assert Index(spark, path).n_docs == 1
