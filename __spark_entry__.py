@@ -793,6 +793,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qt = [(q, t, 1.0) for q, terms in BM25_QUERIES for t in terms]
         return _rounded_rerank(score_exhaustive(idx, qt, TOPK + 50), TOPK)
 
+    def search_after_page2(spark, sf_dir):
+        """Deep pagination (IndexSearcher.searchAfter): page 2 via the
+        cursor taken from page 1's last row — must equal rows 11..20
+        of the single-shot rounded ranking."""
+        from engine.search import search_after
+
+        idx = _cached_index(spark, sf_dir)
+        qt = [(q, t, 1.0) for q, terms in BM25_QUERIES for t in terms]
+        p1 = search_after(idx, qt, TOPK, after={}).collect()
+        cur = {r["qid"]: (r["score"], r["doc_id"])
+               for r in p1 if r["rank"] == TOPK}
+        return search_after(idx, qt, TOPK, after=cur)
+
     def count_matches(spark, sf_dir):
         """IndexSearcher.count analog: distinct matching docs per
         query, no scoring (TotalHitCountCollector)."""
@@ -1106,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_query_topk": boolean_query_topk,
         "count_matches": count_matches,
         "deleted_search": deleted_search,
+        "search_after_page2": search_after_page2,
         "collection_stats": collection_stats,
         "field_sorted_topk": field_sorted_topk,
         "regexp_topk": regexp_topk,
@@ -1476,6 +1490,21 @@ SELECT qid, doc_id, {r4} AS score, rank FROM (
              ORDER BY {r4} DESC, doc_id)::INT AS rank
   FROM matched) t
 WHERE rank <= {TOPK}
+"""
+    sql["search_after_page2"] = f"""
+WITH {fts},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({score}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, doc_id, {r4} AS score, (rank - {TOPK})::INT AS rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM matched) t
+WHERE rank > {TOPK} AND rank <= {2 * TOPK}
 """
     qidvals = ", ".join(f"('{q}')" for q, _ in BM25_QUERIES)
     sql["count_matches"] = f"""

@@ -786,6 +786,45 @@ def score_wand(index: Index, query_terms: QueryTerms, k: int,
             .orderBy("qid", "rank"))
 
 
+def search_after(index: Index, query_terms: QueryTerms, k: int,
+                 after: dict[str, tuple[float, int]],
+                 ndigits: int = 4) -> DataFrame:
+    """Deep pagination (``IndexSearcher.searchAfter`` analog): the next
+    ``k`` results strictly after each query's cursor in the global
+    (score desc, doc_id asc) order.
+
+    ``after``: qid → (score, doc_id) of the last row of the previous
+    page (as returned by the engine). Scores are compared ROUNDED to
+    ``ndigits`` (the repo's rounded-rank-window rule — cursor scores
+    cross process/engine boundaries, where exact float sums differ in
+    the last ulp). A qid absent from ``after`` pages from the top.
+
+    Like Lucene's searchAfter, this re-scores the query and skips past
+    the cursor rather than caching earlier pages — page N costs one
+    scoring pass, not N stored pages of state.
+    Returns (qid, doc_id, score, rank) with rank restarting at 1.
+    """
+    from engine.portable import round_half_up
+
+    spark = index.spark
+    cur = spark.createDataFrame(
+        [(q, float(s), int(d)) for q, (s, d) in after.items()],
+        "qid string, a_score double, a_doc long")
+    scored = score_exhaustive(index, query_terms,
+                              k=2_147_483_647).drop("rank")
+    r = round_half_up(F.col("score"), ndigits)
+    ra = round_half_up(F.col("a_score"), ndigits)
+    out = (scored.join(F.broadcast(cur), "qid", "left")
+           .where(F.col("a_score").isNull()
+                  | (r < ra)
+                  | ((r == ra) & (F.col("doc_id") > F.col("a_doc")))))
+    w = Window.partitionBy("qid").orderBy(r.desc(), F.asc("doc_id"))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", r.alias("score"), "rank")
+            .orderBy("qid", "rank"))
+
+
 def wand_stats(index: Index, query_terms: QueryTerms, k: int,
                n_shards: int | None = None) -> DataFrame:
     """Decode/skip counters per (qid, shard) for the same BMW plan:

@@ -272,6 +272,27 @@ def test_count_stats_and_field_sort(spark, tmp_path):
     assert keys == sorted(keys, reverse=True) and len(out) == 2
 
 
+def test_search_after_pagination(tiny_index):
+    """searchAfter: page1 + page2 (cursor = page1's last row) must
+    equal the first 2k rows of the single-shot rounded ranking, with
+    no overlap and rank restarting per page."""
+    from engine.search import search_after
+
+    qt = [("q", "merge", 1.0), ("q", "sort", 1.0)]
+    k = 7
+    page1 = search_after(tiny_index, qt, k, after={}).collect()
+    assert [r["rank"] for r in page1] == list(range(1, k + 1))
+    last = page1[-1]
+    page2 = search_after(tiny_index, qt, k,
+                         after={"q": (last["score"], last["doc_id"])}) \
+        .collect()
+    both = [(r["doc_id"], r["score"]) for r in page1 + page2]
+    single = [(r["doc_id"], r["score"]) for r in
+              search_after(tiny_index, qt, 2 * k, after={}).collect()]
+    assert both == single
+    assert len({d for d, _ in both}) == len(both)  # no overlap
+
+
 def test_regexp_and_range_rewrites(tiny_index):
     """Regexp and term-range dictionary rewrites enumerate exactly the
     matching vocabulary (checked against a Python scan)."""
