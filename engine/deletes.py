@@ -59,6 +59,79 @@ def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
         .select("doc_id").distinct()
 
 
+def update_docs(spark: SparkSession, index_dir: str,
+                new_docs: DataFrame) -> dict:
+    """``IndexWriter.updateDocument`` analog — delete-then-add: each
+    incoming corpus row (repo, path, commit, lang, content) REPLACES
+    the live document with the same docno (repo/path identity); a
+    docno not yet in the index is a plain add. The old internal
+    doc_id is tombstoned (liveDocs hides it in every query path) and
+    the new content is appended under a FRESH doc_id as a delta
+    posting segment (the NRT-flush shape, engine/streaming.py) plus
+    docs/tf rows — exactly Lucene's scheme, where an update is a
+    delete plus a re-add under a new internal docID.
+
+    Search through :func:`engine.streaming.nrt_index` to see updates
+    pre-compaction; run ``compact_deltas`` then :func:`purge_deleted`
+    to fold the delta in and physically reclaim the dead postings.
+    Collection stats stay frozen until then (Lucene NRT semantics).
+    doc_id assignment uses a single small window over the incoming
+    batch — updates are incremental batches by design; bulk loads go
+    through the batch builder's distributed assignment."""
+    from pyspark.sql import Window
+
+    from .index_build import _paths, load_stats
+    from .postings import BLOCK_SIZE as _BS
+    from .streaming import (_has_deltas, delta_segment_writer,
+                            read_delta_postings)
+
+    p = _paths(index_dir)
+    stats = load_stats(spark, index_dir)
+    docs = spark.read.parquet(p["docs"])
+    incoming = new_docs.withColumn("docno",
+                                   F.concat_ws("/", "repo", "path"))
+    old = (docs.join(F.broadcast(incoming.select("docno").distinct()),
+                     "docno", "left_semi").select("doc_id"))
+    n_old = delete_docs(spark, index_dir, old)
+    max_id = int(docs.agg(F.max("doc_id")).collect()[0][0] or 0)
+    w = Window.orderBy("docno")
+    assigned = incoming.withColumn(
+        "doc_id", F.lit(max_id) + F.row_number().over(w)).persist()
+    epoch = 0
+    if _has_deltas(spark, index_dir):
+        prev = read_delta_postings(spark, index_dir) \
+            .agg(F.max("delta")).collect()[0][0]
+        epoch = int(prev if prev is not None else -1) + 1
+    writer = delta_segment_writer(index_dir, stats["avgdl"],
+                                  int(stats["n_buckets"]), stats["k1"],
+                                  stats["b"],
+                                  stats.get("block_size", _BS))
+    writer(assigned, epoch)
+    # docs + tf rows for the new ids (tf keeps purge's stats refresh
+    # and the forward lookups consistent with the delta postings)
+    (assigned.withColumn("sha", F.sha2(F.col("content"), 256))
+     .select("doc_id", "docno", "repo", "path", "commit", "lang",
+             "content", "sha")
+     .write.mode("append").parquet(p["docs"]))
+    from .analysis import tokenize_pandas_udf
+    tok = tokenize_pandas_udf()
+    toks = assigned.select(
+        "doc_id",
+        F.size(tok(F.col("content"))).cast("long").alias("dl"),
+        F.explode(tok(F.col("content"))).alias("term"))
+    tf = (toks.groupBy("term", "doc_id", "dl")
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .withColumn("salt", F.lit(0).cast("int"))
+          .withColumn("bucket",
+                      F.pmod(F.xxhash64("term"),
+                             F.lit(int(stats["n_buckets"]))).cast("int"))
+          .select("bucket", "term", "salt", "doc_id", "tf", "dl"))
+    tf.write.mode("append").partitionBy("bucket").parquet(p["tf"])
+    n_new = assigned.count()
+    assigned.unpersist()
+    return {"replaced": n_old, "added": n_new, "epoch": epoch}
+
+
 def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
     """Physically rewrite the index without the tombstoned docs
     (forceMergeDeletes): per-(bucket, term) decode → mask → re-encode

@@ -132,6 +132,37 @@ def searchable_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     return base.select(*cols).unionByName(delta)
 
 
+def nrt_index(spark: SparkSession, index_dir: str):
+    """Near-real-time reader (the ``DirectoryReader.openIfChanged``
+    analog): an :class:`engine.search.Index` whose postings view is the
+    base ∪ delta union, so streamed segments and batch updates
+    (engine/deletes.py:update_docs — delete + delta re-add) are
+    immediately searchable. Tombstones load as usual, so replaced docs
+    are hidden everywhere. Collection stats stay the BASE stats until
+    compaction, exactly like Lucene NRT readers and frozen segment
+    statistics."""
+    from .search import Index
+
+    idx = Index(spark, index_dir)
+    idx.postings = searchable_postings(spark, index_dir)
+    if _has_deltas(spark, index_dir):
+        # per-segment docFreq summed at read — Lucene NRT semantics.
+        # Without this, a term that FIRST appears in a delta segment is
+        # silently dropped by the scoring join (absent from the base
+        # dictionary), and df for updated terms would understate the
+        # deltas. Deleted-but-unpurged docs still count in df, exactly
+        # like Lucene's deleted docs before a merge.
+        dts = (read_delta_postings(spark, index_dir)
+               .groupBy("term", "bucket")
+               .agg(F.sum("df_part").alias("df")))
+        idx.termstats = (idx.termstats.select("term", "df", "bucket")
+                         .unionByName(dts.select("term", "df", "bucket"))
+                         .groupBy("term", "bucket")
+                         .agg(F.sum("df").alias("df"))
+                         .select("term", "df", "bucket"))
+    return idx
+
+
 def _swap_dirs(spark: SparkSession, live: str, tmp: str) -> None:
     """Rename-aside swap: live → _old, tmp → live, delete _old.
     A crash at any point leaves either the old dir live or the new

@@ -87,3 +87,48 @@ def test_delete_batches_accumulate_and_dedupe(spark, tmp_path):
     assert idx2.n_tombstones == 2                # distinct
     assert purge_deleted(spark, path)["purged"] == 2
     assert Index(spark, path).n_docs == 1
+
+
+def test_update_docs_nrt_cycle(spark, tmp_path):
+    """updateDocument analog: replace-by-docno tombstones the old doc
+    and adds the new content as a delta segment under a fresh doc_id;
+    NRT search sees the update immediately; compact+purge folds it
+    into a clean base index."""
+    from engine.deletes import purge_deleted, update_docs
+    from engine.streaming import compact_deltas, nrt_index
+
+    rows = [("r", "a", "-", "py", "aa bb"), ("r", "b", "-", "py", "bb cc")]
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string")
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "upidx")
+    build_index(spark, df, path, n_buckets=4, n_doc_buckets=1)
+
+    m = update_docs(spark, path,
+                    spark.createDataFrame(
+                        [("r", "a", "-", "py", "dd bb")], schema))
+    assert m["replaced"] == 1 and m["added"] == 1
+
+    nrt = nrt_index(spark, path)
+    assert nrt.n_tombstones == 1
+    assert score_exhaustive(nrt, [("q", "aa", 1.0)], 10).count() == 0
+    dd = score_exhaustive(nrt, [("q", "dd", 1.0)], 10).collect()
+    assert len(dd) == 1 and dd[0]["doc_id"] == 2   # fresh id above max
+    assert score_exhaustive(nrt, [("q", "bb", 1.0)], 10).count() == 2
+
+    # a docno NOT in the index is a plain add
+    m2 = update_docs(spark, path,
+                     spark.createDataFrame(
+                         [("r", "z", "-", "py", "ee")], schema))
+    assert m2["replaced"] == 0 and m2["added"] == 1 and m2["epoch"] == 1
+    nrt2 = nrt_index(spark, path)
+    assert score_exhaustive(nrt2, [("q", "ee", 1.0)], 10).count() == 1
+
+    # fold in + reclaim: clean base index, refreshed stats
+    compact_deltas(spark, path)
+    purge_deleted(spark, path)
+    idx = Index(spark, path)
+    assert idx.tombstones is None and idx.n_docs == 3
+    assert idx.df_map(["aa"]) == {}
+    assert idx.df_map(["dd", "bb", "ee"]) == {"dd": 1, "bb": 2, "ee": 1}
+    assert score_exhaustive(idx, [("q", "dd", 1.0)], 10).count() == 1
