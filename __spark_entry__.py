@@ -97,6 +97,8 @@ RANGE_QUERIES: list[tuple[str, str, str]] = [
 SPANFIRST_QUERIES: list[tuple[str, str, int]] = [
     ("sp1", "merge", 6), ("sp2", "customer", 4), ("sp3", "window", 2),
 ]
+TV_DOC_IDS = [0, 5, 17]
+BOOLEAN_MSM = 1  # minimumNumberShouldMatch for boolean_msm_topk
 
 INDEX_VERSION = "v3"  # v3: block-framed blobs + block_off (sliceable runs)
 
@@ -841,6 +843,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _cached_index(spark, sf_dir)
         return _rounded_rerank(_bt(idx, BOOLEAN_QUERIES, TOPK + 50), TOPK)
 
+    def boolean_msm_topk(spark, sf_dir):
+        """BooleanQuery with minimumNumberShouldMatch=1: docs must
+        additionally match ≥1 should term; the clause set with no
+        should terms (b2) becomes unsatisfiable, per Lucene."""
+        from engine.search import boolean_topk as _bt
+
+        idx = _cached_index(spark, sf_dir)
+        return _rounded_rerank(
+            _bt(idx, BOOLEAN_QUERIES, TOPK + 50, min_should=BOOLEAN_MSM),
+            TOPK)
+
+    def term_vectors(spark, sf_dir):
+        """Lucene TermVectors: per-doc (term, tf, dl) from the forward
+        tf table (doc_id filter pushed to the parquet scan)."""
+        from engine.search import term_vectors as _tv
+
+        idx = _cached_index(spark, sf_dir)
+        return _tv(idx, TV_DOC_IDS)
+
     def regexp_topk(spark, sf_dir):
         """Lucene RegexpQuery rewrite: full-match dictionary scan →
         bucket-pruned BM25 scoring (RE2-safe patterns only)."""
@@ -1120,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_matches": count_matches,
         "deleted_search": deleted_search,
         "search_after_page2": search_after_page2,
+        "boolean_msm_topk": boolean_msm_topk,
+        "term_vectors": term_vectors,
         "collection_stats": collection_stats,
         "field_sorted_topk": field_sorted_topk,
         "regexp_topk": regexp_topk,
@@ -1547,6 +1570,49 @@ fp AS (SELECT qv.qid, pt.doc_id, qv.lim, min(pt.pos)::BIGINT AS first_pos
        FROM qv JOIN pt USING (term)
        GROUP BY qv.qid, pt.doc_id, qv.lim)
 SELECT qid, doc_id, first_pos FROM fp WHERE first_pos + 1 <= lim
+"""
+    bq_should = ", ".join(f"('{q}', '{t}')" for q, _m, s, _n in BOOLEAN_QUERIES
+                          for t in sorted(set(s)))
+    sql["boolean_msm_topk"] = f"""
+WITH {fts},
+sq(qid, term) AS (VALUES {bq_score}),
+mq(qid, term) AS (VALUES {bq_must}),
+nq(qid, term) AS (VALUES {bq_not}),
+shq(qid, term) AS (VALUES {bq_should}),
+nm(qid, n_must) AS (VALUES {bq_nm}),
+cand AS (SELECT DISTINCT sq.qid, tf.doc_id FROM sq JOIN tf USING (term)),
+mhit AS (SELECT mq.qid, tf.doc_id, count(DISTINCT tf.term) AS n_hit
+         FROM mq JOIN tf USING (term) GROUP BY mq.qid, tf.doc_id),
+shit AS (SELECT shq.qid, tf.doc_id, count(DISTINCT tf.term) AS n_sh
+         FROM shq JOIN tf USING (term) GROUP BY shq.qid, tf.doc_id),
+elig AS (
+  SELECT c.qid, c.doc_id FROM cand c
+  JOIN nm ON nm.qid = c.qid
+  LEFT JOIN mhit m ON m.qid = c.qid AND m.doc_id = c.doc_id
+  LEFT JOIN shit s ON s.qid = c.qid AND s.doc_id = c.doc_id
+  WHERE coalesce(m.n_hit, 0) = nm.n_must
+    AND coalesce(s.n_sh, 0) >= {BOOLEAN_MSM}
+    AND NOT EXISTS (SELECT 1 FROM nq JOIN tf t2 USING (term)
+                    WHERE nq.qid = c.qid AND t2.doc_id = c.doc_id)),
+matched AS (
+  SELECT sq.qid, tf.doc_id, sum({score}) AS s
+  FROM sq JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY sq.qid, tf.doc_id),
+gated AS (SELECT m.* FROM matched m
+          JOIN elig e ON e.qid = m.qid AND e.doc_id = m.doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM gated) t
+WHERE rank <= {TOPK}
+"""
+    sql["term_vectors"] = f"""
+WITH {fts}
+SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+WHERE tf.doc_id IN ({", ".join(str(i) for i in TV_DOC_IDS)})
 """
     rxv = ", ".join(f"('{q}', '{p}')" for q, p in REGEXP_QUERIES)
     sql["regexp_topk"] = f"""

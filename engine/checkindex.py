@@ -1,0 +1,77 @@
+"""Index integrity verification (Lucene ``CheckIndex`` analog).
+
+Decodes every posting and cross-checks the structural invariants the
+engine relies on, entirely as distributed aggregations — the check
+scales like one exhaustive read of the index, no driver-side loops:
+
+* per-posting: decoded length == df_part, doc_ids strictly ascending,
+  last decoded doc == last block_last entry (block metadata frames
+  the payload it claims to);
+* dictionary: termstats df == Σ df_part over the term's sub-postings;
+* referential: every posting doc_id exists in the docs table;
+* stored rows: sha2(content) equality (the input_hint invariant);
+* stats: total_tokens == Σ tf over the forward table.
+
+Returns a dict of violation counts — all zero means healthy. Run it
+after compaction / purge / resume, the way Lucene users run CheckIndex
+after an unclean shutdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def verify_index(spark: SparkSession, index_dir: str) -> dict:
+    from .index_build import _paths, check_sha
+    from .search import Index, decode_udf
+
+    idx = Index(spark, index_dir)
+    p = _paths(index_dir)
+
+    dec = idx.postings.withColumn("d", decode_udf("blob"))
+    per = dec.select(
+        "term", "bucket", "df_part",
+        F.size("d.doc_ids").alias("n"),
+        (F.col("d.doc_ids") ==
+         F.array_sort(F.array_distinct("d.doc_ids"))).alias("sorted_ok"),
+        F.element_at("d.doc_ids", -1).alias("last_doc"),
+        F.element_at("block_last", -1).alias("meta_last"),
+    ).persist()
+    bad_len = per.where(F.col("n") != F.col("df_part")).count()
+    bad_sorted = per.where(~F.col("sorted_ok")).count()
+    bad_blockmeta = per.where(
+        F.col("last_doc") != F.col("meta_last")).count()
+    per.unpersist()
+
+    df_mismatch = (
+        idx.postings.groupBy("term").agg(F.sum("df_part").alias("s"))
+        .join(idx.termstats.groupBy("term").agg(F.sum("df").alias("df")),
+              "term", "full")
+        .where(F.coalesce(F.col("s"), F.lit(0))
+               != F.coalesce(F.col("df"), F.lit(0)))
+        .count())
+
+    orphan_docs = (
+        dec.select(F.explode("d.doc_ids").alias("doc_id")).distinct()
+        .join(idx.docs.select("doc_id"), "doc_id", "left_anti")
+        .count())
+
+    sha_bad = check_sha(idx.docs)
+
+    tok = spark.read.parquet(p["tf"]).agg(F.sum("tf")).collect()[0][0]
+    stats_tokens_bad = int(int(tok or 0)
+                           != int(idx.stats["total_tokens"]))
+
+    report = {
+        "bad_posting_len": bad_len,
+        "bad_doc_order": bad_sorted,
+        "bad_block_meta": bad_blockmeta,
+        "df_mismatch_terms": df_mismatch,
+        "orphan_posting_docs": orphan_docs,
+        "sha_mismatch_docs": sha_bad,
+        "stats_tokens_bad": stats_tokens_bad,
+    }
+    report["ok"] = not any(report.values())
+    return report

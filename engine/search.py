@@ -786,6 +786,23 @@ def score_wand(index: Index, query_terms: QueryTerms, k: int,
             .orderBy("qid", "rank"))
 
 
+def term_vectors(index: Index, doc_ids: Sequence[int]) -> DataFrame:
+    """Lucene ``TermVectors``/``Terms`` analog: the per-document term
+    vector (term, tf, dl) for the requested docs, read from the
+    build's forward tf table — which doubles as stored term vectors,
+    the way Lucene materializes per-doc terms when termVectors are
+    enabled. The read is a parquet scan with the doc_id filter pushed
+    down (no decode of the inverted postings); tombstoned docs return
+    nothing. Returns (doc_id, term, tf, dl) ordered."""
+    from .index_build import _paths
+
+    p = _paths(index.index_dir)
+    tf = index.spark.read.parquet(p["tf"])
+    out = (tf.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
+           .select("doc_id", "term", "tf", "dl"))
+    return index.live(out).orderBy("doc_id", "term")
+
+
 def search_after(index: Index, query_terms: QueryTerms, k: int,
                  after: dict[str, tuple[float, int]],
                  ndigits: int = 4) -> DataFrame:
@@ -991,7 +1008,8 @@ BooleanClauses = Sequence[tuple[str, Sequence[str], Sequence[str],
 
 def boolean_topk(index: Index, queries: BooleanClauses, k: int,
                  k1: float | None = None,
-                 b: float | None = None) -> DataFrame:
+                 b: float | None = None,
+                 min_should: int = 0) -> DataFrame:
     """Generic Lucene BooleanQuery analog — each query is
     (qid, must, should, must_not).
 
@@ -1001,7 +1019,11 @@ def boolean_topk(index: Index, queries: BooleanClauses, k: int,
     ``should`` term (matching is what creates scoring rows, so that
     holds structurally; pure-negation queries are unsatisfiable, as
     in Lucene). Score = Σ BM25 over the doc's must+should occurrences;
-    must_not never contributes.
+    must_not never contributes. ``min_should`` is Lucene's
+    ``minimumNumberShouldMatch``: when > 0, a doc must additionally
+    match at least that many distinct should terms — and, as in
+    BooleanWeight, a query with fewer should clauses than the minimum
+    matches nothing.
 
     Plan shape: ONE decode of the scoring terms' postings feeds both
     the must-count gate and the score aggregation (same (qid, doc_id)
@@ -1046,6 +1068,22 @@ def boolean_topk(index: Index, queries: BooleanClauses, k: int,
                 .where(F.coalesce(F.col("n_hit"), F.lit(0))
                        == F.col("n_must"))
                 .select("qid", "doc_id"))
+    if min_should > 0:
+        sh_pairs = [(q, t) for q, _m, s, _n in queries
+                    for t in sorted(set(s))]
+        if sh_pairs:
+            shq = F.broadcast(spark.createDataFrame(
+                sh_pairs, "qid string, term string"))
+            sh_hit = (rows.join(shq, ["qid", "term"])
+                      .groupBy("qid", "doc_id")
+                      .agg(F.count_distinct("term").alias("n_sh")))
+        else:
+            sh_hit = spark.createDataFrame(
+                [], "qid string, doc_id long, n_sh int")
+        eligible = (eligible.join(sh_hit, ["qid", "doc_id"], "left")
+                    .where(F.coalesce(F.col("n_sh"), F.lit(0))
+                           >= min_should)
+                    .select("qid", "doc_id"))
     not_qt = [(q, t, 1.0) for q, _m, _s, n in queries for t in sorted(set(n))]
     if not_qt:
         not_dec = _matched_postings(index, not_qt) \

@@ -453,3 +453,62 @@ def test_score_explain_sums_to_score(tiny_index):
         idf = math.log(1 + (tiny_index.n_docs - r["df"] + 0.5)
                        / (r["df"] + 0.5))
         assert r["idf"] == pytest.approx(idf, abs=1e-12)
+
+
+def test_term_vectors_and_min_should(spark, tmp_path):
+    """TermVectors export from the forward table, and BooleanQuery
+    minimumNumberShouldMatch semantics (incl. the unsatisfiable case)."""
+    from engine.search import boolean_topk, term_vectors
+
+    docs = ["aa bb cc", "aa dd", "bb dd ee"]
+    idx = _mini_index(spark, tmp_path, docs, name="tv")
+    id_of = {r["path"]: r["doc_id"] for r in
+             idx.docs.select("doc_id", "path").collect()}
+    tv = term_vectors(idx, [id_of["f0.py"]]).collect()
+    assert [(r["term"], r["tf"], r["dl"]) for r in tv] == \
+        [("aa", 1, 3), ("bb", 1, 3), ("cc", 1, 3)]
+
+    # msm=2 over should=[bb, dd, ee]: only "bb dd ee" matches 2+
+    res = boolean_topk(idx, [("q", [], ["bb", "dd", "ee"], [])], 10,
+                       min_should=2).collect()
+    assert {r["doc_id"] for r in res} == {id_of["f2.py"]}
+    # msm greater than the number of should clauses matches nothing
+    assert boolean_topk(idx, [("q2", ["aa"], ["bb"], [])], 10,
+                        min_should=2).count() == 0
+    # msm=0 leaves the plain semantics intact
+    assert boolean_topk(idx, [("q3", [], ["bb"], [])], 10).count() == 2
+
+
+def test_verify_index_healthy_and_corrupt(spark, tmp_path):
+    """CheckIndex analog: all-zero on a fresh build; a corrupted
+    dictionary df is detected."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from engine.checkindex import verify_index
+
+    docs = ["xx yy", "xx zz", "yy zz xx"]
+    idx = _mini_index(spark, tmp_path, docs, name="chk")
+    rep = verify_index(spark, idx.index_dir)
+    assert rep["ok"], rep
+
+    # corrupt: bump one term's df in termstats
+    ts_dir = f"{idx.index_dir}/termstats"
+    import pandas as pd
+    frames = [pq.read_table(f).to_pandas()
+              for f in glob.glob(f"{ts_dir}/*.parquet")]
+    pdf = pd.concat(frames, ignore_index=True)
+    pdf.loc[pdf.index[0], "df"] += 1
+    shutil.rmtree(ts_dir)
+    import os
+    os.makedirs(ts_dir)
+    import pyarrow as pa
+    pq.write_table(pa.Table.from_pandas(pdf), f"{ts_dir}/part-0.parquet")
+    open(f"{ts_dir}/_SUCCESS", "w").close()
+
+    rep2 = verify_index(spark, idx.index_dir)
+    assert not rep2["ok"]
+    assert rep2["df_mismatch_terms"] == 1
+    assert rep2["bad_posting_len"] == 0  # postings themselves untouched
