@@ -1004,6 +1004,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (curation.pack_sequences(_docs(spark, sf_dir), budget=512)
                 .orderBy("doc_id"))
 
+    def curation_report(spark, sf_dir):
+        """End-stage keep/drop filter (RefinedWeb/Gopher-style):
+        length + quality + language + 2-gram repetition combined in
+        ONE Catalyst projection (no joins/shuffles); per-doc keep flag
+        and comma-joined violated-rule reasons."""
+        return (textstats.curation_filter(_docs(spark, sf_dir))
+                .orderBy("doc_id"))
+
     def url_domains(spark, sf_dir):
         """URL/domain curation stage (CCNet/RefinedWeb-style): URLs are
         injected deterministically (the synthetic corpus has none),
@@ -1130,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": mixture_sample,
         "pii_scrub": pii_scrub,
         "url_domains": url_domains,
+        "curation_report": curation_report,
         "shared_ngrams": shared_ngrams,
         "pack_layout": pack_layout,
         "wildcard_topk": wildcard_topk,
@@ -2129,6 +2138,37 @@ WITH t AS (SELECT doc_id, {raw_tok} AS toks FROM documents),
 m AS (SELECT doc_id, {", ".join(lang_scores)} FROM t),
 mb AS (SELECT *, {best} AS best FROM m)
 SELECT doc_id, {case} AS lang_guess, (floor(best * 1e6 + 0.5) / 1e6) AS lang_score FROM mb
+"""
+    sql["curation_report"] = f"""
+WITH t AS (SELECT doc_id, text, {raw_tok} AS toks FROM documents),
+m AS (SELECT doc_id, toks, len(toks) AS n,
+             len([x for x in toks if x IN ({en})])::DOUBLE / len(toks) AS sw,
+             length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE
+               / length(text) AS pr,
+             list_sum([length(x) for x in toks])::DOUBLE / len(toks) AS ml,
+             {", ".join(lang_scores)}
+      FROM t),
+mb AS (SELECT *, {best} AS best,
+              0.4 * least(sw / 0.4, 1.0) + 0.3 * (1.0 - least(pr / 0.3, 1.0))
+              + 0.3 * least(ml / 8.0, 1.0) AS q,
+              CASE WHEN n > 1 THEN
+                [toks[i] || ' ' || toks[i+1] for i in generate_series(1, n - 1)]
+              ELSE [] END AS sh2
+       FROM m),
+mc AS (SELECT doc_id, n, q, {case} AS lang,
+              CASE WHEN len(sh2) > 0 THEN
+                1.0 - len(list_distinct(sh2))::DOUBLE / len(sh2)
+              ELSE 0.0 END AS dup2
+       FROM mb),
+r AS (SELECT doc_id, coalesce(array_to_string([x for x in [
+        CASE WHEN n < 5 THEN 'too_short' END,
+        CASE WHEN n > 100000 THEN 'too_long' END,
+        CASE WHEN q < 0.3 THEN 'low_quality' END,
+        CASE WHEN dup2 > 0.5 THEN 'repetitive' END,
+        CASE WHEN lang <> 'en' THEN 'wrong_lang' END]
+        if x IS NOT NULL], ','), '') AS reasons
+      FROM mc)
+SELECT doc_id, reasons = '' AS keep, reasons FROM r
 """
     sql["fingerprints"] = f"""
 WITH t AS (SELECT doc_id, {raw_tok} AS t FROM documents),

@@ -48,17 +48,9 @@ def token_counts(docs: DataFrame, text_col: str = "text",
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality features + a pinned combined score in [0,1]:
-
-    stopword_ratio  — EN function words / alnum tokens
-    punct_ratio     — non-alnum, non-space chars / chars
-    mean_token_len  — avg alnum token length
-    quality = 0.4·clamp(stopword_ratio/0.4) + 0.3·(1−clamp(punct_ratio/0.3))
-            + 0.3·clamp(mean_token_len/8)
-    """
-    c = F.col(text_col)
+def _quality_cols(c):
+    """The quality component columns (sw, pr, mean_len, q) — shared by
+    :func:`quality_scores` and the single-pass :func:`curation_filter`."""
     toks = _alnum_tokens(c)
     en = LANG_STOPWORDS["en"]
     stops = F.array(*[F.lit(s) for s in en])
@@ -73,6 +65,39 @@ def quality_scores(docs: DataFrame, text_col: str = "text",
     q = (F.lit(0.4) * F.least(sw / 0.4, F.lit(1.0))
          + F.lit(0.3) * (F.lit(1.0) - F.least(pr / 0.3, F.lit(1.0)))
          + F.lit(0.3) * F.least(mean_len / 8.0, F.lit(1.0)))
+    return sw, pr, mean_len, q
+
+
+def _lang_cols(c):
+    """(lang_guess, best_score) columns — shared by :func:`lang_id`
+    and :func:`curation_filter`."""
+    toks = _alnum_tokens(c)
+    n = F.size(toks)
+    scores = []
+    for lang in sorted(LANG_STOPWORDS):
+        stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+        cnt = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+        scores.append((lang, cnt.cast("double") /
+                       F.when(n > 0, n).otherwise(F.lit(1))))
+    best_score = F.greatest(*[s for _, s in scores])
+    guess = F.lit(None).cast("string")
+    for lang, s in reversed(scores):  # earlier langs win ties → apply last
+        guess = F.when(s == best_score, F.lit(lang)).otherwise(guess)
+    return guess, best_score
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a pinned combined score in [0,1]:
+
+    stopword_ratio  — EN function words / alnum tokens
+    punct_ratio     — non-alnum, non-space chars / chars
+    mean_token_len  — avg alnum token length
+    quality = 0.4·clamp(stopword_ratio/0.4) + 0.3·(1−clamp(punct_ratio/0.3))
+            + 0.3·clamp(mean_token_len/8)
+    """
+    c = F.col(text_col)
+    sw, pr, mean_len, q = _quality_cols(c)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         round_half_up(sw, 6).alias("stopword_ratio"),
@@ -86,21 +111,55 @@ def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Stopword-overlap language ID: (doc_id, lang_guess, lang_score).
     Ties broken by language code ascending (deterministic)."""
-    toks = _alnum_tokens(F.col(text_col))
-    n = F.size(toks)
-    scores = []
-    for lang in sorted(LANG_STOPWORDS):
-        stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
-        cnt = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
-        scores.append((lang, cnt.cast("double") /
-                       F.when(n > 0, n).otherwise(F.lit(1))))
-    best_score = F.greatest(*[s for _, s in scores])
-    guess = F.lit(None).cast("string")
-    for lang, s in reversed(scores):  # earlier langs win ties → apply last
-        guess = F.when(s == best_score, F.lit(lang)).otherwise(guess)
+    guess, best_score = _lang_cols(F.col(text_col))
     return docs.select(F.col(id_col).alias("doc_id"),
                        guess.alias("lang_guess"),
                        round_half_up(best_score, 6).alias("lang_score"))
+
+
+def curation_filter(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_tokens: int = 5, max_tokens: int = 100_000,
+                    min_quality: float = 0.3, max_dup2: float = 0.5,
+                    langs: tuple[str, ...] = ("en",)) -> DataFrame:
+    """End-stage document filter (the RefinedWeb/Gopher-style keep/drop
+    decision): combines the engine's length, quality, language, and
+    2-gram-repetition signals IN ONE PASS over the text — every signal
+    is a Catalyst column, so the whole filter is a single projection:
+    no joins, no shuffles, no re-reads of the corpus.
+
+    Returns (doc_id, keep, reasons) where ``reasons`` lists every
+    violated rule comma-joined in a fixed order (empty string = kept).
+    Thresholds are pinned defaults in the Gopher/C4 neighborhood —
+    arguments, not policy. At 100 TB this runs as a map-only stage and
+    the kept set is a pushed-down predicate for every consumer."""
+    c = F.col(text_col)
+    toks = _alnum_tokens(c)
+    n = F.size(toks)
+    _sw, _pr, _ml, q = _quality_cols(c)
+    guess, _best = _lang_cols(c)
+    sh2 = F.filter(
+        F.zip_with(toks, F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull())
+    dup2 = F.when(F.size(sh2) > 0,
+                  F.lit(1.0) - F.size(F.array_distinct(sh2))
+                  .cast("double") / F.size(sh2)).otherwise(F.lit(0.0))
+    lang_arr = F.array(*[F.lit(lg) for lg in sorted(langs)])
+    rules = [
+        ("too_short", n < min_tokens),
+        ("too_long", n > max_tokens),
+        ("low_quality", q < min_quality),
+        ("repetitive", dup2 > max_dup2),
+        ("wrong_lang", ~F.array_contains(lang_arr, guess)),
+    ]
+    reasons = F.concat_ws(",", F.flatten(F.array(*[
+        F.when(cond, F.array(F.lit(name))).otherwise(
+            F.array().cast("array<string>"))
+        for name, cond in rules])))
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       (reasons == F.lit("")).alias("keep"),
+                       reasons.alias("reasons"))
 
 
 def fingerprints(docs: DataFrame, text_col: str = "text",

@@ -541,3 +541,21 @@ def test_url_stats_and_domain_filter(spark):
     assert kept == [1, 2]
     # blocklist domain that appears nowhere is a no-op
     assert curation.domain_filter(docs, ["zz.example"]).count() == 3
+
+
+def test_curation_filter_hand_computed(spark):
+    """Composite keep/drop filter: each rule fires on its crafted doc;
+    the clean doc is kept with an empty reason list."""
+    rows = [
+        (0, "the cat is on the mat with a dog and it is fine here now"),
+        (1, "hi"),                                         # too_short
+        (2, "spam spam spam spam spam spam"),              # repetitive
+        (3, "der hund ist mit der katze auf dem tisch und so weiter"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["keep"], r["reasons"])
+           for r in textstats.curation_filter(docs).collect()}
+    assert out[0] == (True, "")
+    assert out[1][0] is False and "too_short" in out[1][1]
+    assert out[2][0] is False and "repetitive" in out[2][1]
+    assert out[3] == (False, "wrong_lang")
