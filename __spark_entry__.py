@@ -98,6 +98,11 @@ SPANFIRST_QUERIES: list[tuple[str, str, int]] = [
     ("sp1", "merge", 6), ("sp2", "customer", 4), ("sp3", "window", 2),
 ]
 TV_DOC_IDS = [0, 5, 17]
+PARSED_QUERIES: list[tuple[str, str]] = [
+    ("pq1", '+merge sort -hash'),
+    ("pq2", 'mer* table'),
+    ("pq3", '"merge sort" fast'),
+]
 BOOLEAN_MSM = 1  # minimumNumberShouldMatch for boolean_msm_topk
 
 INDEX_VERSION = "v3"  # v3: block-framed blobs + block_off (sliceable runs)
@@ -843,6 +848,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _cached_index(spark, sf_dir)
         return _rounded_rerank(_bt(idx, BOOLEAN_QUERIES, TOPK + 50), TOPK)
 
+    def parsed_query_topk(spark, sf_dir):
+        """Lucene-syntax query strings (SURVEY T9 closed): +must /
+        -must_not / "phrase" / prefix* / bare-should clauses parsed
+        and compiled onto the engine's boolean/phrase/dictionary
+        operators (engine/queryparse.py)."""
+        from functools import reduce
+
+        from engine.positions import build_positions
+        from engine.queryparse import search_parsed
+
+        idx = _cached_index(spark, sf_dir)
+        build_positions(spark, idx.index_dir)
+        parts = [search_parsed(idx, qid, s, TOPK + 50)
+                 for qid, s in PARSED_QUERIES]
+        return _rounded_rerank(
+            reduce(lambda a, b: a.unionByName(b), parts), TOPK)
+
     def boolean_msm_topk(spark, sf_dir):
         """BooleanQuery with minimumNumberShouldMatch=1: docs must
         additionally match ≥1 should term; the clause set with no
@@ -1151,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deleted_search": deleted_search,
         "search_after_page2": search_after_page2,
         "boolean_msm_topk": boolean_msm_topk,
+        "parsed_query_topk": parsed_query_topk,
         "term_vectors": term_vectors,
         "collection_stats": collection_stats,
         "field_sorted_topk": field_sorted_topk,
@@ -1579,6 +1602,43 @@ fp AS (SELECT qv.qid, pt.doc_id, qv.lim, min(pt.pos)::BIGINT AS first_pos
        FROM qv JOIN pt USING (term)
        GROUP BY qv.qid, pt.doc_id, qv.lim)
 SELECT qid, doc_id, first_pos FROM fp WHERE first_pos + 1 <= lim
+"""
+    from engine.positions import analyze_phrase as _ap
+    pq_ph = _ap("merge sort")
+    phv = ", ".join(f"('{t}', {off})" for t, off in pq_ph)
+    sql["parsed_query_topk"] = f"""
+WITH {fts},
+{_sql_positions_ctes()},
+pq(term, off) AS (VALUES {phv}),
+pa AS (SELECT p.doc_id, p.pos - pq.off AS anchor, pq.off
+       FROM pq JOIN pt p USING (term) WHERE p.pos - pq.off >= 0),
+ph AS (SELECT DISTINCT doc_id FROM (
+         SELECT doc_id, anchor, count(DISTINCT off) AS c
+         FROM pa GROUP BY 1, 2) g WHERE c = {len(pq_ph)}),
+sq AS (
+  SELECT 'pq1' AS qid, unnest(['merge', 'sort']) AS term
+  UNION ALL SELECT 'pq2', term FROM dfs WHERE term LIKE 'mer%'
+  UNION ALL SELECT 'pq2', 'table'
+  UNION ALL SELECT 'pq3', unnest(['merge', 'sort', 'fast'])),
+sqd AS (SELECT DISTINCT qid, term FROM sq),
+matched AS (
+  SELECT q2.qid, tf.doc_id, sum({score}) AS s
+  FROM sqd q2 JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q2.qid, tf.doc_id),
+gated AS (
+  SELECT m.* FROM matched m
+  WHERE (m.qid = 'pq1'
+         AND m.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+         AND m.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'hash'))
+     OR m.qid = 'pq2'
+     OR (m.qid = 'pq3' AND m.doc_id IN (SELECT doc_id FROM ph)))
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM gated) t
+WHERE rank <= {TOPK}
 """
     bq_should = ", ".join(f"('{q}', '{t}')" for q, _m, s, _n in BOOLEAN_QUERIES
                           for t in sorted(set(s)))

@@ -1009,7 +1009,8 @@ BooleanClauses = Sequence[tuple[str, Sequence[str], Sequence[str],
 def boolean_topk(index: Index, queries: BooleanClauses, k: int,
                  k1: float | None = None,
                  b: float | None = None,
-                 min_should: int = 0) -> DataFrame:
+                 min_should: int = 0,
+                 doc_filter: DataFrame | None = None) -> DataFrame:
     """Generic Lucene BooleanQuery analog — each query is
     (qid, must, should, must_not).
 
@@ -1023,7 +1024,9 @@ def boolean_topk(index: Index, queries: BooleanClauses, k: int,
     ``minimumNumberShouldMatch``: when > 0, a doc must additionally
     match at least that many distinct should terms — and, as in
     BooleanWeight, a query with fewer should clauses than the minimum
-    matches nothing.
+    matches nothing. ``doc_filter`` (doc_id column) restricts matching
+    BEFORE the top-k cut, like score_exhaustive's FILTER clause — the
+    query parser uses it for phrase gating.
 
     Plan shape: ONE decode of the scoring terms' postings feeds both
     the must-count gate and the score aggregation (same (qid, doc_id)
@@ -1048,6 +1051,9 @@ def boolean_topk(index: Index, queries: BooleanClauses, k: int,
         F.col("e.dls").alias("dl"),
     )
     rows = index.live(rows)
+    if doc_filter is not None:
+        rows = rows.join(doc_filter.select("doc_id").distinct(),
+                         "doc_id", "left_semi")
     # must-count gate over the SAME decoded rows
     must_pairs = [(q, t) for q, m, _s, _n in queries for t in sorted(set(m))]
     n_must = [(q, len(set(m))) for q, m, _s, _n in queries]
