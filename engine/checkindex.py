@@ -75,3 +75,16 @@ def verify_index(spark: SparkSession, index_dir: str) -> dict:
     }
     report["ok"] = not any(report.values())
     return report
+
+
+if __name__ == "__main__":      # python -m engine.checkindex <index_dir>
+    import json
+    import sys
+
+    from .session import get_spark
+
+    spark = get_spark(app="checkindex", master="local[8]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(verify_index(spark, sys.argv[1])))
+    spark.stop()
