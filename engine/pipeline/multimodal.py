@@ -2,11 +2,15 @@
 payloads with typed metadata, processed by Arrow-batched pandas UDFs
 over ``mapInPandas``.
 
-The decode/feature-extraction kernels are STUBBED (image/audio codecs
-are not available in this environment — see ``DECODERS_AVAILABLE``);
-everything Spark-side is real and tested: schema, binary transport,
-partitioning, UDF signatures, Arrow batch shapes. Swap ``_fake_decode``
-for a real libvips/ffmpeg kernel and nothing else changes.
+Container-header METADATA extraction is REAL and dependency-free
+(:func:`parse_media_header`: PNG/GIF/BMP dimensions, WAV duration —
+spec'd byte layouts via stdlib ``struct``). Deep decode (pixels,
+samples, frames) and learned feature embeddings are STUBBED —
+image/audio codecs and model weights are not available in this
+environment (``DECODERS_AVAILABLE``); everything Spark-side is real
+and tested: schema, binary transport, partitioning, UDF signatures,
+Arrow batch shapes. Swap the stub branch of :func:`decode_media` for
+a libvips/ffmpeg kernel and nothing else changes.
 """
 
 from __future__ import annotations
@@ -56,6 +60,64 @@ def media_from_docs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def parse_media_header(payload: bytes) -> dict | None:
+    """REAL, dependency-free container-header parsing for the common
+    self-describing formats — no codec libraries needed, just the
+    spec'd byte layouts (stdlib only):
+
+    * PNG  — IHDR width/height (big-endian u32 at offsets 16/20)
+    * GIF  — logical screen width/height (little-endian u16 at 6/8)
+    * BMP  — BITMAPINFOHEADER width/height (LE i32 at 18/22)
+    * WAV  — RIFF chunk walk: fmt→byte_rate, data→size ⇒ duration_ms
+
+    Returns {width, height, duration_ms} (absent keys None) or None if
+    the magic bytes are unrecognized. Deep decode (pixels / samples /
+    video frames) still needs codec libs and stays behind the stub."""
+    import struct
+
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", payload[16:24])
+        return {"width": w, "height": h, "duration_ms": None}
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"width": w, "height": h, "duration_ms": None}
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        w, h = struct.unpack("<ii", payload[18:26])
+        return {"width": abs(w), "height": abs(h), "duration_ms": None}
+    if len(payload) >= 12 and payload[:4] == b"RIFF" \
+            and payload[8:12] == b"WAVE":
+        pos, byte_rate, data_size = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            if cid == b"fmt " and pos + 20 <= len(payload):
+                (byte_rate,) = struct.unpack(
+                    "<I", payload[pos + 16:pos + 20])
+            elif cid == b"data":
+                data_size = size
+            pos += 8 + size + (size & 1)       # chunks are word-aligned
+        if byte_rate and data_size is not None:
+            return {"width": None, "height": None,
+                    "duration_ms": int(data_size * 1000 // byte_rate)}
+        return {"width": None, "height": None, "duration_ms": None}
+    return None
+
+
+def decode_media(payload: bytes, modality: str) -> dict:
+    """Header-parse when the container is recognized (REAL metadata);
+    otherwise fall back to the deterministic stub. The feature vector
+    stays a payload-hash stub either way — real embeddings need model
+    weights this environment doesn't ship."""
+    sha = hashlib.sha256(payload)
+    parsed = parse_media_header(payload)
+    feat = (np.frombuffer(sha.digest(), dtype=np.uint8)[:8]
+            .astype(np.float32) / 255.0)
+    if parsed is not None:
+        return {**parsed, "sha": sha.hexdigest(),
+                "feature": feat.tolist()}
+    return _fake_decode(payload, modality)
+
+
 def _fake_decode(payload: bytes, modality: str) -> dict:
     """Deterministic stand-in for a real decoder. A real implementation
     would raise ``NotImplementedError`` without the codec libs; here we
@@ -84,7 +146,7 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
             # itself is inherently per-item (a codec consumes one
             # encoded object at a time)
             payloads = [bytes(p) for p in pdf["payload"]]
-            decs = [_fake_decode(p, m)
+            decs = [decode_media(p, m)
                     for p, m in zip(payloads, pdf["modality"])]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].to_numpy(),

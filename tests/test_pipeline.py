@@ -559,3 +559,39 @@ def test_curation_filter_hand_computed(spark):
     assert out[1][0] is False and "too_short" in out[1][1]
     assert out[2][0] is False and "repetitive" in out[2][1]
     assert out[3] == (False, "wrong_lang")
+
+
+def test_media_header_parsing_real_formats(spark):
+    """parse_media_header extracts REAL dimensions/durations from
+    spec-constructed PNG / GIF / BMP / WAV payloads through the full
+    Spark mapInPandas path (no codec libs involved)."""
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00"
+           + b"\x00\x00\x00\x00")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    bmp = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 128, -256)
+           + b"\x00" * 8)
+    # WAV: 2 bytes/sample mono 8kHz → byte_rate 16000; 32000 data bytes
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36 + 32000) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 32000))
+    rows = [(0, "image", bytearray(png), "image/png"),
+            (1, "image", bytearray(gif), "image/gif"),
+            (2, "image", bytearray(bmp), "image/bmp"),
+            (3, "audio", bytearray(wav), "audio/wav"),
+            (4, "image", bytearray(b"not a container"), "octet")]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           multimodal.extract_features(media).collect()}
+    assert (out[0]["width"], out[0]["height"]) == (640, 480)
+    assert (out[1]["width"], out[1]["height"]) == (320, 200)
+    assert (out[2]["width"], out[2]["height"]) == (128, 256)
+    assert out[3]["duration_ms"] == 2000 and out[3]["width"] is None
+    # unknown magic falls back to the deterministic stub (non-null dims)
+    assert out[4]["width"] is not None
+    import hashlib
+    assert out[0]["sha"] == hashlib.sha256(png).hexdigest()
