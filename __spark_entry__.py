@@ -567,6 +567,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("media_id", "modality", "n_bytes", "sha",
                           "width", "height").orderBy("media_id")
 
+    def media_resize_plan(spark, sf_dir):
+        """Aspect-preserving resize geometry over the decode stage's
+        dimensions (images/videos; never upscales)."""
+        from engine.pipeline import multimodal
+
+        feats = multimodal.extract_features(
+            multimodal.media_from_docs(_docs(spark, sf_dir)))
+        return multimodal.resize_plan(feats, max_side=128) \
+            .orderBy("media_id")
+
+    def media_frames(spark, sf_dir):
+        """Frame-sampling fan-out: one row per 10s timestamp of every
+        item with a duration (executor-side explode, no driver loop)."""
+        from engine.pipeline import multimodal
+
+        feats = multimodal.extract_features(
+            multimodal.media_from_docs(_docs(spark, sf_dir)))
+        return multimodal.sample_frames(feats, every_ms=10_000)
+
     def expansion_weights(spark, sf_dir):
         """Entity-RM3 expansion mining (SURVEY.md Q9-Q10) over the
         pilot top-20 of each BM25 query."""
@@ -1134,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "fingerprints": fingerprints,
         "multimodal_features": multimodal_features,
+        "media_resize_plan": media_resize_plan,
+        "media_frames": media_frames,
         "expansion_weights": expansion_weights,
         "eval_metrics": eval_metrics,
         "event_sessions": event_sessions,
@@ -2256,6 +2277,31 @@ SELECT doc_id AS media_id,
          64 + (('0x' || substr(sha256(text), 3, 2))::INT % 192)
        END AS height
 FROM documents
+"""
+
+    sql["media_resize_plan"] = """
+WITH f AS (
+  SELECT doc_id AS media_id,
+         64 + (('0x' || substr(sha256(text), 1, 2))::INT % 192) AS width,
+         64 + (('0x' || substr(sha256(text), 3, 2))::INT % 192) AS height
+  FROM documents WHERE doc_id % 3 IN (0, 2)),
+s AS (SELECT *, least(128.0 / greatest(width, height), 1.0) AS sc FROM f)
+SELECT media_id, width, height,
+       floor(width * sc + 0.5)::INT AS new_w,
+       floor(height * sc + 0.5)::INT AS new_h,
+       sc < 1.0 AS scaled
+FROM s
+"""
+    sql["media_frames"] = """
+WITH f AS (
+  SELECT doc_id AS media_id,
+         1000 + ('0x' || substr(sha256(text), 5, 4))::INT AS dur
+  FROM documents WHERE doc_id % 3 IN (1, 2))
+SELECT media_id, frame_idx, (frame_idx * 10000)::BIGINT AS t_ms FROM (
+  SELECT media_id,
+         unnest(generate_series(0, CAST(floor(dur / 10000) AS BIGINT)))::INT
+           AS frame_idx
+  FROM f) t
 """
 
     # --- expansion_weights -------------------------------------------------

@@ -164,3 +164,37 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
             }, columns=[f.name for f in FEATURE_SCHEMA])
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_plan(features: DataFrame, max_side: int = 224) -> DataFrame:
+    """Aspect-preserving resize planning (image prep): for every item
+    with decoded dimensions, the target (new_w, new_h) clamping the
+    longer side to ``max_side`` (never upscaling) — the REAL geometry
+    math of a resize stage; executing it on pixels is the deep-decode
+    step behind the stub. Pure Catalyst over the decode output:
+    (media_id, width, height, new_w, new_h, scaled)."""
+    w, h = F.col("width").cast("double"), F.col("height").cast("double")
+    scale = F.least(F.lit(float(max_side)) / F.greatest(w, h), F.lit(1.0))
+    # floor(x + 0.5): explicit half-up — Spark round() and DuckDB
+    # round() disagree on ties, this form is identical on both engines
+    return (features.where(F.col("width").isNotNull())
+            .select("media_id", "width", "height",
+                    F.floor(w * scale + 0.5).cast("int").alias("new_w"),
+                    F.floor(h * scale + 0.5).cast("int").alias("new_h"),
+                    (scale < 1.0).alias("scaled")))
+
+
+def sample_frames(features: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling layout (video/audio prep): one row per sampled
+    timestamp — (media_id, frame_idx, t_ms) for t in [0, duration] at
+    ``every_ms`` steps. The timeline is real (decode-stage duration);
+    extracting the frame PAYLOAD at each t is the deep-decode step
+    that stays stubbed. The explode is the scale-correct layout: rows
+    fan out executor-side, never through the driver."""
+    n = F.floor(F.col("duration_ms") / every_ms).cast("int")
+    return (features.where(F.col("duration_ms").isNotNull())
+            .select("media_id",
+                    F.explode(F.sequence(F.lit(0), n)).alias("frame_idx"))
+            .withColumn("t_ms", (F.col("frame_idx") * every_ms)
+                        .cast("long"))
+            .orderBy("media_id", "frame_idx"))

@@ -595,3 +595,31 @@ def test_media_header_parsing_real_formats(spark):
     assert out[4]["width"] is not None
     import hashlib
     assert out[0]["sha"] == hashlib.sha256(png).hexdigest()
+
+
+def test_resize_plan_and_sample_frames(spark, docs):
+    """Resize geometry (aspect-preserving, never upscaling) and the
+    frame-sampling fan-out layout — hand-checked."""
+    feats = multimodal.extract_features(multimodal.media_from_docs(docs))
+    rp = {r["media_id"]: r for r in
+          multimodal.resize_plan(feats, max_side=100).collect()}
+    for r in rp.values():
+        w, h, nw, nh = r["width"], r["height"], r["new_w"], r["new_h"]
+        assert max(nw, nh) <= 100 or not r["scaled"]
+        if r["scaled"]:
+            s = 100 / max(w, h)
+            import math
+            assert nw == math.floor(w * s + 0.5)
+            assert nh == math.floor(h * s + 0.5)
+        else:
+            assert (nw, nh) == (w, h) and max(w, h) <= 100
+    fr = multimodal.sample_frames(feats, every_ms=10_000).collect()
+    durs = {r["media_id"]: r["duration_ms"] for r in feats.collect()
+            if r["duration_ms"] is not None}
+    got = {}
+    for r in fr:
+        got.setdefault(r["media_id"], []).append(r["t_ms"])
+        assert r["t_ms"] == r["frame_idx"] * 10_000
+    assert set(got) == set(durs)
+    for mid, ts in got.items():
+        assert ts == list(range(0, durs[mid] + 1, 10_000))
