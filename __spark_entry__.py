@@ -399,6 +399,27 @@ def _cached_deleted_index(spark: SparkSession, sf_dir: str):
     return Index(spark, idx_dir)
 
 
+def _cached_shard_indexes(spark: SparkSession, sf_dir: str):
+    """Two shard indexes over the documents table split at n/2 —
+    the federation (MultiReader) driver surface. The split follows the
+    canonical docno order, so shard-local ids + docBase equal the
+    monolithic ids and the oracle is the plain global-BM25 SQL."""
+    from engine.index_build import build_index
+    from engine.search import Index
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    docs = _docs(spark, sf_dir)
+    cut = docs.count() // 2
+    out = []
+    for i, pred in enumerate((F.col("doc_id") < cut,
+                              F.col("doc_id") >= cut)):
+        idx_dir = f"/tmp/sfts_{INDEX_VERSION}_shard{i}_{tag}"
+        corpus = _documents_as_corpus(docs.where(pred))
+        build_index(spark, corpus, idx_dir, n_buckets=8, n_doc_buckets=1)
+        out.append(Index(spark, idx_dir))
+    return out
+
+
 def _wand_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.search import score_wand
 
@@ -867,6 +888,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _cached_index(spark, sf_dir)
         return _rounded_rerank(_bt(idx, BOOLEAN_QUERIES, TOPK + 50), TOPK)
 
+    def federated_search(spark, sf_dir):
+        """Multi-shard federation (Lucene MultiReader): two shard
+        indexes searched under global stats + docBase offsets —
+        results equal the monolithic index / plain global-BM25 SQL."""
+        from engine.federate import federated_topk as _ft
+
+        idxs = _cached_shard_indexes(spark, sf_dir)
+        qt = [(q, t, 1.0) for q, terms in BM25_QUERIES for t in terms]
+        res = _ft(idxs, qt, TOPK + 50)
+        r = round_half_up(F.col("score"), 4)
+        w = Window.partitionBy("qid").orderBy(r.desc(), F.asc("doc_id"))
+        return (res.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= TOPK)
+                .select("qid", "shard", "doc_id", r.alias("score"),
+                        F.col("rk").alias("rank"))
+                .orderBy("qid", "rank"))
+
     def parsed_query_topk(spark, sf_dir):
         """Lucene-syntax query strings (SURVEY T9 closed): +must /
         -must_not / "phrase" / prefix* / bare-should clauses parsed
@@ -1195,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_page2": search_after_page2,
         "boolean_msm_topk": boolean_msm_topk,
         "parsed_query_topk": parsed_query_topk,
+        "federated_search": federated_search,
         "term_vectors": term_vectors,
         "collection_stats": collection_stats,
         "field_sorted_topk": field_sorted_topk,
@@ -1581,6 +1620,24 @@ SELECT qid, doc_id, {r4} AS score, (rank - {TOPK})::INT AS rank FROM (
              ORDER BY {r4} DESC, doc_id)::INT AS rank
   FROM matched) t
 WHERE rank > {TOPK} AND rank <= {2 * TOPK}
+"""
+    sql["federated_search"] = f"""
+WITH {fts},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({score}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid,
+       CASE WHEN doc_id >= (SELECT CAST(floor(count(*) / 2) AS BIGINT)
+                            FROM documents) THEN 1 ELSE 0 END::INT AS shard,
+       doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM matched) t
+WHERE rank <= {TOPK}
 """
     qidvals = ", ".join(f"('{q}')" for q, _ in BM25_QUERIES)
     sql["count_matches"] = f"""

@@ -512,3 +512,36 @@ def test_verify_index_healthy_and_corrupt(spark, tmp_path):
     assert not rep2["ok"]
     assert rep2["df_mismatch_terms"] == 1
     assert rep2["bad_posting_len"] == 0  # postings themselves untouched
+
+
+def test_federated_matches_monolithic(spark, tmp_path):
+    """MultiReader analog: two shard indexes searched under global
+    stats + docBase offsets produce rank- and score-identical results
+    to one monolithic index over the union corpus."""
+    from engine.federate import federated_topk
+
+    corpus = generate_corpus_df(spark, 40, partitions=2, max_tokens=80)
+    full_p = str(tmp_path / "full")
+    build_index(spark, corpus, full_p, n_buckets=2, n_doc_buckets=1)
+    full = Index(spark, full_p)
+    # split by the SAME canonical order the monolithic build uses, so
+    # shard-local ids + docBase == monolithic ids
+    docnos = sorted(r["docno"] for r in
+                    full.docs.select("docno").collect())
+    cut = docnos[len(docnos) // 2]
+    c1 = corpus.where(F.concat_ws("/", "repo", "path") < cut)
+    c2 = corpus.where(F.concat_ws("/", "repo", "path") >= cut)
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    build_index(spark, c1, p1, n_buckets=2, n_doc_buckets=1)
+    build_index(spark, c2, p2, n_buckets=3, n_doc_buckets=1)
+    shards = [Index(spark, p1), Index(spark, p2)]
+
+    qt = topics_to_query_terms(synthetic_topics(5))
+    mono = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 10))
+            for r in score_exhaustive(full, qt, 12).collect()]
+    fed = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 10))
+           for r in federated_topk(shards, qt, 12).collect()]
+    assert mono == fed and mono
+    # shard column maps ids to the right reader
+    for r in federated_topk(shards, qt, 12).collect():
+        assert (r["shard"] == 0) == (r["doc_id"] < shards[0].n_docs)
