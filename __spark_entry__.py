@@ -555,6 +555,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       n_centroids=16, rerank=60)
                 .orderBy("qid", "rank"))
 
+    def ann_rocchio_topk(spark, sf_dir):
+        """Rocchio pseudo-relevance feedback in embedding space (the
+        vector sibling of RM3): 4dp-rounded cosine pilot top-5 →
+        9dp-rounded feedback centroid → q' = q + 0.75·centroid →
+        exact rounded-cosine rerank. Fully deterministic replica
+        oracle."""
+        return (similarity.rocchio_topk(_emb(spark, sf_dir),
+                                        ANN_QUERY_IDS, TOPK, fb_k=5)
+                .orderBy("qid", "rank"))
+
     def ann_multiprobe_topk(spark, sf_dir):
         """Multi-probe LSH ANN (own bucket + all Hamming-1 flips),
         exact rerank; deterministic → full oracle. Overfetch + rounded
@@ -1186,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_topk": ann_multiprobe_topk,
         "ann_pq_topk": ann_pq_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
+        "ann_rocchio_topk": ann_rocchio_topk,
         "token_counts": token_counts,
         "quality_scores": quality_scores,
         "lang_id": lang_id,
@@ -2071,6 +2082,33 @@ sc AS (
   FROM probes p JOIN af USING (centroid_id)
   JOIN e ON e.vec_id = af.vec_id
   WHERE af.vec_id <> p.qid)
+SELECT qid, vec_id, (floor(c * 1e4 + 0.5) / 1e4) AS cosine, rank FROM (
+  SELECT qid, vec_id, c,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY (floor(c * 1e4 + 0.5) / 1e4) DESC, vec_id)::INT AS rank
+  FROM sc) t
+WHERE rank <= {TOPK}
+"""
+
+    sql["ann_rocchio_topk"] = f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qids})),
+pil AS (SELECT qid, vec_id FROM (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (PARTITION BY q.qid
+             ORDER BY (floor({_cos('q.qv', 'e.v')} * 1e4 + 0.5) / 1e4) DESC,
+                      e.vec_id) AS rn
+  FROM q CROSS JOIN e WHERE e.vec_id <> q.qid) t WHERE rn <= 5),
+cent AS (SELECT qid, list(m ORDER BY d) AS cv FROM (
+  SELECT pil.qid, g.d, (floor(avg(e.v[g.d]) * 1e9 + 0.5) / 1e9) AS m
+  FROM pil JOIN e USING (vec_id), generate_series(1, 64) g(d)
+  GROUP BY pil.qid, g.d) s GROUP BY qid),
+q2 AS (SELECT qid, list(x ORDER BY d) AS qv FROM (
+  SELECT q.qid, g.d, 1.0 * q.qv[g.d] + 0.75 * c.cv[g.d] AS x
+  FROM q JOIN cent c USING (qid), generate_series(1, 64) g(d)) t
+  GROUP BY qid),
+sc AS (SELECT q2.qid, e.vec_id, {_cos('q2.qv', 'e.v')} AS c
+       FROM q2 CROSS JOIN e WHERE e.vec_id <> q2.qid)
 SELECT qid, vec_id, (floor(c * 1e4 + 0.5) / 1e4) AS cosine, rank FROM (
   SELECT qid, vec_id, c,
          row_number() OVER (PARTITION BY qid

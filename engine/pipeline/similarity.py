@@ -389,6 +389,58 @@ def pq_encode(emb: DataFrame, cents: DataFrame, m: int,
     return _pq_assign(sub, cents).withColumnRenamed("centroid_id", "code")
 
 
+def rocchio_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+                 fb_k: int = 5, alpha: float = 1.0, beta: float = 0.75,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> DataFrame:
+    """Rocchio pseudo-relevance feedback in embedding space — the
+    vector-side sibling of the engine's RM3 text expansion: the
+    query's cosine top-``fb_k`` neighbors form a feedback centroid and
+    the query moves toward it (q' = α·q + β·centroid) before the
+    final exact cosine ranking. (Classic Rocchio's γ-negative term is
+    omitted — no non-relevant judgments in pseudo-feedback.)
+
+    Deterministic recipe (oracle-replicable): the pilot ranks on the
+    4 dp-rounded cosine (ties → vec_id), the centroid's per-dim mean
+    is 9 dp-rounded (the only order-dependent reduction), and the
+    final rank uses the 4 dp-rounded cosine of q'. Returns
+    (qid, vec_id, cosine, rank)."""
+    from engine.portable import round_half_up
+    from pyspark.sql import Window
+
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    dims = len(base.first()["v"])
+    q = (base.where(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    sc = (base.crossJoin(F.broadcast(q))
+          .where(F.col("vec_id") != F.col("qid"))
+          .withColumn("c", _dot("qv", "v") / (_norm("qv") * _norm("v"))))
+    rp = round_half_up(F.col("c"), 4)
+    wp = Window.partitionBy("qid").orderBy(rp.desc(), F.asc("vec_id"))
+    pilot = (sc.withColumn("rn", F.row_number().over(wp))
+             .where(F.col("rn") <= fb_k).select("qid", "vec_id"))
+    cent = (pilot.join(base, "vec_id")
+            .groupBy("qid")
+            .agg(F.array(*[
+                round_half_up(F.avg(F.element_at("v", d + 1)), 9)
+                .alias(f"d{d}")
+                for d in range(dims)]).alias("cv")))
+    q2 = (q.join(cent, "qid")
+          .select("qid", F.zip_with(
+              "qv", "cv",
+              lambda a, b: F.lit(alpha) * a + F.lit(beta) * b).alias("qv")))
+    sc2 = (base.crossJoin(F.broadcast(q2))
+           .where(F.col("vec_id") != F.col("qid"))
+           .withColumn("c", _dot("qv", "v") / (_norm("qv") * _norm("v"))))
+    r = round_half_up(F.col("c"), 4)
+    w = Window.partitionBy("qid").orderBy(r.desc(), F.asc("vec_id"))
+    return (sc2.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "vec_id", r.alias("cosine"), "rank")
+            .orderBy("qid", "rank"))
+
+
 def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                n_ivf: int | None = 16, n_probe: int = 4,
                m: int = 16, n_centroids: int = 16, rerank: int = 60,

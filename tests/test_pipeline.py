@@ -623,3 +623,45 @@ def test_resize_plan_and_sample_frames(spark, docs):
     assert set(got) == set(durs)
     for mid, ts in got.items():
         assert ts == list(range(0, durs[mid] + 1, 10_000))
+
+
+def test_rocchio_feedback_matches_numpy_replica(spark):
+    """Rocchio vector PRF: exact pipeline replica in numpy (rounded
+    pilot → 9dp centroid → q' → rounded final rank) must agree."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(50):
+        center = np.zeros(8)
+        center[0 if i < 25 else 4] = 5.0
+        v = center + rng.normal(0, 0.2, 8)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    V = {i: np.array(v, dtype=np.float32).astype(np.float64)
+         for i, v in rows}
+
+    def r(x, p):
+        return math.floor(x * 10 ** p + 0.5) / 10 ** p
+
+    def cos(a, b):
+        return float(np.dot(a, b)) / (math.sqrt(float(np.dot(a, a)))
+                                      * math.sqrt(float(np.dot(b, b))))
+
+    out = similarity.rocchio_topk(emb, [0], k=8, fb_k=5).collect()
+    got = [(x["vec_id"], x["cosine"]) for x in sorted(out, key=lambda x: x["rank"])]
+
+    # numpy replica
+    pil = sorted(((-r(cos(V[0], V[i]), 4), i) for i in V if i != 0))[:5]
+    fb = [i for _, i in pil]
+    cent = np.array([r(float(np.mean([V[i][d] for i in fb])), 9)
+                     for d in range(8)])
+    q2 = 1.0 * V[0] + 0.75 * cent
+    want = sorted(((-r(cos(q2, V[i]), 4), i) for i in V if i != 0))[:8]
+    assert got == [(i, -c) for c, i in want]
+    # feedback keeps the query in its own cluster
+    assert all(i < 25 for i, _ in got)
+    out2 = similarity.rocchio_topk(emb, [0], k=8, fb_k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
