@@ -38,7 +38,10 @@ CHECKS = {
 # sides tiny by construction); flagged everywhere else.
 RED_FLAGS = ["CartesianProduct"]
 BNLJ_OK = {"brute-force cosine top-k",
-           "IVF-PQ ANN (coarse cells + residual ADC + rerank)"}
+           "IVF-PQ ANN (coarse cells + residual ADC + rerank)",
+           # Rocchio is exact-rerank by design: the broadcast side is
+           # the handful of (possibly feedback-shifted) query vectors
+           "Rocchio vector PRF"}
 
 
 def main() -> None:
@@ -125,6 +128,12 @@ def main() -> None:
         em._docs(spark, sf_dir).select(
             "doc_id", F.col("n_chars").alias("sort_key")), 10)
     plans["hit counting (no scoring)"] = count_matches(idx, em.BM25_QUERIES)
+    from engine.queryparse import search_parsed
+    plans["parsed query (+must -not phrase prefix*)"] = search_parsed(
+        idx, "pp", '+merge sort -hash mer*', 10)
+    from engine.pipeline.similarity import rocchio_topk
+    plans["Rocchio vector PRF"] = rocchio_topk(
+        em._emb(spark, sf_dir), em.ANN_QUERY_IDS, 10)
 
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
