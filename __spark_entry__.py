@@ -1093,6 +1093,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (curation.pack_sequences(_docs(spark, sf_dir), budget=512)
                 .orderBy("doc_id"))
 
+    def ngram_lm_counts(spark, sf_dir):
+        """Corpus trigram count table with count-pruning (the classic
+        web-scale LM-prep aggregation, Brants et al. 2007)."""
+        return (textstats.ngram_counts(_docs(spark, sf_dir),
+                                       n=3, min_count=3)
+                .orderBy("ngram"))
+
     def curation_report(spark, sf_dir):
         """End-stage keep/drop filter (RefinedWeb/Gopher-style):
         length + quality + language + 2-gram repetition combined in
@@ -1231,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": pii_scrub,
         "url_domains": url_domains,
         "curation_report": curation_report,
+        "ngram_lm_counts": ngram_lm_counts,
         "shared_ngrams": shared_ngrams,
         "pack_layout": pack_layout,
         "wildcard_topk": wildcard_topk,
@@ -2345,6 +2353,16 @@ r AS (SELECT doc_id, coalesce(array_to_string([x for x in [
         if x IS NOT NULL], ','), '') AS reasons
       FROM mc)
 SELECT doc_id, reasons = '' AS keep, reasons FROM r
+"""
+    sql["ngram_lm_counts"] = f"""
+WITH t AS (SELECT {raw_tok} AS toks FROM documents),
+g AS (SELECT unnest(CASE WHEN len(toks) >= 3 THEN
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         for i in generate_series(1, len(toks) - 2)]
+      ELSE [] END) AS ngram
+      FROM t)
+SELECT ngram, count(*)::BIGINT AS count FROM g
+GROUP BY ngram HAVING count(*) >= 3
 """
     sql["fingerprints"] = f"""
 WITH t AS (SELECT doc_id, {raw_tok} AS t FROM documents),

@@ -283,3 +283,28 @@ def source_mix(docs: DataFrame, text_col: str = "text",
         round_half_up(F.col("mc"), 6).alias("mean_chars"),
         round_half_up(F.col("n_docs") / F.lit(float(total)), 6)
         .alias("doc_share"))
+
+
+def ngram_counts(docs: DataFrame, n: int = 2, min_count: int = 2,
+                 text_col: str = "text") -> DataFrame:
+    """Corpus-level n-gram count table with count pruning — the
+    canonical web-scale LM-prep job (Brants et al. 2007 built stupid-
+    backoff LMs from exactly this shape at 2T tokens): explode n-grams
+    (O(tokens) rows via the zip-with-shifted-slices build — never the
+    element_at O(n²) trap), one partial+final hash aggregation, prune
+    ``count < min_count`` (the pruning is what keeps the result table
+    bounded at scale). Returns (ngram, count) over lowercase alnum
+    tokens, stopwords kept (LMs want surface text).
+    """
+    toks = _alnum_tokens(F.col(text_col))
+    size = F.size(toks)
+    out = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(size - j, F.lit(0)))
+        out = F.zip_with(out, shifted,
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.filter(out, lambda x: x.isNotNull())
+    return (docs.select(F.explode(grams).alias("ngram"))
+            .groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .where(F.col("count") >= min_count))

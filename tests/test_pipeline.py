@@ -665,3 +665,17 @@ def test_rocchio_feedback_matches_numpy_replica(spark):
     assert all(i < 25 for i, _ in got)
     out2 = similarity.rocchio_topk(emb, [0], k=8, fb_k=5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_ngram_counts_hand_computed(spark):
+    """Bigram count table with pruning — hand-checked (stopwords kept,
+    cross-doc counts summed, singletons pruned)."""
+    rows = [(0, "the cat sat"), (1, "the cat ran"), (2, "a dog sat")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["ngram"]: r["count"] for r in
+           textstats.ngram_counts(df, n=2, min_count=2).collect()}
+    assert out == {"the cat": 2}
+    out1 = {r["ngram"]: r["count"] for r in
+            textstats.ngram_counts(df, n=2, min_count=1).collect()}
+    assert out1["cat sat"] == 1 and out1["a dog"] == 1
+    assert sum(out1.values()) == 6  # 2 bigrams per 3-token doc
