@@ -68,3 +68,32 @@ def test_search_parsed_phrase_gates(spark, tiny_index):
                phrase_match(pos_index, [("q", pair)]).collect()}
     assert res and all(r["doc_id"] in hit_ids for r in res)
     assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
+
+
+def test_parse_query_never_crashes_property():
+    """Property: parse_query is total over arbitrary syntax soup
+    (except the documented negated-phrase error) and only ever emits
+    analyzed lowercase-alnum clause terms."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list("abcXYZ012 +-*?~\"_."))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=40))
+    def check(s):
+        try:
+            q = parse_query(s)
+        except ValueError as e:
+            assert "negated phrases" in str(e)
+            return
+        for bucket in (q.must, q.should, q.must_not, q.prefixes,
+                       q.fuzzies):
+            for t in bucket:
+                assert re.fullmatch(r"[a-z0-9]+", t), (s, t)
+        for w in q.wildcards:
+            assert re.fullmatch(r"[a-z0-9*?]*", w), (s, w)
+
+    check()
