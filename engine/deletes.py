@@ -102,10 +102,15 @@ def update_docs(spark: SparkSession, index_dir: str,
         prev = read_delta_postings(spark, index_dir) \
             .agg(F.max("delta")).collect()[0][0]
         epoch = int(prev if prev is not None else -1) + 1
+    stem = bool(stats.get("stem"))
+    stemmer = stats.get("stemmer", "porter")
+    fold = bool(stats.get("ascii_fold"))
     writer = delta_segment_writer(index_dir, stats["avgdl"],
                                   int(stats["n_buckets"]), stats["k1"],
                                   stats["b"],
-                                  stats.get("block_size", _BS))
+                                  stats.get("block_size", _BS),
+                                  stem=stem, stemmer=stemmer,
+                                  ascii_fold=fold)
     writer(assigned, epoch)
     # docs + tf rows for the new ids (tf keeps purge's stats refresh
     # and the forward lookups consistent with the delta postings)
@@ -114,7 +119,7 @@ def update_docs(spark: SparkSession, index_dir: str,
              "content", "sha")
      .write.mode("append").parquet(p["docs"]))
     from .analysis import tokenize_pandas_udf
-    tok = tokenize_pandas_udf()
+    tok = tokenize_pandas_udf(stem=stem, stemmer=stemmer, ascii_fold=fold)
     toks = assigned.select(
         "doc_id",
         F.size(tok(F.col("content"))).cast("long").alias("dl"),

@@ -41,13 +41,20 @@ CORPUS_SCHEMA = T.StructType([
 
 def delta_segment_writer(index_dir: str, avgdl: float, n_buckets: int = 8,
                          k1: float = K1, b: float = B,
-                         block_size: int = BLOCK_SIZE):
+                         block_size: int = BLOCK_SIZE,
+                         stem: bool = False, stemmer: str = "porter",
+                         ascii_fold: bool = False):
     """foreachBatch function: one delta posting segment per micro-batch.
 
     avgdl is frozen from the base index's stats (exactly how the batch
     builder freezes it into block_max_w); a compaction re-derives it.
+    ``stem``/``stemmer``/``ascii_fold`` MUST match the base index's
+    analyzer settings or delta terms land in a different vocabulary —
+    :func:`incremental_index` and ``update_docs`` read them from the
+    index stats.
     """
-    tok = tokenize_pandas_udf()
+    tok = tokenize_pandas_udf(stem=stem, stemmer=stemmer,
+                              ascii_fold=ascii_fold)
     enc_fn = _make_encode_fn(avgdl, k1, b, block_size)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -84,13 +91,20 @@ def incremental_index(spark: SparkSession, watch_dir: str, index_dir: str,
     what exists and stops — the test/batch-catchup mode; without it, it
     runs continuously (micro-batch per trigger).
     """
-    if avgdl is None or n_buckets is None:
-        from .index_build import load_stats
+    from .index_build import _exists, _paths, load_stats
+    stats: dict = {}
+    if _exists(spark, _paths(index_dir)["stats"]):
         stats = load_stats(spark, index_dir)
-        avgdl = stats["avgdl"] if avgdl is None else avgdl
-        n_buckets = stats["n_buckets"] if n_buckets is None else n_buckets
+    if avgdl is None:
+        avgdl = stats["avgdl"]
+    if n_buckets is None:
+        n_buckets = stats["n_buckets"]
     stream = (spark.readStream.schema(CORPUS_SCHEMA).parquet(watch_dir))
-    writer = delta_segment_writer(index_dir, avgdl, n_buckets)
+    writer = delta_segment_writer(
+        index_dir, avgdl, n_buckets,
+        stem=bool(stats.get("stem")),
+        stemmer=stats.get("stemmer", "porter"),
+        ascii_fold=bool(stats.get("ascii_fold")))
     q = (stream.writeStream
          .foreachBatch(writer)
          .option("checkpointLocation",

@@ -132,3 +132,29 @@ def test_update_docs_nrt_cycle(spark, tmp_path):
     assert idx.df_map(["aa"]) == {}
     assert idx.df_map(["dd", "bb", "ee"]) == {"dd": 1, "bb": 2, "ee": 1}
     assert score_exhaustive(idx, [("q", "dd", 1.0)], 10).count() == 1
+
+
+def test_update_docs_respects_stemmed_analyzer(spark, tmp_path):
+    """Regression: the delta writer must use the BASE index's analyzer
+    settings — an update to a stem=True index must land stemmed terms
+    in the same vocabulary (was: always unstemmed)."""
+    from engine.deletes import update_docs
+    from engine.streaming import nrt_index
+
+    rows = [("r", "a", "-", "py", "running policies"),
+            ("r", "b", "-", "py", "other words")]
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string")
+    path = str(tmp_path / "stemidx")
+    build_index(spark, spark.createDataFrame(rows, schema), path,
+                n_buckets=2, n_doc_buckets=1, stem=True)
+    update_docs(spark, path,
+                spark.createDataFrame([("r", "b", "-", "py",
+                                        "connected stories")], schema))
+    nrt = nrt_index(spark, path)
+    # porter: connected→connect, stories→stori — searchable ONLY if the
+    # delta was stemmed with the base analyzer
+    assert score_exhaustive(nrt, [("q", "connect", 1.0)], 10).count() == 1
+    assert score_exhaustive(nrt, [("q", "stori", 1.0)], 10).count() == 1
+    # the unstemmed surface form must NOT be in the vocabulary
+    assert score_exhaustive(nrt, [("q", "connected", 1.0)], 10).count() == 0
