@@ -47,8 +47,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .analysis import (RE_NONTOKEN, STOPWORDS, _STOPSET, porter_stem,
-                       tokenize_texts)
+from .analysis import (RE_NONTOKEN, STOPWORDS, _STOPSET, kstem,
+                       porter_stem, tokenize_texts)
 from .index_build import _exists, _paths
 from .search import Index
 
@@ -59,10 +59,12 @@ def _positions_path(index_dir: str) -> str:
     return f"{index_dir}/{POSITIONS_DIRNAME}"
 
 
-def _full_tokens_col(col):
+def _full_tokens_col(col, ascii_fold: bool = False):
     """All tokens (stopwords INCLUDED) in stream order — the position
     axis. Pure Catalyst; mirrors analysis.tokens_col(keep_stopwords)."""
-    from .analysis import RE_CAMEL_A, RE_CAMEL_B, RE_POSSESSIVE
+    from .analysis import RE_CAMEL_A, RE_CAMEL_B, RE_POSSESSIVE, fold_col
+    if ascii_fold:
+        col = fold_col(col)
     c = F.regexp_replace(col, RE_POSSESSIVE, "")
     c = F.regexp_replace(c, RE_CAMEL_A, r"$1 $2")
     c = F.regexp_replace(c, RE_CAMEL_B, r"$1 $2")
@@ -92,13 +94,18 @@ def build_positions(spark: SparkSession, index_dir: str) -> dict:
     stops = F.array(*[F.lit(s) for s in STOPWORDS])
     tok = (docs
            .select("doc_id",
-                   F.posexplode(_full_tokens_col(F.col("content")))
+                   F.posexplode(_full_tokens_col(
+                       F.col("content"),
+                       ascii_fold=bool(stats.get("ascii_fold"))))
                    .alias("pos", "term"))
            .where(~F.array_contains(stops, F.col("term"))))
     if stats.get("stem"):
+        _fn = porter_stem if stats.get("stemmer", "porter") == "porter" \
+            else kstem
+
         @F.pandas_udf("string")
         def _stem(s: pd.Series) -> pd.Series:
-            return s.map(porter_stem)
+            return s.map(_fn)
         tok = tok.withColumn("term", _stem("term"))
     n_buckets = int(stats["n_buckets"])
     rows = (tok.groupBy("term", "doc_id")
@@ -112,15 +119,20 @@ def build_positions(spark: SparkSession, index_dir: str) -> dict:
     return {"resumed": False}
 
 
-def analyze_phrase(text: str, stem: bool = False) -> list[tuple[str, int]]:
+def analyze_phrase(text: str, stem: bool = False,
+                   stemmer: str = "porter",
+                   ascii_fold: bool = False) -> list[tuple[str, int]]:
     """Driver-side phrase analysis → [(term, offset)] with gap-
-    preserving offsets (stopwords consume an offset, emit nothing)."""
-    toks = tokenize_texts([text], keep_stopwords=True)[0]
+    preserving offsets (stopwords consume an offset, emit nothing).
+    Must be called with the INDEX's analyzer settings."""
+    toks = tokenize_texts([text], keep_stopwords=True,
+                          ascii_fold=ascii_fold)[0]
+    fn = porter_stem if stemmer == "porter" else kstem
     out = []
     for i, t in enumerate(toks):
         if t in _STOPSET:
             continue
-        out.append((porter_stem(t) if stem else t, i))
+        out.append((fn(t) if stem else t, i))
     return out
 
 
@@ -144,11 +156,11 @@ def phrase_match(index: Index,
     set when that is broadcastable — a query with one head term never
     explodes the head term's positions past the rarest list's docs.
     """
-    stem = bool(index.stats.get("stem"))
+    opts = index.analyzer_opts()
     qrows: list[tuple[str, str, int]] = []
     n_offs: dict[str, int] = {}
     for qid, text in phrases:
-        toks = analyze_phrase(text, stem=stem)
+        toks = analyze_phrase(text, **opts)
         for t, off in toks:
             qrows.append((qid, t, off))
         n_offs[qid] = len(toks)
@@ -212,11 +224,11 @@ def proximity_match(index: Index,
     per-doc on (qid, doc_id) with the window predicate — row volume is
     |anchor positions| × |other positions| WITHIN each doc only.
     """
-    stem = bool(index.stats.get("stem"))
+    opts = index.analyzer_opts()
     spark = index.spark
 
     def _an(t: str) -> str:
-        toks = tokenize_texts([t], stem=stem)[0]
+        toks = tokenize_texts([t], **opts)[0]
         return toks[0] if toks else ""
 
     qanchor: list[tuple[str, str]] = []
@@ -291,10 +303,10 @@ def phrase_topk(index: Index, phrases: Sequence[tuple[str, str]],
     from .scoring import bm25_col
     from .search import _matched_postings, decode_udf
 
-    stem = bool(index.stats.get("stem"))
+    opts = index.analyzer_opts()
     weights: dict[tuple[str, str], float] = {}
     for qid, text in phrases:
-        for t, _ in analyze_phrase(text, stem=stem):
+        for t, _ in analyze_phrase(text, **opts):
             weights[(qid, t)] = weights.get((qid, t), 0.0) + 1.0
     spark = index.spark
     if not weights:
@@ -347,10 +359,10 @@ def span_first_match(index: Index,
     at all: scan → broadcast-join → filter → project.
     Returns (qid, doc_id, first_pos) ordered.
     """
-    stem = bool(index.stats.get("stem"))
+    opts = index.analyzer_opts()
     qrows = []
     for qid, text, limit in queries:
-        toks = tokenize_texts([text], stem=stem)[0]
+        toks = tokenize_texts([text], **opts)[0]
         if toks:
             qrows.append((qid, toks[0], int(limit)))
     spark = index.spark
@@ -388,10 +400,10 @@ def snippets(index: Index, hits: DataFrame,
     join docs and slice the re-derived token array. Every step is a
     Catalyst expression; the only shuffle is the per-(qid, doc) min.
     """
-    stem = bool(index.stats.get("stem"))
+    opts = index.analyzer_opts()
 
     def _an(t: str) -> str:
-        toks = tokenize_texts([t], stem=stem)[0]
+        toks = tokenize_texts([t], **opts)[0]
         return toks[0] if toks else ""
 
     qrows = sorted({(q, _an(t)) for q, t in query_terms if _an(t)})

@@ -56,12 +56,18 @@ class ParsedQuery:
     fuzzies: list[str] = field(default_factory=list)
 
 
-def _analyze_one(text: str, stem: bool) -> list[str]:
-    return tokenize_texts([text], stem=stem)[0]
+def _analyze_one(text: str, stem: bool, stemmer: str = "porter",
+                 ascii_fold: bool = False) -> list[str]:
+    return tokenize_texts([text], stem=stem, stemmer=stemmer,
+                          ascii_fold=ascii_fold)[0]
 
 
-def parse_query(s: str, stem: bool = False) -> ParsedQuery:
-    """Parse one query string into clause sets (pure function)."""
+def parse_query(s: str, stem: bool = False, stemmer: str = "porter",
+                ascii_fold: bool = False) -> ParsedQuery:
+    """Parse one query string into clause sets (pure function).
+    ``stem``/``stemmer``/``ascii_fold`` must match the target index's
+    analyzer (``Index.analyzer_opts()``)."""
+    _an = lambda t: _analyze_one(t, stem, stemmer, ascii_fold)  # noqa: E731
     q = ParsedQuery()
     for m in _CLAUSE_RE.finditer(s):
         if m.group(2) is not None:          # quoted phrase
@@ -77,7 +83,7 @@ def parse_query(s: str, stem: bool = False) -> ParsedQuery:
         is_prefix = bool(re.fullmatch(r"[^*?]+\*", tok))
         is_wild = (not is_prefix) and any(ch in tok for ch in "*?")
         if is_prefix:
-            base = _analyze_one(tok[:-1], stem)
+            base = _an(tok[:-1])
             if base:
                 q.prefixes.append(base[0])
             continue
@@ -85,11 +91,10 @@ def parse_query(s: str, stem: bool = False) -> ParsedQuery:
             # analyze the literal runs, keep the metacharacters
             parts = re.split(r"([*?])", tok.lower())
             q.wildcards.append("".join(
-                p if p in "*?" else (_analyze_one(p, stem)[0]
-                                     if p and _analyze_one(p, stem) else "")
+                p if p in "*?" else (_an(p)[0] if p and _an(p) else "")
                 for p in parts))
             continue
-        terms = _analyze_one(tok, stem)
+        terms = _an(tok)
         if not terms:
             continue                        # analyzer-dropped clause
         bucket = (q.must if sign == "+"
@@ -107,8 +112,8 @@ def search_parsed(index, qid: str, s: str, k: int) -> DataFrame:
     from .search import (boolean_topk, expand_fuzzy_terms,
                          expand_prefix_terms, expand_wildcard_terms)
 
-    stem = bool(index.stats.get("stem"))
-    q = parse_query(s, stem=stem)
+    opts = index.analyzer_opts()
+    q = parse_query(s, **opts)
     should = list(q.should)
     if q.prefixes:
         should += [t for _, t, _ in expand_prefix_terms(
@@ -120,7 +125,7 @@ def search_parsed(index, qid: str, s: str, k: int) -> DataFrame:
         should += [t for _, t, _ in expand_fuzzy_terms(
             index, [(qid, f) for f in q.fuzzies])]
     for p in q.phrases:
-        should += [t for t in _analyze_one(p, stem)]
+        should += _analyze_one(p, **opts)
     # phrase gating BEFORE the top-k cut (as a doc_filter), so the
     # k-th phrase-matching doc is never lost behind non-matching docs
     doc_filter = None

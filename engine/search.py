@@ -83,6 +83,14 @@ class Index:
         n = int(self.stats["n_buckets"])
         return sorted({xxhash64_str(t) % n for t in set(terms)})
 
+    def analyzer_opts(self) -> dict:
+        """The index's analyzer settings as ``tokenize_texts`` kwargs —
+        every query-side analyze MUST use these (stem/stemmer/fold
+        mismatches silently miss the vocabulary)."""
+        return {"stem": bool(self.stats.get("stem")),
+                "stemmer": self.stats.get("stemmer", "porter"),
+                "ascii_fold": bool(self.stats.get("ascii_fold"))}
+
     def df_map(self, terms: Sequence[str]) -> dict[str, int]:
         """Driver-side df lookup for a small term set (bucket-pruned)."""
         if not terms:

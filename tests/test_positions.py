@@ -237,3 +237,32 @@ def test_span_first_vs_bruteforce(pos_index, doc_contents):
             if ps and min(ps) + 1 <= lim:
                 want[doc_id] = min(ps)
         assert got.get(qid, {}) == want, (qid, term, lim)
+
+
+def test_positional_layer_respects_analyzer_options(spark, tmp_path):
+    """Regression: phrase/span/parser analysis must use the INDEX's
+    full analyzer settings (kstem + ascii_fold here), not just the
+    stem flag — a mismatch makes every positional query miss."""
+    from engine.index_build import build_index
+    from engine.positions import phrase_match, span_first_match
+    from engine.queryparse import search_parsed
+    from engine.search import Index
+
+    rows = [("r", "a", "-", "py", "café running policies daily"),
+            ("r", "b", "-", "py", "unrelated words here")]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    path = str(tmp_path / "kfidx")
+    build_index(spark, df, path, n_buckets=2, n_doc_buckets=1,
+                stem=True, stemmer="kstem", ascii_fold=True)
+    build_positions(spark, path)
+    idx = Index(spark, path)
+    # kstem: running→run, policies→policy; fold: café→cafe — the
+    # phrase only matches if query analysis follows the same chain
+    hits = phrase_match(idx, [("p", "café running")]).collect()
+    assert len(hits) == 1
+    sf = span_first_match(idx, [("s", "Café", 1)]).collect()
+    assert len(sf) == 1 and sf[0]["first_pos"] == 0
+    res = search_parsed(idx, "q", '+running "café running"', 10).collect()
+    assert len(res) == 1
