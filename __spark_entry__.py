@@ -399,6 +399,31 @@ def _cached_deleted_index(spark: SparkSession, sf_dir: str):
     return Index(spark, idx_dir)
 
 
+def _cached_field_indexes(spark: SparkSession, sf_dir: str):
+    """Per-field indexes over the documents table (title = first 5
+    whitespace words, body = the rest) — the fielded-search surface.
+    Same deterministic doc ids in both (assignment is by repo/path)."""
+    from engine.index_build import build_index
+    from engine.search import Index
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    docs = _docs(spark, sf_dir)
+    ws = F.split(F.col("text"), "\\s+")
+    fields = {
+        "title": F.concat_ws(" ", F.slice(ws, 1, 5)),
+        "body": F.concat_ws(" ", F.slice(
+            ws, 6, F.greatest(F.size(ws) - 5, F.lit(0)))),
+    }
+    out = {}
+    for fname, expr in fields.items():
+        idx_dir = f"/tmp/sfts_{INDEX_VERSION}_f{fname}_{tag}"
+        corpus = _documents_as_corpus(
+            docs.select("doc_id", "lang", expr.alias("text")))
+        build_index(spark, corpus, idx_dir, n_buckets=8, n_doc_buckets=1)
+        out[fname] = Index(spark, idx_dir)
+    return out
+
+
 def _cached_shard_indexes(spark: SparkSession, sf_dir: str):
     """Two shard indexes over the documents table split at n/2 —
     the federation (MultiReader) driver surface. The split follows the
@@ -898,6 +923,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _cached_index(spark, sf_dir)
         return _rounded_rerank(_bt(idx, BOOLEAN_QUERIES, TOPK + 50), TOPK)
 
+    def fielded_search(spark, sf_dir):
+        """Per-field boosted BM25 (the reference's BooleanQuery-of-
+        BoostQuery shape, Searcher.java:37-43, with REAL per-field
+        statistics): title^3 + body^1 over field-split indexes."""
+        from engine.fields import fielded_topk as _ft
+
+        idxs = _cached_field_indexes(spark, sf_dir)
+        fq = [(q, f, t, w) for q, terms in BM25_QUERIES for t in terms
+              for f, w in (("title", 3.0), ("body", 1.0))]
+        return _rounded_rerank(_ft(idxs, fq, TOPK + 50), TOPK)
+
     def federated_search(spark, sf_dir):
         """Multi-shard federation (Lucene MultiReader): two shard
         indexes searched under global stats + docBase offsets —
@@ -1253,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_msm_topk": boolean_msm_topk,
         "parsed_query_topk": parsed_query_topk,
         "federated_search": federated_search,
+        "fielded_search": fielded_search,
         "term_vectors": term_vectors,
         "collection_stats": collection_stats,
         "field_sorted_topk": field_sorted_topk,
@@ -1639,6 +1676,60 @@ SELECT qid, doc_id, {r4} AS score, (rank - {TOPK})::INT AS rank FROM (
              ORDER BY {r4} DESC, doc_id)::INT AS rank
   FROM matched) t
 WHERE rank > {TOPK} AND rank <= {2 * TOPK}
+"""
+    def _field_ctes(p: str, src: str) -> str:
+        """Per-field tokenize/tf/dl/dfs/stats CTEs (prefix ``p``)."""
+        return f"""
+{p}tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array({duckdb_clean_sql('text')},
+         '[^a-z0-9]+')) AS term
+  FROM {src}),
+{p}tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM {p}tok
+  WHERE term <> '' AND term NOT IN {stops}
+  GROUP BY doc_id, term),
+{p}dl AS (
+  SELECT d.doc_id, coalesce(sum(t.tf), 0)::BIGINT AS dl
+  FROM documents d LEFT JOIN {p}tf t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id),
+{p}dfs AS (SELECT term, count(*)::BIGINT AS df FROM {p}tf GROUP BY term),
+{p}stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl
+             FROM {p}dl)""".strip()
+
+    tscore = bm25_sql("t.tf", "tdfs.df", "tdl.dl", "tstats.avgdl",
+                      "tstats.n")
+    bscore = bm25_sql("t.tf", "bdfs.df", "bdl.dl", "bstats.avgdl",
+                      "bstats.n")
+    sql["fielded_search"] = f"""
+WITH tsrc AS (SELECT doc_id,
+    array_to_string((regexp_split_to_array(text, '\\s+'))[1:5], ' ')
+      AS text FROM documents),
+bsrc AS (SELECT doc_id,
+    array_to_string((regexp_split_to_array(text, '\\s+'))[6:], ' ')
+      AS text FROM documents),
+{_field_ctes('t', 'tsrc')},
+{_field_ctes('b', 'bsrc')},
+tm AS (
+  SELECT q.qid, t.doc_id, sum(3.0 * {tscore}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN ttf t USING (term) JOIN tdfs USING (term)
+  JOIN tdl ON t.doc_id = tdl.doc_id, tstats
+  GROUP BY q.qid, t.doc_id),
+bm AS (
+  SELECT q.qid, t.doc_id, sum(1.0 * {bscore}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN btf t USING (term) JOIN bdfs USING (term)
+  JOIN bdl ON t.doc_id = bdl.doc_id, bstats
+  GROUP BY q.qid, t.doc_id),
+m AS (SELECT qid, doc_id, sum(s) AS s
+      FROM (SELECT * FROM tm UNION ALL SELECT * FROM bm) u
+      GROUP BY qid, doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM m) t
+WHERE rank <= {TOPK}
 """
     sql["federated_search"] = f"""
 WITH {fts},

@@ -545,3 +545,55 @@ def test_federated_matches_monolithic(spark, tmp_path):
     # shard column maps ids to the right reader
     for r in federated_topk(shards, qt, 12).collect():
         assert (r["shard"] == 0) == (r["doc_id"] < shards[0].n_docs)
+
+
+def test_fielded_topk_hand_computed(spark, tmp_path):
+    """Per-field boosted BM25 (reference Searcher.java:37-43 shape):
+    each clause scores against ITS field's stats; doc ids align across
+    field indexes for free (deterministic (repo, path) assignment)."""
+    from engine.fields import fielded_topk
+
+    titles = ["apple pie", "banana split", "apple tart"]
+    bodies = ["apple apple banana filling baked", "banana cream only",
+              "cherry base with apple pieces inside"]
+
+    def corpus(texts):
+        return spark.createDataFrame(
+            [(f"org/r{i}", f"f{i}.py", "c" * 12, "python", t)
+             for i, t in enumerate(texts)],
+            "repo string, path string, commit string, lang string, "
+            "content string")
+
+    pt, pb = str(tmp_path / "ft"), str(tmp_path / "fb")
+    build_index(spark, corpus(titles), pt, n_buckets=2, n_doc_buckets=4)
+    build_index(spark, corpus(bodies), pb, n_buckets=3, n_doc_buckets=4)
+    it, ib = Index(spark, pt), Index(spark, pb)
+    # doc ids aligned across the field indexes
+    assert sorted((r["doc_id"], r["docno"]) for r in it.docs
+                  .select("doc_id", "docno").collect()) == \
+        sorted((r["doc_id"], r["docno"]) for r in ib.docs
+               .select("doc_id", "docno").collect())
+    id2 = {r["docno"]: r["doc_id"] for r in
+           it.docs.select("doc_id", "docno").collect()}
+
+    out = fielded_topk({"title": it, "body": ib},
+                       [("q", "title", "apple", 3.0),
+                        ("q", "body", "apple", 1.0)], 10).collect()
+    got = {r["doc_id"]: r["score"] for r in out}
+    # per-field hand computation
+    n = 3
+    t_avg, b_avg = it.avgdl, ib.avgdl
+    want = {
+        id2["org/r0/f0.py"]: 3 * bm25(1, 2, 2, t_avg, n)
+        + 1 * bm25(2, 2, 5, b_avg, n),
+        # body r2: "with" is a stopword → dl 5, not 6
+        id2["org/r2/f2.py"]: 3 * bm25(1, 2, 2, t_avg, n)
+        + 1 * bm25(1, 2, 5, b_avg, n),
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-12)
+    # title boost dominates: both title-matching docs outrank none here,
+    # and the heavier-body doc wins the tie-break on body tf
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    assert ranks[id2["org/r0/f0.py"]] == 1
