@@ -134,6 +134,14 @@ def main() -> None:
     from engine.pipeline.similarity import rocchio_topk
     plans["Rocchio vector PRF"] = rocchio_topk(
         em._emb(spark, sf_dir), em.ANN_QUERY_IDS, 10)
+    from engine.fields import fielded_topk
+    plans["fielded search (per-field stats, boosted sum)"] = fielded_topk(
+        em._cached_field_indexes(spark, sf_dir),
+        [(q, f, t, w) for q, ts in em.BM25_QUERIES for t in ts
+         for f, w in (("title", 3.0), ("body", 1.0))], 10)
+    from engine.federate import federated_topk
+    plans["federated search (2 shards, global stats)"] = federated_topk(
+        em._cached_shard_indexes(spark, sf_dir), qt, 10)
 
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
