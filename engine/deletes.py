@@ -144,7 +144,10 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
     filtered, termstats recomputed from the new postings, and the
     global stats (n_docs, total_tokens, avgdl) refreshed. Directory
     swaps are rename-aside (same recipe as compact_deltas) so every
-    crash point leaves a live directory. Returns purge metrics."""
+    crash point leaves a live directory; the tombstones are cleared
+    LAST, so re-running purge_deleted after any crash is idempotent
+    (masking already-purged postings is a no-op) and completes the
+    remaining swaps. Returns purge metrics."""
     from .index_build import _ENC_SCHEMA, _paths, load_stats
     from .postings import BLOCK_SIZE as _BS
     from .postings import decode_postings, encode_postings
