@@ -158,3 +158,35 @@ def test_update_docs_respects_stemmed_analyzer(spark, tmp_path):
     assert score_exhaustive(nrt, [("q", "stori", 1.0)], 10).count() == 1
     # the unstemmed surface form must NOT be in the vocabulary
     assert score_exhaustive(nrt, [("q", "connected", 1.0)], 10).count() == 0
+
+
+def test_purge_rerun_is_idempotent(spark, tmp_path):
+    """Crash-recovery contract: tombstones referencing already-purged
+    docs (the state after a crash between swaps and the tombstone
+    clear) make a re-run a clean no-op-mask that completes safely."""
+    from engine.deletes import delete_docs, purge_deleted
+
+    rows = [("r", "a", "-", "py", "aa bb"), ("r", "b", "-", "py", "bb cc"),
+            ("r", "c", "-", "py", "cc dd")]
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string")
+    path = str(tmp_path / "idem")
+    build_index(spark, spark.createDataFrame(rows, schema), path,
+                n_buckets=2, n_doc_buckets=1)
+    idx = Index(spark, path)
+    dead = idx.docs.where("docno = 'r/b'").select("doc_id").collect()[0][0]
+    delete_docs(spark, path, [dead])
+    m1 = purge_deleted(spark, path)
+    assert m1["purged"] == 1 and m1["n_docs"] == 2
+    before = sorted(map(tuple, score_exhaustive(
+        Index(spark, path), [("q", "bb", 1.0), ("q", "cc", 1.0)],
+        10).collect()))
+    # simulate the post-crash state: tombstones for the PURGED id exist
+    delete_docs(spark, path, [dead])
+    m2 = purge_deleted(spark, path)
+    assert m2["purged"] == 1 and m2["n_docs"] == 2   # masks nothing real
+    after = sorted(map(tuple, score_exhaustive(
+        Index(spark, path), [("q", "bb", 1.0), ("q", "cc", 1.0)],
+        10).collect()))
+    assert before == after
+    assert Index(spark, path).tombstones is None
