@@ -694,7 +694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("qid", "rk"))
 
     def eval_metrics(spark, sf_dir):
-        """MAP/P@20/nDCG@20 per topic (SURVEY.md E1-E4) on a derived
+        """MAP/P@5/P@20/nDCG@20 per topic (SURVEY.md E1-E4; the
+        reference leaderboard's metric set) on a derived
         run (BM25 top-20) + derived qrels (docs matching ALL query
         terms)."""
         from engine.evaluate import evaluate_run
@@ -720,9 +721,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .where(F.col("nm") == F.col("n_terms"))
                  .select("qid", F.col("doc_id").cast("string").alias("docno"),
                          F.lit(1).alias("rel")))
-        per = evaluate_run(run, qrels, k=20)
+        per = evaluate_run(run, qrels, k=20, p_at_ks=(5,))
         return per.select(
             "qid", round_half_up(F.col("ap"), 6).alias("ap"),
+            round_half_up(F.col("p_at_5"), 6).alias("p_at_5"),
             round_half_up(F.col("p_at_k"), 6).alias("p_at_20"),
             round_half_up(F.col("ndcg_at_k"), 6).alias("ndcg_at_20"),
         ).orderBy("qid")
@@ -884,8 +886,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _cached_index(spark, sf_dir)
         qt = [(q, t, 1.0) for q, terms in BM25_QUERIES for t in terms]
         p1 = search_after(idx, qt, TOPK, after={}).collect()
-        cur = {r["qid"]: (r["score"], r["doc_id"])
-               for r in p1 if r["rank"] == TOPK}
+        # cursor = each qid's LAST page-1 row regardless of rank
+        # (ADVICE r2: a query with < TOPK total hits must get an
+        # exhausted cursor — page 2 is then empty, like Lucene's
+        # searchAfter — not re-page from the top). p1 is ordered by
+        # (qid, rank) so the last row per qid wins.
+        cur = {}
+        for r in p1:
+            cur[r["qid"]] = (r["score"], r["doc_id"])
         return search_after(idx, qt, TOPK, after=cur)
 
     def count_matches(spark, sf_dir):
@@ -2597,6 +2605,8 @@ c AS (SELECT qid, rank, is_rel,
 apn AS (SELECT qid, sum(CASE WHEN is_rel = 1 THEN cum::DOUBLE / rank
                              ELSE 0 END) AS sp FROM c GROUP BY qid),
 p20 AS (SELECT qid, sum(is_rel)::DOUBLE / 20 AS p FROM c GROUP BY qid),
+p5 AS (SELECT qid, sum(is_rel)::DOUBLE / 5 AS p FROM c
+       WHERE rank <= 5 GROUP BY qid),
 dcg AS (SELECT qid, sum(CASE WHEN rank = 1 THEN is_rel::DOUBLE
                              ELSE is_rel / log2(rank) END) AS d
         FROM c GROUP BY qid),
@@ -2606,11 +2616,13 @@ idcg AS (SELECT n.qid,
          GROUP BY n.qid)
 SELECT n.qid,
        (floor((coalesce(apn.sp, 0) / n.n_rel) * 1e6 + 0.5) / 1e6) AS ap,
+       (floor(coalesce(p5.p, 0) * 1e6 + 0.5) / 1e6) AS p_at_5,
        (floor(coalesce(p20.p, 0) * 1e6 + 0.5) / 1e6) AS p_at_20,
        (floor((coalesce(dcg.d, 0) / idcg.id) * 1e6 + 0.5) / 1e6) AS ndcg_at_20
 FROM nrel n
 LEFT JOIN apn ON apn.qid = n.qid
 LEFT JOIN p20 ON p20.qid = n.qid
+LEFT JOIN p5 ON p5.qid = n.qid
 LEFT JOIN dcg ON dcg.qid = n.qid
 JOIN idcg ON idcg.qid = n.qid
 """

@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+import pyspark.sql.types as T
 
 
 def _tomb_dir(index_dir: str) -> str:
@@ -139,19 +140,29 @@ def update_docs(spark: SparkSession, index_dir: str,
 
 def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
     """Physically rewrite the index without the tombstoned docs
-    (forceMergeDeletes): per-(bucket, term) decode → mask → re-encode
-    (terms left with zero postings are dropped), then docs/tf tables
-    filtered, termstats recomputed from the new postings, and the
-    global stats (n_docs, total_tokens, avgdl) refreshed. Directory
-    swaps are rename-aside (same recipe as compact_deltas) so every
-    crash point leaves a live directory; the tombstones are cleared
-    LAST, so re-running purge_deleted after any crash is idempotent
-    (masking already-purged postings is a no-op) and completes the
-    remaining swaps. Returns purge metrics."""
+    (forceMergeDeletes): per-(bucket, term, salt) decode → mask →
+    re-encode (sub-postings left with zero postings are dropped), then
+    docs/tf tables filtered, termstats recomputed from the new
+    postings, and the global stats (n_docs, total_tokens, avgdl)
+    refreshed. Grouping keeps the build's skew-split salts: each
+    sub-posting of a head term is masked in its own task (never one
+    merged driver-scale group), and WAND task sizing survives purge.
+
+    Delta posting segments (streamed epochs / update_docs re-adds,
+    engine/streaming.py) are masked too, re-encoded under the POST-
+    purge avgdl like the base postings — without this a tombstoned doc
+    whose postings live in a delta would be resurrected in nrt_index
+    searches once the tombstones clear.
+
+    Directory swaps are rename-aside (same recipe as compact_deltas)
+    so every crash point leaves a live directory; the tombstones are
+    cleared LAST, so re-running purge_deleted after any crash is
+    idempotent (masking already-purged postings is a no-op) and
+    completes the remaining swaps. Returns purge metrics."""
     from .index_build import _ENC_SCHEMA, _paths, load_stats
     from .postings import BLOCK_SIZE as _BS
     from .postings import decode_postings, encode_postings
-    from .streaming import _swap_dirs
+    from .streaming import _has_deltas, _swap_dirs
 
     t0 = time.time()
     tomb = load_tombstones(spark, index_dir)
@@ -178,10 +189,15 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
     dead_b = spark.sparkContext.broadcast(np.array(sorted(dead),
                                                    dtype=np.int64))
 
-    def rewrite_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        bucket, term = int(key[0]), key[1]
+    def _mask_reencode(bucket: int, term: str, salt: int,
+                       blobs) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            c: pd.Series([], dtype=object)
+            for c in ("term", "salt", "df_part", "blob", "block_last",
+                      "block_max_tf", "block_max_w", "block_off",
+                      "bucket")})
         ds, ts, ls = [], [], []
-        for blob in pdf["blob"]:
+        for blob in blobs:
             d, t, dl = decode_postings(bytes(blob))
             ds.append(d), ts.append(t), ls.append(dl)
         d = np.concatenate(ds)
@@ -191,28 +207,74 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
         d, t, dl = d[order], t[order], dl[order]
         keep = ~np.isin(d, dead_b.value)
         d, t, dl = d[keep], t[keep], dl[keep]
-        if d.size == 0:   # every posting of this term was deleted
-            return pd.DataFrame({
-                c: pd.Series([], dtype=object)
-                for c in ("term", "salt", "df_part", "blob", "block_last",
-                          "block_max_tf", "block_max_w", "block_off",
-                          "bucket")})
+        if d.size == 0:   # every posting of this sub-list was deleted
+            return empty
         blob, last, mtf, mw, off = encode_postings(d, t, dl, avgdl, k1, b,
                                                    bs, codec)
         return pd.DataFrame({
-            "term": [term], "salt": [0], "df_part": [int(d.size)],
+            "term": [term], "salt": [int(salt)], "df_part": [int(d.size)],
             "blob": [blob], "block_last": [last.tolist()],
             "block_max_tf": [mtf.tolist()], "block_max_w": [mw.tolist()],
             "block_off": [off.tolist()],
             "bucket": [bucket],
         })
 
+    def rewrite_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # (bucket, term, salt) group: each skew-split sub-posting is
+        # masked independently and keeps its salt (ADVICE r2: a merged
+        # (bucket, term) group would fold a head term's split back
+        # into one driver-scale task and lose the split forever)
+        return _mask_reencode(int(key[0]), key[1], int(key[2]),
+                              pdf["blob"])
+
     rewritten = (spark.read.parquet(p["postings"])
-                 .groupBy("bucket", "term")
+                 .groupBy("bucket", "term", "salt")
                  .applyInPandas(rewrite_group, schema=_ENC_SCHEMA))
     tmp = f"{index_dir}/postings_purge_tmp"
     rewritten.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     _swap_dirs(spark, p["postings"], tmp)
+
+    # delta segments (streamed epochs / update re-adds) hold postings
+    # too — mask them or purged docs resurrect in nrt_index once the
+    # tombstones clear. Re-encoded under the NEW avgdl so their
+    # block-max bounds stay sound beside the rewritten base.
+    if _has_deltas(spark, index_dir):
+        _DELTA_SCHEMA = T.StructType(
+            list(_ENC_SCHEMA.fields)
+            + [T.StructField("delta", T.LongType())])
+        dp = spark.read.parquet(f"{index_dir}/delta_postings")
+        delta_type = dict(dp.dtypes)["delta"]
+
+        def rewrite_delta(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            out = _mask_reencode(int(key[1]), key[2], int(key[3]),
+                                 pdf["blob"])
+            out["delta"] = pd.Series([int(key[0])] * len(out),
+                                     dtype=object)
+            return out
+
+        masked = (dp.groupBy("delta", "bucket", "term", "salt")
+                  .applyInPandas(rewrite_delta, schema=_DELTA_SCHEMA)
+                  .withColumn("delta", F.col("delta").cast(delta_type)))
+        d_tmp = f"{index_dir}/delta_postings_purge_tmp"
+        masked.write.mode("overwrite").partitionBy("delta", "bucket") \
+            .parquet(d_tmp)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.Path(d_tmp).getFileSystem(conf)
+        it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(d_tmp), True)
+        has_rows = False
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                has_rows = True
+                break
+        live_delta = f"{index_dir}/delta_postings"
+        if has_rows:
+            _swap_dirs(spark, live_delta, d_tmp)
+        else:
+            # every delta posting was purged: an empty parquet dir is
+            # unreadable (no schema), so drop the segments entirely
+            fs.delete(jvm.org.apache.hadoop.fs.Path(live_delta), True)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(d_tmp), True)
 
     # docs and tf tables drop the dead rows (broadcast anti-join);
     # tf keeps its bucket partitioning (the forward-lookup readers

@@ -1,5 +1,8 @@
-"""Retrieval evaluation: MAP / P@20 / nDCG@20 (SURVEY.md §2.7 E1-E5;
-reference tools/evaluate.py:43-95).
+"""Retrieval evaluation: MAP / P@5 / P@20 / nDCG@20 (SURVEY.md §2.7
+E1-E5; reference tools/evaluate.py:43-95; the reference CI leaderboard
+submits the four-metric set MAP/P@5/P@20/nDCG@20,
+.github/workflows/evaluation.yml:83 — ``p_at_ks`` covers the extra
+precision cutoffs).
 
 Faithfully mirrors the reference's quirks:
 
@@ -17,16 +20,23 @@ arbitrarily many topics even though the reference is 50.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def evaluate_run(run: DataFrame, qrels: DataFrame, k: int = 20) -> DataFrame:
+def evaluate_run(run: DataFrame, qrels: DataFrame, k: int = 20,
+                 p_at_ks: Sequence[int] = ()) -> DataFrame:
     """Per-topic metrics.
 
     run:   (qid, docno, rank)       — rank 1-based
     qrels: (qid, docno, rel)        — rel in {0, 1}
-    returns (qid, ap, p_at_k, ndcg_at_k) for every qrels topic.
+    ``p_at_ks``: extra precision cutoffs (e.g. ``(5,)`` for the
+    reference leaderboard's P@5), each appended as a ``p_at_<kk>``
+    column after the core metrics.
+    returns (qid, ap, p_at_k, ndcg_at_k[, p_at_<kk>...]) for every
+    qrels topic.
     """
     rel_docs = qrels.where(F.col("rel") > 0).select("qid", "docno").distinct()
     n_rel = rel_docs.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
@@ -68,6 +78,14 @@ def evaluate_run(run: DataFrame, qrels: DataFrame, k: int = 20) -> DataFrame:
                          .otherwise(F.lit(1.0) / F.log2(F.col("i"))))
              .groupBy("qid", "n_rel").agg(F.sum("gain").alias("idcg")))
 
+    # extra precision cutoffs (reference leaderboard: P@5 beside P@20)
+    extra = {}
+    for kk in p_at_ks:
+        extra[kk] = (ranked.where(F.col("rank") <= kk)
+                     .groupBy("qid")
+                     .agg((F.sum("is_rel") / F.lit(int(kk)))
+                          .alias(f"p_at_{kk}")))
+
     # E4 framing: every qrels topic appears; missing run topics score 0.
     topics = qrels.select("qid").distinct()
     out = (topics
@@ -79,18 +97,30 @@ def evaluate_run(run: DataFrame, qrels: DataFrame, k: int = 20) -> DataFrame:
                                         F.lit(0.0)))
            .withColumn("p_at_k", F.coalesce("p_at_k", F.lit(0.0)))
            .withColumn("ndcg_at_k",
-                       F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)))
-           .select("qid", "ap", "p_at_k", "ndcg_at_k"))
+                       F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0))))
+    cols = ["qid", "ap", "p_at_k", "ndcg_at_k"]
+    for kk, dfk in extra.items():
+        out = (out.join(dfk, "qid", "left")
+               .withColumn(f"p_at_{kk}",
+                           F.coalesce(f"p_at_{kk}", F.lit(0.0))))
+        cols.append(f"p_at_{kk}")
+    return out.select(*cols)
+
+
+def macro_metrics(run: DataFrame, qrels: DataFrame, k: int = 20,
+                  p_at_ks: Sequence[int] = ()) -> dict:
+    """E4: MAP / P@k / nDCG@k (+ extra P@kk) macro-averaged over all
+    qrels topics."""
+    per = evaluate_run(run, qrels, k, p_at_ks=p_at_ks)
+    aggs = [F.avg("ap"), F.avg("p_at_k"), F.avg("ndcg_at_k")]
+    aggs += [F.avg(f"p_at_{kk}") for kk in p_at_ks]
+    row = per.agg(*aggs).collect()[0]
+    out = {"MAP": float(row[0] or 0.0),
+           f"P@{k}": float(row[1] or 0.0),
+           f"nDCG@{k}": float(row[2] or 0.0)}
+    for i, kk in enumerate(p_at_ks):
+        out[f"P@{kk}"] = float(row[3 + i] or 0.0)
     return out
-
-
-def macro_metrics(run: DataFrame, qrels: DataFrame, k: int = 20) -> dict:
-    """E4: MAP / P@k / nDCG@k macro-averaged over all qrels topics."""
-    per = evaluate_run(run, qrels, k)
-    row = per.agg(F.avg("ap"), F.avg("p_at_k"), F.avg("ndcg_at_k")).collect()[0]
-    return {"MAP": float(row[0] or 0.0),
-            f"P@{k}": float(row[1] or 0.0),
-            f"nDCG@{k}": float(row[2] or 0.0)}
 
 
 def standings(runs: dict[str, DataFrame], qrels: DataFrame,

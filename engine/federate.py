@@ -39,6 +39,19 @@ def federated_topk(indexes: Sequence[Index], query_terms: QueryTerms,
     doc_id is docBase-offset (globally unique); ordering
     (score desc, doc_id asc) matches the monolithic index."""
     assert indexes, "at least one shard index required"
+    # heterogeneous shards would silently break the monolithic-index
+    # score equivalence (ADVICE r2): every shard must share the BM25
+    # constants, the analyzer chain, and the codec family
+    ref = indexes[0]
+    ref_sig = (ref.stats["k1"], ref.stats["b"], ref.analyzer_opts(),
+               ref.stats.get("codec", "vb"))
+    for i, ix in enumerate(indexes[1:], start=1):
+        sig = (ix.stats["k1"], ix.stats["b"], ix.analyzer_opts(),
+               ix.stats.get("codec", "vb"))
+        if sig != ref_sig:
+            raise ValueError(
+                f"federated shard {i} ({ix.index_dir}) disagrees with "
+                f"shard 0 on (k1, b, analyzer, codec): {sig} != {ref_sig}")
     spark = indexes[0].spark
     n_docs = sum(ix.n_docs for ix in indexes)
     total_tokens = sum(int(ix.stats["total_tokens"]) for ix in indexes)

@@ -69,6 +69,9 @@ def parse_media_header(payload: bytes) -> dict | None:
     * GIF  — logical screen width/height (little-endian u16 at 6/8)
     * BMP  — BITMAPINFOHEADER width/height (LE i32 at 18/22)
     * WAV  — RIFF chunk walk: fmt→byte_rate, data→size ⇒ duration_ms
+    * JPEG — segment walk to the first SOFn frame header (height/width
+      big-endian u16 at frame offsets 3/5) — baseline (SOF0) and
+      progressive (SOF2) alike; the most common web image format
 
     Returns {width, height, duration_ms} (absent keys None) or None if
     the magic bytes are unrecognized. Deep decode (pixels / samples /
@@ -78,6 +81,31 @@ def parse_media_header(payload: bytes) -> dict | None:
     if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         w, h = struct.unpack(">II", payload[16:24])
         return {"width": w, "height": h, "duration_ms": None}
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        # JPEG marker walk (ITU T.81 §B): FF <marker> [u16 length incl.
+        # itself] ... until a Start-Of-Frame marker carries the dims.
+        # SOFn = 0xC0-0xCF minus DHT (C4), JPG (C8), DAC (CC).
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break                       # desynced stream — give up
+            marker = payload[pos + 1]
+            if marker == 0xFF:              # fill byte padding
+                pos += 1
+                continue
+            if 0xD0 <= marker <= 0xD9:      # RSTn/SOI/EOI: standalone
+                pos += 2
+                continue
+            (seg_len,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 9 <= len(payload):
+                    h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
+                    return {"width": w, "height": h, "duration_ms": None}
+                break
+            if marker == 0xDA:              # SOS: entropy data follows —
+                break                       # no SOF seen, dims unknown
+            pos += 2 + seg_len
+        return {"width": None, "height": None, "duration_ms": None}
     if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
         return {"width": w, "height": h, "duration_ms": None}

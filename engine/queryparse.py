@@ -54,6 +54,14 @@ class ParsedQuery:
     prefixes: list[str] = field(default_factory=list)
     wildcards: list[str] = field(default_factory=list)
     fuzzies: list[str] = field(default_factory=list)
+    # signed expansion clauses, (kind, pattern) with kind ∈ {"prefix",
+    # "wildcard", "fuzzy"} (ADVICE r2: '+pre*' / '-pre*' previously
+    # dropped the sign, inverting a prohibition into a boost):
+    #   must_expansions — doc must match ≥1 dictionary-rewritten term
+    #     (Lucene's MUST-of-a-MultiTermQuery), enforced as a doc gate;
+    #   not_expansions — every rewritten term is prohibited.
+    must_expansions: list[tuple[str, str]] = field(default_factory=list)
+    not_expansions: list[tuple[str, str]] = field(default_factory=list)
 
 
 def _analyze_one(text: str, stem: bool, stemmer: str = "porter",
@@ -77,6 +85,19 @@ def parse_query(s: str, stem: bool = False, stemmer: str = "porter",
                 q.phrases.append(m.group(2))
             continue
         sign, tok = m.group(3), m.group(4)
+
+        def _expansion(kind: str, pattern: str) -> None:
+            if sign == "+":
+                q.must_expansions.append((kind, pattern))
+            elif sign == "-":
+                q.not_expansions.append((kind, pattern))
+            elif kind == "prefix":
+                q.prefixes.append(pattern)
+            elif kind == "wildcard":
+                q.wildcards.append(pattern)
+            else:
+                q.fuzzies.append(pattern)
+
         fuzzy = tok.endswith("~")
         if fuzzy:
             tok = tok[:-1]
@@ -85,22 +106,24 @@ def parse_query(s: str, stem: bool = False, stemmer: str = "porter",
         if is_prefix:
             base = _an(tok[:-1])
             if base:
-                q.prefixes.append(base[0])
+                _expansion("prefix", base[0])
             continue
         if is_wild:
             # analyze the literal runs, keep the metacharacters
             parts = re.split(r"([*?])", tok.lower())
-            q.wildcards.append("".join(
+            _expansion("wildcard", "".join(
                 p if p in "*?" else (_an(p)[0] if p and _an(p) else "")
                 for p in parts))
             continue
         terms = _an(tok)
         if not terms:
             continue                        # analyzer-dropped clause
-        bucket = (q.must if sign == "+"
-                  else q.must_not if sign == "-" else
-                  (q.fuzzies if fuzzy else q.should))
-        bucket.extend(terms if not fuzzy else terms[:1])
+        if fuzzy:
+            _expansion("fuzzy", terms[0])
+        else:
+            bucket = (q.must if sign == "+"
+                      else q.must_not if sign == "-" else q.should)
+            bucket.extend(terms)
     return q
 
 
@@ -108,34 +131,68 @@ def search_parsed(index, qid: str, s: str, k: int) -> DataFrame:
     """Parse ``s`` and execute it against the index (see module
     docstring for the execution semantics). Returns
     (qid, doc_id, score, rank) like the other ranked query paths."""
+    from pyspark.sql import functions as F
+
     from .positions import phrase_match
-    from .search import (boolean_topk, expand_fuzzy_terms,
-                         expand_prefix_terms, expand_wildcard_terms)
+    from .search import (_matched_postings, boolean_topk, decode_udf,
+                         expand_fuzzy_terms, expand_prefix_terms,
+                         expand_wildcard_terms)
+
+    def _expand(kind: str, patterns: list[str]) -> list[str]:
+        fn = {"prefix": expand_prefix_terms,
+              "wildcard": expand_wildcard_terms,
+              "fuzzy": expand_fuzzy_terms}[kind]
+        return [t for _, t, _ in fn(index, [(qid, p) for p in patterns])]
+
+    def _docs_matching_any(terms: list[str]) -> DataFrame:
+        """Distinct doc_ids containing ≥1 of ``terms`` (bucket-pruned
+        decode — the gate for a MUST expansion clause)."""
+        qt = [(qid, t, 1.0) for t in sorted(set(terms))]
+        dec = _matched_postings(index, qt).withColumn(
+            "d", decode_udf("blob"))
+        return dec.select(F.explode("d.doc_ids").alias("doc_id")) \
+            .distinct()
 
     opts = index.analyzer_opts()
     q = parse_query(s, **opts)
     should = list(q.should)
     if q.prefixes:
-        should += [t for _, t, _ in expand_prefix_terms(
-            index, [(qid, p) for p in q.prefixes])]
+        should += _expand("prefix", q.prefixes)
     if q.wildcards:
-        should += [t for _, t, _ in expand_wildcard_terms(
-            index, [(qid, w) for w in q.wildcards])]
+        should += _expand("wildcard", q.wildcards)
     if q.fuzzies:
-        should += [t for _, t, _ in expand_fuzzy_terms(
-            index, [(qid, f) for f in q.fuzzies])]
+        should += _expand("fuzzy", q.fuzzies)
     for p in q.phrases:
         should += _analyze_one(p, **opts)
+    # prohibited expansions: every dictionary-rewritten term is banned
+    must_not = list(q.must_not)
+    for kind, pat in q.not_expansions:
+        must_not += _expand(kind, [pat])
     # phrase gating BEFORE the top-k cut (as a doc_filter), so the
     # k-th phrase-matching doc is never lost behind non-matching docs
     doc_filter = None
-    for i, p in enumerate(q.phrases):
-        hits = phrase_match(index, [(f"{qid}#p{i}", p)]).select("doc_id")
+
+    def _gate(hits: DataFrame) -> None:
+        nonlocal doc_filter
         doc_filter = hits if doc_filter is None else \
             doc_filter.join(hits, "doc_id", "left_semi")
+
+    for i, p in enumerate(q.phrases):
+        _gate(phrase_match(index, [(f"{qid}#p{i}", p)]).select("doc_id"))
+    # a MUST expansion (e.g. '+pre*') is Lucene's required MultiTerm-
+    # Query: the doc must match ≥1 rewritten term. Gated per clause
+    # BEFORE the rank cut (like phrases); the rewritten terms also
+    # join the SHOULD set so they score. A clause rewriting to nothing
+    # makes the query unsatisfiable (empty gate), as in Lucene.
+    for kind, pat in q.must_expansions:
+        expanded = _expand(kind, [pat])
+        should += expanded
+        _gate(_docs_matching_any(expanded) if expanded else
+              index.spark.createDataFrame([], "doc_id long"))
     out = boolean_topk(index, [(qid, sorted(set(q.must)),
-                                sorted(set(should) - set(q.must)),
-                                sorted(set(q.must_not)))], k,
+                                sorted(set(should) - set(q.must)
+                                       - set(must_not)),
+                                sorted(set(must_not)))], k,
                        doc_filter=doc_filter)
     return out.select("qid", "doc_id", "score", "rank") \
         .orderBy("qid", "rank")

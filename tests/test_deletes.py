@@ -190,3 +190,82 @@ def test_purge_rerun_is_idempotent(spark, tmp_path):
         10).collect()))
     assert before == after
     assert Index(spark, path).tombstones is None
+
+
+def test_purge_masks_delta_segments(spark, tmp_path):
+    """ADVICE r2 (medium): a tombstoned doc whose postings live in a
+    DELTA segment (docno updated twice) must not resurrect in
+    nrt_index searches after purge_deleted runs before compact_deltas
+    — purge now masks the delta segments too."""
+    from engine.deletes import purge_deleted, update_docs
+    from engine.streaming import nrt_index
+
+    rows = [("r", "a", "-", "py", "aa bb"), ("r", "b", "-", "py", "bb cc")]
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string")
+    path = str(tmp_path / "deltapurge")
+    build_index(spark, spark.createDataFrame(rows, schema), path,
+                n_buckets=4, n_doc_buckets=1)
+    # update the SAME docno twice: the first update's replacement doc
+    # lives only in delta epoch 0 and is tombstoned by the second
+    update_docs(spark, path, spark.createDataFrame(
+        [("r", "a", "-", "py", "dd bb")], schema))
+    update_docs(spark, path, spark.createDataFrame(
+        [("r", "a", "-", "py", "ee bb")], schema))
+    nrt = nrt_index(spark, path)
+    assert score_exhaustive(nrt, [("q", "dd", 1.0)], 10).count() == 0
+    assert score_exhaustive(nrt, [("q", "ee", 1.0)], 10).count() == 1
+
+    # purge BEFORE compacting: tombstones clear, deltas masked
+    m = purge_deleted(spark, path)
+    assert m["purged"] == 2
+    nrt2 = nrt_index(spark, path)
+    assert nrt2.tombstones is None
+    # the twice-replaced doc must NOT reappear (was: resurrected)
+    assert score_exhaustive(nrt2, [("q", "dd", 1.0)], 10).count() == 0
+    assert score_exhaustive(nrt2, [("q", "aa", 1.0)], 10).count() == 0
+    assert score_exhaustive(nrt2, [("q", "ee", 1.0)], 10).count() == 1
+    assert score_exhaustive(nrt2, [("q", "bb", 1.0)], 10).count() == 2
+    # and the surviving delta doc still compacts cleanly afterwards
+    from engine.streaming import compact_deltas
+    compact_deltas(spark, path)
+    idx = Index(spark, path)
+    assert score_exhaustive(idx, [("q", "ee", 1.0)], 10).count() == 1
+
+
+def test_purge_preserves_skew_split_salts(spark, tmp_path):
+    """ADVICE r2 (low): purge groups by (bucket, term, salt), so a
+    skew-split head term keeps its salted sub-postings (per-task
+    memory bound + WAND task sizing survive purge) and results stay
+    identical to a fresh build without the deleted doc."""
+    from engine.corpus import generate_corpus_df
+    from engine.deletes import delete_docs, purge_deleted
+
+    corpus = generate_corpus_df(spark, 120, partitions=4, max_tokens=200)
+    path = str(tmp_path / "saltpurge")
+    build_index(spark, corpus, path, n_buckets=4, n_doc_buckets=4,
+                split_threshold=10)
+    idx = Index(spark, path)
+    salted_terms_before = {
+        r["term"] for r in idx.postings.where(F.col("salt") > 0)
+        .select("term").distinct().collect()}
+    assert salted_terms_before
+    dead = [r["doc_id"] for r in idx.docs.limit(2).collect()]
+    delete_docs(spark, path, dead)
+    purge_deleted(spark, path)
+    idx2 = Index(spark, path)
+    salted_terms_after = {
+        r["term"] for r in idx2.postings.where(F.col("salt") > 0)
+        .select("term").distinct().collect()}
+    # head terms keep their split (dropping a couple of docs can empty
+    # at most a few tiny sub-postings, never the whole salted family)
+    assert salted_terms_after == salted_terms_before
+    # correctness after the salted purge: WAND stays rank-identical to
+    # exhaustive over the rewritten salted sub-postings
+    q = [("q", t, 1.0) for t in sorted(salted_terms_before)[:3]]
+    ex = [(r["doc_id"], r["rank"], round(r["score"], 9))
+          for r in score_exhaustive(idx2, q, 15).collect()]
+    wa = [(r["doc_id"], r["rank"], round(r["score"], 9))
+          for r in score_wand(idx2, q, 15).collect()]
+    assert ex == wa and ex
+    assert all(d not in dead for d, _, _ in ex)

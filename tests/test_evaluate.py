@@ -48,3 +48,27 @@ def test_rank1_discount_quirk(spark):
                                   "qid string, docno string, rel int")
     per = evaluate_run(run, qrels, k=20).collect()[0]
     assert per["ndcg_at_k"] == pytest.approx(1.0)
+
+
+def test_p_at_5_extra_cutoff(spark):
+    """The reference leaderboard submits MAP/P@5/P@20/nDCG@20
+    (evaluation.yml:83): p_at_ks adds the extra precision cutoffs."""
+    # relevant at ranks 1, 4, 7 → P@5 = 2/5, P@20 = 3/20
+    run = spark.createDataFrame(
+        [("t1", f"d{i}", i) for i in range(1, 11)],
+        "qid string, docno string, rank int")
+    qrels = spark.createDataFrame(
+        [("t1", "d1", 1), ("t1", "d4", 1), ("t1", "d7", 1)],
+        "qid string, docno string, rel int")
+    per = evaluate_run(run, qrels, k=20, p_at_ks=(5,)).collect()[0]
+    assert per["p_at_5"] == pytest.approx(2 / 5)
+    assert per["p_at_k"] == pytest.approx(3 / 20)
+    m = macro_metrics(run, qrels, k=20, p_at_ks=(5,))
+    assert m["P@5"] == pytest.approx(2 / 5)
+    assert m["P@20"] == pytest.approx(3 / 20)
+    # a topic with no run rows scores 0 for the extra cutoff too
+    qrels2 = qrels.union(spark.createDataFrame(
+        [("t2", "d1", 1)], "qid string, docno string, rel int"))
+    per2 = {r["qid"]: r for r in
+            evaluate_run(run, qrels2, k=20, p_at_ks=(5,)).collect()}
+    assert per2["t2"]["p_at_5"] == 0.0

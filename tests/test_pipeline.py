@@ -597,6 +597,38 @@ def test_media_header_parsing_real_formats(spark):
     assert out[0]["sha"] == hashlib.sha256(png).hexdigest()
 
 
+def test_media_header_parsing_jpeg(spark):
+    """JPEG SOF marker walk: baseline (SOF0) and progressive (SOF2)
+    spec-constructed streams yield real dimensions; a truncated stream
+    (SOS before any SOF) yields null dims without falling back to the
+    stub."""
+    import struct
+
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00" + b"\x00" * 9)          # 16-byte APP0 segment
+    sof = lambda m, h, w: (bytes([0xFF, m])       # noqa: E731
+                           + struct.pack(">H", 17) + b"\x08"
+                           + struct.pack(">HH", h, w)
+                           + b"\x03" + b"\x00" * 9)
+    base = b"\xff\xd8" + app0 + sof(0xC0, 480, 640)
+    prog = b"\xff\xd8" + app0 + sof(0xC2, 1080, 1920)
+    # DHT (C4) must be skipped, not mistaken for a SOF
+    dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+    with_dht = b"\xff\xd8" + dht + sof(0xC0, 10, 20)
+    trunc = b"\xff\xd8" + app0 + b"\xff\xda" + struct.pack(">H", 4)
+    rows = [(0, "image", bytearray(base), "image/jpeg"),
+            (1, "image", bytearray(prog), "image/jpeg"),
+            (2, "image", bytearray(with_dht), "image/jpeg"),
+            (3, "image", bytearray(trunc), "image/jpeg")]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           multimodal.extract_features(media).collect()}
+    assert (out[0]["width"], out[0]["height"]) == (640, 480)
+    assert (out[1]["width"], out[1]["height"]) == (1920, 1080)
+    assert (out[2]["width"], out[2]["height"]) == (20, 10)
+    assert out[3]["width"] is None and out[3]["height"] is None
+
+
 def test_resize_plan_and_sample_frames(spark, docs):
     """Resize geometry (aspect-preserving, never upscaling) and the
     frame-sampling fan-out layout — hand-checked."""

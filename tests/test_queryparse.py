@@ -97,3 +97,60 @@ def test_parse_query_never_crashes_property():
             assert re.fullmatch(r"[a-z0-9*?]*", w), (s, w)
 
     check()
+
+
+def test_parse_query_signed_expansions():
+    """ADVICE r2: '+'/'-' on prefix/wildcard/fuzzy clauses is honored
+    (was: '-secret*' became a positive SHOULD boost; '+fuzz~' lost
+    fuzziness)."""
+    q = parse_query('-secret* +fuzz~ -wild*card +pre* -quer~ normal*')
+    assert ("prefix", "secret") in q.not_expansions
+    assert ("fuzzy", "fuzz") in q.must_expansions
+    assert ("wildcard", "wild*card") in q.not_expansions
+    assert ("prefix", "pre") in q.must_expansions
+    assert ("fuzzy", "quer") in q.not_expansions
+    assert q.prefixes == ["normal"]          # unsigned path unchanged
+    assert q.must == [] and q.must_not == []
+
+
+def test_search_parsed_prohibited_prefix_excludes(tiny_index):
+    """'-pre*' must EXCLUDE every doc containing a term with that
+    prefix (equivalent to must_not over the dictionary rewrite)."""
+    from engine.search import boolean_topk, expand_prefix_terms
+
+    vocab = sorted(r["term"] for r in
+                   tiny_index.termstats.select("term").collect())
+    pre = vocab[0][:3]
+    other = next(t for t in vocab if not t.startswith(pre))
+    expanded = sorted({t for _, t, _ in
+                       expand_prefix_terms(tiny_index, [("q", pre)])})
+    got = [(r["doc_id"], r["rank"], round(r["score"], 9)) for r in
+           search_parsed(tiny_index, "q", f"{other} -{pre}*", 10)
+           .collect()]
+    want = [(r["doc_id"], r["rank"], round(r["score"], 9)) for r in
+            boolean_topk(tiny_index,
+                         [("q", [], [other], expanded)], 10).collect()]
+    assert got == want
+
+
+def test_search_parsed_required_prefix_gates(tiny_index):
+    """'+pre*' requires ≥1 expanded term (Lucene MUST MultiTermQuery):
+    every hit contains a term with the prefix, and the expansion still
+    contributes to the score."""
+    from engine.search import expand_prefix_terms
+
+    vocab = sorted(r["term"] for r in
+                   tiny_index.termstats.select("term").collect())
+    pre = vocab[0][:3]
+    other = next(t for t in vocab if not t.startswith(pre))
+    expanded = {t for _, t, _ in
+                expand_prefix_terms(tiny_index, [("q", pre)])}
+    res = search_parsed(tiny_index, "q", f"{other} +{pre}*", 10).collect()
+    assert res
+    # every returned doc must contain ≥1 expanded term
+    from engine.search import term_vectors
+    tv = term_vectors(tiny_index, [r["doc_id"] for r in res]).collect()
+    by_doc = {}
+    for r in tv:
+        by_doc.setdefault(r["doc_id"], set()).add(r["term"])
+    assert all(by_doc[r["doc_id"]] & expanded for r in res)

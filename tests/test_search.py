@@ -597,3 +597,49 @@ def test_fielded_topk_hand_computed(spark, tmp_path):
     # and the heavier-body doc wins the tie-break on body tf
     ranks = {r["doc_id"]: r["rank"] for r in out}
     assert ranks[id2["org/r0/f0.py"]] == 1
+
+
+def test_search_after_exhausted_cursor_is_empty(tiny_index):
+    """ADVICE r2: a query with fewer than k total hits gets a cursor at
+    its true last row; paging past it returns NOTHING (Lucene
+    searchAfter semantics), never page 1 again."""
+    from engine.search import search_after
+
+    # pick a low-df term so the total hit count is small
+    dfm = {r["term"]: r["df"] for r in
+           tiny_index.termstats.select("term", "df").collect()}
+    term = min(dfm, key=lambda t: (dfm[t], t))
+    n_hits = dfm[term]
+    qt = [("q", term, 1.0)]
+    k = n_hits + 5                       # page size exceeds total hits
+    page1 = search_after(tiny_index, qt, k, after={}).collect()
+    assert len(page1) == n_hits
+    last = page1[-1]
+    page2 = search_after(tiny_index, qt, k,
+                         after={"q": (last["score"], last["doc_id"])}) \
+        .collect()
+    assert page2 == []
+
+
+def test_federated_rejects_heterogeneous_shards(spark, tmp_path):
+    """ADVICE r2: shards disagreeing on k1/b or analyzer settings must
+    raise — heterogeneous shards silently break the monolithic-score
+    equivalence."""
+    import pytest as _pytest
+
+    from engine.federate import federated_topk
+
+    corpus = generate_corpus_df(spark, 12, partitions=1, max_tokens=60)
+    p1, p2, p3 = (str(tmp_path / n) for n in ("h1", "h2", "h3"))
+    build_index(spark, corpus, p1, n_buckets=2, n_doc_buckets=1)
+    build_index(spark, corpus, p2, n_buckets=2, n_doc_buckets=1, k1=0.9)
+    build_index(spark, corpus, p3, n_buckets=2, n_doc_buckets=1,
+                stem=True)
+    qt = [("q", "merge", 1.0)]
+    with _pytest.raises(ValueError, match="disagrees"):
+        federated_topk([Index(spark, p1), Index(spark, p2)], qt, 5)
+    with _pytest.raises(ValueError, match="disagrees"):
+        federated_topk([Index(spark, p1), Index(spark, p3)], qt, 5)
+    # homogeneous shards (even with different bucket counts) still work
+    assert federated_topk([Index(spark, p1), Index(spark, p1)],
+                          qt, 5).count() >= 0
