@@ -103,3 +103,53 @@ def lmd_sql(tf: str, ctf: str, dl: str, total_tokens: str,
     p = f"(({ctf} + 1.0) / ({total_tokens} + 1.0))"
     raw = f"(ln(1.0 + {tf} / ({mu} * {p})) + ln({mu} / ({dl} + {mu})))"
     return f"greatest({raw}, 0.0)"
+
+
+# ---------------------------------------------------------------------------
+# Information-Based similarity (the reference's §5.2.2 "BM25 + IB
+# Hybrid" row: MAP 0.3183 / P@20 0.486 / nDCG@20 0.5561 — "an IB
+# (divergence-from-randomness) component in specific fields",
+# GROUP_12.pdf). The paper does not publish the Lucene component
+# choice, so the engine pins Lucene's canonical configuration
+# IBSimilarity(DistributionLL, LambdaDF, NormalizationH2, c=1) —
+# documented divergence like the exact-dl decision (SURVEY.md §4.3):
+#
+#   tfn       = tf * log2(1 + c * avgdl / dl)        (NormalizationH2)
+#   λ         = (df + 1) / (N + 1)                   (LambdaDF)
+#   score     = -log2(λ / (tfn + λ)) = log2(1 + tfn/λ)   (DistributionLL)
+#
+# Always ≥ 0 (tfn ≥ 0), matching Lucene 8+'s non-negative-score
+# contract without an explicit clamp. SHOULD-clause scores sum,
+# scaled by the clause boost, exactly like the other similarities.
+# ---------------------------------------------------------------------------
+
+IB_C = 1.0   # NormalizationH2 c (Lucene default)
+
+
+def ib_col(tf_col: Column, df_col: Column, dl_col: Column,
+           avgdl: Column | float, n_docs: Column | float,
+           c: float = IB_C) -> Column:
+    """IB (LL·DF·H2) term-document partial score as a column expr."""
+    av = F.lit(float(avgdl)) if not isinstance(avgdl, Column) else avgdl
+    n = (F.lit(float(n_docs)) if not isinstance(n_docs, Column)
+         else n_docs)
+    tfn = tf_col.cast("double") * F.log2(
+        F.lit(1.0) + F.lit(c) * av / dl_col.cast("double"))
+    lam = (df_col.cast("double") + F.lit(1.0)) / (n + F.lit(1.0))
+    return F.log2(F.lit(1.0) + tfn / lam)
+
+
+def ib_np(tf: np.ndarray, df: np.ndarray | float, dl: np.ndarray,
+          avgdl: float, n_docs: float, c: float = IB_C) -> np.ndarray:
+    tfn = tf.astype(np.float64) * np.log2(
+        1.0 + c * avgdl / dl.astype(np.float64))
+    lam = (np.asarray(df, dtype=np.float64) + 1.0) / (n_docs + 1.0)
+    return np.log2(1.0 + tfn / lam)
+
+
+def ib_sql(tf: str, df: str, dl: str, avgdl: str, n_docs: str,
+           c: float = IB_C) -> str:
+    """DuckDB/ANSI SQL fragment computing the identical formula."""
+    tfn = f"({tf} * log2(1.0 + {c} * {avgdl} / {dl}))"
+    lam = f"(({df} + 1.0) / ({n_docs} + 1.0))"
+    return f"log2(1.0 + {tfn} / {lam})"

@@ -66,6 +66,19 @@ class Index:
             t = t.withColumnRenamed("doc_id", col)
         return df.join(F.broadcast(t), col, "left_anti")
 
+    def dead_ids(self) -> np.ndarray | None:
+        """The tombstoned doc_ids as a SORTED int64 array (memoized) —
+        the liveDocs bitset the WAND kernel masks during block decode
+        (engine/deletes.py uses the same recipe for purge). None when
+        there are no deletes."""
+        if self.tombstones is None:
+            return None
+        if not hasattr(self, "_dead_ids"):
+            self._dead_ids = np.array(
+                sorted(r["doc_id"] for r in self.tombstones.collect()),
+                dtype=np.int64)
+        return self._dead_ids if self._dead_ids.size else None
+
     @property
     def n_docs(self) -> int:
         return self.stats["n_docs"]
@@ -101,6 +114,23 @@ class Index:
                 .where(F.col("term").isin(list(set(terms))))
                 .select("term", "df").collect())
         return {r["term"]: int(r["df"]) for r in rows}
+
+    def ctf_map(self, terms: Sequence[str]) -> dict[str, int]:
+        """Driver-side collection-term-frequency lookup (Σ tf over all
+        docs) for a small term set — the LMD scale path's λ input. Read
+        from the build's forward tf table, which is term-bucket
+        partitioned, so the scan prunes to the query's buckets and the
+        columnar read touches only (term, tf). Includes deleted-but-
+        unpurged and delta postings, exactly like Lucene's frozen
+        collection statistics."""
+        if not terms:
+            return {}
+        buckets = self.term_buckets(terms)
+        tf = self.spark.read.parquet(_paths(self.index_dir)["tf"])
+        rows = (tf.where(F.col("bucket").isin(buckets))
+                .where(F.col("term").isin(list(set(terms))))
+                .groupBy("term").agg(F.sum("tf").alias("ctf")).collect())
+        return {r["term"]: int(r["ctf"]) for r in rows}
 
 
 _DECODE_SCHEMA = T.StructType([
@@ -240,6 +270,50 @@ def score_lmd(index: Index, query_terms: QueryTerms, k: int,
     return out.orderBy("qid", "rank")
 
 
+def score_ib(index: Index, query_terms: QueryTerms, k: int,
+             c: float | None = None,
+             include_docno: bool = False) -> DataFrame:
+    """Weighted-OR **Information-Based** top-k — the reference's
+    §5.2.2 "BM25 + IB Hybrid" component (GROUP_12.pdf; Lucene
+    IBSimilarity, pinned to DistributionLL·LambdaDF·NormalizationH2
+    in engine/scoring.py:ib_col since the paper omits the component
+    choice). Same plan shape as :func:`score_exhaustive`: bucket-
+    pruned broadcast-join scan → decode → column math → (qid, doc)
+    sum → per-query top-k window."""
+    from .scoring import IB_C, ib_col
+
+    matched = _matched_postings(index, query_terms)
+    dec = matched.withColumn("d", decode_udf("blob"))
+    rows = dec.select(
+        "qid", "term", "weight",
+        F.explode(F.arrays_zip("d.doc_ids", "d.tfs", "d.dls")).alias("e"),
+    ).select(
+        "qid", "term", "weight",
+        F.col("e.doc_ids").alias("doc_id"),
+        F.col("e.tfs").alias("tf"),
+        F.col("e.dls").alias("dl"),
+    )
+    rows = index.live(rows)
+    ts = index.termstats.select("term", "df")
+    rows = rows.join(F.broadcast(
+        ts.join(_query_df(index.spark, query_terms).select("term").distinct(),
+                "term")), "term")
+    scored = rows.withColumn(
+        "pscore",
+        F.col("weight") * ib_col(F.col("tf"), F.col("df"), F.col("dl"),
+                                 index.avgdl, float(index.n_docs),
+                                 c if c is not None else IB_C))
+    agg = scored.groupBy("qid", "doc_id").agg(F.sum("pscore").alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (agg.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k)
+           .select("qid", "doc_id", "score", "rank"))
+    if include_docno:
+        out = out.join(index.docs.select("doc_id", "docno"), "doc_id") \
+                 .select("qid", "doc_id", "docno", "score", "rank")
+    return out.orderBy("qid", "rank")
+
+
 BOOLEAN_LEAD_MAX_DF = 100_000  # broadcastable lead-list bound (~0.8 MB)
 # engage gating only when the OTHER lists would shuffle at least this
 # many postings — below it the extra lead-decode job costs more than
@@ -331,11 +405,14 @@ def boolean_and(index: Index, queries: Sequence[tuple[str, Sequence[str]]],
 _SLICE_SCHEMA = T.StructType([
     T.StructField("qid", T.StringType()),
     T.StructField("shard", T.IntegerType()),
-    T.StructField("wgt", T.DoubleType()),        # weight * idf
+    T.StructField("wgt", T.DoubleType()),        # clause multiplier
+    T.StructField("kind", T.IntegerType()),      # scorer: 0 bm25/1 lmd/2 ib
+    T.StructField("p1", T.DoubleType()),         # scorer params (see
+    T.StructField("p2", T.DoubleType()),         #   _contrib_np)
     T.StructField("payload", T.BinaryType()),    # block run, byte-sliced
     T.StructField("counts", T.ArrayType(T.LongType())),
     T.StructField("block_last", T.ArrayType(T.LongType())),
-    T.StructField("block_max_w", T.ArrayType(T.DoubleType())),
+    T.StructField("block_ub", T.ArrayType(T.DoubleType())),
     T.StructField("block_off", T.ArrayType(T.LongType())),  # rebased to 0
     T.StructField("base", T.LongType()),         # docID base of the run
     T.StructField("codec", T.IntegerType()),
@@ -343,12 +420,53 @@ _SLICE_SCHEMA = T.StructType([
     T.StructField("shard_rows", T.LongType()),
 ])
 
+# scorer kinds for the generic kernel (VERDICT r2 item 3: one sharded
+# block-max path for every similarity, not just BM25)
+KIND_BM25 = 0   # p1 = k1*(1-b), p2 = k1*b/avgdl   (field-local stats OK)
+KIND_LMD = 1    # p1 = mu*(ctf+1)/(C+1), p2 = mu
+KIND_IB = 2     # p1 = c*avgdl, p2 = (df+1)/(N+1)
+
+
+def _contrib_np(kind: int, tf: np.ndarray, dl: np.ndarray,
+                p1: float, p2: float) -> np.ndarray:
+    """Unweighted per-posting contribution of one list (dispatch on
+    scorer kind). Single source shared by the kernel, the θ seeds and
+    the slice-stage bound check; formulas pinned in engine/scoring.py.
+    """
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    if kind == KIND_BM25:
+        return tf / (tf + p1 + p2 * dl)
+    if kind == KIND_LMD:
+        return np.maximum(
+            np.log(1.0 + tf / p1) + np.log(p2 / (dl + p2)), 0.0)
+    return np.log2(1.0 + tf * np.log2(1.0 + p1 / dl) / p2)
+
+
+def _block_ub_np(kind: int, bmt: np.ndarray, bmw: np.ndarray,
+                 p1: float, p2: float) -> np.ndarray:
+    """Per-block upper bound of the unweighted contribution.
+
+    BM25 reuses the build-frozen ``block_max_w`` (exact bound under
+    the list's own index stats — per-field indexes bake their own).
+    LMD/IB derive a bound from ``block_max_tf``: both formulas are
+    increasing in tf and decreasing in dl, and every posting satisfies
+    dl ≥ tf, so the feasible max over the block is at tf = dl =
+    block_max_tf — evaluate the formula there (LMD additionally uses
+    that its dl=tf diagonal is increasing because p ≤ 1; IB because
+    x·log2(1+A/x) is increasing)."""
+    if kind == KIND_BM25:
+        return bmw
+    return _contrib_np(kind, bmt, bmt, p1, p2)
+
 
 def _make_slice_fn():
     """mapInPandas fn: matched posting row → ≤ n_shards block runs.
     Shard count and width are PER QUERY (columns joined in from the
     query side): a small query stays in one shard — one kernel task,
-    full-strength local seed — while a head-term query fans out."""
+    full-strength local seed — while a head-term query fans out.
+    Emits the scorer-aware per-block upper bound (``block_ub``) so the
+    kernel is similarity-agnostic."""
 
     def slice_rows(batches):
         from .postings import block_counts, split_payload
@@ -361,7 +479,12 @@ def _make_slice_fn():
                     continue
                 codec, n, bs, payload = split_payload(blob)
                 bl = np.asarray(pdf["block_last"].iloc[i], dtype=np.int64)
+                kind = int(pdf["kind"].iloc[i])
+                p1 = float(pdf["p1"].iloc[i])
+                p2 = float(pdf["p2"].iloc[i])
                 bmw = np.asarray(pdf["block_max_w"].iloc[i], dtype=np.float64)
+                bmt = np.asarray(pdf["block_max_tf"].iloc[i], dtype=np.float64)
+                ub = _block_ub_np(kind, bmt, bmw, p1, p2)
                 off = np.asarray(pdf["block_off"].iloc[i], dtype=np.int64)
                 counts = block_counts(n, bs)
                 n_shards = int(pdf["n_shards"].iloc[i])
@@ -370,7 +493,7 @@ def _make_slice_fn():
                 s_lo = np.maximum(prev + 1, 0) // shard_rows
                 s_hi = bl // shard_rows
                 qid = pdf["qid"].iloc[i]
-                wgt = float(pdf["weight"].iloc[i]) * float(pdf["idf"].iloc[i])
+                wgt = float(pdf["wgt"].iloc[i])
                 # the LAST shard is unbounded above so docs past the
                 # nominal n_docs (e.g. streaming delta segments under
                 # frozen base stats) still land in a shard
@@ -384,11 +507,14 @@ def _make_slice_fn():
                     out["qid"].append(qid)
                     out["shard"].append(s)
                     out["wgt"].append(wgt)
+                    out["kind"].append(kind)
+                    out["p1"].append(p1)
+                    out["p2"].append(p2)
                     out["payload"].append(
                         payload[off[lo_b]:off[hi_b]].tobytes())
                     out["counts"].append(counts[lo_b:hi_b].tolist())
                     out["block_last"].append(bl[lo_b:hi_b].tolist())
-                    out["block_max_w"].append(bmw[lo_b:hi_b].tolist())
+                    out["block_ub"].append(ub[lo_b:hi_b].tolist())
                     out["block_off"].append(
                         (off[lo_b:hi_b + 1] - off[lo_b]).tolist())
                     out["base"].append(int(bl[lo_b - 1]) if lo_b > 0 else 0)
@@ -398,6 +524,15 @@ def _make_slice_fn():
             yield pd.DataFrame(out)
 
     return slice_rows
+
+
+def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Membership mask of ``values`` in a SORTED unique int array —
+    O(n log m) searchsorted, cheaper than np.isin's per-call sort when
+    the same array is probed once per decoded block."""
+    pos = np.searchsorted(sorted_arr, values)
+    pos_c = np.minimum(pos, sorted_arr.size - 1)
+    return (pos < sorted_arr.size) & (sorted_arr[pos_c] == values)
 
 
 def _runs(sorted_ids: np.ndarray) -> list[tuple[int, int]]:
@@ -411,9 +546,9 @@ def _runs(sorted_ids: np.ndarray) -> list[tuple[int, int]]:
             for s, e in zip(starts, ends)]
 
 
-def _bmw_kernel(pdf: pd.DataFrame, k: int, k1: float, b: float,
-                avgdl: float, thetas: dict[str, float],
-                emit: str = "topk") -> pd.DataFrame:
+def _bmw_kernel(pdf: pd.DataFrame, k: int, thetas: dict[str, float],
+                emit: str = "topk",
+                dead: np.ndarray | None = None) -> pd.DataFrame:
     """Block-max top-k over ONE (query, doc-shard) group — a
     MaxScore/block-max-WAND hybrid that provably skips decode:
 
@@ -434,6 +569,10 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, k1: float, b: float,
        touched. Exact totals; top-k by (-score, doc_id).
 
     ``emit='stats'`` returns decode/skip counters instead of hits.
+    ``dead``: sorted tombstoned doc_ids (liveDocs mask) — dead docs
+    are dropped AT DECODE, so the kernel's k stays k under any delete
+    volume (VERDICT r2: the previous k + |tombstones| overfetch built
+    degenerate heaps when deletes were large).
     """
     from .postings import decode_run
 
@@ -447,17 +586,28 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, k1: float, b: float,
 
     nrows = len(pdf)
     wgts = pdf["wgt"].to_numpy(dtype=np.float64)
+    kinds = pdf["kind"].to_numpy(dtype=np.int64)
+    p1s = pdf["p1"].to_numpy(dtype=np.float64)
+    p2s = pdf["p2"].to_numpy(dtype=np.float64)
     # negative list weights (possible under stale stats, e.g. a frozen
     # base index searched with delta segments where df > n): their
-    # contribution wgt·w with w ∈ (0, 1] is bounded ABOVE by 0 and
-    # BELOW by wgt — block_max_w is only an upper bound for wgt > 0
-    neg_floor_each = np.minimum(wgts, 0.0)
+    # contribution wgt·w with w ≥ 0 bounded by the BM25 w ≤ 1 case is
+    # bounded ABOVE by 0 and BELOW by wgt·w_max; for LMD/IB w is
+    # unbounded by 1 but the ubs→0 handling below stays sound because
+    # tighten() only ever uses the floors for wgt < 0 lists whose
+    # maximum possible contribution is ≤ 0... the conservative floor
+    # is wgt * max block ub (≥ true minimum) — computed per list.
+    ubs_raw = [np.asarray(pdf["block_ub"].iloc[i], dtype=np.float64)
+               for i in range(nrows)]
+    neg_floor_each = np.array([
+        wgts[i] * float(ubs_raw[i].max() if ubs_raw[i].size else 0.0)
+        if wgts[i] < 0 else 0.0
+        for i in range(nrows)])
     neg_floor_total = float(neg_floor_each.sum())
     bls = [np.asarray(pdf["block_last"].iloc[i], dtype=np.int64)
            for i in range(nrows)]
-    ubs = [wgts[i] * np.asarray(pdf["block_max_w"].iloc[i], dtype=np.float64)
-           if wgts[i] > 0 else
-           np.zeros(len(pdf["block_max_w"].iloc[i]))
+    ubs = [wgts[i] * ubs_raw[i] if wgts[i] > 0 else
+           np.zeros(ubs_raw[i].size)
            for i in range(nrows)]
     offs = [np.asarray(pdf["block_off"].iloc[i], dtype=np.int64)
             for i in range(nrows)]
@@ -483,11 +633,12 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, k1: float, b: float,
                                    counts[r_lo:r_hi], codec, base)
             blocks_decoded += r_hi - r_lo
             keep = (d >= lo) & (d < hi)
+            if dead is not None:
+                keep &= ~_in_sorted(d, dead)     # liveDocs at decode
             if not keep.all():
                 d, tf, dl = d[keep], tf[keep], dl[keep]
             if d.size:
-                w = tf.astype(np.float64) / (
-                    tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+                w = _contrib_np(int(kinds[i]), tf, dl, p1s[i], p2s[i])
                 dparts.append(d)
                 cparts.append(wgts[i] * w)
                 postings_scored += int(d.size)
@@ -671,44 +822,67 @@ SEED_MAX_DF = 500_000
 
 
 def _seed_thetas(index: Index, rows: list, dfm: dict[str, int],
-                 k: int, k1: float, b: float, avgdl: float
-                 ) -> dict[str, float]:
+                 k: int, dead_b=None) -> dict[str, float]:
     """Threshold sharing across shards: per query, fully score the
-    single strongest term (max weight·idf, df-capped) in one tiny job;
-    its k-th largest contribution is a GLOBAL lower bound on the true
-    k-th total score, broadcast into every shard kernel. Queries whose
-    strongest term is still a head term skip the seed (their per-shard
-    local seeds are strong anyway — every shard holds plenty of head
-    docs)."""
-    pick: dict[str, tuple[str, float, float]] = {}
-    neg_sum: dict[str, float] = {}  # Σ min(wgt, 0) over the query's terms
-    for q, t, w, idf in rows:
-        neg_sum[q] = neg_sum.get(q, 0.0) + min(w * idf, 0.0)
+    single strongest term (max strength proxy, df-capped) in one tiny
+    job; its k-th largest contribution is a GLOBAL lower bound on the
+    true k-th total score, broadcast into every shard kernel. Queries
+    whose strongest term is still a head term skip the seed (their
+    per-shard local seeds are strong anyway — every shard holds plenty
+    of head docs).
+
+    ``rows``: (qid, term, wgt, kind, p1, p2, strength) — wgt is the
+    full clause multiplier (weight·idf for BM25), kind/p1/p2 the
+    scorer spec (see _contrib_np), strength the pick proxy."""
+    pick: dict[str, tuple] = {}
+    neg_sum: dict[str, float] = {}  # Σ negative floors (BM25: wgt·1)
+    skip: set[str] = set()
+    for q, t, wgt, kind, p1, p2, strength in rows:
+        if wgt < 0:
+            if kind == KIND_BM25:
+                # BM25 contribution w ∈ (0, 1]: floor is wgt itself
+                neg_sum[q] = neg_sum.get(q, 0.0) + wgt
+            else:
+                # LMD/IB contributions are unbounded by 1 — no cheap
+                # driver-side floor, so don't seed this query at all
+                skip.add(q)
+        else:
+            neg_sum.setdefault(q, 0.0)
         if dfm[t] > SEED_MAX_DF:
             continue
-        if q not in pick or w * idf > pick[q][1] * pick[q][2]:
-            pick[q] = (t, w, idf)
+        if q not in pick or strength > pick[q][6]:
+            pick[q] = (t, wgt, kind, p1, p2, dfm[t], strength)
+    pick = {q: v for q, v in pick.items() if q not in skip}
     if not pick:
         return {}
     qt = index.spark.createDataFrame(
-        [(q, t, w, idf) for q, (t, w, idf) in pick.items()],
-        "qid string, term string, weight double, idf double")
-    buckets = index.term_buckets([t for t, _, _ in pick.values()])
+        [(q, t, wgt, kind, p1, p2)
+         for q, (t, wgt, kind, p1, p2, _, _) in pick.items()],
+        "qid string, term string, wgt double, kind int, "
+        "p1 double, p2 double")
+    buckets = index.term_buckets([v[0] for v in pick.values()])
     matched = (index.postings
                .where(F.col("bucket").isin(buckets))
                .join(F.broadcast(qt), "term")
-               .select("qid", "weight", "idf", "blob"))
+               .select("qid", "wgt", "kind", "p1", "p2", "blob"))
 
     def theta_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         from .postings import decode_postings
+        dead = dead_b.value if dead_b is not None else None
         cs = []
         for i in range(len(pdf)):
             d, tf, dl = decode_postings(bytes(pdf["blob"].iloc[i]))
+            if dead is not None and d.size:
+                # liveDocs in the seed too: a θ fed by a dead doc's
+                # contribution could exceed the true k-th live score
+                keep = ~_in_sorted(d, dead)
+                d, tf, dl = d[keep], tf[keep], dl[keep]
             if d.size == 0:
                 continue
-            wgt = float(pdf["weight"].iloc[i]) * float(pdf["idf"].iloc[i])
-            cs.append(wgt * tf.astype(np.float64) / (
-                tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)))
+            wgt = float(pdf["wgt"].iloc[i])
+            cs.append(wgt * _contrib_np(int(pdf["kind"].iloc[i]), tf, dl,
+                                        float(pdf["p1"].iloc[i]),
+                                        float(pdf["p2"].iloc[i])))
         c = np.concatenate(cs) if cs else np.empty(0)
         if c.size < k:
             return pd.DataFrame({"qid": [], "theta": []})
@@ -718,22 +892,74 @@ def _seed_thetas(index: Index, rows: list, dfm: dict[str, int],
     out = matched.groupBy("qid").applyInPandas(
         theta_fn, schema="qid string, theta double").collect()
     # a doc's total ≥ its seed contribution + the other terms' negative
-    # floors (Σ min(wgt·idf, 0), exact 0 for normal positive idfs)
+    # floors (Σ min(wgt, 0) for BM25, exact 0 for normal positive idfs)
     return {r["qid"]: float(r["theta"])
             + (neg_sum[r["qid"]]
-               - min(pick[r["qid"]][1] * pick[r["qid"]][2], 0.0))
+               - min(pick[r["qid"]][1], 0.0))
             for r in out}
 
 
-def _wand_sharded(index: Index, query_terms: QueryTerms, k: int,
-                  n_shards: int | None, emit: str) -> DataFrame:
-    terms = [t for _, t, _ in query_terms]
-    dfm = index.df_map(terms)
+def _scorer_rows(index: Index, query_terms: QueryTerms,
+                 dfm: dict[str, int], scorer: str,
+                 mu: float, ib_c: float) -> list[tuple]:
+    """(qid, term, wgt, kind, p1, p2, strength) rows for the generic
+    kernel (see _contrib_np for the param meanings). ``strength`` is
+    the θ-seed pick proxy: the rarer/stronger the list, the better its
+    k-th contribution lower-bounds the true k-th total."""
     n, avgdl = float(index.n_docs), index.avgdl
     k1, b = index.stats["k1"], index.stats["b"]
-    rows = [(q, t, float(w),
-             float(np.log1p((n - dfm.get(t, 0) + 0.5) / (dfm.get(t, 0) + 0.5))))
-            for q, t, w in query_terms if t in dfm]
+    if scorer == "bm25":
+        out = []
+        for q, t, w in query_terms:
+            if t not in dfm:
+                continue
+            idf = float(np.log1p((n - dfm[t] + 0.5) / (dfm[t] + 0.5)))
+            out.append((q, t, float(w) * idf, KIND_BM25,
+                        k1 * (1.0 - b), k1 * b / avgdl, float(w) * idf))
+        return out
+    if scorer == "lmd":
+        ctfm = index.ctf_map([t for _, t, _ in query_terms])
+        C = float(index.stats["total_tokens"])
+        return [(q, t, float(w), KIND_LMD,
+                 mu * (ctfm.get(t, 0) + 1.0) / (C + 1.0), mu,
+                 float(w) * (C + 1.0) / (ctfm.get(t, 0) + 1.0))
+                for q, t, w in query_terms if t in dfm]
+    if scorer == "ib":
+        return [(q, t, float(w), KIND_IB,
+                 ib_c * avgdl, (dfm[t] + 1.0) / (n + 1.0),
+                 float(w) * (n + 1.0) / (dfm[t] + 1.0))
+                for q, t, w in query_terms if t in dfm]
+    raise ValueError(f"unknown scorer {scorer!r}")
+
+
+def _run_bmw(spark, matched: DataFrame, k: int, thetas: dict,
+             dead_b, emit: str, schema) -> DataFrame:
+    """Shared slice → per-(qid, shard) kernel tail of every WAND-class
+    plan. ``matched`` needs columns (qid, wgt, kind, p1, p2, n_shards,
+    shard_rows, blob, block_last, block_max_w, block_max_tf,
+    block_off)."""
+    sliced = matched.mapInPandas(_make_slice_fn(), schema=_SLICE_SCHEMA)
+    return sliced.groupBy("qid", "shard").applyInPandas(
+        lambda pdf: _bmw_kernel(
+            pdf, k, thetas, emit,
+            dead=(dead_b.value if dead_b is not None else None)),
+        schema=schema)
+
+
+_MATCH_COLS = ["qid", "wgt", "kind", "p1", "p2", "n_shards", "shard_rows",
+               "blob", "block_last", "block_max_w", "block_max_tf",
+               "block_off"]
+
+
+def _wand_sharded(index: Index, query_terms: QueryTerms, k: int,
+                  n_shards: int | None, emit: str,
+                  scorer: str = "bm25", mu: float = MU,
+                  ib_c: float | None = None) -> DataFrame:
+    from .scoring import IB_C
+    terms = [t for _, t, _ in query_terms]
+    dfm = index.df_map(terms)
+    rows = _scorer_rows(index, query_terms, dfm, scorer, mu,
+                        ib_c if ib_c is not None else IB_C)
     schema = _WAND_SCHEMA if emit == "topk" else _WAND_STATS_SCHEMA
     if not rows:
         return index.spark.createDataFrame([], schema)
@@ -743,7 +969,7 @@ def _wand_sharded(index: Index, query_terms: QueryTerms, k: int,
     # query — multiplying kernel fixed costs and weakening the local
     # seeds (each shard then sees 1/n of the strongest list).
     per_q: dict[str, int] = {}
-    for q, t, _, _ in rows:
+    for q, t, *_ in rows:
         per_q[q] = per_q.get(q, 0) + dfm[t]
     if n_shards is None:
         s_q = {q: max(1, -(-v // WAND_TARGET_POSTINGS_PER_TASK))
@@ -751,42 +977,52 @@ def _wand_sharded(index: Index, query_terms: QueryTerms, k: int,
     else:
         s_q = {q: n_shards for q in per_q}
     shard_rows_q = {q: max(1, -(-index.n_docs // s)) for q, s in s_q.items()}
+    # liveDocs: broadcast the sorted tombstone ids once; kernels mask
+    # dead docs AT DECODE (k stays k under any delete volume)
+    dead = index.dead_ids()
+    dead_b = (index.spark.sparkContext.broadcast(dead)
+              if dead is not None else None)
     # threshold sharing only pays when there ARE shards to share with:
     # single-shard queries' kernels decode the same strongest list as
     # their local seed, so the extra job would be pure latency for them
     multi = [r for r in rows if s_q[r[0]] > 1]
-    thetas = (_seed_thetas(index, multi, dfm, k, k1, b, avgdl)
+    thetas = (_seed_thetas(index, multi, dfm, k, dead_b=dead_b)
               if multi else {})
     qt = index.spark.createDataFrame(
-        [(q, t, w, i, s_q[q], shard_rows_q[q]) for q, t, w, i in rows],
-        "qid string, term string, weight double, idf double, "
-        "n_shards int, shard_rows long")
+        [(q, t, wgt, kind, p1, p2, s_q[q], shard_rows_q[q])
+         for q, t, wgt, kind, p1, p2, _ in rows],
+        "qid string, term string, wgt double, kind int, p1 double, "
+        "p2 double, n_shards int, shard_rows long")
     buckets = index.term_buckets(terms)
     matched = (index.postings
                .where(F.col("bucket").isin(buckets))
                .join(F.broadcast(qt), "term")
-               .select("qid", "weight", "idf", "n_shards", "shard_rows",
-                       "blob", "block_last", "block_max_w", "block_off"))
-    sliced = matched.mapInPandas(_make_slice_fn(), schema=_SLICE_SCHEMA)
-    return sliced.groupBy("qid", "shard").applyInPandas(
-        lambda pdf: _bmw_kernel(pdf, k, k1, b, avgdl, thetas, emit),
-        schema=schema)
+               .select(*_MATCH_COLS))
+    return _run_bmw(index.spark, matched, k, thetas, dead_b, emit, schema)
 
 
 def score_wand(index: Index, query_terms: QueryTerms, k: int,
-               n_shards: int | None = None) -> DataFrame:
+               n_shards: int | None = None,
+               scorer: str = "bm25") -> DataFrame:
     """Distributed block-max WAND top-k (north-rule Q14).
 
     ``n_shards``: doc shards per query (None = derived from Σ df so
     each task stays under WAND_TARGET_POSTINGS_PER_TASK postings).
-    Rank-identical to :func:`score_exhaustive` by construction.
+    ``scorer``: 'bm25' (default), 'lmd' or 'ib' — the generic kernel
+    dispatches the contribution formula per list and derives LMD/IB
+    block bounds from block_max_tf (VERDICT r2 item 3: the newer
+    similarities get the same sharded decode-skipping path instead of
+    the exhaustive explode). Rank-identical to the matching
+    exhaustive-path scorer by construction.
+
+    Pending deletes are masked INSIDE the kernel at block decode (a
+    broadcast sorted-id liveDocs probe, same recipe as purge's mask —
+    engine/deletes.py), so the kernel computes a plain top-k whatever
+    the tombstone volume; the redundant post-side live() is kept as a
+    zero-cost invariant guard.
     """
-    # with pending deletes, each shard kernel overfetches by the
-    # tombstone count so the post-filter can never under-fill k (the
-    # set stays small between purges; purge restores k_eff == k)
-    k_eff = k + index.n_tombstones
-    out = index.live(_wand_sharded(index, query_terms, k_eff,
-                                   n_shards, "topk"))
+    out = index.live(_wand_sharded(index, query_terms, k,
+                                   n_shards, "topk", scorer=scorer))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (out.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -851,11 +1087,13 @@ def search_after(index: Index, query_terms: QueryTerms, k: int,
 
 
 def wand_stats(index: Index, query_terms: QueryTerms, k: int,
-               n_shards: int | None = None) -> DataFrame:
+               n_shards: int | None = None,
+               scorer: str = "bm25") -> DataFrame:
     """Decode/skip counters per (qid, shard) for the same BMW plan:
     (qid, shard, blocks_total, blocks_decoded, postings_total,
     postings_scored). Evidence that block-max pruning skips work."""
-    return _wand_sharded(index, query_terms, k, n_shards, "stats")
+    return _wand_sharded(index, query_terms, k, n_shards, "stats",
+                         scorer=scorer)
 
 
 # ---------------------------------------------------------------------------
@@ -1018,7 +1256,9 @@ def boolean_topk(index: Index, queries: BooleanClauses, k: int,
                  k1: float | None = None,
                  b: float | None = None,
                  min_should: int = 0,
-                 doc_filter: DataFrame | None = None) -> DataFrame:
+                 doc_filter: DataFrame | None = None,
+                 lead_max_df: int = BOOLEAN_LEAD_MAX_DF,
+                 lead_min_saved: int = BOOLEAN_LEAD_MIN_SAVED) -> DataFrame:
     """Generic Lucene BooleanQuery analog — each query is
     (qid, must, should, must_not).
 
@@ -1042,6 +1282,16 @@ def boolean_topk(index: Index, queries: BooleanClauses, k: int,
     decoded separately (they are not in the scoring set) and applied
     as a left_anti join. Everything is bucket-pruned + broadcast on
     the query side like the other query paths.
+
+    Scale path (VERDICT r2 item 3): a query whose RAREST must term has
+    df ≤ ``lead_max_df`` is gated by that term's broadcast doc set
+    BEFORE the (qid, doc) shuffle — sound because every result doc
+    must contain all must terms, so dropping scoring rows of docs
+    absent from one must list changes nothing; the shuffle then
+    carries ≤ |lead| × n_terms rows instead of Σ df (the ~72M-row
+    explosion BENCH.md measured at k=1000 on head terms). Engaged only
+    when it saves ≥ ``lead_min_saved`` postings (small-scale job-count
+    discipline, same gating as boolean_and).
     Returns (qid, doc_id, score, rank) ordered by (qid, rank).
     """
     spark = index.spark
@@ -1062,6 +1312,30 @@ def boolean_topk(index: Index, queries: BooleanClauses, k: int,
     if doc_filter is not None:
         rows = rows.join(doc_filter.select("doc_id").distinct(),
                          "doc_id", "left_semi")
+    # must-lead gating (shortest-list-first intersection, distributed)
+    dfm = index.df_map([t for q, m, _s, _n in queries for t in set(m)])
+    lead: dict[str, str] = {}
+    for q, m, s, _n in queries:
+        ms = [t for t in set(m) if t in dfm]
+        if not ms or len(ms) < len(set(m)):
+            continue   # no must terms, or one absent (query is empty)
+        rare = min(ms, key=lambda t: (dfm[t], t))
+        saved = sum(dfm.get(t, 0) for t in set(m) | set(s)) - dfm[rare]
+        if dfm[rare] <= lead_max_df and saved >= lead_min_saved:
+            lead[q] = rare
+    if lead:
+        lead_qt = [(q, t, 1.0) for q, t in lead.items()]
+        lead_dec = _matched_postings(index, lead_qt) \
+            .withColumn("d", decode_udf("blob"))
+        lead_docs = (lead_dec
+                     .select("qid", F.explode("d.doc_ids").alias("doc_id"))
+                     .distinct()
+                     .withColumn("_keep", F.lit(1)))
+        rows = (rows.join(F.broadcast(lead_docs), ["qid", "doc_id"],
+                          "left")
+                .where(F.col("_keep").isNotNull()
+                       | ~F.col("qid").isin(list(lead)))
+                .drop("_keep"))
     # must-count gate over the SAME decoded rows
     must_pairs = [(q, t) for q, m, _s, _n in queries for t in sorted(set(m))]
     n_must = [(q, len(set(m))) for q, m, _s, _n in queries]

@@ -269,3 +269,35 @@ def test_purge_preserves_skew_split_salts(spark, tmp_path):
           for r in score_wand(idx2, q, 15).collect()]
     assert ex == wa and ex
     assert all(d not in dead for d, _, _ in ex)
+
+
+def test_wand_mass_deletes_bounded_k(spark, tmp_path):
+    """VERDICT r2: with |tombstones| >> k the WAND kernel must stay a
+    plain top-k (liveDocs masked at decode, no k+|tombstones|
+    overfetch) and remain rank-identical to exhaustive."""
+    from engine.corpus import generate_corpus_df
+
+    corpus = generate_corpus_df(spark, 120, partitions=4, max_tokens=150)
+    path = str(tmp_path / "massdel")
+    build_index(spark, corpus, path, n_buckets=4, n_doc_buckets=4)
+    idx = Index(spark, path)
+    # delete HALF the corpus — far more tombstones than k
+    dead = [r["doc_id"] for r in
+            idx.docs.select("doc_id").collect()][::2]
+    delete_docs(spark, path, dead)
+    idx2 = Index(spark, path)
+    k = 5
+    assert idx2.n_tombstones > 10 * k
+    from engine.topics import synthetic_topics, topics_to_query_terms
+    qt = topics_to_query_terms(synthetic_topics(5))
+    ex = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+          for r in score_exhaustive(idx2, qt, k).collect()]
+    wa = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+          for r in score_wand(idx2, qt, k).collect()]
+    assert ex == wa and ex
+    dead_set = set(dead)
+    assert all(d not in dead_set for _, _, d, _ in wa)
+    # multi-shard path under mass deletes too (θ seeds + slices)
+    wa3 = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+           for r in score_wand(idx2, qt, k, n_shards=3).collect()]
+    assert ex == wa3

@@ -643,3 +643,67 @@ def test_federated_rejects_heterogeneous_shards(spark, tmp_path):
     # homogeneous shards (even with different bucket counts) still work
     assert federated_topk([Index(spark, p1), Index(spark, p1)],
                           qt, 5).count() >= 0
+
+
+def test_ib_hand_computed(spark, tmp_path):
+    """score_ib matches the pinned Lucene IBSimilarity configuration
+    (DistributionLL · LambdaDF · NormalizationH2, c=1) computed by
+    hand: tfn = tf·log2(1 + avgdl/dl), λ = (df+1)/(N+1), score =
+    log2(1 + tfn/λ); SHOULD-clause scores sum with boosts."""
+    import math as _m
+
+    from engine.search import score_ib
+
+    def ib(tf, df, dl, avgdl, n, c=1.0):
+        tfn = tf * _m.log2(1 + c * avgdl / dl)
+        lam = (df + 1.0) / (n + 1.0)
+        return _m.log2(1 + tfn / lam)
+
+    docs = [
+        "apple banana apple",           # dl=3, tf(apple)=2
+        "apple cherry",                 # dl=2
+        "banana banana banana cherry",  # dl=4
+    ]
+    idx = _mini_index(spark, tmp_path, docs, name="ib")
+    avgdl, n = 3.0, 3
+    res = score_ib(idx, [("q", "apple", 1.0), ("q", "banana", 2.0)], 10)
+    id2doc = {r["doc_id"]: r["docno"] for r in
+              idx.docs.select("doc_id", "docno").collect()}
+    got = {id2doc[r["doc_id"]]: r["score"] for r in res.collect()}
+    exp = {
+        "org/r0/f0.py": ib(2, 2, 3, avgdl, n) + 2.0 * ib(1, 2, 3, avgdl, n),
+        "org/r1/f1.py": ib(1, 2, 2, avgdl, n),
+        "org/r2/f2.py": 2.0 * ib(3, 2, 4, avgdl, n),
+    }
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key] == pytest.approx(exp[key], abs=1e-12)
+    # every IB partial is non-negative (Lucene 8+ score contract)
+    assert all(v >= 0 for v in got.values())
+
+
+def test_boolean_topk_lead_gating_identical(spark, tmp_path):
+    """boolean_topk's must-lead gating (broadcast rarest-must-list
+    semi-join before the score shuffle) is a pure plan optimization:
+    identical (doc, score, rank) output with gating forced on vs off."""
+    from engine.search import boolean_topk
+
+    corpus = generate_corpus_df(spark, 80, partitions=2, max_tokens=120)
+    path = str(tmp_path / "blead")
+    build_index(spark, corpus, path, n_buckets=2, n_doc_buckets=2)
+    idx = Index(spark, path)
+    dfm = {r["term"]: r["df"] for r in
+           idx.termstats.select("term", "df").collect()}
+    terms = sorted(dfm, key=lambda t: (-dfm[t], t))
+    head = terms[:3]                     # frequent should terms
+    rare = sorted(dfm, key=lambda t: (dfm[t], t))[0]
+    qs = [("q1", [rare], head, []),      # rare must + head shoulds
+          ("q2", [head[0], head[1]], [rare], []),
+          ("q3", [], head[:2], [])]      # no must → no gate
+    gated = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+             for r in boolean_topk(idx, qs, 10,
+                                   lead_min_saved=0).collect()]
+    plain = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+             for r in boolean_topk(idx, qs, 10,
+                                   lead_max_df=0).collect()]
+    assert gated == plain and gated

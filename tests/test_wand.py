@@ -118,3 +118,89 @@ def test_wand_with_for_codec(spark, tmp_path):
     wd = score_wand(idx, qt, 10, n_shards=3).collect()
     assert sorted((r["qid"], r["rank"], r["doc_id"]) for r in ex) == \
         sorted((r["qid"], r["rank"], r["doc_id"]) for r in wd)
+
+
+def test_wand_lmd_ib_rank_identity(tiny_index):
+    """VERDICT r2 item 3: the generic kernel serves LMD and IB through
+    the same sharded block-max path, rank-identical to their
+    exhaustive-plan scorers (block bounds derived from block_max_tf
+    via the dl ≥ tf feasibility argument)."""
+    import pytest as _pytest
+
+    from engine.search import score_ib, score_lmd, score_wand
+    from engine.topics import synthetic_topics, topics_to_query_terms
+
+    qt = topics_to_query_terms(synthetic_topics(6))
+    for scorer, exh in (("lmd", score_lmd), ("ib", score_ib)):
+        ex = exh(tiny_index, qt, 12).collect()
+        exs = [(r["qid"], r["rank"], r["doc_id"]) for r in ex]
+        escore = {(r["qid"], r["doc_id"]): r["score"] for r in ex}
+        for n_shards in (None, 3):
+            wa = score_wand(tiny_index, qt, 12, n_shards=n_shards,
+                            scorer=scorer).collect()
+            was = [(r["qid"], r["rank"], r["doc_id"]) for r in wa]
+            assert exs == was, (scorer, n_shards)
+            for r in wa:
+                assert r["score"] == _pytest.approx(
+                    escore[(r["qid"], r["doc_id"])], abs=1e-9)
+
+
+def test_wand_lmd_ib_skip_counters(tiny_index):
+    """The LMD/IB kernels report sane decode counters through the same
+    stats surface (bounds are genuinely usable, not just correct)."""
+    from engine.search import wand_stats
+    from engine.topics import synthetic_topics, topics_to_query_terms
+
+    qt = topics_to_query_terms(synthetic_topics(4))
+    for scorer in ("lmd", "ib"):
+        rows = wand_stats(tiny_index, qt, 5, scorer=scorer).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["blocks_decoded"] <= r["blocks_total"]
+            assert 0 <= r["postings_scored"] <= r["postings_total"]
+
+
+def test_fielded_wand_rank_identity(spark, tmp_path):
+    """fielded_topk_wand (sharded kernel, per-field stats in per-list
+    params) is rank-identical to the exhaustive fielded_topk."""
+    import pytest as _pytest
+
+    from engine.fields import fielded_topk, fielded_topk_wand
+    from engine.index_build import build_index
+    from engine.search import Index
+
+    titles = ["apple pie", "banana split", "apple tart", "cherry cake",
+              "apple banana mix", "plain bread"]
+    bodies = ["apple apple banana filling baked fresh",
+              "banana cream only with sugar",
+              "cherry base with apple pieces inside",
+              "cake base cherry jam topping",
+              "mix of apple and banana slices",
+              "bread flour water salt yeast"]
+
+    def corpus(texts):
+        rows = [(f"org/r{i}", f"f{i}.py", "c" * 12, "python", t)
+                for i, t in enumerate(texts)]
+        return spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, "
+                  "content string")
+
+    pt, pb = str(tmp_path / "wf_t"), str(tmp_path / "wf_b")
+    build_index(spark, corpus(titles), pt, n_buckets=2, n_doc_buckets=2)
+    build_index(spark, corpus(bodies), pb, n_buckets=2, n_doc_buckets=2)
+    idxs = {"title": Index(spark, pt), "body": Index(spark, pb)}
+    fq = [(q, f, t, w)
+          for q, terms in [("q1", ["apple", "banana"]),
+                           ("q2", ["cherry"]),
+                           ("q3", ["apple", "cake", "bread"])]
+          for t in terms for f, w in (("title", 3.0), ("body", 1.0))]
+    ex = fielded_topk(idxs, fq, 5).collect()
+    exs = [(r["qid"], r["rank"], r["doc_id"]) for r in ex]
+    escore = {(r["qid"], r["doc_id"]): r["score"] for r in ex}
+    for n_shards in (None, 2):
+        wa = fielded_topk_wand(idxs, fq, 5, n_shards=n_shards).collect()
+        was = [(r["qid"], r["rank"], r["doc_id"]) for r in wa]
+        assert exs == was and was, n_shards
+        for r in wa:
+            assert r["score"] == _pytest.approx(
+                escore[(r["qid"], r["doc_id"])], abs=1e-9)
