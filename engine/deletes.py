@@ -96,8 +96,15 @@ def update_docs(spark: SparkSession, index_dir: str,
     n_old = delete_docs(spark, index_dir, old)
     max_id = int(docs.agg(F.max("doc_id")).collect()[0][0] or 0)
     w = Window.orderBy("docno")
-    assigned = incoming.withColumn(
-        "doc_id", F.lit(max_id) + F.row_number().over(w)).persist()
+    # the global row_number window collapses the batch to ONE
+    # partition — repartition straight after, or the downstream
+    # tokenize/explode/agg chain runs in a single task (OOM'd on a
+    # 500-doc TREC batch with large documents; caught by
+    # tools/bench_lifecycle.py)
+    par = spark.sparkContext.defaultParallelism
+    assigned = (incoming.withColumn(
+        "doc_id", F.lit(max_id) + F.row_number().over(w))
+        .repartition(par, "doc_id").persist())
     epoch = 0
     if _has_deltas(spark, index_dir):
         prev = read_delta_postings(spark, index_dir) \

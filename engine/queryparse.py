@@ -16,6 +16,10 @@ Supported syntax (one clause per whitespace-separated token):
   pre*          prefix rewrite        (dictionary scan → SHOULD terms)
   wild*card, ?  wildcard rewrite      (LIKE dictionary scan)
   term~         fuzzy rewrite         (Levenshtein ≤ 1)
+  +pre* / +t~   required expansion: doc must match ≥1 rewritten term
+                (gated BEFORE the rank cut, like phrases; the terms
+                still score) — Lucene's MUST MultiTermQuery
+  -pre* / -t~   prohibited expansion: every rewritten term is banned
 
 Execution semantics (documented, deliberately simple):
 

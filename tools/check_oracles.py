@@ -67,6 +67,13 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # unpersist discipline (VERDICT r2 item 9): queries that
+            # persist internals expose cleanup handles where they can,
+            # but the gate runs 74 of them in one session — clear the
+            # storage between queries so cached blocks never
+            # accumulate across the run
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"SKIP  {name}: no oracle (rows={len(sdf)}, "
                   f"cols={list(sdf.columns)})")
