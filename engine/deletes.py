@@ -128,10 +128,13 @@ def update_docs(spark: SparkSession, index_dir: str,
      .write.mode("append").parquet(p["docs"]))
     from .analysis import tokenize_pandas_udf
     tok = tokenize_pandas_udf(stem=stem, stemmer=stemmer, ascii_fold=fold)
-    toks = assigned.select(
-        "doc_id",
-        F.size(tok(F.col("content"))).cast("long").alias("dl"),
-        F.explode(tok(F.col("content"))).alias("term"))
+    # tokenize once, then size+explode (see delta_segment_writer: the
+    # one-select form re-evaluates the UDF per exploded row)
+    toks = (assigned
+            .select("doc_id", tok(F.col("content")).alias("tokens"))
+            .select("doc_id",
+                    F.size("tokens").cast("long").alias("dl"),
+                    F.explode("tokens").alias("term")))
     tf = (toks.groupBy("term", "doc_id", "dl")
           .agg(F.count(F.lit(1)).alias("tf"))
           .withColumn("salt", F.lit(0).cast("int"))

@@ -82,13 +82,17 @@ def derive_n_centroids(n: int) -> int:
 
 
 def signbit_bucket(emb: DataFrame, dims: list[int] | None = None,
-                   id_col: str = "vec_id", vec_col: str = "embedding"
-                   ) -> DataFrame:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n: int | None = None) -> DataFrame:
     """Deterministic hyperplane-sign LSH bucket (axis-aligned planes on
     a dim subset): (vec_id, bucket:int). ``dims=None`` derives the bit
-    count from the table size via :func:`derive_signbit_dims`."""
+    count from the table size via :func:`derive_signbit_dims`; pass
+    ``n`` when the caller already knows it (batch pipelines that call
+    per stage — saves a count()+first() driver job per invocation,
+    VERDICT r2 minor)."""
     if dims is None:
-        n = emb.count()
+        if n is None:
+            n = emb.count()
         vec_dim = len(emb.select(vec_col).first()[0])
         dims = derive_signbit_dims(n, vec_dim)
     v = _as_double(F.col(vec_col))
@@ -135,8 +139,8 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
 
 def ivf_centroids(emb: DataFrame, n_centroids: int | None = 16,
                   n_iter: int = 2,
-                  id_col: str = "vec_id", vec_col: str = "embedding"
-                  ) -> DataFrame:
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  n: int | None = None) -> DataFrame:
     """Deterministic mini-Lloyd k-means centroids: (centroid_id, cv).
 
     Init = the vectors whose id ≡ 0 (mod ceil(n/n_centroids)) — seedless
@@ -157,7 +161,8 @@ def ivf_centroids(emb: DataFrame, n_centroids: int | None = 16,
 
     base = emb.select(F.col(id_col).alias("vec_id"),
                       _as_double(F.col(vec_col)).alias("v"))
-    n = base.count()
+    if n is None:
+        n = base.count()
     if n_centroids is None:
         n_centroids = derive_n_centroids(n)
     stride = max(1, (n + n_centroids - 1) // n_centroids)

@@ -58,11 +58,17 @@ def delta_segment_writer(index_dir: str, avgdl: float, n_buckets: int = 8,
     enc_fn = _make_encode_fn(avgdl, k1, b, block_size)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        toks = batch_df.select(
-            "doc_id",
-            F.size(tok(F.col("content"))).alias("dl"),
-            F.explode(tok(F.col("content"))).alias("term"),
-        )
+        # tokenize ONCE into a materialized column, then size+explode:
+        # putting size(tok(c)) and explode(tok(c)) in one select plants
+        # the second UDF eval ABOVE the Generate — the full document
+        # content then rides every exploded token row into a per-row
+        # re-tokenize (O(len²); OOM'd a 500-doc real-corpus batch).
+        # Same pattern the batch builder uses (engine/index_build.py).
+        toks = (batch_df
+                .select("doc_id", tok(F.col("content")).alias("tokens"))
+                .select("doc_id",
+                        F.size("tokens").alias("dl"),
+                        F.explode("tokens").alias("term")))
         tf = (toks.groupBy("term", "doc_id", "dl")
               .agg(F.count(F.lit(1)).alias("tf"))
               .withColumn("salt", F.lit(0).cast("int"))
