@@ -105,7 +105,8 @@ PARSED_QUERIES: list[tuple[str, str]] = [
 ]
 BOOLEAN_MSM = 1  # minimumNumberShouldMatch for boolean_msm_topk
 
-INDEX_VERSION = "v3"  # v3: block-framed blobs + block_off (sliceable runs)
+INDEX_VERSION = "v4"  # v4: doc_id pinned int64 in docs/tf parquet
+                      # (v3: block-framed blobs + block_off)
 
 # target per-lang mixture rates for the deterministic sampling op
 MIX_RATES = {"en": 0.5, "de": 0.25, "zh": 0.0}
@@ -1218,6 +1219,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qt = [(q, t, 1.0) for q, terms in BM25_QUERIES for t in terms]
         return _rounded_rerank(score_ib(idx, qt, TOPK + 50), TOPK)
 
+    def bm25_lucene_norms_topk(spark, sf_dir):
+        """BM25 with Lucene's 1-byte SmallFloat length quantization
+        (the parity mode that isolates the engine's exact-dl vs Lucene
+        norm delta; engine/scoring.py:lucene_norm_dl with a closed-form
+        byte4 roundtrip: dl < 24 exact, else 24 + top-4-bits(dl-24))."""
+        from engine.search import score_exhaustive
+
+        idx = _cached_index(spark, sf_dir)
+        qt = [(q, t, 1.0) for q, terms in BM25_QUERIES for t in terms]
+        return _rounded_rerank(
+            score_exhaustive(idx, qt, TOPK + 50, norms="lucene"), TOPK)
+
     def wand_lmd_topk(spark, sf_dir):
         """LMDirichlet through the GENERALIZED sharded block-max
         kernel (scorer='lmd'): same DuckDB oracle as the exhaustive
@@ -1289,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmdirichlet_topk": lmdirichlet_topk,
         "wand_lmd_topk": wand_lmd_topk,
         "wand_ib_topk": wand_ib_topk,
+        "bm25_lucene_norms_topk": bm25_lucene_norms_topk,
         # round-2's driver-unchecked 23 (VERDICT r2 item 1)
         "url_domains": url_domains,
         "curation_report": curation_report,
@@ -1329,9 +1343,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_hits": proximity_hits,
         "filtered_topk": filtered_topk,
         "phrase_topk": phrase_topk,
-        "snippets": snippets,
         # ---- driver window boundary (entry 50) ----
         # tail: driver-green in r2, siblings of in-window entries
+        "snippets": snippets,
         "pii_scrub": pii_scrub,
         "multimodal_features": multimodal_features,
         "simhash": simhash,
@@ -1463,6 +1477,28 @@ WHERE rank <= {TOPK}
     # their exhaustive scorers (rank identity is the claim)
     sql["wand_lmd_topk"] = sql["lmdirichlet_topk"]
     sql["wand_ib_topk"] = sql["ib_topk"]
+
+    # BM25 under Lucene's SmallFloat 1-byte norms: same plan as
+    # bm25_topk with dl routed through the byte4 roundtrip
+    from engine.scoring import lucene_norm_dl_sql
+    score_ln = bm25_sql("tf.tf", "dfs.df", lucene_norm_dl_sql("dl.dl"),
+                        "stats.avgdl", "stats.n")
+    r4ln = round_half_up_sql("s", 4)
+    sql["bm25_lucene_norms_topk"] = f"""
+WITH {fts},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({score_ln}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, doc_id, {r4ln} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4ln} DESC, doc_id)::INT AS rank
+  FROM matched) t
+WHERE rank <= {TOPK}
+"""
 
     # -- curation ops (engine/pipeline/curation.py) --------------------
     r6 = round_half_up_sql

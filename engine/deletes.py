@@ -102,8 +102,12 @@ def update_docs(spark: SparkSession, index_dir: str,
     # 500-doc TREC batch with large documents; caught by
     # tools/bench_lifecycle.py)
     par = spark.sparkContext.defaultParallelism
+    # cast to LONG: the base docs/tf tables store doc_id as int64 and
+    # lit+row_number is int32 — appending int32 files into the same
+    # parquet dir makes later reads fail with a physical-type mismatch
+    # (hit by the real-corpus lifecycle bench; invisible at test scale)
     assigned = (incoming.withColumn(
-        "doc_id", F.lit(max_id) + F.row_number().over(w))
+        "doc_id", (F.lit(max_id) + F.row_number().over(w)).cast("long"))
         .repartition(par, "doc_id").persist())
     epoch = 0
     if _has_deltas(spark, index_dir):

@@ -95,7 +95,13 @@ def assign_doc_ids(corpus: DataFrame,
         # bench indexes): every row lands in bucket 0 with offset 0, so
         # the per-bucket count job would be pure latency
         w1 = Window.partitionBy("_b").orderBy("repo", "path")
-        return (df.withColumn("doc_id", F.row_number().over(w1) - 1)
+        # cast: row_number alone is int32 while the multi-bucket path
+        # (offset long + row_number) is int64 — doc_id must be a
+        # single physical type whatever the bucket count, or appends
+        # from one path poison a table built by the other (mixed
+        # parquet physical types fail at scan time)
+        return (df.withColumn("doc_id",
+                              (F.row_number().over(w1) - 1).cast("long"))
                 .drop("_b")
                 .withColumn("docno", F.concat_ws("/", "repo", "path")))
     counts = df.groupBy("_b").count().collect()
@@ -110,7 +116,9 @@ def assign_doc_ids(corpus: DataFrame,
     w = Window.partitionBy("_b").orderBy("repo", "path")
     return (
         df.join(off_df, "_b")
-        .withColumn("doc_id", F.col("_off") + F.row_number().over(w) - 1)
+        .withColumn("doc_id",
+                    (F.col("_off") + F.row_number().over(w) - 1)
+                    .cast("long"))
         .drop("_b", "_off")
         .withColumn("docno", F.concat_ws("/", "repo", "path"))
     )

@@ -126,6 +126,63 @@ def lmd_sql(tf: str, ctf: str, dl: str, total_tokens: str,
 IB_C = 1.0   # NormalizationH2 c (Lucene default)
 
 
+# ---------------------------------------------------------------------------
+# Lucene norm-quantization parity mode (SURVEY §4.3 decision: the
+# engine standardizes on EXACT doc lengths; Lucene 8+ stores lengths
+# as ONE BYTE via SmallFloat.intToByte4 and decodes with byte4ToInt at
+# score time). The encode/decode roundtrip collapses to a closed form:
+#
+#   intToByte4: i < NUM_FREE_VALUES (= 255 - longToInt4(2^31-1) = 24)
+#     → stored exactly; else 24 + longToInt4(i - 24), where longToInt4
+#     keeps a 3-bit mantissa + implicit leading bit + exponent.
+#   byte4ToInt inverts it, so byte4ToInt(intToByte4(dl)) =
+#     dl                          if dl < 24
+#     24 + msb4(dl - 24)          otherwise
+#   with msb4(x) = x truncated to its 4 most significant bits
+#   (x >> s << s, s = max(bitlength(x) - 4, 0)).
+#
+# Scoring with this quantized dl (avgdl stays exact — Lucene computes
+# it from sumTotalTermFreq/docCount) reproduces Lucene's BM25 norm
+# behavior, letting the ≈+1pt MAP delta previously ATTRIBUTED to
+# exact-vs-quantized norms be measured directly
+# (tools/trec_similarity.py --norms lucene).
+# ---------------------------------------------------------------------------
+
+_NORM_FREE = 24   # 255 - longToInt4(Integer.MAX_VALUE) in Lucene
+
+
+def lucene_norm_dl(dl_col: Column) -> Column:
+    """byte4ToInt(intToByte4(dl)) as a pure column expression."""
+    x = dl_col.cast("long") - F.lit(_NORM_FREE)
+    nb = F.length(F.bin(x))                      # bit length of x (>=0)
+    shift = F.greatest(nb - F.lit(4), F.lit(0)).cast("double")
+    p = F.pow(F.lit(2.0), shift)                 # exact for dl < 2^49
+    q = (F.floor(x.cast("double") / p) * p).cast("long")
+    return F.when(dl_col < _NORM_FREE, dl_col.cast("long")) \
+        .otherwise(q + F.lit(_NORM_FREE))
+
+
+def lucene_norm_dl_py(dl: int) -> int:
+    """Pure-Python replica (test oracle) of the same roundtrip."""
+    if dl < _NORM_FREE:
+        return int(dl)
+    x = int(dl) - _NORM_FREE
+    shift = max(x.bit_length() - 4, 0)
+    return ((x >> shift) << shift) + _NORM_FREE
+
+
+def lucene_norm_dl_sql(dl: str) -> str:
+    """DuckDB fragment computing the identical quantization (bin() and
+    the power-of-two truncation behave identically there)."""
+    x = f"(({dl})::BIGINT - {_NORM_FREE})"
+    nb = f"length(bin({x}))"
+    sh = f"greatest({nb} - 4, 0)"
+    p = f"power(2.0, {sh})"
+    q = f"(floor({x}::DOUBLE / {p}) * {p})::BIGINT"
+    return (f"(CASE WHEN ({dl}) < {_NORM_FREE} THEN ({dl})::BIGINT "
+            f"ELSE {q} + {_NORM_FREE} END)")
+
+
 def ib_col(tf_col: Column, df_col: Column, dl_col: Column,
            avgdl: Column | float, n_docs: Column | float,
            c: float = IB_C) -> Column:

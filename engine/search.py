@@ -173,7 +173,8 @@ def score_exhaustive(index: Index, query_terms: QueryTerms, k: int,
                      include_docno: bool = False,
                      k1: float | None = None,
                      b: float | None = None,
-                     doc_filter: DataFrame | None = None) -> DataFrame:
+                     doc_filter: DataFrame | None = None,
+                     norms: str = "exact") -> DataFrame:
     """Weighted-OR BM25 top-k, scoring every matching document.
 
     ``k1``/``b`` override the index's pinned BM25 constants at query
@@ -186,6 +187,11 @@ def score_exhaustive(index: Index, query_terms: QueryTerms, k: int,
     filter of the unfiltered top-k). Applied as a semi-join on the
     decoded posting rows before aggregation, so AQE broadcasts a
     selective filter and the top-k window never sees excluded docs.
+
+    ``norms='lucene'``: score with Lucene's 1-byte SmallFloat
+    length quantization (engine/scoring.py:lucene_norm_dl) instead of
+    the engine's exact doc lengths — the parity mode that isolates the
+    norm component of the engine-vs-Lucene score delta.
     Returns (qid, doc_id, score, rank) ordered by qid, rank.
     """
     matched = _matched_postings(index, query_terms)
@@ -207,9 +213,13 @@ def score_exhaustive(index: Index, query_terms: QueryTerms, k: int,
     if doc_filter is not None:
         rows = rows.join(doc_filter.select("doc_id").distinct(),
                          "doc_id", "left_semi")
+    dl_col = F.col("dl")
+    if norms == "lucene":
+        from .scoring import lucene_norm_dl
+        dl_col = lucene_norm_dl(dl_col)
     scored = rows.withColumn(
         "pscore",
-        F.col("weight") * bm25_col(F.col("tf"), F.col("df"), F.col("dl"),
+        F.col("weight") * bm25_col(F.col("tf"), F.col("df"), dl_col,
                                    index.avgdl, float(index.n_docs),
                                    k1 if k1 is not None else index.stats["k1"],
                                    b if b is not None else index.stats["b"]))

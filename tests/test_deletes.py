@@ -301,3 +301,28 @@ def test_wand_mass_deletes_bounded_k(spark, tmp_path):
     wa3 = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
            for r in score_wand(idx2, qt, k, n_shards=3).collect()]
     assert ex == wa3
+
+
+def test_update_docs_appends_long_doc_ids(spark, tmp_path):
+    """Regression (real-corpus lifecycle bench): update_docs must
+    append docs/tf rows with int64 doc_id — int32 appends poison the
+    parquet dirs with mixed physical types and later scans fail."""
+    import pyarrow.parquet as pq
+
+    from engine.deletes import update_docs
+
+    rows = [("r", "a", "-", "py", "aa bb"), ("r", "b", "-", "py", "bb cc")]
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string")
+    path = str(tmp_path / "longid")
+    build_index(spark, spark.createDataFrame(rows, schema), path,
+                n_buckets=2, n_doc_buckets=1)
+    update_docs(spark, path, spark.createDataFrame(
+        [("r", "a", "-", "py", "dd bb")], schema))
+    import glob
+    import os
+    for table in ("docs", "tf"):
+        for f in glob.glob(os.path.join(path, table, "**", "*.parquet"),
+                           recursive=True):
+            t = pq.read_schema(f)
+            assert str(t.field("doc_id").type) == "int64", (table, f)

@@ -707,3 +707,65 @@ def test_boolean_topk_lead_gating_identical(spark, tmp_path):
              for r in boolean_topk(idx, qs, 10,
                                    lead_max_df=0).collect()]
     assert gated == plain and gated
+
+
+def test_lucene_norm_quantization():
+    """lucene_norm_dl (Spark) == the pure-Python SmallFloat byte4
+    roundtrip replica on the full interesting range, and the closed
+    form matches first principles: < 24 exact, else 24 + top-4-bits."""
+    from engine.scoring import lucene_norm_dl_py
+
+    # hand checks of the closed form
+    assert lucene_norm_dl_py(0) == 0
+    assert lucene_norm_dl_py(23) == 23
+    assert lucene_norm_dl_py(24) == 24          # x=0
+    assert lucene_norm_dl_py(24 + 15) == 24 + 15  # 4-bit exact
+    assert lucene_norm_dl_py(24 + 16) == 24 + 16
+    assert lucene_norm_dl_py(24 + 17) == 24 + 16  # 10001 -> 10000
+    assert lucene_norm_dl_py(24 + 31) == 24 + 30  # 11111 -> 11110
+    assert lucene_norm_dl_py(24 + 1000) == 24 + 960  # 1111101000→1111000000
+    # quantization is monotone and idempotent
+    prev = -1
+    for dl in list(range(0, 3000)) + [10**4, 10**5, 10**6]:
+        q = lucene_norm_dl_py(dl)
+        assert q <= dl and q >= prev
+        assert lucene_norm_dl_py(q) == q
+        prev = q
+
+
+def test_lucene_norm_quantization_spark(spark):
+    """The Catalyst expression matches the Python replica row-for-row
+    (bin()/power-of-two truncation path)."""
+    from pyspark.sql import functions as F
+
+    from engine.scoring import lucene_norm_dl, lucene_norm_dl_py
+
+    dls = list(range(0, 200)) + [255, 256, 1000, 4095, 4096, 10**6]
+    df = spark.createDataFrame([(d,) for d in dls], "dl long")
+    got = {r["dl"]: r["q"] for r in
+           df.select("dl", lucene_norm_dl(F.col("dl")).alias("q"))
+           .collect()}
+    for d in dls:
+        assert got[d] == lucene_norm_dl_py(d), d
+
+
+def test_bm25_lucene_norms_changes_long_doc_scores(spark, tmp_path):
+    """norms='lucene' scores equal hand-computed BM25 over the
+    QUANTIZED dl (and differ from exact-dl scores on docs whose length
+    quantizes)."""
+    from engine.scoring import lucene_norm_dl_py
+
+    long_doc = " ".join(["apple"] + ["filler%d" % i for i in range(40)])
+    docs = ["apple pie", long_doc]      # dl=2 (exact), dl=41 → 40
+    idx = _mini_index(spark, tmp_path, docs, name="ln")
+    assert lucene_norm_dl_py(41) == 40
+    avgdl, n = idx.avgdl, 2
+    res = {r["doc_id"]: r["score"] for r in
+           score_exhaustive(idx, [("q", "apple", 1.0)], 10,
+                            norms="lucene").collect()}
+    id2doc = {r["docno"]: r["doc_id"] for r in
+              idx.docs.select("doc_id", "docno").collect()}
+    assert res[id2doc["org/r0/f0.py"]] == pytest.approx(
+        bm25(1, 2, 2, avgdl, n), abs=1e-12)
+    assert res[id2doc["org/r1/f1.py"]] == pytest.approx(
+        bm25(1, 2, 40, avgdl, n), abs=1e-12)   # quantized 41 → 40

@@ -48,6 +48,12 @@ def main() -> None:
     ap.add_argument("--index-dir", default="/tmp/trec_idx")
     ap.add_argument("--similarity",
                     choices=("lmd", "bm25", "ib", "hybrid"), default="lmd")
+    ap.add_argument("--norms", choices=("exact", "lucene"),
+                    default="exact",
+                    help="'lucene' scores BM25 with the 1-byte "
+                         "SmallFloat length quantization — isolates "
+                         "the norm component of the engine-vs-Lucene "
+                         "delta (bm25 similarity only)")
     ap.add_argument("--num-docs", type=int, default=1000)
     ap.add_argument("--stem", action="store_true", default=True)
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "12"))
@@ -95,7 +101,7 @@ def main() -> None:
                 .where(F.col("rank") <= args.num_docs)
                 .select("qid", "doc_id", "score", "rank"))
     else:
-        hits = score_exhaustive(idx, qt, args.num_docs)
+        hits = score_exhaustive(idx, qt, args.num_docs, norms=args.norms)
     run = (hits.join(idx.docs.select("doc_id", "path"), "doc_id")
            .select("qid", F.col("path").alias("docno"), "rank")
            .orderBy("qid", "rank"))
@@ -109,6 +115,7 @@ def main() -> None:
                       p_at_ks=(5,))
     print("RESULT " + json.dumps({
         "similarity": args.similarity,
+        "norms": args.norms,
         "n_run_rows": len(run_rows),
         "search_sec": round(t1 - t0, 1),
         "metrics": {k: round(v, 4) for k, v in m.items()},
