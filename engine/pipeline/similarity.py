@@ -81,6 +81,16 @@ def derive_n_centroids(n: int) -> int:
     return max(16, int(np.sqrt(n)))
 
 
+def derive_n_probe(n_centroids: int) -> int:
+    """Default probe count ≈ 5% of the cells, min 8. Measured on the
+    hard non-separable mixture (tools/bench_ann_recall.py, n=100k,
+    dim=64, c=316): recall@10 was 0.25/0.60/0.85/1.0 at n_probe
+    1/4/8/16 — a FIXED n_probe that is fine at c=16 under-recalls
+    badly once the cell count scales with √n, so the default scales
+    with it."""
+    return max(8, -(-n_centroids // 20))
+
+
 def signbit_bucket(emb: DataFrame, dims: list[int] | None = None,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    n: int | None = None) -> DataFrame:
@@ -197,7 +207,8 @@ def _assign_to_centroids(base: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def cosine_topk_ivf(emb: DataFrame, query_ids: list[int], k: int = 10,
-                    n_centroids: int | None = 16, n_probe: int = 8,
+                    n_centroids: int | None = 16,
+                    n_probe: int | None = None,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     persist: bool = False) -> DataFrame:
     """IVF ANN: assign vectors to k-means cells; each query probes its
@@ -205,9 +216,10 @@ def cosine_topk_ivf(emb: DataFrame, query_ids: list[int], k: int = 10,
     the cell assignment is a materialized column (partition key), so a
     query touches n_probe/n_centroids of the data.
 
-    ``n_probe`` defaults to 8: on non-separable mixture data
-    (tools/bench_ann_recall.py) n_probe=4 measured recall@10 ≈ 0.89
-    and 8 ≈ 0.99 — the r3 default bump per the measured curve.
+    ``n_probe=None`` derives ≈5% of the cells (min 8) via
+    :func:`derive_n_probe` — the measured recall curves
+    (tools/bench_ann_recall.py) show a fixed probe count under-recalls
+    once the cell count scales with √n.
 
     ``persist=True`` caches the cell assignment for callers that run
     SEVERAL actions against the result (the handle is exposed as
@@ -219,6 +231,9 @@ def cosine_topk_ivf(emb: DataFrame, query_ids: list[int], k: int = 10,
     base = emb.select(F.col(id_col).alias("vec_id"),
                       _as_double(F.col(vec_col)).alias("v"))
     cents = ivf_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    if n_probe is None:
+        n_probe = derive_n_probe(n_centroids if n_centroids is not None
+                                 else cents.count())
     assigned = _assign_to_centroids(base, cents)
     if persist:
         assigned = assigned.persist()
@@ -462,7 +477,7 @@ def rocchio_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
 
 
 def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
-               n_ivf: int | None = 16, n_probe: int = 8,
+               n_ivf: int | None = 16, n_probe: int | None = None,
                m: int = 16, n_centroids: int = 16, rerank: int = 60,
                id_col: str = "vec_id", vec_col: str = "embedding"
                ) -> DataFrame:
@@ -494,6 +509,9 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     dim = len(base.first()["v"])
     dsub = dim // m
     cents = ivf_centroids(emb, n_ivf, id_col=id_col, vec_col=vec_col)
+    if n_probe is None:
+        n_probe = derive_n_probe(n_ivf if n_ivf is not None
+                                 else cents.count())
     assigned = _assign_to_centroids(base, cents)
     resid = (base.join(assigned, "vec_id")
              .join(F.broadcast(cents), "centroid_id")

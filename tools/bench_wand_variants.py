@@ -57,16 +57,23 @@ def main() -> None:
             b = el if b is None else min(b, el)
         return round(b, 1), int(n)
 
+    def rounded_order(rows):
+        """Re-rank on the ROUNDED score (repo rule: exact float sums
+        differ in the last ulp across summation orders and flip real
+        ties — engine/portable.py round-rank-window discipline)."""
+        return sorted(((r["qid"], round(r["score"], 6), r["doc_id"])
+                       for r in rows),
+                      key=lambda t: (t[0], -t[1], t[2]))
+
     # rank-identity spot check + timings, per scorer
     for name, exh, scorer in (("lmd", score_lmd, "lmd"),
                               ("ib", score_ib, "ib")):
         sec_e, n_e = best(lambda: exh(idx, qt, args.num_docs))
         sec_w, n_w = best(lambda: score_wand(idx, qt, args.num_docs,
                                              scorer=scorer))
-        ex = [(r["qid"], r["rank"], r["doc_id"]) for r in
-              exh(idx, qt, 20).collect()]
-        wa = [(r["qid"], r["rank"], r["doc_id"]) for r in
-              score_wand(idx, qt, 20, scorer=scorer).collect()]
+        ex = rounded_order(exh(idx, qt, 20).collect())
+        wa = rounded_order(score_wand(idx, qt, 20,
+                                      scorer=scorer).collect())
         out[name] = {"exhaustive_sec": sec_e, "wand_sec": sec_w,
                      "rows": n_e, "rows_match": n_e == n_w,
                      "top20_rank_identical": ex == wa}
@@ -86,10 +93,10 @@ def main() -> None:
                                            lead_min_saved=0))
     sec_p, n_p = best(lambda: boolean_topk(idx, bq, args.num_docs,
                                            lead_max_df=0))
-    g = [(r["qid"], r["rank"], r["doc_id"]) for r in
-         boolean_topk(idx, bq, 20, lead_min_saved=0).collect()]
-    p = [(r["qid"], r["rank"], r["doc_id"]) for r in
-         boolean_topk(idx, bq, 20, lead_max_df=0).collect()]
+    g = rounded_order(boolean_topk(idx, bq, 20,
+                                   lead_min_saved=0).collect())
+    p = rounded_order(boolean_topk(idx, bq, 20,
+                                   lead_max_df=0).collect())
     out["boolean_must_lead"] = {
         "gated_sec": sec_g, "ungated_sec": sec_p,
         "rows": n_g, "rows_match": n_g == n_p,
