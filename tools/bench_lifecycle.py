@@ -124,8 +124,10 @@ def main() -> None:
 
     t = time.time()
     v = verify_index(spark, args.work_dir)
-    out["verify_index"] = {"sec": round(time.time() - t, 1),
-                           "violations": int(sum(v.values()))}
+    out["verify_index"] = {
+        "sec": round(time.time() - t, 1),
+        "ok": bool(v.get("ok")),
+        "violations": int(sum(n for k, n in v.items() if k != "ok"))}
     out["copy_sec"] = round(copy_sec, 1)
     print("RESULT " + json.dumps(out), flush=True)
     spark.stop()
