@@ -965,6 +965,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("rk").alias("rank"))
                 .orderBy("qid", "rank"))
 
+    def fielded_search_wand(spark, sf_dir):
+        """Fielded retrieval through the generalized sharded kernel
+        (fielded_topk_wand: per-field stats ride in the per-list
+        params, one kernel prunes across all fields' lists); same
+        DuckDB oracle as the exhaustive fielded_search."""
+        from engine.fields import fielded_topk_wand as _ftw
+
+        idxs = _cached_field_indexes(spark, sf_dir)
+        fq = [(q, f, t, w) for q, terms in BM25_QUERIES for t in terms
+              for f, w in (("title", 3.0), ("body", 1.0))]
+        return _rounded_rerank(_ftw(idxs, fq, TOPK + 50), TOPK)
+
     def parsed_query_topk(spark, sf_dir):
         """Lucene-syntax query strings (SURVEY T9 closed): +must /
         -must_not / "phrase" / prefix* / bare-should clauses parsed
@@ -1322,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_query_topk": parsed_query_topk,
         "federated_search": federated_search,
         "fielded_search": fielded_search,
+        "fielded_search_wand": fielded_search_wand,
         "term_vectors": term_vectors,
         "collection_stats": collection_stats,
         "field_sorted_topk": field_sorted_topk,
@@ -1342,9 +1355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first": span_first,
         "proximity_hits": proximity_hits,
         "filtered_topk": filtered_topk,
-        "phrase_topk": phrase_topk,
         # ---- driver window boundary (entry 50) ----
         # tail: driver-green in r2, siblings of in-window entries
+        "phrase_topk": phrase_topk,
         "snippets": snippets,
         "pii_scrub": pii_scrub,
         "multimodal_features": multimodal_features,
@@ -1854,6 +1867,9 @@ SELECT qid, doc_id, {r4} AS score, rank FROM (
   FROM m) t
 WHERE rank <= {TOPK}
 """
+    # fielded WAND must equal the SAME oracle as the exhaustive path
+    sql["fielded_search_wand"] = sql["fielded_search"]
+
     sql["federated_search"] = f"""
 WITH {fts},
 matched AS (

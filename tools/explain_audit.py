@@ -142,6 +142,20 @@ def main() -> None:
     from engine.federate import federated_topk
     plans["federated search (2 shards, global stats)"] = federated_topk(
         em._cached_shard_indexes(spark, sf_dir), qt, 10)
+    # round-3: generalized-kernel paths (scorer dispatch + per-list
+    # block bounds) and the norm-parity mode
+    plans["WAND LMDirichlet (generalized kernel)"] = score_wand(
+        idx, qt, 10, scorer="lmd")
+    plans["WAND IB (generalized kernel)"] = score_wand(
+        idx, qt, 10, scorer="ib")
+    from engine.fields import fielded_topk_wand
+    plans["fielded WAND (per-field stats in kernel params)"] = \
+        fielded_topk_wand(
+            em._cached_field_indexes(spark, sf_dir),
+            [(q, f, t, w) for q, ts in em.BM25_QUERIES for t in ts
+             for f, w in (("title", 3.0), ("body", 1.0))], 10)
+    plans["BM25 with Lucene 1-byte norms (parity mode)"] = \
+        score_exhaustive(idx, qt, 10, norms="lucene")
 
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
