@@ -204,3 +204,46 @@ def test_fielded_wand_rank_identity(spark, tmp_path):
         for r in wa:
             assert r["score"] == _pytest.approx(
                 escore[(r["qid"], r["doc_id"])], abs=1e-9)
+
+
+def test_block_ub_bounds_contributions_property():
+    """Property: for every scorer kind, the slice-stage per-block
+    upper bound dominates the contribution of EVERY feasible posting
+    in the block (tf <= block_max_tf, dl >= tf) — the soundness
+    invariant the kernel's pruning rests on."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from engine.search import (KIND_BM25, KIND_IB, KIND_LMD,
+                               _block_ub_np, _contrib_np)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=5000),     # block_max_tf
+        st.floats(min_value=1.0, max_value=5000.0),   # avgdl
+        st.floats(min_value=0.001, max_value=0.999),  # lambda/p scale
+        st.data())
+    def check(bmt, avgdl, frac, data):
+        k1, b, mu = 1.2, 0.75, 2000.0
+        specs = [
+            (KIND_BM25, k1 * (1 - b), k1 * b / avgdl),
+            (KIND_LMD, mu * frac, mu),
+            (KIND_IB, avgdl, frac),
+        ]
+        # feasible postings: tf <= bmt, dl >= tf
+        tfs = np.array([data.draw(st.integers(1, bmt))
+                        for _ in range(5)], dtype=np.float64)
+        dls = np.array([data.draw(st.integers(int(t), int(t) + 10000))
+                        for t in tfs], dtype=np.float64)
+        bmt_arr = np.array([float(bmt)])
+        for kind, p1, p2 in specs:
+            # BM25's stored block_max_w bound is exact-by-construction
+            # at build; emulate it with the true max here
+            c = _contrib_np(kind, tfs, dls, p1, p2)
+            bmw = np.array([c.max()]) if kind == KIND_BM25 else \
+                np.array([0.0])
+            ub = _block_ub_np(kind, bmt_arr, bmw, p1, p2)
+            assert (c <= ub[0] + 1e-12).all(), (kind, p1, p2)
+
+    check()
