@@ -1268,7 +1268,8 @@ def boolean_topk(index: Index, queries: BooleanClauses, k: int,
                  min_should: int = 0,
                  doc_filter: DataFrame | None = None,
                  lead_max_df: int = BOOLEAN_LEAD_MAX_DF,
-                 lead_min_saved: int = BOOLEAN_LEAD_MIN_SAVED) -> DataFrame:
+                 lead_min_saved: int = BOOLEAN_LEAD_MIN_SAVED,
+                 use_kernel: bool = True) -> DataFrame:
     """Generic Lucene BooleanQuery analog — each query is
     (qid, must, should, must_not).
 
@@ -1302,9 +1303,32 @@ def boolean_topk(index: Index, queries: BooleanClauses, k: int,
     explosion BENCH.md measured at k=1000 on head terms). Engaged only
     when it saves ≥ ``lead_min_saved`` postings (small-scale job-count
     discipline, same gating as boolean_and).
+    A PURE-SHOULD query (no must, no must_not — the common bag-of-
+    words case the query parser emits for plain terms) is exactly a
+    weight-1.0 weighted OR, so it routes through the sharded
+    block-max kernel (:func:`score_wand`) instead of the explode plan
+    — same results by the WAND≡exhaustive rank identity; queries with
+    structural clauses stay on the gate-capable plan. Disable with
+    ``use_kernel=False`` (the equivalence test compares both).
     Returns (qid, doc_id, score, rank) ordered by (qid, rank).
     """
     spark = index.spark
+    kernel_qids: set[str] = set()
+    if (use_kernel and min_should == 0 and doc_filter is None
+            and k1 is None and b is None):
+        kernel_qids = {q for q, m, s, n_ in queries
+                       if not m and not n_ and s}
+    if kernel_qids:
+        simple_qt = [(q, t, 1.0) for q, _m, s, _n in queries
+                     if q in kernel_qids for t in sorted(set(s))]
+        wand_part = score_wand(index, simple_qt, k)
+        rest = [qc for qc in queries if qc[0] not in kernel_qids]
+        if not rest:
+            return wand_part
+        rest_part = boolean_topk(index, rest, k, k1, b, min_should,
+                                 doc_filter, lead_max_df,
+                                 lead_min_saved, use_kernel=False)
+        return wand_part.unionByName(rest_part).orderBy("qid", "rank")
     score_qt = [(q, t, 1.0) for q, m, s, _n in queries
                 for t in sorted(set(m) | set(s))]
     matched = _matched_postings(index, score_qt)

@@ -769,3 +769,28 @@ def test_bm25_lucene_norms_changes_long_doc_scores(spark, tmp_path):
         bm25(1, 2, 2, avgdl, n), abs=1e-12)
     assert res[id2doc["org/r1/f1.py"]] == pytest.approx(
         bm25(1, 2, 40, avgdl, n), abs=1e-12)   # quantized 41 → 40
+
+
+def test_boolean_topk_pure_should_kernel_routing(spark, tmp_path):
+    """Pure-should boolean queries route through the block-max kernel
+    (weight-1.0 weighted OR); results identical to the explode plan,
+    and mixed batches (structural + pure-should) union correctly."""
+    corpus = generate_corpus_df(spark, 60, partitions=2, max_tokens=100)
+    path = str(tmp_path / "bkr")
+    build_index(spark, corpus, path, n_buckets=2, n_doc_buckets=2)
+    idx = Index(spark, path)
+    from engine.search import boolean_topk
+
+    vocab = sorted(r["term"] for r in
+                   idx.termstats.select("term").limit(40).collect())
+    qs = [("p1", [], vocab[:3], []),            # pure should → kernel
+          ("p2", [], [vocab[5]], []),           # pure should → kernel
+          ("m1", [vocab[0]], vocab[1:3], []),   # must → explode plan
+          ("n1", [], vocab[:2], [vocab[3]])]    # must_not → explode
+    a = sorted((r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+               for r in boolean_topk(idx, qs, 8).collect())
+    b = sorted((r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+               for r in boolean_topk(idx, qs, 8,
+                                     use_kernel=False).collect())
+    assert a == b and a
+    assert {q for q, *_ in a} == {"p1", "p2", "m1", "n1"}
