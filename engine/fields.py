@@ -43,8 +43,18 @@ def fielded_topk(field_indexes: Mapping[str, Index],
     score(doc) = Σ_clauses boost · BM25_field(term, doc), with BM25
     computed against the clause's FIELD statistics (its own df, dl,
     avgdl, N — Lucene's per-field similarity). A doc matching in any
-    queried field is a candidate. Returns (qid, doc_id, score, rank).
+    queried field is a candidate. liveDocs are the UNION of every
+    field index's tombstones — field indexes mirror one corpus, and a
+    deleted document is dead in all of them (Lucene deletes the doc,
+    not a field; matches fielded_topk_wand's kernel mask).
+    Returns (qid, doc_id, score, rank).
     """
+    from functools import reduce as _reduce
+
+    tombs = [ix.tombstones for ix in field_indexes.values()
+             if ix.tombstones is not None]
+    all_dead = (_reduce(lambda a, b: a.unionByName(b), tombs).distinct()
+                if tombs else None)
     parts = []
     for fname, idx in field_indexes.items():
         fq = [(q, t, w) for q, f, t, w in queries if f == fname]
@@ -65,7 +75,8 @@ def fielded_topk(field_indexes: Mapping[str, Index],
             F.col("e.tfs").alias("tf"),
             F.col("e.dls").alias("dl"),
         )
-        rows = idx.live(rows)
+        if all_dead is not None:
+            rows = rows.join(F.broadcast(all_dead), "doc_id", "left_anti")
         ts = idx.termstats.select("term", "df")
         rows = rows.join(F.broadcast(
             ts.join(_query_df(idx.spark, fq).select("term").distinct(),

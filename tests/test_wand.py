@@ -247,3 +247,41 @@ def test_block_ub_bounds_contributions_property():
             assert (c <= ub[0] + 1e-12).all(), (kind, p1, p2)
 
     check()
+
+
+def test_fielded_wand_respects_tombstones(spark, tmp_path):
+    """A doc tombstoned in ANY field index is masked in the fielded
+    kernel (dead-union path) — and the exhaustive path agrees."""
+    from engine.deletes import delete_docs
+    from engine.fields import fielded_topk, fielded_topk_wand
+    from engine.index_build import build_index
+    from engine.search import Index
+
+    titles = ["apple pie", "banana split", "apple tart", "cherry cake"]
+    bodies = ["apple apple banana filling", "banana cream sugar",
+              "cherry base apple pieces", "cake base cherry jam"]
+
+    def corpus(texts):
+        rows = [(f"org/r{i}", f"f{i}.py", "c" * 12, "python", t)
+                for i, t in enumerate(texts)]
+        return spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, "
+                  "content string")
+
+    pt, pb = str(tmp_path / "fd_t"), str(tmp_path / "fd_b")
+    build_index(spark, corpus(titles), pt, n_buckets=2, n_doc_buckets=1)
+    build_index(spark, corpus(bodies), pb, n_buckets=2, n_doc_buckets=1)
+    # tombstone doc 0 in the TITLE index only
+    delete_docs(spark, pt, [0])
+    idxs = {"title": Index(spark, pt), "body": Index(spark, pb)}
+    fq = [("q", f, "apple", w) for f, w in (("title", 3.0), ("body", 1.0))]
+    # BOTH paths treat a delete as corpus-wide (a deleted document is
+    # dead in every field — Lucene deletes docs, not fields): strict
+    # rank identity even under the asymmetric tombstone
+    ex = [(r["doc_id"], r["rank"], round(r["score"], 9))
+          for r in fielded_topk(idxs, fq, 5).collect()]
+    wa = [(r["doc_id"], r["rank"], round(r["score"], 9))
+          for r in fielded_topk_wand(idxs, fq, 5).collect()]
+    assert 0 not in {d for d, _, _ in wa}
+    assert 0 not in {d for d, _, _ in ex}
+    assert ex == wa and ex
