@@ -262,18 +262,24 @@ def cosine_topk_ivf(emb: DataFrame, query_ids: list[int], k: int = 10,
 
 def cosine_topk_multiprobe(emb: DataFrame, query_ids: list[int], k: int = 10,
                            dims: list[int] | None = None,
-                           id_col: str = "vec_id", vec_col: str = "embedding"
-                           ) -> DataFrame:
-    """Multi-probe LSH ANN: each query proves its own sign-bit bucket
-    PLUS every Hamming-distance-1 neighbor (one flipped hyperplane) —
-    the standard recall recovery for bucketed LSH (a near neighbor on
-    the far side of one hyperplane lands in a 1-bit-away bucket).
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           max_flips: int = 1) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own sign-bit bucket
+    PLUS every bucket within Hamming distance ``max_flips`` (flipped
+    hyperplanes) — the standard recall recovery for bucketed LSH (a
+    near neighbor on the far side of one hyperplane lands in a
+    1-bit-away bucket; on hard non-separable data many true neighbors
+    sit 2 bits away — measured recall@10 on the 100k/dim-64 mixture:
+    0.28 at max_flips=1, see tools/bench_ann_recall.py — so the probe
+    radius is the recall/cost dial).
 
-    Candidate cost: (1 + n_bits) buckets ≈ (1+b)·n/2^b vectors per
-    query — still bucket-pruned, never the cross product. Recall is
-    strictly ≥ :func:`cosine_topk_bucketed` (superset of candidates);
-    both are rank-checked against exact :func:`cosine_topk` in tests.
+    Candidate cost: Σ_{i≤max_flips} C(b, i) buckets ≈ that many ×
+    n/2^b vectors per query — still bucket-pruned, never the cross
+    product. Recall is monotone in ``max_flips`` (candidate superset);
+    rank-checked against exact :func:`cosine_topk` in tests.
     """
+    from itertools import combinations
+
     from pyspark.sql import Window
 
     if dims is None:
@@ -287,9 +293,13 @@ def cosine_topk_multiprobe(emb: DataFrame, query_ids: list[int], k: int = 10,
     q = (base.where(F.col("vec_id").isin(query_ids))
          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
                  F.col("bucket").alias("qbucket")))
-    # probe set: own bucket + each single-bit flip
-    probes = F.array(F.col("qbucket"), *[
-        F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(len(dims))])
+    # probe set: own bucket + every ≤ max_flips-bit XOR mask
+    masks = [0]
+    for r in range(1, max(1, int(max_flips)) + 1):
+        for combo in combinations(range(len(dims)), r):
+            masks.append(sum(1 << j for j in combo))
+    probes = F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m))
+                       for m in masks])
     qp = q.select("qid", "qv", F.explode(probes).alias("bucket"))
     joined = (base.join(qp, "bucket")
               .where(F.col("vec_id") != F.col("qid")))

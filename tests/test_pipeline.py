@@ -711,3 +711,30 @@ def test_ngram_counts_hand_computed(spark):
             textstats.ngram_counts(df, n=2, min_count=1).collect()}
     assert out1["cat sat"] == 1 and out1["a dog"] == 1
     assert sum(out1.values()) == 6  # 2 bigrams per 3-token doc
+
+
+def test_multiprobe_radius_recall_dominance(spark):
+    """Recall is monotone in max_flips (candidate superset): H<=2
+    finds at least every hit H<=1 finds, and both at least the
+    own-bucket variant; all subsets of the exact top-k."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(600, 16)).astype("float32")
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(600, dtype=np.int64),
+                      "embedding": list(x)}))
+    qids = [0, 123, 456]
+    dims = [0, 2, 4, 6, 8, 10]
+    exact = {(r["qid"], r["vec_id"]) for r in
+             similarity.cosine_topk(emb, qids, 10).collect()}
+    h1 = {(r["qid"], r["vec_id"]) for r in
+          similarity.cosine_topk_multiprobe(emb, qids, 10, dims=dims,
+                                            max_flips=1).collect()}
+    h2 = {(r["qid"], r["vec_id"]) for r in
+          similarity.cosine_topk_multiprobe(emb, qids, 10, dims=dims,
+                                            max_flips=2).collect()}
+    assert (h1 & exact) <= (h2 & exact)
+    assert len(h2 & exact) >= len(h1 & exact)
+    assert len(h2 & exact) > 0
