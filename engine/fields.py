@@ -172,6 +172,9 @@ def fielded_topk_wand(field_indexes: Mapping[str, Index],
         parts.append(idx.postings
                      .where(F.col("bucket").isin(buckets))
                      .join(F.broadcast(qt), "term")
+                     .withColumn("role", F.lit(0))
+                     .withColumn("gid", F.lit(-1))
+                     .withColumn("n_must", F.lit(0))
                      .select(*_MATCH_COLS))
     matched = reduce(lambda a, b: a.unionByName(b), parts)
     # no cross-shard θ seed (a per-field seed would need per-field

@@ -428,6 +428,10 @@ _SLICE_SCHEMA = T.StructType([
     T.StructField("codec", T.IntegerType()),
     T.StructField("n_shards", T.IntegerType()),
     T.StructField("shard_rows", T.LongType()),
+    # boolean-clause channel (all 0/-1/0 for plain weighted-OR):
+    T.StructField("role", T.IntegerType()),      # 0 SHOULD / 1 MUST / 2 NOT
+    T.StructField("gid", T.IntegerType()),       # must-term group id
+    T.StructField("n_must", T.IntegerType()),    # query's distinct must count
 ])
 
 # scorer kinds for the generic kernel (VERDICT r2 item 3: one sharded
@@ -504,6 +508,9 @@ def _make_slice_fn():
                 s_hi = bl // shard_rows
                 qid = pdf["qid"].iloc[i]
                 wgt = float(pdf["wgt"].iloc[i])
+                role = int(pdf["role"].iloc[i])
+                gid = int(pdf["gid"].iloc[i])
+                n_must = int(pdf["n_must"].iloc[i])
                 # the LAST shard is unbounded above so docs past the
                 # nominal n_docs (e.g. streaming delta segments under
                 # frozen base stats) still land in a shard
@@ -531,6 +538,9 @@ def _make_slice_fn():
                     out["codec"].append(codec)
                     out["n_shards"].append(n_shards)
                     out["shard_rows"].append(shard_rows)
+                    out["role"].append(role)
+                    out["gid"].append(gid)
+                    out["n_must"].append(n_must)
             yield pd.DataFrame(out)
 
     return slice_rows
@@ -806,6 +816,174 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, thetas: dict[str, float],
     })
 
 
+def _boolean_kernel(pdf: pd.DataFrame, k: int,
+                    dead: np.ndarray | None = None) -> pd.DataFrame:
+    """Boolean (must / should / must_not) top-k over ONE
+    (query, doc-shard) group — the kernel-side replacement for the
+    exploded (qid, doc) boolean plan (VERDICT r2 "remaining
+    exhaustive-class plans").
+
+    The role channel marks each sliced list: 0 = SHOULD (scoring),
+    1 = MUST (scoring + gating), 2 = MUST_NOT (exclusion only).
+    Doc-sharding makes the group COMPLETE for its doc range — every
+    list's postings for docs in [lo, hi) are in this group — so
+    boolean eligibility (ALL musts, NONE of the nots) is decidable
+    locally, and the shard's top-k is exact for its range:
+
+    1. decode the must_not lists fully; their doc ids merge with the
+       broadcast liveDocs tombstones into one sorted exclusion array
+       applied at every later decode (the distributed analog of
+       Lucene's ReqExclScorer walking the exclusion iterator).
+    2. decode the must lists fully — they are the match drivers, as in
+       a Lucene conjunction; candidates = docs present in ALL
+       ``n_must`` distinct must terms (salt-split sub-postings of one
+       term share a ``gid`` and are unioned before the intersection).
+    3. decode ONLY the should-list blocks that contain a candidate
+       (consecutive runs — the same skip recipe as the BMW
+       non-essential stage); should postings of non-candidates are
+       never touched. No θ machinery is needed: the candidate set is
+       already bounded by the rarest must list.
+
+    Score = Σ wgt·contrib over the candidate's must + should
+    occurrences (identical composition to the exhaustive plan).
+    A group with NO must lists (pure should + not, the "foo -bar"
+    shape) delegates to :func:`_bmw_kernel` with the exclusion array
+    as its liveDocs mask — full MaxScore/block-max pruning applies,
+    and every bound stays sound because excluded docs simply never
+    produce partials (the local θ seed is computed post-mask).
+    """
+    from .postings import decode_run
+
+    qid = pdf["qid"].iloc[0]
+    shard = int(pdf["shard"].iloc[0])
+    n_shards = int(pdf["n_shards"].iloc[0])
+    shard_rows = int(pdf["shard_rows"].iloc[0])
+    lo = shard * shard_rows
+    hi = (shard + 1) * shard_rows if shard < n_shards - 1 else np.iinfo(
+        np.int64).max
+
+    roles = pdf["role"].to_numpy(dtype=np.int64)
+    wgts = pdf["wgt"].to_numpy(dtype=np.float64)
+    kinds = pdf["kind"].to_numpy(dtype=np.int64)
+    p1s = pdf["p1"].to_numpy(dtype=np.float64)
+    p2s = pdf["p2"].to_numpy(dtype=np.float64)
+    gids = pdf["gid"].to_numpy(dtype=np.int64)
+    n_must = int(pdf["n_must"].max())
+    bls = [np.asarray(pdf["block_last"].iloc[i], dtype=np.int64)
+           for i in range(len(pdf))]
+    offs = [np.asarray(pdf["block_off"].iloc[i], dtype=np.int64)
+            for i in range(len(pdf))]
+    cnts = [np.asarray(pdf["counts"].iloc[i], dtype=np.int64)
+            for i in range(len(pdf))]
+
+    empty = pd.DataFrame({"qid": pd.Series([], dtype=str),
+                          "doc_id": pd.Series([], dtype=np.int64),
+                          "score": pd.Series([], dtype=np.float64)})
+
+    excl = dead
+
+    def decode_blocks(i: int, block_ids: np.ndarray):
+        """Decode selected blocks of row i (runs), filtered to the
+        shard range and the current exclusion array; returns
+        (docs, tfs, dls)."""
+        payload = np.frombuffer(bytes(pdf["payload"].iloc[i]),
+                                dtype=np.uint8)
+        codec = int(pdf["codec"].iloc[i])
+        base0 = int(pdf["base"].iloc[i])
+        bl, off, counts = bls[i], offs[i], cnts[i]
+        dparts, tparts, lparts = [], [], []
+        for r_lo, r_hi in _runs(block_ids):
+            base = int(bl[r_lo - 1]) if r_lo > 0 else base0
+            d, tf, dl = decode_run(payload[off[r_lo]:off[r_hi]],
+                                   counts[r_lo:r_hi], codec, base)
+            keep = (d >= lo) & (d < hi)
+            if excl is not None:
+                keep &= ~_in_sorted(d, excl)
+            if not keep.all():
+                d, tf, dl = d[keep], tf[keep], dl[keep]
+            if d.size:
+                dparts.append(d)
+                tparts.append(tf)
+                lparts.append(dl)
+        if not dparts:
+            z = np.empty(0, np.int64)
+            return z, z, z
+        return (np.concatenate(dparts), np.concatenate(tparts),
+                np.concatenate(lparts))
+
+    # 1. exclusion set: must_not lists ∪ liveDocs tombstones
+    not_rows = np.flatnonzero(roles == 2)
+    if not_rows.size:
+        nparts = [dead] if dead is not None else []
+        for i in not_rows:
+            d, _tf, _dl = decode_blocks(i, np.arange(bls[i].size))
+            if d.size:
+                nparts.append(d)
+        if nparts:
+            excl = np.unique(np.concatenate(nparts))
+
+    # pure should (+ not): BMW with the exclusion as its liveDocs mask
+    must_rows = np.flatnonzero(roles == 1)
+    score_rows = np.flatnonzero(roles != 2)
+    if score_rows.size == 0:
+        return empty   # only exclusion lists reached this shard
+    if n_must == 0:
+        sub = pdf.iloc[score_rows].reset_index(drop=True)
+        return _bmw_kernel(sub, k, {}, "topk", dead=excl)
+    if must_rows.size == 0:
+        return empty   # a must list has no postings in this shard
+
+    # 2. must lists: full decode, per-gid union, n_must-way intersect
+    per_gid: dict[int, list[np.ndarray]] = {}
+    m_docs: list[np.ndarray] = []
+    m_contrib: list[np.ndarray] = []
+    for i in must_rows:
+        d, tf, dl = decode_blocks(i, np.arange(bls[i].size))
+        if d.size:
+            per_gid.setdefault(int(gids[i]), []).append(d)
+            m_docs.append(d)
+            m_contrib.append(
+                wgts[i] * _contrib_np(int(kinds[i]), tf, dl,
+                                      p1s[i], p2s[i]))
+    if len(per_gid) < n_must:
+        return empty   # some must term matches nothing in this shard
+    gid_sets = [np.unique(np.concatenate(v)) for v in per_gid.values()]
+    gid_sets.sort(key=lambda a: a.size)
+    cand = gid_sets[0]
+    for s_ in gid_sets[1:]:
+        cand = cand[_in_sorted(cand, s_)]
+        if cand.size == 0:
+            return empty
+
+    sc = np.zeros(cand.size)
+
+    def add_contrib(d: np.ndarray, c: np.ndarray) -> None:
+        pos = np.searchsorted(cand, d)
+        ok = pos < cand.size
+        ok[ok] &= cand[pos[ok]] == d[ok]
+        np.add.at(sc, pos[ok], c[ok])
+
+    for d, c in zip(m_docs, m_contrib):
+        add_contrib(d, c)
+
+    # 3. should lists: decode only blocks containing a candidate
+    for i in np.flatnonzero(roles == 0):
+        idx = np.searchsorted(bls[i], cand, side="left")
+        need = np.unique(idx[idx < bls[i].size])
+        if need.size == 0:
+            continue
+        d, tf, dl = decode_blocks(i, need)
+        if d.size:
+            add_contrib(d, wgts[i] * _contrib_np(int(kinds[i]), tf, dl,
+                                                 p1s[i], p2s[i]))
+
+    sel = np.lexsort((cand, -sc))[:k]
+    return pd.DataFrame({
+        "qid": qid, "doc_id": cand[sel].astype(np.int64),
+        "score": sc[sel],
+    })
+
+
 _WAND_SCHEMA = T.StructType([
     T.StructField("qid", T.StringType()),
     T.StructField("doc_id", T.LongType()),
@@ -949,16 +1127,23 @@ def _run_bmw(spark, matched: DataFrame, k: int, thetas: dict,
     shard_rows, blob, block_last, block_max_w, block_max_tf,
     block_off)."""
     sliced = matched.mapInPandas(_make_slice_fn(), schema=_SLICE_SCHEMA)
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        dead = dead_b.value if dead_b is not None else None
+        if (pdf["role"] != 0).any():
+            # boolean groups carry clause structure; stats emit is a
+            # plain-scoring diagnostic and never routes here
+            assert emit == "topk"
+            return _boolean_kernel(pdf, k, dead=dead)
+        return _bmw_kernel(pdf, k, thetas, emit, dead=dead)
+
     return sliced.groupBy("qid", "shard").applyInPandas(
-        lambda pdf: _bmw_kernel(
-            pdf, k, thetas, emit,
-            dead=(dead_b.value if dead_b is not None else None)),
-        schema=schema)
+        run_group, schema=schema)
 
 
 _MATCH_COLS = ["qid", "wgt", "kind", "p1", "p2", "n_shards", "shard_rows",
                "blob", "block_last", "block_max_w", "block_max_tf",
-               "block_off"]
+               "block_off", "role", "gid", "n_must"]
 
 
 def _wand_sharded(index: Index, query_terms: QueryTerms, k: int,
@@ -1007,6 +1192,9 @@ def _wand_sharded(index: Index, query_terms: QueryTerms, k: int,
     matched = (index.postings
                .where(F.col("bucket").isin(buckets))
                .join(F.broadcast(qt), "term")
+               .withColumn("role", F.lit(0))
+               .withColumn("gid", F.lit(-1))
+               .withColumn("n_must", F.lit(0))
                .select(*_MATCH_COLS))
     return _run_bmw(index.spark, matched, k, thetas, dead_b, emit, schema)
 
@@ -1033,6 +1221,80 @@ def score_wand(index: Index, query_terms: QueryTerms, k: int,
     """
     out = index.live(_wand_sharded(index, query_terms, k,
                                    n_shards, "topk", scorer=scorer))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", "score", "rank")
+            .orderBy("qid", "rank"))
+
+
+def boolean_wand(index: Index, queries, k: int,
+                 n_shards: int | None = None) -> DataFrame:
+    """Kernel-side boolean retrieval: CLAUSED queries (must and/or
+    must_not present) run through the sharded slice →
+    :func:`_boolean_kernel` path, shuffling compressed block runs
+    instead of exploded (qid, doc) score rows — the kernel analog of
+    Lucene's ConjunctionScorer/ReqExclScorer walk (see the kernel
+    docstring for role semantics). Rank-identical to the
+    ``use_kernel=False`` explode plan by construction.
+
+    A query whose must term has no postings matches nothing and is
+    dropped driver-side (the explode plan's must-count gate reaches
+    the same answer the long way). Returns (qid, doc_id, score, rank).
+    """
+    from .scoring import IB_C
+    all_terms = sorted({t for _, m, s, n_ in queries
+                        for t in set(m) | set(s) | set(n_)})
+    dfm = index.df_map(all_terms)
+    rows: list[tuple] = []
+    per_q: dict[str, int] = {}
+    for q, m, s, n_ in queries:
+        mset = sorted(set(m))
+        if any(t not in dfm for t in mset):
+            continue   # a must term with zero df: query matches nothing
+        scoring = sorted(set(mset) | set(s))
+        sr = _scorer_rows(index, [(q, t, 1.0) for t in scoring], dfm,
+                          "bm25", MU, IB_C)
+        mpos = {t: i for i, t in enumerate(mset)}
+        for qq, t, wgt, kind, p1, p2, _st in sr:
+            rows.append((qq, t, wgt, kind, p1, p2,
+                         1 if t in mpos else 0, mpos.get(t, -1),
+                         len(mset)))
+        for t in sorted(set(n_)):
+            if t in dfm:
+                rows.append((q, t, 0.0, KIND_BM25, 0.0, 0.0, 2, -1,
+                             len(mset)))
+        per_q[q] = sum(dfm[t] for t in set(scoring) | set(n_) if t in dfm)
+    if not rows:
+        return (index.spark.createDataFrame([], _WAND_SCHEMA)
+                .withColumn("rank", F.lit(1))
+                .select("qid", "doc_id", "score", "rank"))
+    # shard budget counts the NOT lists too — the kernel decodes them
+    if n_shards is None:
+        s_q = {q: max(1, -(-v // WAND_TARGET_POSTINGS_PER_TASK))
+               for q, v in per_q.items()}
+    else:
+        s_q = {q: n_shards for q in per_q}
+    shard_rows_q = {q: max(1, -(-index.n_docs // s)) for q, s in s_q.items()}
+    dead = index.dead_ids()
+    dead_b = (index.spark.sparkContext.broadcast(dead)
+              if dead is not None else None)
+    qt = index.spark.createDataFrame(
+        [(q, t, wgt, kind, p1, p2, s_q[q], shard_rows_q[q], role, gid, nm)
+         for q, t, wgt, kind, p1, p2, role, gid, nm in rows],
+        "qid string, term string, wgt double, kind int, p1 double, "
+        "p2 double, n_shards int, shard_rows long, role int, gid int, "
+        "n_must int")
+    buckets = index.term_buckets([t for _, t, *_ in rows])
+    matched = (index.postings
+               .where(F.col("bucket").isin(buckets))
+               .join(F.broadcast(qt), "term")
+               .select(*_MATCH_COLS))
+    # no cross-shard θ seed: a seed computed from an UNMASKED strongest
+    # list would overshoot under exclusions, and must-queries don't use
+    # θ at all — the masked local seed inside the kernel stays sound
+    out = index.live(_run_bmw(index.spark, matched, k, {}, dead_b,
+                              "topk", _WAND_SCHEMA))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (out.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -1303,32 +1565,50 @@ def boolean_topk(index: Index, queries: BooleanClauses, k: int,
     explosion BENCH.md measured at k=1000 on head terms). Engaged only
     when it saves ≥ ``lead_min_saved`` postings (small-scale job-count
     discipline, same gating as boolean_and).
-    A PURE-SHOULD query (no must, no must_not — the common bag-of-
-    words case the query parser emits for plain terms) is exactly a
-    weight-1.0 weighted OR, so it routes through the sharded
-    block-max kernel (:func:`score_wand`) instead of the explode plan
-    — same results by the WAND≡exhaustive rank identity; queries with
-    structural clauses stay on the gate-capable plan. Disable with
-    ``use_kernel=False`` (the equivalence test compares both).
+    Kernel routing (default): a PURE-SHOULD query (no must, no
+    must_not — the common bag-of-words case the query parser emits for
+    plain terms) is exactly a weight-1.0 weighted OR and routes
+    through :func:`score_wand`; a CLAUSED query (must and/or must_not)
+    routes through :func:`boolean_wand`, whose per-shard kernel
+    decides eligibility locally (conjunction-driven candidates,
+    exclusion mask at decode) and ships compressed block runs instead
+    of the exploded (qid, doc) score rows below — same results by
+    construction (equivalence tests compare both). The explode plan
+    remains for ``min_should > 0``, ``doc_filter``, k1/b overrides,
+    pure-negation queries (which match nothing), and
+    ``use_kernel=False``.
     Returns (qid, doc_id, score, rank) ordered by (qid, rank).
     """
     spark = index.spark
-    kernel_qids: set[str] = set()
+    pure_qids: set[str] = set()
+    claused_qids: set[str] = set()
     if (use_kernel and min_should == 0 and doc_filter is None
             and k1 is None and b is None):
-        kernel_qids = {q for q, m, s, n_ in queries
-                       if not m and not n_ and s}
-    if kernel_qids:
-        simple_qt = [(q, t, 1.0) for q, _m, s, _n in queries
-                     if q in kernel_qids for t in sorted(set(s))]
-        wand_part = score_wand(index, simple_qt, k)
-        rest = [qc for qc in queries if qc[0] not in kernel_qids]
-        if not rest:
-            return wand_part
-        rest_part = boolean_topk(index, rest, k, k1, b, min_should,
-                                 doc_filter, lead_max_df,
-                                 lead_min_saved, use_kernel=False)
-        return wand_part.unionByName(rest_part).orderBy("qid", "rank")
+        pure_qids = {q for q, m, s, n_ in queries
+                     if not m and not n_ and s}
+        claused_qids = {q for q, m, s, n_ in queries
+                        if (m or n_) and (m or s)}
+    if pure_qids or claused_qids:
+        parts = []
+        if pure_qids:
+            simple_qt = [(q, t, 1.0) for q, _m, s, _n in queries
+                         if q in pure_qids for t in sorted(set(s))]
+            parts.append(score_wand(index, simple_qt, k))
+        if claused_qids:
+            parts.append(boolean_wand(
+                index, [qc for qc in queries if qc[0] in claused_qids], k))
+        rest = [qc for qc in queries
+                if qc[0] not in pure_qids and qc[0] not in claused_qids]
+        if rest:
+            parts.append(boolean_topk(index, rest, k, k1, b, min_should,
+                                      doc_filter, lead_max_df,
+                                      lead_min_saved, use_kernel=False))
+        if len(parts) == 1:
+            return parts[0]
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out.orderBy("qid", "rank")
     score_qt = [(q, t, 1.0) for q, m, s, _n in queries
                 for t in sorted(set(m) | set(s))]
     matched = _matched_postings(index, score_qt)

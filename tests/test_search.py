@@ -794,3 +794,62 @@ def test_boolean_topk_pure_should_kernel_routing(spark, tmp_path):
                                      use_kernel=False).collect())
     assert a == b and a
     assert {q for q, *_ in a} == {"p1", "p2", "m1", "n1"}
+
+
+def test_boolean_wand_claused_equivalence_sharded(spark, tmp_path):
+    """CLAUSED boolean queries (must / must_not) through the sharded
+    kernel (boolean_wand): rank/score identity with the explode plan,
+    at 1 AND 3 doc shards, covering a head-term must_not, pure-must,
+    must+should+not, a term in both should and must_not (exclusion
+    wins), unsatisfiable must∩not, a missing must term, and a
+    tombstoned doc (liveDocs ∪ exclusion merge)."""
+    from engine.deletes import delete_docs
+    from engine.search import boolean_topk, boolean_wand
+
+    corpus = generate_corpus_df(spark, 80, partitions=2, max_tokens=120)
+    path = str(tmp_path / "bwq")
+    build_index(spark, corpus, path, n_buckets=2, n_doc_buckets=2)
+    stats = {r["term"]: r["df"] for r in
+             Index(spark, path).termstats.select("term", "df").collect()}
+    n_docs = 80
+    by_df = sorted(stats, key=lambda t: (-stats[t], t))
+    # top terms co-occur in most docs (conjunctions stay satisfiable);
+    # the exclusion term hits ~half the corpus (meaningful, not total)
+    top = by_df[:4]
+    half = min(stats, key=lambda t: (abs(stats[t] - n_docs // 2), t))
+    # tombstone one doc that matches the top term
+    probe = Index(spark, path)
+    victim = (score_exhaustive(probe, [("v", top[0], 1.0)], 1)
+              .collect()[0]["doc_id"])
+    delete_docs(spark, path, [int(victim)])
+    idx = Index(spark, path)   # fresh handle: dead_ids cached per Index
+
+    qs = [
+        ("c1", [top[0]], top[1:3], []),             # must + should
+        ("c2", [top[0]], [], [half]),               # must + ~half-df not
+        ("c3", [], top[1:3], [half]),               # should + not (BMW branch)
+        ("c4", [top[0], top[1]], [], []),           # pure conjunction
+        ("c5", [top[0]], [], [top[0]]),             # must ∩ not: empty
+        ("c6", [], [top[2]], [top[2]]),             # should == not: empty
+        ("c7", ["zzz_not_in_vocab"], [top[0]], []),  # missing must: empty
+    ]
+    a = sorted((r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+               for r in boolean_topk(idx, qs, 7).collect())
+    b = sorted((r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+               for r in boolean_topk(idx, qs, 7, use_kernel=False).collect())
+    assert a == b and a
+    assert {q for q, *_ in a} == {"c1", "c2", "c3", "c4"}
+    assert victim not in {d for _, _, d, _ in a}
+    # the exclusion genuinely filtered: no c2/c3 hit contains `half`
+    half_docs = {r["doc_id"] for r in
+                 score_exhaustive(idx, [("h", half, 1.0)], 1000).collect()}
+    assert half_docs   # the not-list is non-trivial
+    assert not ({d for q, _, d, _ in a if q in ("c2", "c3")} & half_docs)
+    # multi-shard kernel ≡ single-shard kernel (doc-sharded eligibility
+    # is decided locally; the global window merges shard top-ks)
+    claused = [q for q in qs if q[0] not in ("c6",)]
+    s1 = sorted((r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in boolean_wand(idx, claused, 7, n_shards=1).collect())
+    s3 = sorted((r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in boolean_wand(idx, claused, 7, n_shards=3).collect())
+    assert s1 == s3 and s1
