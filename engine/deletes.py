@@ -301,12 +301,15 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
         (w.partitionBy(part) if part else w).parquet(t_dir)
         _swap_dirs(spark, p[name], t_dir)
 
-    # termstats from the new postings (df = Σ df_part)
+    # termstats from the new postings (df = Σ df_part); sorted layout
+    # preserved so dictionary-scan pruning survives the purge
+    from .index_build import write_sorted_termstats
     ts_tmp = f"{index_dir}/termstats_purge_tmp"
-    (spark.read.parquet(p["postings"])
-     .groupBy("term", "bucket").agg(F.sum("df_part").alias("df"))
-     .select("term", "df", "bucket")
-     .write.mode("overwrite").parquet(ts_tmp))
+    write_sorted_termstats(
+        spark.read.parquet(p["postings"])
+        .groupBy("term", "bucket").agg(F.sum("df_part").alias("df"))
+        .select("term", "df", "bucket"),
+        ts_tmp, int(stats.get("n_buckets", 8)))
     _swap_dirs(spark, p["termstats"], ts_tmp)
 
     # global stats refresh (the merge recomputes segment stats)

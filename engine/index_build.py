@@ -153,6 +153,21 @@ def _exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS"))
 
 
+def write_sorted_termstats(df, path: str, n_parts: int) -> None:
+    """Write the term dictionary RANGE-partitioned and sorted by term
+    (Lucene's sorted term dict / FST analog): every file covers a
+    disjoint term range and every row group is term-sorted, so parquet
+    min/max statistics prune the MultiTermQuery rewrites' dictionary
+    scans (prefix / wildcard / regexp literal heads, term ranges) down
+    to the few files that can match, instead of a full vocabulary scan
+    per rewrite. The hash ``bucket`` column (postings lookup key) is
+    unchanged — only the row layout moves. Used by the batch build,
+    purge and delta compaction so the property survives the lifecycle."""
+    (df.repartitionByRange(max(int(n_parts), 8), "term")
+       .sortWithinPartitions("term")
+       .write.mode("overwrite").parquet(path))
+
+
 def _manifest_schema() -> T.StructType:
     return T.StructType([
         T.StructField("segment_id", T.IntegerType()),
@@ -307,10 +322,11 @@ def build_index(
             .select("bucket", "term", "salt", "doc_id", "tf", "dl")
         )
         tf.write.mode("overwrite").partitionBy("bucket").parquet(p["tf"])
-        (dfstats
-         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-                     .cast("int"))
-         .write.mode("overwrite").parquet(p["termstats"]))
+        write_sorted_termstats(
+            dfstats.withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                .cast("int")),
+            p["termstats"], n_buckets)
         # total-token count off the still-persisted aggregate: saves
         # stage 3 a re-read of the tf parquet it just wrote
         _fresh_tokens = int(

@@ -1372,20 +1372,105 @@ def wand_stats(index: Index, query_terms: QueryTerms, k: int,
 # Term-expansion queries (Lucene MultiTermQuery rewrites: Prefix/Fuzzy)
 # ---------------------------------------------------------------------------
 
+def _next_prefix(p: str) -> str | None:
+    """The smallest string greater than every string with prefix ``p``
+    (increment the last incrementable codepoint), or None if no such
+    string exists. Used to turn a prefix into a [p, next) range."""
+    b = list(p)
+    for i in range(len(b) - 1, -1, -1):
+        cp = ord(b[i])
+        if cp < 0x10FFFF:
+            return "".join(b[:i]) + chr(cp + 1)
+        b.pop()
+    return None
+
+
+def _literal_head(pattern: str, meta: str) -> str:
+    """Leading literal run of a wildcard/regex pattern (chars before
+    the first metacharacter) — the seekable prefix Lucene's automaton
+    intersection starts from."""
+    out = []
+    for ch in pattern:
+        if ch in meta:
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def _regex_literal_head(pattern: str) -> str:
+    """Sound seekable prefix of a regex: empty on top-level alternation
+    (``abc|xyz`` matches need not start with ``abc``), and the last
+    literal char is dropped when a quantifier follows (``abc*`` matches
+    ``ab``) — both cases where the naive literal head over-prunes."""
+    depth, esc, in_class = 0, False, False
+    for ch in pattern:
+        if esc:
+            esc = False
+            continue
+        if ch == "\\":
+            esc = True
+            continue
+        if in_class:
+            in_class = ch != "]"
+            continue
+        if ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            return ""
+    head = _literal_head(pattern, "\\.^$*+?()[]{}|")
+    if head and len(head) < len(pattern) and pattern[len(head)] in "*+?{":
+        head = head[:-1]
+    return head
+
+
+def _prefix_range_filter(df: DataFrame, prefixes: Sequence[str]) -> DataFrame:
+    """Coarse dictionary pruning: restrict a termstats scan to the
+    union of the prefixes' [p, next(p)) ranges BEFORE the exact-match
+    join. The ranges are plain literal comparisons on the scan, so
+    Catalyst pushes them into the parquet reader, where the sorted
+    term-range layout (index_build.write_sorted_termstats) turns them
+    into file/row-group pruning — the distributed analog of seeking a
+    sorted term dictionary instead of scanning it. Pure ASCII prefixes
+    only (identical ordering in Java, parquet stats and DuckDB); any
+    other — or empty — prefix keeps the full scan, so this is ONLY an
+    optimization and never changes the match set."""
+    conds = []
+    for p in set(prefixes):
+        if not p or any(ord(c) > 0x7e for c in p):
+            return df   # unprunable pattern in the batch: full scan
+        nxt = _next_prefix(p)
+        c = F.col("term") >= F.lit(p)
+        if nxt is not None:
+            c = c & (F.col("term") < F.lit(nxt))
+        conds.append(c)
+    if not conds:
+        return df
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    return df.where(cond)
+
+
 def expand_prefix_terms(index: Index,
                         queries: Sequence[tuple[str, str]]) -> QueryTerms:
     """Prefix rewrite: (qid, prefix) → [(qid, term, 1.0)] for every
     vocabulary term starting with the prefix (Lucene PrefixQuery's
     scoring-boolean rewrite). The dictionary scan is distributed over
-    termstats (vocabulary-sized — no bucket pruning is possible before
-    the terms are known); only the MATCHED terms come to the driver,
+    termstats, pre-pruned to the prefixes' term ranges (pushed-down
+    range predicates over the sorted dictionary layout — see
+    _prefix_range_filter); only the MATCHED terms come to the driver,
     exactly what Lucene's rewrite enumerates, after which the normal
     bucket-pruned scoring path applies."""
     qdf = index.spark.createDataFrame(list(queries),
                                       "qid string, prefix string")
-    rows = (index.termstats.select("term")
-            .join(F.broadcast(qdf),
-                  F.col("term").startswith(F.col("prefix")))
+    ts = _prefix_range_filter(index.termstats.select("term"),
+                              [p for _, p in queries])
+    rows = (ts.join(F.broadcast(qdf),
+                    F.col("term").startswith(F.col("prefix")))
             .select("qid", "term").collect())
     return [(r["qid"], r["term"], 1.0) for r in rows]
 
@@ -1487,8 +1572,9 @@ def expand_regexp_terms(index: Index,
     lookaround) so the DuckDB oracle can reproduce the scan."""
     pats = [(q, f"^(?:{p})$") for q, p in queries]
     qdf = index.spark.createDataFrame(pats, "qid string, pat string")
-    rows = (index.termstats.select("term")
-            .join(F.broadcast(qdf), F.expr("term RLIKE pat"))
+    ts = _prefix_range_filter(index.termstats.select("term"),
+                              [_regex_literal_head(p) for _, p in queries])
+    rows = (ts.join(F.broadcast(qdf), F.expr("term RLIKE pat"))
             .select("qid", "term").collect())
     return [(r["qid"], r["term"], 1.0) for r in rows]
 
@@ -1507,8 +1593,14 @@ def expand_range_terms(index: Index,
     distributed dictionary scan as the other MultiTermQuery rewrites."""
     qdf = index.spark.createDataFrame(list(queries),
                                       "qid string, lo string, hi string")
-    rows = (index.termstats.select("term")
-            .join(F.broadcast(qdf),
+    ts = index.termstats.select("term")
+    # coarse pushable envelope over the batch: [min lo, max hi)
+    los = [lo for _, lo, _ in queries]
+    his = [hi for _, _, hi in queries]
+    if los and all(not any(ord(c) > 0x7e for c in s) for s in los + his):
+        ts = ts.where((F.col("term") >= F.lit(min(los)))
+                      & (F.col("term") < F.lit(max(his))))
+    rows = (ts.join(F.broadcast(qdf),
                   (F.col("term") >= F.col("lo")) & (F.col("term") < F.col("hi")))
             .select("qid", "term").collect())
     return [(r["qid"], r["term"], 1.0) for r in rows]
@@ -1769,8 +1861,9 @@ def expand_wildcard_terms(index: Index,
     term dictionary."""
     pats = [(q, wildcard_to_like(p)) for q, p in queries]
     qdf = index.spark.createDataFrame(pats, "qid string, pat string")
-    rows = (index.termstats.select("term")
-            .join(F.broadcast(qdf), F.expr("term LIKE pat"))
+    ts = _prefix_range_filter(index.termstats.select("term"),
+                              [_literal_head(p, "*?") for _, p in queries])
+    rows = (ts.join(F.broadcast(qdf), F.expr("term LIKE pat"))
             .select("qid", "term").collect())
     return [(r["qid"], r["term"], 1.0) for r in rows]
 

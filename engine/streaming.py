@@ -269,11 +269,13 @@ def compact_deltas(spark: SparkSession, index_dir: str,
 
     # refresh df stats (deltas changed them); avgdl stays frozen — a
     # full stats refresh is the batch builder's stats stage re-run.
+    from .index_build import load_stats, write_sorted_termstats
     ts_tmp = f"{index_dir}/termstats_compact_tmp"
-    (spark.read.parquet(p["postings"])
-     .groupBy("term", "bucket").agg(F.sum("df_part").alias("df"))
-     .select("term", "df", "bucket")
-     .write.mode("overwrite").parquet(ts_tmp))
+    write_sorted_termstats(
+        spark.read.parquet(p["postings"])
+        .groupBy("term", "bucket").agg(F.sum("df_part").alias("df"))
+        .select("term", "df", "bucket"),
+        ts_tmp, int(load_stats(spark, index_dir).get("n_buckets", 8)))
     _swap(p["termstats"], ts_tmp)
     return int(n_terms)
 

@@ -853,3 +853,80 @@ def test_boolean_wand_claused_equivalence_sharded(spark, tmp_path):
     s3 = sorted((r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
                 for r in boolean_wand(idx, claused, 7, n_shards=3).collect())
     assert s1 == s3 and s1
+
+
+def test_dictionary_range_pruning(spark, tmp_path):
+    """Sorted term-dictionary layout + pushed range predicates
+    (Lucene sorted-term-dict seek analog): (a) helper soundness on the
+    regex corner cases (trailing quantifier binds the last head char;
+    top-level alternation kills the head), (b) every termstats file is
+    internally term-sorted and files are pairwise range-disjoint (the
+    property parquet min/max pruning needs), (c) the range predicate
+    reaches the parquet scan as a pushed filter, (d) all four
+    MultiTermQuery rewrites return exactly the unpruned match set."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from engine.search import (_next_prefix, _prefix_range_filter,
+                               _regex_literal_head, expand_prefix_terms,
+                               expand_range_terms, expand_regexp_terms,
+                               expand_wildcard_terms)
+
+    assert _next_prefix("abc") == "abd"
+    assert _next_prefix("az") == "b" or _next_prefix("az") == "a{"
+    assert _regex_literal_head("abc.*") == "abc"   # . doesn't quantify c
+    assert _regex_literal_head("abc*") == "ab"     # * quantifies c
+    assert _regex_literal_head("abc+") == "ab"
+    assert _regex_literal_head("abc{2}") == "ab"
+    assert _regex_literal_head("abc|xyz") == ""    # top-level alternation
+    assert _regex_literal_head("ab(c|d)e") == "ab" # grouped alt is fine
+
+    corpus = generate_corpus_df(spark, 60, partitions=2, max_tokens=100)
+    path = str(tmp_path / "dict")
+    build_index(spark, corpus, path, n_buckets=2, n_doc_buckets=2)
+    idx = Index(spark, path)
+
+    # (b) physical layout: per-file sorted, files range-disjoint
+    ranges = []
+    for f in sorted(_glob.glob(f"{path}/termstats/part-*.parquet")):
+        terms = pq.read_table(f, columns=["term"])["term"].to_pylist()
+        if not terms:
+            continue
+        assert terms == sorted(terms), f"file not term-sorted: {f}"
+        ranges.append((terms[0], terms[-1]))
+    ranges.sort()
+    assert len(ranges) >= 2   # the layout actually split the vocabulary
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 <= l2, "termstats files overlap in term ranges"
+
+    # (c) the range predicate is pushed into the parquet scan
+    pruned = _prefix_range_filter(idx.termstats.select("term"), ["me"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(term,me" in plan
+
+    # (d) pruned rewrites == unpruned truth over the full vocabulary
+    vocab = sorted(r["term"] for r in
+                   idx.termstats.select("term").distinct().collect())
+    pre = vocab[5][:2]
+    got = {t for _, t, _ in expand_prefix_terms(idx, [("q", pre)])}
+    assert got == {t for t in vocab if t.startswith(pre)} and got
+
+    wpat = pre + "*e"
+    got = {t for _, t, _ in expand_wildcard_terms(idx, [("q", wpat)])}
+    import fnmatch
+    assert got == {t for t in vocab if fnmatch.fnmatchcase(t, wpat)}
+
+    import re as _re
+    rpat = pre + "[a-z]*"
+    got = {t for _, t, _ in expand_regexp_terms(idx, [("q", rpat)])}
+    assert got == {t for t in vocab if _re.fullmatch(rpat, t)} and got
+    # alternation: the head filter must NOT prune the second branch
+    t1, t2 = vocab[3], vocab[-3]
+    apat = f"{t1}|{t2}"
+    got = {t for _, t, _ in expand_regexp_terms(idx, [("q", apat)])}
+    assert got == {t1, t2}
+
+    lo, hi = vocab[10], vocab[20]
+    got = {t for _, t, _ in expand_range_terms(idx, [("q", lo, hi)])}
+    assert got == {t for t in vocab if lo <= t < hi} and got
