@@ -147,6 +147,67 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
             .select("vec_a", "vec_b", "cosine"))
 
 
+def semantic_near_dups(emb: DataFrame, threshold: float = 0.85,
+                       n_centroids: int | None = 16,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       n: int | None = None) -> DataFrame:
+    """SemDeDup semantic-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): deterministic k-means cells
+    (:func:`ivf_centroids`) scope the pairwise cosine comparison to
+    WITHIN a cell — the paper's observation is that semantic
+    duplicates co-locate in embedding clusters, turning the O(n²)
+    all-pairs matrix into Σ|cell|² cell-local equi-joins (they dedup
+    LAION-440M inside 50k clusters this way). Returns
+    (vec_a, vec_b, cosine) with vec_a < vec_b and ROUNDED (4 dp,
+    half-up) cosine ≥ threshold (house cross-engine boundary rule).
+
+    A near-duplicate pair split across two cells is missed by design —
+    the published recall/cost trade; the exact-verify sibling for
+    high-threshold exact dedup is :func:`embedding_near_dups` (sign-bit
+    LSH candidates instead of k-means cells).
+
+    Scale: the cell count is the knob — at 100 TB set n_centroids so
+    cells stay ~1k vectors (n/1k cells); cells hash-distribute through
+    the equi-join and nothing quadratic crosses cells.
+    ``n_centroids=None`` derives ≈ √n cells.
+    """
+    from engine.portable import round_half_up
+
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    cents = ivf_centroids(emb, n_centroids=n_centroids, id_col=id_col,
+                          vec_col=vec_col, n=n)
+    assigned = _assign_to_centroids(base, cents)
+    d = base.join(assigned, "vec_id")
+    a = d.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                 "centroid_id")
+    b = d.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                 "centroid_id")
+    pairs = a.join(b, "centroid_id").where(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.withColumn(
+        "cosine", _dot("va", "vb") / (_norm("va") * _norm("vb")))
+    return (scored.where(round_half_up(F.col("cosine"), 4) >= threshold)
+            .select("vec_a", "vec_b", "cosine"))
+
+
+def semdedup_keep(emb: DataFrame, threshold: float = 0.85,
+                  n_centroids: int | None = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  n: int | None = None) -> DataFrame:
+    """SemDeDup keep filter: drop every vector that has a LOWER-id
+    semantic duplicate in its cell (left_anti on the pair table's
+    vec_b side) — one survivor per duplicate chain, the same keep rule
+    as the MinHash text path (dedup.dedup_keep). Documented divergence
+    from the paper: SemDeDup keeps the example FARTHEST from the
+    centroid (for diversity); the lowest-id rule is order-free and
+    deterministic with identical dedup volume. Returns the surviving
+    rows of ``emb`` unchanged."""
+    dups = semantic_near_dups(emb, threshold, n_centroids, id_col,
+                              vec_col, n)
+    return emb.join(dups.select(F.col("vec_b").alias(id_col)).distinct(),
+                    id_col, "left_anti")
+
+
 def ivf_centroids(emb: DataFrame, n_centroids: int | None = 16,
                   n_iter: int = 2,
                   id_col: str = "vec_id", vec_col: str = "embedding",

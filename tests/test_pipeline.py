@@ -738,3 +738,47 @@ def test_multiprobe_radius_recall_dominance(spark):
     assert (h1 & exact) <= (h2 & exact)
     assert len(h2 & exact) >= len(h1 & exact)
     assert len(h2 & exact) > 0
+
+
+def test_semdedup_pairs_and_keep(spark):
+    """SemDeDup (k-means-cell-scoped semantic dedup): with ONE cell the
+    pair table equals the numpy all-pairs rounded-cosine ≥ τ truth and
+    the keep filter drops exactly the vectors with a lower-id
+    duplicate; with 2 cells the pair table is a subset of that truth
+    (cell scoping only removes pairs, never invents them) and a planted
+    same-cluster near-duplicate is still caught."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(12):
+        center = np.zeros(16)
+        center[(i % 2) * 8] = 10.0      # two separated clusters
+        v = center + rng.normal(0, 0.5, 16)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((12, [float(x * 1.001) for x in rows[0][1]]))  # near-dup of 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    V = {i: np.array(v, dtype=np.float32).astype(np.float64)
+         for i, v in rows}
+
+    def rcos(a, b):
+        c = float(np.dot(a, b)
+                  / (math.sqrt(np.dot(a, a)) * math.sqrt(np.dot(b, b))))
+        return math.floor(c * 1e4 + 0.5) / 1e4
+
+    tau = 0.9
+    want = {(a, b) for a in V for b in V
+            if a < b and rcos(V[a], V[b]) >= tau}
+    got = {(r["vec_a"], r["vec_b"]) for r in
+           similarity.semantic_near_dups(emb, tau, n_centroids=1).collect()}
+    assert got == want and (0, 12) in got
+    keep = {r["vec_id"] for r in
+            similarity.semdedup_keep(emb, tau, n_centroids=1).collect()}
+    assert keep == set(V) - {b for _, b in want}
+    assert 12 not in keep and 0 in keep
+
+    got2 = {(r["vec_a"], r["vec_b"]) for r in
+            similarity.semantic_near_dups(emb, tau, n_centroids=2).collect()}
+    assert got2 <= want and (0, 12) in got2
