@@ -64,6 +64,19 @@ def verify_index(spark: SparkSession, index_dir: str) -> dict:
     stats_tokens_bad = int(int(tok or 0)
                            != int(idx.stats["total_tokens"]))
 
+    # dictionary layout: termstats files must be pairwise DISJOINT in
+    # term range (write_sorted_termstats's contract — what parquet
+    # min/max file pruning of the MultiTermQuery rewrites relies on);
+    # one (lo, hi) row per file, overlap check on the tiny driver list
+    spans = sorted((r["lo"], r["hi"]) for r in
+                   (idx.termstats
+                    .withColumn("f", F.input_file_name())
+                    .groupBy("f")
+                    .agg(F.min("term").alias("lo"),
+                         F.max("term").alias("hi"))).collect())
+    dict_range_overlaps = sum(
+        1 for (l1, h1), (l2, h2) in zip(spans, spans[1:]) if h1 > l2)
+
     report = {
         "bad_posting_len": bad_len,
         "bad_doc_order": bad_sorted,
@@ -72,6 +85,7 @@ def verify_index(spark: SparkSession, index_dir: str) -> dict:
         "orphan_posting_docs": orphan_docs,
         "sha_mismatch_docs": sha_bad,
         "stats_tokens_bad": stats_tokens_bad,
+        "dict_range_overlaps": dict_range_overlaps,
     }
     report["ok"] = not any(report.values())
     return report

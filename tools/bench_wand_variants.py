@@ -79,28 +79,50 @@ def main() -> None:
                      "top20_rank_identical": ex == wa}
 
     # boolean: per topic, MUST = the topic's rarest term, SHOULD = the
-    # rest (a realistic gated conjunction over real head terms)
+    # rest (a realistic gated conjunction over real head terms).
+    # Three plans: the boolean kernel (default route), the explode
+    # plan with must-lead broadcast gating, and the ungated explode.
     dfm = idx.df_map(sorted({t for _, t, _ in qt}))
     by_topic: dict[str, list] = {}
     for q, t, _ in qt:
         if t in dfm:
             by_topic.setdefault(q, []).append(t)
-    bq = []
+    bq, bqn = [], []
     for q, terms in by_topic.items():
         terms = sorted(set(terms), key=lambda t: (dfm[t], t))
         bq.append((q, [terms[0]], terms[1:], []))
+        # must_not variant: exclude one mid-df term from the bag
+        notq = terms[len(terms) // 2] if len(terms) > 2 else terms[-1]
+        bqn.append((q, [terms[0]],
+                    [t for t in terms[1:] if t != notq], [notq]))
+    sec_k, n_k = best(lambda: boolean_topk(idx, bq, args.num_docs))
     sec_g, n_g = best(lambda: boolean_topk(idx, bq, args.num_docs,
+                                           use_kernel=False,
                                            lead_min_saved=0))
     sec_p, n_p = best(lambda: boolean_topk(idx, bq, args.num_docs,
+                                           use_kernel=False,
                                            lead_max_df=0))
-    g = rounded_order(boolean_topk(idx, bq, 20,
+    kk = rounded_order(boolean_topk(idx, bq, 20).collect())
+    g = rounded_order(boolean_topk(idx, bq, 20, use_kernel=False,
                                    lead_min_saved=0).collect())
-    p = rounded_order(boolean_topk(idx, bq, 20,
+    p = rounded_order(boolean_topk(idx, bq, 20, use_kernel=False,
                                    lead_max_df=0).collect())
-    out["boolean_must_lead"] = {
-        "gated_sec": sec_g, "ungated_sec": sec_p,
-        "rows": n_g, "rows_match": n_g == n_p,
-        "top20_rank_identical": g == p}
+    out["boolean_must"] = {
+        "kernel_sec": sec_k, "gated_explode_sec": sec_g,
+        "explode_sec": sec_p, "rows": n_k,
+        "rows_match": n_k == n_g == n_p,
+        "top20_rank_identical": kk == g == p}
+
+    sec_kn, n_kn = best(lambda: boolean_topk(idx, bqn, args.num_docs))
+    sec_en, n_en = best(lambda: boolean_topk(idx, bqn, args.num_docs,
+                                             use_kernel=False))
+    kn = rounded_order(boolean_topk(idx, bqn, 20).collect())
+    en = rounded_order(boolean_topk(idx, bqn, 20,
+                                    use_kernel=False).collect())
+    out["boolean_must_not"] = {
+        "kernel_sec": sec_kn, "explode_sec": sec_en,
+        "rows": n_kn, "rows_match": n_kn == n_en,
+        "top20_rank_identical": kn == en}
 
     print("RESULT " + json.dumps(out), flush=True)
     spark.stop()
