@@ -50,6 +50,14 @@ AND_QUERIES: list[tuple[str, list[str]]] = [
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 TOPK = 10
 
+# Spell-suggestion inputs (Lucene DirectSpellChecker): misspellings
+# of real vocabulary terms at edit distance 1-2, plus one ("sparkk")
+# whose neighborhood probes multi-candidate df tie-breaking.
+SUGGEST_QUERIES: list[tuple[str, str]] = [
+    ("sg1", "mergo"), ("sg2", "windoe"), ("sg3", "tabel"),
+    ("sg4", "sparkk"),
+]
+
 # Positional retrieval (engine/positions.py): phrases analyze with
 # gap-preserving offsets — p3/p5 span a stopword ("a"/"by"), exercising
 # Lucene-style position increments across both engines.
@@ -470,6 +478,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from engine import fusion
     from engine.pipeline import dedup, similarity, textstats
 
     def tokenize_tf(spark, sf_dir):
@@ -1313,6 +1322,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             F.col("score"), F.lit("SPARK_FTS")).alias("line"))
             .orderBy("qid", "rank"))
 
+    def hybrid_rrf_topk(spark, sf_dir):
+        """Hybrid sparse+dense retrieval via Reciprocal Rank Fusion
+        (Cormack et al. 2009; the Elasticsearch `rrf` retriever
+        formula with the standard k=60): each BM25 text query is
+        paired with an ANN query vector (BM25_QUERIES[i] ↔
+        ANN_QUERY_IDS[i]; embeddings are document-level, vec_id ==
+        doc_id), both rankings overfetch to TOPK+20, and the fused
+        top-10 is ranked by the rounded rrf score. No score
+        normalization anywhere — RRF fuses ranks, which is the whole
+        point of the method."""
+        bm25 = _topk(_bm25_scored(spark, sf_dir, BM25_QUERIES),
+                     TOPK + 20).select("qid", "doc_id", "rank")
+        emb = _emb(spark, sf_dir)
+        cos = similarity.cosine_topk(emb, ANN_QUERY_IDS, TOPK + 40)
+        rc = round_half_up(F.col("cosine"), 4)
+        wv = Window.partitionBy("qid").orderBy(rc.desc(), F.asc("vec_id"))
+        cosr = (cos.withColumn("rank", F.row_number().over(wv))
+                .where(F.col("rank") <= TOPK + 20))
+        pair = spark.createDataFrame(
+            [(vid, q) for (q, _), vid in zip(BM25_QUERIES, ANN_QUERY_IDS)],
+            "qid long, text_qid string")
+        dense = (cosr.join(F.broadcast(pair), "qid")
+                 .select(F.col("text_qid").alias("qid"),
+                         F.col("vec_id").alias("doc_id"), "rank"))
+        return (fusion.rrf_fuse([bm25, dense], topk=TOPK)
+                .orderBy("qid", "rank"))
+
+    def collapsed_topk(spark, sf_dir):
+        """Field collapsing (Lucene grouping module /
+        CollapsingTopDocsCollector; ES `collapse`): best doc per
+        `source` group under each BM25 query, top-10 of the
+        collapsed ranking. Collapses the FULL scored set (a group's
+        winner can sit below any fixed rank cut — gate before cut)."""
+        scored = _bm25_scored(spark, sf_dir, BM25_QUERIES)
+        groups = (_docs(spark, sf_dir)
+                  .select("doc_id", F.col("source").alias("group")))
+        return (fusion.collapse_topk(scored, groups, TOPK)
+                .orderBy("qid", "rank"))
+
+    def suggest_terms(spark, sf_dir):
+        """Spell suggestion (Lucene DirectSpellChecker): top-5
+        vocabulary corrections within 2 edits, distance-then-df
+        ranked, over the real index's term dictionary."""
+        from engine.search import suggest_terms as _sg
+
+        idx = _cached_index(spark, sf_dir)
+        return (_sg(idx, SUGGEST_QUERIES, max_edits=2, n=5)
+                .orderBy("qid", "rank"))
+
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks
     # only the FIRST 50 entries. Round 3 rotates the operators that
     # were outside round 2's window (everything from url_domains
@@ -1339,6 +1397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 additions (inside the driver's 50-entry window)
         "semdedup_pairs": semdedup_pairs,
         "semdedup_keep": semdedup_keep,
+        "hybrid_rrf_topk": hybrid_rrf_topk,
+        "collapsed_topk": collapsed_topk,
+        "suggest_terms": suggest_terms,
         # round-2's driver-unchecked 23 (VERDICT r2 item 1)
         "url_domains": url_domains,
         "curation_report": curation_report,
@@ -1374,13 +1435,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": event_sessions,
         "event_window_counts": event_window_counts,
         "trec_run": trec_run,
+        # ---- driver window boundary (entry 50) ----
+        # tail: driver-green in r2, siblings of in-window entries
         "embedding_near_dups": embedding_near_dups,
         "phrase_hits": phrase_hits,
         "span_first": span_first,
         "proximity_hits": proximity_hits,
         "filtered_topk": filtered_topk,
-        # ---- driver window boundary (entry 50) ----
-        # tail: driver-green in r2, siblings of in-window entries
         "phrase_topk": phrase_topk,
         "snippets": snippets,
         "pii_scrub": pii_scrub,
@@ -2925,5 +2986,100 @@ SELECT qid, rank,
        printf('%s Q0 %s %d %.4f %s', qid, doc_id::VARCHAR, rank, score,
               'SPARK_FTS') AS line
 FROM topk
+"""
+
+    # --- hybrid_rrf_topk (sparse BM25 + dense cosine fused by RRF) -----------
+    r4s = round_half_up_sql("s", 4)
+    r4c = round_half_up_sql("c", 4)
+    r6s = round_half_up_sql("s", 6)
+    rrf_pairs = ", ".join(
+        f"({vid}, '{q}')"
+        for (q, _), vid in zip(BM25_QUERIES, ANN_QUERY_IDS))
+    ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    sql["hybrid_rrf_topk"] = f"""
+WITH {fts},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({score}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id),
+bmr AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY {r4s} DESC, doc_id)::INT AS rank
+    FROM matched) t
+  WHERE rank <= {TOPK + 20}),
+e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+qv AS (SELECT vec_id AS vqid, v AS qvec FROM e WHERE vec_id IN ({ann_ids})),
+sc AS (SELECT qv.vqid, e.vec_id,
+              list_dot_product(qv.qvec, e.v)
+              / (sqrt(list_dot_product(qv.qvec, qv.qvec))
+                 * sqrt(list_dot_product(e.v, e.v))) AS c
+       FROM qv JOIN e ON e.vec_id <> qv.vqid),
+cor AS (
+  SELECT vqid, vec_id, rank FROM (
+    SELECT vqid, vec_id,
+           row_number() OVER (PARTITION BY vqid
+               ORDER BY {r4c} DESC, vec_id)::INT AS rank
+    FROM sc) t
+  WHERE rank <= {TOPK + 20}),
+pair(vqid, qid) AS (VALUES {rrf_pairs}),
+contrib AS (
+  SELECT qid, doc_id, 1.0 / (60 + rank) AS c FROM bmr
+  UNION ALL
+  SELECT p.qid, cor.vec_id AS doc_id, 1.0 / (60 + cor.rank) AS c
+  FROM cor JOIN pair p ON p.vqid = cor.vqid),
+fused AS (
+  SELECT qid, doc_id, sum(c) AS s, count(*)::INT AS n_lists
+  FROM contrib GROUP BY qid, doc_id)
+SELECT qid, doc_id, {r6s} AS rrf, n_lists, rank FROM (
+  SELECT qid, doc_id, s, n_lists,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r6s} DESC, doc_id)::INT AS rank
+  FROM fused) t
+WHERE rank <= {TOPK}
+"""
+
+    # --- collapsed_topk (field collapsing by documents.source) ---------------
+    sql["collapsed_topk"] = f"""
+WITH {fts},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({score}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id),
+g AS (SELECT m.qid, m.doc_id, d.source AS grp, {round_half_up_sql('m.s', 4)} AS score
+      FROM matched m JOIN documents d ON d.doc_id = m.doc_id),
+b AS (SELECT qid, doc_id, grp, score,
+             row_number() OVER (PARTITION BY qid, grp
+                 ORDER BY score DESC, doc_id) AS gr
+      FROM g)
+SELECT qid, doc_id, grp AS "group", score, rank FROM (
+  SELECT qid, doc_id, grp, score,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY score DESC, doc_id)::INT AS rank
+  FROM b WHERE gr = 1) t
+WHERE rank <= {TOPK}
+"""
+
+    # --- suggest_terms (DirectSpellChecker over the term dictionary) ---------
+    sgv = ", ".join(f"('{q}', '{t}')" for q, t in SUGGEST_QUERIES)
+    sql["suggest_terms"] = f"""
+WITH {fts},
+qs(qid, qterm) AS (VALUES {sgv}),
+cand AS (
+  SELECT qs.qid, dfs.term AS suggestion,
+         levenshtein(dfs.term, qs.qterm)::INT AS distance, dfs.df
+  FROM qs JOIN dfs ON abs(length(dfs.term) - length(qs.qterm)) <= 2
+                  AND levenshtein(dfs.term, qs.qterm) BETWEEN 1 AND 2)
+SELECT qid, suggestion, distance, df, rank FROM (
+  SELECT qid, suggestion, distance, df,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY distance, df DESC, suggestion)::INT AS rank
+  FROM cand) t
+WHERE rank <= 5
 """
     return sql

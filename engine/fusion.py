@@ -1,0 +1,113 @@
+"""Result-set fusion and field collapsing (post-retrieval reshaping).
+
+Two operators the reference's users would otherwise script by hand on
+top of its searcher output (the reference — Assignment Two's
+SearchFiles/tools pipeline — stops at a single ranked run per query):
+
+* :func:`rrf_fuse` — Reciprocal Rank Fusion (Cormack, Clarke &
+  Buettcher, SIGIR 2009): fuse any number of per-query rankings by
+  summing ``1 / (k + rank)``.  This is the standard hybrid
+  sparse+dense recipe (Elasticsearch ``rrf`` retriever, Vespa and
+  Azure AI Search ship exactly this formula), and is how the engine's
+  BM25/WAND path composes with its ANN paths into one hybrid search.
+* :func:`collapse_topk` — field collapsing (Lucene's grouping module /
+  ``CollapsingTopDocsCollector``, Elasticsearch ``collapse``): at most
+  ``per_group`` hits per group key, re-ranked per query.
+
+Both are pure Catalyst plans — a union + hash aggregate + rank
+windows; no UDFs, no driver-side loops.  Scale shape at 100 TB:
+
+* fusion consumes already-ranked TOP-K inputs, so its shuffles are
+  keyed on (qid, id) over ``n_rankings × k`` rows per query — bounded
+  by the requested depth, NOT corpus size;
+* collapsing runs over a full scored set when exact semantics are
+  required (best-per-group can sit arbitrarily deep — the same
+  gate-before-cut rule as doc_filter / deletes), and its windows
+  partition by (qid, group) then (qid): per-query parallelism, never a
+  single global window.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .portable import round_half_up
+
+#: RRF dampening constant; 60 is the value from Cormack et al. 2009
+#: and every production default (Elasticsearch `rank_constant`).
+RRF_K = 60
+
+
+def rrf_fuse(rankings: Sequence[DataFrame], k: int = RRF_K,
+             id_col: str = "doc_id", topk: int | None = None,
+             ndigits: int = 6) -> DataFrame:
+    """Fuse per-query rankings: ``rrf = Σ_r 1 / (k + rank_r)``.
+
+    Each input must carry (qid, ``id_col``, rank) with rank 1-based
+    within qid — exactly the shape the engine's top-k operators emit.
+    An id absent from one ranking simply contributes nothing for it
+    (the Cormack et al. convention).  Ranks, not scores, are fused, so
+    heterogeneous score scales (BM25 vs cosine) need no normalization
+    — the reason RRF is the robust default for hybrid search.
+
+    Returns (qid, id_col, rrf, n_lists, rank) with rrf rounded to
+    ``ndigits`` and the rank window ordered by the ROUNDED score then
+    id asc (house cross-engine determinism rule; summed reciprocals
+    from different engines agree far beyond 6 dp, and structural ties
+    — identical rank sets — round identically).
+    """
+    assert rankings, "at least one ranking required"
+    contribs = [r.select("qid", id_col,
+                         (F.lit(1.0) / (F.lit(float(k)) + F.col("rank")))
+                         .alias("c"))
+                for r in rankings]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    fused = (u.groupBy("qid", id_col)
+             .agg(F.sum("c").alias("s"),
+                  F.count(F.lit(1)).cast("int").alias("n_lists")))
+    r = round_half_up(F.col("s"), ndigits)
+    w = Window.partitionBy("qid").orderBy(r.desc(), F.asc(id_col))
+    out = (fused.withColumn("rank", F.row_number().over(w))
+           .select("qid", id_col, r.alias("rrf"), "n_lists", "rank"))
+    if topk is not None:
+        out = out.where(F.col("rank") <= topk)
+    return out
+
+
+def collapse_topk(scored: DataFrame, groups: DataFrame, k: int,
+                  per_group: int = 1, id_col: str = "doc_id",
+                  group_col: str = "group", score_col: str = "s",
+                  ndigits: int = 4) -> DataFrame:
+    """Field collapsing: keep the best ``per_group`` docs per
+    (qid, group), then rank the survivors per qid and cut at ``k``.
+
+    ``scored``: (qid, id_col, score_col) — the FULL scored match set,
+    not a truncated top-k (a group's best hit can sit arbitrarily deep
+    in the ungated ranking; collapsing is a gate, and gates apply
+    before the rank cut).  ``groups``: (id_col, group_col); docs
+    without a group row collapse into per-doc singleton groups (the
+    Lucene grouping module's null-group behavior of keeping ungrouped
+    hits individually).
+
+    Both windows are qid-partitioned — no single-partition stage.
+    Returns (qid, id_col, group_col, score, rank).
+    """
+    joined = (scored.join(groups, id_col, "left")
+              .withColumn(group_col,
+                          F.coalesce(F.col(group_col),
+                                     F.concat(F.lit("__doc__"),
+                                              F.col(id_col)))))
+    r = round_half_up(F.col(score_col), ndigits)
+    wg = Window.partitionBy("qid", group_col).orderBy(r.desc(),
+                                                      F.asc(id_col))
+    best = (joined.withColumn("_g", F.row_number().over(wg))
+            .where(F.col("_g") <= per_group))
+    wq = Window.partitionBy("qid").orderBy(r.desc(), F.asc(id_col))
+    return (best.withColumn("rank", F.row_number().over(wq))
+            .where(F.col("rank") <= k)
+            .select("qid", id_col, group_col, r.alias("score"), "rank"))

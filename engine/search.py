@@ -1492,6 +1492,41 @@ def expand_fuzzy_terms(index: Index, queries: Sequence[tuple[str, str]],
     return [(r["qid"], r["term"], 1.0) for r in rows]
 
 
+def suggest_terms(index: Index, queries: Sequence[tuple[str, str]],
+                  max_edits: int = 2, n: int = 5) -> DataFrame:
+    """Spell suggestion (Lucene ``DirectSpellChecker`` analog): for
+    each (qid, input term), the top-``n`` vocabulary terms within
+    ``max_edits`` Levenshtein edits, ranked the way DirectSpellChecker
+    breaks ties — smaller edit distance first, then higher df (more
+    popular corrections win), then term asc for determinism.  Exact
+    matches (distance 0) are excluded: a suggestion must differ from
+    the input.
+
+    Plan shape: the dictionary scan is vocabulary-sized by
+    construction (termstats, never postings), broadcast-joined against
+    the tiny query list under a length pre-filter
+    (|len(t) − len(q)| ≤ max_edits) that culls most of the vocabulary
+    before the Levenshtein DP runs — Lucene's FST automaton
+    intersection is an optimization of the same enumeration, as with
+    :func:`expand_fuzzy_terms`.  The rank window partitions by qid.
+    Returns (qid, suggestion, distance, df, rank).
+    """
+    qdf = index.spark.createDataFrame(list(queries),
+                                      "qid string, qterm string")
+    dist = F.levenshtein("term", "qterm")
+    cand = (index.termstats.select("term", "df")
+            .join(F.broadcast(qdf),
+                  (F.abs(F.length("term") - F.length("qterm"))
+                   <= max_edits)
+                  & (dist <= max_edits) & (dist >= 1))
+            .select("qid", F.col("term").alias("suggestion"),
+                    dist.cast("int").alias("distance"), "df"))
+    w = Window.partitionBy("qid").orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("suggestion"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= n))
+
+
 def count_matches(index: Index,
                   queries: Sequence[tuple[str, Sequence[str]]]) -> DataFrame:
     """``IndexSearcher.count(query)`` analog: the number of distinct
