@@ -1371,6 +1371,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (_sg(idx, SUGGEST_QUERIES, max_edits=2, n=5)
                 .orderBy("qid", "rank"))
 
+    def dsir_weights(spark, sf_dir):
+        """DSIR importance weights (Xie et al. 2023): hashed
+        unigram+bigram multinomials, target = the src7 slice of the
+        corpus, add-1 smoothing over 10k buckets. logw rounded 6dp
+        (per-doc sums cross buckets in engine-dependent order)."""
+        from engine.pipeline import curation
+
+        docs = _docs(spark, sf_dir)
+        out = curation.dsir_weights(docs,
+                                    docs.where(F.col("source") == "src7"))
+        return (out.select("doc_id", "n_feats",
+                           round_half_up(F.col("logw"), 6).alias("logw"))
+                .orderBy("doc_id"))
+
+    def dsir_sample(spark, sf_dir):
+        """DSIR Gumbel top-k selection over the same weights
+        (deterministic md5-hash uniforms; k=50)."""
+        from engine.pipeline import curation
+
+        docs = _docs(spark, sf_dir)
+        return curation.dsir_sample(
+            docs, docs.where(F.col("source") == "src7"), k=50)
+
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks
     # only the FIRST 50 entries. Round 3 rotates the operators that
     # were outside round 2's window (everything from url_domains
@@ -1400,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": hybrid_rrf_topk,
         "collapsed_topk": collapsed_topk,
         "suggest_terms": suggest_terms,
+        "dsir_weights": dsir_weights,
         # round-2's driver-unchecked 23 (VERDICT r2 item 1)
         "url_domains": url_domains,
         "curation_report": curation_report,
@@ -1434,9 +1458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_buckets": ann_buckets,
         "event_sessions": event_sessions,
         "event_window_counts": event_window_counts,
-        "trec_run": trec_run,
         # ---- driver window boundary (entry 50) ----
         # tail: driver-green in r2, siblings of in-window entries
+        "trec_run": trec_run,
         "embedding_near_dups": embedding_near_dups,
         "phrase_hits": phrase_hits,
         "span_first": span_first,
@@ -1470,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_report": decontam_report,
         "repetition_scores": repetition_scores,
         "mixture_sample": mixture_sample,
+        "dsir_sample": dsir_sample,
     }
 
 
@@ -3063,6 +3088,49 @@ SELECT qid, doc_id, grp AS "group", score, rank FROM (
              ORDER BY score DESC, doc_id)::INT AS rank
   FROM b WHERE gr = 1) t
 WHERE rank <= {TOPK}
+"""
+
+    # --- DSIR weights / Gumbel top-k sample ----------------------------------
+    _dsir_ctes = f"""
+t AS (SELECT doc_id, {raw_tok} AS toks FROM documents),
+g AS (SELECT doc_id, unnest(toks || CASE WHEN len(toks) >= 2 THEN
+        [toks[i] || ' ' || toks[i + 1]
+         for i in generate_series(1, len(toks) - 1)]
+      ELSE [] END) AS g
+      FROM t),
+f AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 10000 AS b
+      FROM g),
+cq AS (SELECT b, count(*)::DOUBLE AS cq FROM f GROUP BY b),
+cp AS (SELECT f.b, count(*)::DOUBLE AS cp
+       FROM f JOIN documents d USING (doc_id)
+       WHERE d.source = 'src7' GROUP BY f.b),
+tot AS (SELECT (SELECT sum(cq) FROM cq) AS tq,
+               (SELECT sum(cp) FROM cp) AS tp),
+lr AS (SELECT cq.b,
+              ln((coalesce(cp.cp, 0) + 1.0) / (tp + 10000.0))
+              - ln((cq.cq + 1.0) / (tq + 10000.0)) AS lr
+       FROM cq LEFT JOIN cp USING (b), tot),
+db AS (SELECT doc_id, b, count(*)::DOUBLE AS cnt FROM f
+       GROUP BY doc_id, b),
+w AS (SELECT db.doc_id, sum(db.cnt)::BIGINT AS n_feats,
+             sum(db.cnt * lr.lr) AS s
+      FROM db JOIN lr USING (b) GROUP BY db.doc_id)
+""".strip()
+    sql["dsir_weights"] = f"""
+WITH {_dsir_ctes}
+SELECT doc_id, n_feats, {round_half_up_sql('s', 6)} AS logw FROM w
+"""
+    sql["dsir_sample"] = f"""
+WITH {_dsir_ctes},
+keyed AS (
+  SELECT doc_id, n_feats,
+         {round_half_up_sql(
+             "s - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))"
+             "::BIGINT + 0.5) / 4294967296.0))", 6)} AS key
+  FROM w)
+SELECT doc_id, n_feats, key,
+       row_number() OVER (ORDER BY key DESC, doc_id)::INT AS rank
+FROM keyed ORDER BY key DESC, doc_id LIMIT 50
 """
 
     # --- suggest_terms (DirectSpellChecker over the term dictionary) ---------

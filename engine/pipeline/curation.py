@@ -237,6 +237,103 @@ def hash_sample(docs: DataFrame, rates: dict[str, float],
 
 
 # ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023,
+# arXiv:2302.03169 — the hashed n-gram feature recipe behind
+# domain-targeted pre-training data selection)
+# ---------------------------------------------------------------------------
+
+def _hashed_gram_features(docs: DataFrame, n_buckets: int,
+                          text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, b): one row per unigram/bigram OCCURRENCE, hashed into
+    ``n_buckets`` via md5's first 8 hex digits (the engine's
+    cross-engine-reproducible hash; same recipe as hash_sample)."""
+    toks = _tokens(F.col(text_col))
+    grams = F.concat(toks, ngrams_col(toks, 2))
+    return (docs
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(grams).alias("g"))
+            .select("doc_id",
+                    (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
+                     .cast("long") % n_buckets).alias("b")))
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame,
+                 n_buckets: int = 10_000, alpha: float = 1.0,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """DSIR importance log-weights: fit bag-of-hashed-ngrams
+    multinomials on the target set (p) and the raw corpus (q), then
+    score every raw doc by ``logw = Σ_grams (log p[h(g)] − log q[h(g)])``
+    — docs distributionally close to the target get high weight.
+
+    Divergence from the paper, documented: add-``alpha`` Laplace
+    smoothing over the bucket vocabulary instead of the paper's
+    uniform-mixture smoothing — same support-covering purpose, exactly
+    replicable in the DuckDB oracle.
+
+    Scale shape: two feature scans (raw + target), two bucket hash
+    aggs, and a per-(doc, bucket) agg joined against the ≤``n_buckets``-row
+    broadcast log-ratio table — nothing keyed wider than the bucket
+    space except the per-doc agg, which is map-side combinable. The
+    target side is the small one by construction (a hand-curated
+    domain sample), so at 100 TB the cost is one pass over the raw
+    corpus. Docs with zero features (empty text) emit no row.
+
+    Returns (doc_id, n_feats, logw) — logw UNROUNDED (callers rank on
+    a rounded copy per the house determinism rule).
+    """
+    raw = _hashed_gram_features(docs, n_buckets, text_col, id_col)
+    tgt = _hashed_gram_features(target, n_buckets, text_col, id_col)
+    cq = raw.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cq"))
+    cp = tgt.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cp"))
+    tots = (cq.agg(F.sum("cq").alias("tq"))
+            .crossJoin(cp.agg(F.sum("cp").alias("tp"))))
+    a, ab = float(alpha), float(alpha) * n_buckets
+    lr = (cq.join(cp, "b", "left").crossJoin(F.broadcast(tots))
+          .select("b",
+                  (F.log((F.coalesce(F.col("cp"), F.lit(0.0)) + a)
+                         / (F.col("tp") + ab))
+                   - F.log((F.col("cq") + a) / (F.col("tq") + ab)))
+                  .alias("lr")))
+    per_doc = raw.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"))
+    return (per_doc.join(F.broadcast(lr), "b")
+            .groupBy("doc_id")
+            .agg(F.sum("cnt").cast("long").alias("n_feats"),
+                 F.sum(F.col("cnt") * F.col("lr")).alias("logw")))
+
+
+def dsir_sample(docs: DataFrame, target: DataFrame, k: int,
+                n_buckets: int = 10_000, alpha: float = 1.0,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """DSIR's selection step: Gumbel top-k over the importance
+    weights (equivalent to sampling k docs without replacement with
+    probability ∝ exp(logw) — the paper's resampling), made
+    deterministic by drawing each doc's uniform from the md5 id hash.
+
+    The rank cut is ``orderBy(...).limit(k)`` — Catalyst compiles it
+    to TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows), so the global top-k never funnels the corpus through one
+    partition. Returns (doc_id, n_feats, key, rank) with the Gumbel
+    key rounded for cross-engine stability.
+    """
+    w = dsir_weights(docs, target, n_buckets, alpha, text_col, id_col)
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                 16, 10).cast("double") + F.lit(0.5))
+         / F.lit(4294967296.0))
+    key = round_half_up(F.col("logw") - F.log(-F.log(u)), 6)
+    ranked = (w.select("doc_id", "n_feats", key.alias("key"))
+              .orderBy(F.desc("key"), F.asc("doc_id")).limit(k))
+    from pyspark.sql import Window
+
+    # unpartitioned window is safe HERE: it runs on the k rows that
+    # survived the TakeOrderedAndProject, not on the corpus
+    wn = Window.orderBy(F.desc("key"), F.asc("doc_id"))
+    return ranked.withColumn("rank", F.row_number().over(wn))
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing (regex redaction)
 # ---------------------------------------------------------------------------
 
