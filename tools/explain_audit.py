@@ -41,7 +41,21 @@ BNLJ_OK = {"brute-force cosine top-k",
            "IVF-PQ ANN (coarse cells + residual ADC + rerank)",
            # Rocchio is exact-rerank by design: the broadcast side is
            # the handful of (possibly feedback-shifted) query vectors
-           "Rocchio vector PRF"}
+           "Rocchio vector PRF",
+           # the on-the-fly _bm25_scored oracle path crossJoins a
+           # 1-ROW broadcast stats relation (n, avgdl) — a BNLJ by
+           # plan shape, O(rows) by cost; the index path carries the
+           # same scalars in Index.stats instead. RRF additionally
+           # contains the whitelisted brute-force cosine sub-plan.
+           "RRF hybrid fusion (BM25 + dense cosine)",
+           "field collapsing (best per group, gate before cut)",
+           # DSIR crossJoins the 1-row (tq, tp) totals relation
+           "DSIR importance weights (broadcast log-ratio table)",
+           # the suggester's join is NON-EQUI by nature (length band +
+           # edit distance), against a broadcast of the FEW misspelled
+           # query terms — the distributed form of Lucene's per-query
+           # dictionary automaton walk
+           "spell suggestion (dictionary scan)"}
 
 
 def main() -> None:
@@ -156,6 +170,19 @@ def main() -> None:
              for f, w in (("title", 3.0), ("body", 1.0))], 10)
     plans["BM25 with Lucene 1-byte norms (parity mode)"] = \
         score_exhaustive(idx, qt, 10, norms="lucene")
+
+    # round-3 late additions: fusion / collapsing / suggestion / DSIR
+    from engine.fusion import collapse_topk, rrf_fuse
+    from engine.search import suggest_terms
+    qs = em.queries()
+    plans["RRF hybrid fusion (BM25 + dense cosine)"] = qs[
+        "hybrid_rrf_topk"](spark, sf_dir)
+    plans["field collapsing (best per group, gate before cut)"] = qs[
+        "collapsed_topk"](spark, sf_dir)
+    plans["spell suggestion (dictionary scan)"] = suggest_terms(
+        idx, em.SUGGEST_QUERIES)
+    plans["DSIR importance weights (broadcast log-ratio table)"] = \
+        curation.dsir_weights(docs, docs.where(F.col("source") == "src7"))
 
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
