@@ -88,6 +88,17 @@ WILDCARD_QUERIES: list[tuple[str, str]] = [
 MLT_SEEDS = [0, 1, 2]
 MLT_TERMS = 10
 
+# SynonymQuery groups (qid, [[group members]]): 'quick' and 'tabel'
+# are absent from the vocabulary — Lucene df-0 terms that must drop
+# out of both the per-doc tf sum and the blended df max.
+SYNONYM_QUERIES: list[tuple[str, list[list[str]]]] = [
+    ("sy1", [["merge", "join"], ["fast", "quick"]]),
+    ("sy2", [["window"], ["group", "agg"]]),
+    ("sy3", [["hash"], ["table", "tabel"]]),
+]
+SIGTERMS_N = 5       # significant_terms: top-n per query
+HIST_INTERVAL = 16   # facet_histogram: dl bucket width
+
 # Generic BooleanQuery clauses (qid, must, should, must_not) and the
 # remaining MultiTermQuery rewrites (RegexpQuery, TermRangeQuery)
 BOOLEAN_QUERIES: list[tuple[str, list[str], list[str], list[str]]] = [
@@ -1113,6 +1124,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _cached_index(spark, sf_dir)
         return _fc(idx, BM25_QUERIES, "lang", 3)
 
+    def significant_terms(spark, sf_dir):
+        """ES significant_terms agg (JLH): terms over-represented in
+        each query's matched doc set vs the corpus background."""
+        from engine.search import significant_terms as _st
+
+        idx = _cached_index(spark, sf_dir)
+        return _st(idx, BM25_QUERIES, SIGTERMS_N)
+
+    def facet_histogram(spark, sf_dir):
+        """ES histogram agg over analyzed doc length (occupied
+        buckets, width HIST_INTERVAL) per query's matched set."""
+        from engine.search import facet_histogram as _fh
+
+        idx = _cached_index(spark, sf_dir)
+        return _fh(idx, BM25_QUERIES, HIST_INTERVAL)
+
+    def synonym_topk(spark, sf_dir):
+        """Lucene SynonymQuery: per-group tf-sum + max-df blending,
+        groups OR-combined; absent members drop out."""
+        from engine.search import synonym_topk as _syn
+
+        idx = _cached_index(spark, sf_dir)
+        return _rounded_rerank(_syn(idx, SYNONYM_QUERIES, TOPK + 50), TOPK)
+
     def phrase_hits(spark, sf_dir):
         """Exact-phrase retrieval over the positional index
         (engine/positions.py; anchor-alignment plan, lead-gated)."""
@@ -1424,6 +1459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapsed_topk": collapsed_topk,
         "suggest_terms": suggest_terms,
         "dsir_weights": dsir_weights,
+        "significant_terms": significant_terms,
+        "facet_histogram": facet_histogram,
+        "synonym_topk": synonym_topk,
         # round-2's driver-unchecked 23 (VERDICT r2 item 1)
         "url_domains": url_domains,
         "curation_report": curation_report,
@@ -1744,6 +1782,71 @@ SELECT qid, value, n_docs, rank FROM (
              ORDER BY n_docs DESC, value)::INT AS rank
   FROM agg) t
 WHERE rank <= 3
+"""
+    _fgp = "(fg.fg_df::DOUBLE / fgn.fg_n::DOUBLE)"
+    _bgp = "(dfs.df::DOUBLE / stats.n)"
+    jlh6 = round_half_up_sql(f"({_fgp} - {_bgp}) * ({_fgp} / {_bgp})", 6)
+    sql["significant_terms"] = f"""
+WITH {fts},
+hits AS (
+  SELECT DISTINCT q.qid, tf.doc_id
+  FROM {_sql_values(BM25_QUERIES)} JOIN tf USING (term)),
+fgn AS (SELECT qid, count(DISTINCT doc_id)::BIGINT AS fg_n
+        FROM hits GROUP BY qid),
+fg AS (
+  SELECT h.qid, t.term, count(DISTINCT t.doc_id)::BIGINT AS fg_df
+  FROM hits h JOIN tf t ON t.doc_id = h.doc_id
+  GROUP BY h.qid, t.term),
+sc AS (
+  SELECT fg.qid, fg.term, fg.fg_df, dfs.df, {jlh6} AS score
+  FROM fg JOIN fgn USING (qid) JOIN dfs USING (term), stats
+  WHERE {_fgp} > {_bgp})
+SELECT qid, term, fg_df, df, score, rank FROM (
+  SELECT qid, term, fg_df, df, score,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY score DESC, term)::INT AS rank
+  FROM sc) t
+WHERE rank <= {SIGTERMS_N}
+ORDER BY qid, rank
+"""
+    sql["facet_histogram"] = f"""
+WITH {fts},
+hits AS (
+  SELECT DISTINCT q.qid, tf.doc_id
+  FROM {_sql_values(BM25_QUERIES)} JOIN tf USING (term)),
+bk AS (
+  SELECT h.qid,
+         ((dl.dl // {HIST_INTERVAL}) * {HIST_INTERVAL})::BIGINT AS bucket
+  FROM hits h JOIN dl ON dl.doc_id = h.doc_id)
+SELECT qid, bucket, count(*)::BIGINT AS n_docs
+FROM bk GROUP BY qid, bucket
+ORDER BY qid, bucket
+"""
+    syn_v = ", ".join(f"('{q}', {gi}, '{t}')"
+                      for q, groups in SYNONYM_QUERIES
+                      for gi, g in enumerate(groups) for t in sorted(set(g)))
+    syn_score = bm25_sql("g.tfs", "gdf.df", "dl.dl", "stats.avgdl", "stats.n")
+    sql["synonym_topk"] = f"""
+WITH {fts},
+syn(qid, gid, term) AS (VALUES {syn_v}),
+gdf AS (
+  SELECT s.qid, s.gid, max(dfs.df) AS df
+  FROM syn s JOIN dfs USING (term) GROUP BY s.qid, s.gid),
+gtf AS (
+  SELECT s.qid, s.gid, tf.doc_id, sum(tf.tf)::BIGINT AS tfs
+  FROM syn s JOIN tf USING (term) GROUP BY s.qid, s.gid, tf.doc_id),
+matched AS (
+  SELECT g.qid, g.doc_id, sum({syn_score}) AS s
+  FROM gtf g JOIN gdf USING (qid, gid)
+  JOIN dl ON g.doc_id = dl.doc_id, stats
+  GROUP BY g.qid, g.doc_id)
+SELECT qid, doc_id, {round_half_up_sql('s', 4)} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {round_half_up_sql('s', 4)} DESC, doc_id)::INT AS rank
+  FROM matched) t
+WHERE rank <= {TOPK}
+ORDER BY qid, rank
 """
     sql["shared_ngrams"] = f"""
 WITH tokd AS (SELECT doc_id, {raw_tok} AS t FROM documents),

@@ -1992,3 +1992,149 @@ def fuzzy_topk(index: Index, queries: Sequence[tuple[str, str]],
     """BM25 top-k for fuzzy queries (edit-distance term rewrite)."""
     return score_exhaustive(index,
                             expand_fuzzy_terms(index, queries, max_edits), k)
+
+
+def _matched_hits(index: Index, queries: Sequence[tuple[str, Sequence[str]]],
+                  ) -> DataFrame:
+    """Distinct (qid, doc_id) matched set (docs containing >=1 query
+    term), via the same bucket-pruned posting decode as scoring, with
+    tombstoned docs masked."""
+    qt = [(q, t, 1.0) for q, terms in queries for t in set(terms)]
+    dec = _matched_postings(index, qt).withColumn("d", decode_udf("blob"))
+    hits = (dec.select("qid", F.explode("d.doc_ids").alias("doc_id"))
+            .distinct())
+    return index.live(hits)
+
+
+def significant_terms(index: Index,
+                      queries: Sequence[tuple[str, Sequence[str]]],
+                      n: int) -> DataFrame:
+    """Significant-terms aggregation (the Elasticsearch
+    ``significant_terms`` bucket agg; reference delegates search to the
+    Lucene stack this agg ships with). For each query, the terms most
+    over-represented in the MATCHED doc set relative to the corpus,
+    scored by the ES JLH heuristic:
+
+        jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+
+    with fg_pct = fg_df / |foreground| and bg_pct = df / N. Only
+    over-represented terms (fg_pct > bg_pct) qualify; the query terms
+    themselves are not excluded (ES default — they rank, trivially).
+    Deterministic rank: 6dp-rounded score desc, term asc.
+
+    Scale: the foreground (qid, doc) set equi-joins the doc-bucketed
+    forward tf table on doc_id (file-pruned parquet at cluster scale),
+    the per-(qid, term) fg_df agg is map-side combinable, the per-query
+    foreground sizes broadcast (|queries| rows), and the candidate
+    terms equi-join termstats on term — no second corpus pass: the
+    background model IS the already-built termstats table.
+    Returns (qid, term, fg_df, df, score, rank) ordered by qid, rank.
+    """
+    from .portable import round_half_up
+
+    hits = _matched_hits(index, queries)
+    p = _paths(index.index_dir)
+    tfw = index.spark.read.parquet(p["tf"]).select("doc_id", "term")
+    fg = (hits.join(tfw, "doc_id")
+          .groupBy("qid", "term")
+          .agg(F.count_distinct("doc_id").alias("fg_df")))
+    fg_n = hits.groupBy("qid").agg(F.count_distinct("doc_id").alias("fg_n"))
+    cand = (fg.join(F.broadcast(fg_n), "qid")
+            .join(index.termstats.select("term", "df"), "term"))
+    fg_pct = F.col("fg_df").cast("double") / F.col("fg_n").cast("double")
+    bg_pct = F.col("df").cast("double") / F.lit(float(index.n_docs))
+    jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    scored = (cand.where(fg_pct > bg_pct)
+              .select("qid", "term", "fg_df", "df",
+                      round_half_up(jlh, 6).alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= n)
+            .select("qid", "term", "fg_df", "df", "score", "rank")
+            .orderBy("qid", "rank"))
+
+
+def facet_histogram(index: Index,
+                    queries: Sequence[tuple[str, Sequence[str]]],
+                    interval: int) -> DataFrame:
+    """Histogram facet (the Elasticsearch ``histogram`` agg / Lucene
+    LongRange facets) over analyzed document length: bucket =
+    floor(dl / interval) * interval, counting matched docs per bucket.
+    Divergence doc'd: only OCCUPIED buckets are returned
+    (min_doc_count=1 in ES terms) — emitting empty buckets between min
+    and max is a driver-side densify over a tiny result, not a data
+    question. dl derives from the forward tf table (sum of tf — the
+    same stat the build computes for avgdl), so the facet source is
+    index-resident: one doc-bucketed join, one map-side-combinable agg,
+    output rows = |queries| x occupied buckets.
+    Returns (qid, bucket, n_docs) ordered by qid, bucket.
+    """
+    hits = _matched_hits(index, queries)
+    p = _paths(index.index_dir)
+    dl = (index.spark.read.parquet(p["tf"])
+          .groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+    b = (F.floor(F.col("dl") / F.lit(int(interval))) *
+         F.lit(int(interval))).cast("long")
+    buckets = hits.join(dl, "doc_id").select("qid", b.alias("bucket"))
+    return (buckets.groupBy("qid", "bucket")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("qid", "bucket"))
+
+
+def synonym_topk(index: Index,
+                 queries: Sequence[tuple[str, Sequence[Sequence[str]]]],
+                 k: int, k1: float | None = None,
+                 b: float | None = None) -> DataFrame:
+    """Lucene SynonymQuery analog: the terms inside a group score as
+    ONE pseudo-term — per-doc tf is the SUM over member terms and df is
+    the MAX member df (SynonymQuery's docFreq blending; public Lucene
+    semantics) — so synonyms never multiply idf the way a plain OR of
+    the members would. Groups then combine as an unweighted OR sum,
+    exactly a BooleanQuery of SynonymQuery clauses (the shape analyzer
+    synonym graphs emit). Members absent from the vocabulary drop out
+    of both the tf sum and the df max, like Lucene terms with
+    docFreq 0.
+
+    Plan: member postings decode through the same bucket-pruned
+    broadcast join as scoring, re-key to (qid, gid, doc) for the
+    map-side-combinable tf-sum, and the blended-df table (|groups|
+    rows) broadcasts. Exhaustive-class by design (it is the correctness
+    oracle path); the generalized block-max kernel could take a merged
+    member list as one posting list whose bound uses the blended df —
+    the documented pruned-path extension.
+    Returns (qid, doc_id, score, rank) ordered by qid, rank.
+    """
+    rows = [(qid, gi, t) for qid, groups in queries
+            for gi, g in enumerate(groups) for t in sorted(set(g))]
+    gterms = index.spark.createDataFrame(
+        rows, "qid string, gid int, term string")
+    buckets = index.term_buckets([t for _, _, t in rows])
+    post = (index.postings
+            .where(F.col("bucket").isin(buckets))
+            .join(F.broadcast(gterms), "term"))
+    dec = post.withColumn("d", decode_udf("blob"))
+    ex = (dec.select(
+            "qid", "gid",
+            F.explode(F.arrays_zip("d.doc_ids", "d.tfs", "d.dls")).alias("e"))
+          .select("qid", "gid",
+                  F.col("e.doc_ids").alias("doc_id"),
+                  F.col("e.tfs").alias("tf"),
+                  F.col("e.dls").alias("dl")))
+    ex = index.live(ex)
+    grouped = (ex.groupBy("qid", "gid", "doc_id")
+               .agg(F.sum("tf").alias("tfs"), F.max("dl").alias("dl")))
+    gdf = (index.termstats.select("term", "df")
+           .join(F.broadcast(gterms), "term")
+           .groupBy("qid", "gid").agg(F.max("df").alias("df")))
+    sc = grouped.join(F.broadcast(gdf), ["qid", "gid"]).withColumn(
+        "pscore",
+        bm25_col(F.col("tfs"), F.col("df"), F.col("dl"),
+                 index.avgdl, float(index.n_docs),
+                 k1 if k1 is not None else index.stats["k1"],
+                 b if b is not None else index.stats["b"]))
+    agg = sc.groupBy("qid", "doc_id").agg(F.sum("pscore").alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", "score", "rank")
+            .orderBy("qid", "rank"))
