@@ -185,3 +185,180 @@ def fielded_topk_wand(field_indexes: Mapping[str, Index],
             .where(F.col("rank") <= k)
             .select("qid", "doc_id", "score", "rank")
             .orderBy("qid", "rank"))
+
+
+def _field_scored(field_indexes: Mapping[str, Index],
+                  queries: FieldedQuery) -> list[DataFrame]:
+    """Per-field scored rows (qid, field, doc_id, pscore): each clause
+    decoded from ITS field index and BM25-scored against that field's
+    statistics, liveDocs = union of every field's tombstones (shared
+    with fielded_topk's semantics — a deleted doc is dead in all
+    fields).  One bucket-pruned broadcast-join scan per field."""
+    from functools import reduce as _reduce
+
+    tombs = [ix.tombstones for ix in field_indexes.values()
+             if ix.tombstones is not None]
+    all_dead = (_reduce(lambda a, b: a.unionByName(b), tombs).distinct()
+                if tombs else None)
+    parts = []
+    for fname, idx in field_indexes.items():
+        fq = [(q, t, w) for q, f, t, w in queries if f == fname]
+        if not fq:
+            continue
+        matched = idx.postings \
+            .where(F.col("bucket").isin(idx.term_buckets(
+                [t for _, t, _ in fq]))) \
+            .join(F.broadcast(_query_df(idx.spark, fq)), "term")
+        dec = matched.withColumn("d", decode_udf("blob"))
+        rows = dec.select(
+            "qid", "term", "weight",
+            F.explode(F.arrays_zip("d.doc_ids", "d.tfs", "d.dls"))
+            .alias("e"),
+        ).select(
+            "qid", "term", "weight",
+            F.col("e.doc_ids").alias("doc_id"),
+            F.col("e.tfs").alias("tf"),
+            F.col("e.dls").alias("dl"),
+        )
+        if all_dead is not None:
+            rows = rows.join(F.broadcast(all_dead), "doc_id", "left_anti")
+        ts = idx.termstats.select("term", "df")
+        rows = rows.join(F.broadcast(
+            ts.join(_query_df(idx.spark, fq).select("term").distinct(),
+                    "term")), "term")
+        pscore = F.col("weight") * bm25_col(
+            F.col("tf"), F.col("df"), F.col("dl"),
+            idx.avgdl, float(idx.n_docs),
+            idx.stats["k1"], idx.stats["b"])
+        parts.append(rows.select("qid", F.lit(fname).alias("field"),
+                                 "doc_id", pscore.alias("pscore")))
+    return parts
+
+
+def dismax_topk(field_indexes: Mapping[str, Index],
+                queries: FieldedQuery, k: int,
+                tie_breaker: float = 0.0) -> DataFrame:
+    """Lucene ``DisjunctionMaxQuery`` over per-field sub-queries (the
+    Elasticsearch ``multi_match`` *best_fields* mode, its default):
+
+        score(doc) = max_f score_f(doc)
+                   + tie_breaker · Σ_{other matching f} score_f(doc)
+
+    where ``score_f`` is the clause-summed per-field BM25 of
+    :func:`fielded_topk` (each field scored against ITS OWN df / dl /
+    avgdl / N, Lucene's per-field similarity).  Fields with no match
+    for a doc contribute nothing — DisMax maxes over the *matching*
+    sub-scorers only (DisjunctionMaxQuery.DisjunctionMaxWeight).
+
+    Plan shape: the per-field scans of :func:`fielded_topk` (bucket-
+    pruned broadcast joins, parallel across fields), then ONE extra
+    per-(qid, doc) hash aggregate computing max and sum together —
+    same shuffle count as the boosted-sum path, so the 100 TB story is
+    unchanged.  Returns (qid, doc_id, score, rank).
+    """
+    parts = _field_scored(field_indexes, queries)
+    assert parts, "no queried field has an index"
+    rows = reduce(lambda a, b: a.unionByName(b), parts)
+    per_field = (rows.groupBy("qid", "doc_id", "field")
+                 .agg(F.sum("pscore").alias("fscore")))
+    agg = per_field.groupBy("qid", "doc_id").agg(
+        (F.max("fscore")
+         + F.lit(float(tie_breaker))
+         * (F.sum("fscore") - F.max("fscore"))).alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", "score", "rank")
+            .orderBy("qid", "rank"))
+
+
+def combined_fields_topk(field_indexes: Mapping[str, Index],
+                         queries: Sequence[tuple[str, Sequence[str]]],
+                         field_weights: Mapping[str, float],
+                         k: int) -> DataFrame:
+    """Elasticsearch ``combined_fields`` query (the principled BM25F
+    simplification of Robertson, Zaragoza & Taylor, CIKM 2004: merge
+    fields into one pseudo-field BEFORE saturation, instead of
+    summing per-field saturated scores):
+
+        tf'(t, d)  = Σ_f w_f · tf_f(t, d)
+        dl'(d)     = Σ_f w_f · dl_f(d)
+        avgdl'     = mean_d dl'(d)      (over ALL docs, absent = 0)
+        df'(t)     = |{d : t appears in ANY field of d}|
+        score      = Σ_t BM25(tf', df', dl', avgdl', N)
+
+    Term-centric, so a term matching weakly in many fields saturates
+    once (the BM25F property per-field boosting can't express).  Like
+    ES, all fields must share one analyzer — asserted here via
+    ``analyzer_opts()``.
+
+    Plan shape: query-term tf rows come from the fields' forward tf
+    tables (bucket-pruned scans + broadcast query join — same cost
+    class as a postings decode of the query terms); dl' is a two-int-
+    column scan of each forward table aggregated per doc (at 100 TB
+    this is the one full-table pass — it is columnar, combinable
+    map-side, and in a production index would be precomputed next to
+    avgdl at build time, as Lucene stores norms); df' is a distinct
+    count over the already-pruned query-term rows.  liveDocs = union
+    of the field indexes' tombstones.  Returns (qid, doc_id, score,
+    rank).
+    """
+    from functools import reduce as _reduce
+
+    from .index_build import _paths
+    from .scoring import bm25_col as _bm25
+
+    idxs = list(field_indexes.values())
+    assert idxs, "at least one field index required"
+    a0 = idxs[0].analyzer_opts()
+    assert all(ix.analyzer_opts() == a0 for ix in idxs), \
+        "combined_fields requires one shared analyzer across fields"
+    spark = idxs[0].spark
+    n_docs = float(max(ix.n_docs for ix in idxs))
+    k1, b = idxs[0].stats["k1"], idxs[0].stats["b"]
+
+    terms = sorted({t for _, ts in queries for t in ts})
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in queries for t in ts], "qid string, term string")
+
+    tombs = [ix.tombstones for ix in idxs if ix.tombstones is not None]
+    all_dead = (_reduce(lambda a, b: a.unionByName(b), tombs).distinct()
+                if tombs else None)
+
+    tf_parts, dl_parts = [], []
+    for fname, idx in field_indexes.items():
+        wf = float(field_weights.get(fname, 1.0))
+        fwd = spark.read.parquet(_paths(idx.index_dir)["tf"])
+        tf_parts.append(
+            fwd.where(F.col("bucket").isin(idx.term_buckets(terms)))
+            .where(F.col("term").isin(terms))
+            .select("term", "doc_id",
+                    (F.lit(wf) * F.col("tf")).alias("wtf")))
+        dl_parts.append(
+            fwd.select("doc_id", "dl").distinct()
+            .select("doc_id", (F.lit(wf) * F.col("dl")).alias("wdl")))
+    matched = reduce(lambda a, b: a.unionByName(b), tf_parts)
+    if all_dead is not None:
+        matched = matched.join(F.broadcast(all_dead), "doc_id",
+                               "left_anti")
+    tfc = (matched.groupBy("term", "doc_id")
+           .agg(F.sum("wtf").alias("tfc")))
+    dfc = tfc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("dfc"))
+    dlc = (reduce(lambda a, b: a.unionByName(b), dl_parts)
+           .groupBy("doc_id").agg(F.sum("wdl").alias("dlc")))
+    # avgdl' over ALL docs: absent-from-every-field docs count as 0
+    avgdl_c = (dlc.agg(F.sum("dlc").alias("s")).collect()[0]["s"]
+               or 0.0) / max(n_docs, 1.0)
+    rows = (tfc.join(F.broadcast(qt), "term")
+            .join(F.broadcast(dfc), "term")
+            .join(dlc, "doc_id"))
+    pscore = _bm25(F.col("tfc"), F.col("dfc"), F.col("dlc"),
+                   avgdl_c, n_docs, k1, b)
+    agg = (rows.select("qid", "doc_id", pscore.alias("p"))
+           .groupBy("qid", "doc_id").agg(F.sum("p").alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", "score", "rank")
+            .orderBy("qid", "rank"))

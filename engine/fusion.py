@@ -79,6 +79,58 @@ def rrf_fuse(rankings: Sequence[DataFrame], k: int = RRF_K,
     return out
 
 
+def decay_multiply(scored: DataFrame, doc_values: DataFrame,
+                   origin: float, scale: float, offset: float = 0.0,
+                   decay: float = 0.5, kind: str = "gauss",
+                   id_col: str = "doc_id", value_col: str = "value",
+                   score_col: str = "s") -> DataFrame:
+    """Elasticsearch ``function_score`` decay composition: multiply a
+    relevance score by a distance decay on a stored numeric doc value
+    (the recency/geo boost every production search deployment layers
+    on BM25; Lucene exposes the same shape via
+    ``FunctionScoreQuery``).
+
+    ``d = max(0, |value - origin| - offset)`` and the multiplier is
+
+    * ``gauss``: ``exp(d² · ln(decay) / scale²)`` — ES's
+      ``exp(-d²/2σ²)`` with ``σ² = -scale²/(2·ln decay)`` folded in;
+    * ``exp``:   ``exp(d · ln(decay) / scale)``;
+    * ``linear``: ``max(0, (s - d) / s)`` with ``s = scale/(1-decay)``.
+
+    All three satisfy multiplier(origin±offset) = 1 and
+    multiplier(origin±(offset+scale)) = decay, the ES contract.
+    Docs with a NULL / missing value keep multiplier 1 (ES's
+    ``missing`` default of the origin).  Pure Catalyst projection on
+    the scored set — the join broadcasts when doc_values is a stored
+    column fetch, and nothing reshuffles: the (qid, doc) keying of
+    ``scored`` is preserved.
+
+    Returns (qid, id_col, score) with score = raw · multiplier,
+    unrounded (callers rank with the house rounded-rerank rule).
+    """
+    import math
+
+    assert kind in ("gauss", "exp", "linear"), kind
+    assert 0.0 < decay < 1.0 and scale > 0.0
+    joined = scored.join(doc_values.select(id_col, value_col),
+                         id_col, "left")
+    d = F.greatest(
+        F.lit(0.0),
+        F.abs(F.col(value_col).cast("double") - F.lit(float(origin)))
+        - F.lit(float(offset)))
+    ln_decay = math.log(decay)
+    if kind == "gauss":
+        mult = F.exp(d * d * F.lit(ln_decay / (scale * scale)))
+    elif kind == "exp":
+        mult = F.exp(d * F.lit(ln_decay / scale))
+    else:
+        s = scale / (1.0 - decay)
+        mult = F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+    mult = F.when(F.col(value_col).isNull(), F.lit(1.0)).otherwise(mult)
+    return joined.select(
+        "qid", id_col, (F.col(score_col) * mult).alias("score"))
+
+
 def collapse_topk(scored: DataFrame, groups: DataFrame, k: int,
                   per_group: int = 1, id_col: str = "doc_id",
                   group_col: str = "group", score_col: str = "s",

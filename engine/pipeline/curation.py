@@ -405,3 +405,78 @@ def domain_filter(docs: DataFrame, blocklist: list[str],
         urls, lambda u: F.regexp_extract(u, DOMAIN_RE, 1)))
     bl = F.array(*[F.lit(d) for d in sorted(set(blocklist))])
     return docs.where(F.size(F.array_intersect(doms, bl)) == 0)
+
+
+def line_dedup(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_docs: int = 2,
+               chunk_tokens: int | None = None) -> DataFrame:
+    """Cross-document duplicate-line removal (the CCNet / RefinedWeb
+    first-stage cleaner: a line that appears verbatim in ``min_docs``
+    or more documents is boilerplate — headers, footers, nav bars,
+    license banners — and is dropped from EVERY document; unique lines
+    survive).  ``chunk_tokens`` switches the unit from newline-split
+    lines to fixed-size whitespace-token chunks for corpora without
+    line structure (the unit definition is the only difference — the
+    dedup itself is identical).
+
+    Plan shape at 100 TB (the published CCNet plan): explode to unit
+    rows, ONE hash aggregate on the unit's md5 counting distinct
+    containing docs (map-side combinable; the 8-byte digest is the
+    join key, never the raw line), a join back on the digest, and ONE
+    per-doc re-assembly aggregate ordered by unit position.  Two
+    shuffles total, both keyed by hash — no skew beyond genuinely
+    viral lines, which is exactly the boilerplate being removed.
+
+    Within-document repeats of a unit that no OTHER doc contains are
+    kept (min_docs counts DISTINCT documents, per CCNet).  Every input
+    doc appears in the output, even if all its units were removed.
+
+    Returns (id_col, n_units, n_removed, clean_hash) where clean_hash
+    is md5 of the surviving text (units re-joined in original order) —
+    the scrubbed corpus itself would be row-per-doc output; hashing
+    keeps the oracle comparison value-stable.
+    """
+    sep = " " if chunk_tokens else "\n"
+    if chunk_tokens:
+        w = int(chunk_tokens)
+        toks = docs.select(
+            id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("t"))
+        toks = toks.select(id_col, F.filter(
+            F.col("t"), lambda x: x != F.lit("")).alias("t"))
+        n = F.size("t")
+        units_col = F.when(n > 0, F.transform(
+            F.sequence(F.lit(0), F.ceil(n / F.lit(w)).cast("int") - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("t"), i * w + 1, w), " "))
+        ).otherwise(F.array().cast("array<string>"))
+        base = toks.select(id_col, units_col.alias("units"))
+    else:
+        base = docs.select(
+            id_col,
+            F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda x: F.trim(x) != F.lit("")).alias("units"))
+    rows = base.select(id_col, F.size("units").alias("n_units"),
+                       F.posexplode("units").alias("pos", "unit"))
+    rows = rows.withColumn("h", F.md5("unit"))
+    counts = (rows.groupBy("h")
+              .agg(F.count_distinct(F.col(id_col)).alias("nd")))
+    kept = (rows.join(counts, "h")
+            .where(F.col("nd") < min_docs))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "unit"))),
+                            lambda s: s["unit"]),
+                        sep).alias("clean")))
+    out = (base.select(id_col, F.size("units").cast("long")
+                       .alias("n_units"))
+           .join(rebuilt, id_col, "left")
+           .select(
+               id_col, "n_units",
+               (F.col("n_units")
+                - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+               F.md5(F.coalesce(F.col("clean"), F.lit("")))
+               .alias("clean_hash")))
+    return out

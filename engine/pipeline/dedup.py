@@ -310,3 +310,93 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                         F.col("label").alias("component"))
     out._cc_labels = labels  # cleanup handle (caller may unpersist)
     return out
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram,
+    slide a ``window``-hash window over the sequence, and keep each
+    window's MINIMUM hash.  The guarantee: any shared run of
+    ``k + window − 1`` tokens between two documents yields at least
+    one shared fingerprint, so fingerprint overlap detects LOCAL
+    copied passages (code plagiarism, boilerplate, quoted blocks) that
+    whole-document MinHash dilutes away.  Divergence from the paper's
+    "robust winnowing" (rightmost-minimum, skip-if-same-as-previous):
+    we keep the DISTINCT set of window minima — same selection
+    guarantee and density bound 2/(window+1), but stateless, so the
+    plan is a pure window-function aggregate both here and in the SQL
+    oracle.
+
+    Plan shape at 100 TB: token/k-gram construction is the O(tokens)
+    shifted-slice zip (never element_at — CLAUDE.md trap), the window
+    min shuffles once on ``id_col``, and output is ≤ 2/(window+1) ·
+    tokens rows per doc.  Documents shorter than ``k`` tokens have no
+    k-grams and emit no fingerprints (both engines agree).  Docs with
+    fewer than ``window`` k-grams emit their global minimum (the
+    backward-looking window at the last gram covers the whole doc).
+
+    Returns distinct (id_col, fp:long).
+    """
+    from pyspark.sql import Window as W
+
+    from .curation import ngrams_col
+
+    toks = docs.select(id_col, _tokens(F.col(text_col)).alias("t"))
+    # materialize the gram array BEFORE size/posexplode (builder
+    # pattern: a combined select re-plants the construction above the
+    # Generate — CLAUDE.md round-3 pitfall)
+    grams = toks.select(id_col, ngrams_col(F.col("t"), k).alias("g"))
+    rows = grams.select(
+        id_col, F.size("g").alias("ng"),
+        F.posexplode("g").alias("pos", "gram"))
+    h = rows.select(id_col, "ng", "pos",
+                    _hash32(F.col("gram")).alias("hv"))
+    wspec = (W.partitionBy(id_col).orderBy("pos")
+             .rowsBetween(-(window - 1), 0))
+    wm = h.withColumn("wmin", F.min("hv").over(wspec))
+    sel = wm.where((F.col("pos") >= window - 1)
+                   | (F.col("pos") == F.col("ng") - 1))
+    return sel.select(id_col, F.col("wmin").alias("fp")).distinct()
+
+
+def winnow_pairs(fps: DataFrame, id_col: str = "doc_id",
+                 min_jaccard: float = 0.5,
+                 max_fp_docs: int | None = None) -> DataFrame:
+    """Near-dup pairs from winnowing fingerprints: equi-join documents
+    on shared fingerprints, then exact Jaccard over fingerprint sets.
+    The MOSS pair-detection stage, shaped like the banded-LSH join —
+    candidates come only from hash-equal buckets, nothing quadratic
+    across the corpus.
+
+    ``max_fp_docs`` drops fingerprints appearing in more documents
+    than the cap before the self-join — MOSS deployments do exactly
+    this to stop boilerplate fingerprints from creating O(n²) bucket
+    blowups; at 100 TB this cap is what bounds the join (same role as
+    LSH band-bucket size limits).
+
+    Returns (doc_a, doc_b, shared, jaccard) with doc_a < doc_b,
+    jaccard unrounded (callers round per the house oracle rule).
+    """
+    if max_fp_docs is not None:
+        hot = (fps.groupBy("fp")
+               .agg(F.count(F.lit(1)).alias("nd"))
+               .where(F.col("nd") > max_fp_docs)
+               .select("fp"))
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    pairs = (a.join(b, "fp")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("shared")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    out = (pairs.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("jaccard",
+                       F.col("shared")
+                       / (F.col("na") + F.col("nb") - F.col("shared"))))
+    return (out.where(F.col("jaccard") >= min_jaccard)
+            .select("doc_a", "doc_b", "shared", "jaccard"))

@@ -1527,6 +1527,34 @@ def suggest_terms(index: Index, queries: Sequence[tuple[str, str]],
             .where(F.col("rank") <= n))
 
 
+def complete_prefix(index: Index, queries: Sequence[tuple[str, str]],
+                    n: int = 10) -> DataFrame:
+    """Autocomplete / completion suggester (the dictionary half of
+    Elasticsearch's ``completion`` suggester and Lucene's
+    ``PrefixCompletionQuery``: enumerate dictionary entries under a
+    prefix, ranked by a stored weight — here df, the corpus-popularity
+    default): for each (qid, prefix), the top-``n`` vocabulary terms
+    starting with the prefix, ranked df desc then term asc.
+
+    Plan shape: a termstats scan pre-pruned to the prefixes'
+    [p, next(p)) ranges, which the sorted-dictionary layout turns into
+    parquet file/row-group pruning (_prefix_range_filter — the
+    distributed analog of an FST prefix walk), then a broadcast join
+    against the tiny prefix list and a qid-partitioned rank window.
+    Never touches postings.  Returns (qid, term, df, rank).
+    """
+    qdf = index.spark.createDataFrame(list(queries),
+                                      "qid string, prefix string")
+    ts = _prefix_range_filter(index.termstats.select("term", "df"),
+                              [p for _, p in queries])
+    cand = (ts.join(F.broadcast(qdf),
+                    F.col("term").startswith(F.col("prefix")))
+            .select("qid", "term", "df"))
+    w = Window.partitionBy("qid").orderBy(F.desc("df"), F.asc("term"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= n))
+
+
 def count_matches(index: Index,
                   queries: Sequence[tuple[str, Sequence[str]]]) -> DataFrame:
     """``IndexSearcher.count(query)`` analog: the number of distinct

@@ -1,0 +1,289 @@
+"""Round-3 extension operators: DisMax, combined_fields (BM25F),
+completion suggester, function_score decay, cross-doc line dedup,
+winnowing fingerprints (MOSS)."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.index_build import build_index
+from engine.search import Index
+
+
+def bm25(tf, df, dl, avgdl, n, k1=1.2, b=0.75):
+    # house formula: Lucene >= 8 WITHOUT the rank-neutral (k1+1)
+    # numerator (engine/scoring.py docstring)
+    idf = math.log1p((n - df + 0.5) / (df + 0.5))
+    return idf * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def _corpus(spark, texts):
+    return spark.createDataFrame(
+        [(f"org/r{i}", f"f{i}.py", "c" * 12, "python", t)
+         for i, t in enumerate(texts)],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+
+
+@pytest.fixture(scope="module")
+def field_indexes(spark, tmp_path_factory):
+    titles = ["apple pie", "banana split", "apple tart"]
+    bodies = ["apple apple banana filling baked", "banana cream only",
+              "cherry base with apple pieces inside"]
+    base = tmp_path_factory.mktemp("dmx")
+    pt, pb = str(base / "ft"), str(base / "fb")
+    build_index(spark, _corpus(spark, titles), pt,
+                n_buckets=2, n_doc_buckets=4)
+    build_index(spark, _corpus(spark, bodies), pb,
+                n_buckets=3, n_doc_buckets=4)
+    it, ib = Index(spark, pt), Index(spark, pb)
+    id2 = {r["docno"]: r["doc_id"] for r in
+           it.docs.select("doc_id", "docno").collect()}
+    return it, ib, id2
+
+
+def test_dismax_hand_computed(spark, field_indexes):
+    """DisjunctionMaxQuery: max field score + tie·(sum − max); a field
+    with no match contributes nothing (matching sub-scorers only)."""
+    from engine.fields import dismax_topk, fielded_topk
+
+    it, ib, id2 = field_indexes
+    q = [("q", "title", "apple", 1.0), ("q", "body", "apple", 1.0)]
+    out = {r["doc_id"]: r["score"]
+           for r in dismax_topk({"title": it, "body": ib}, q, 10,
+                                tie_breaker=0.3).collect()}
+    n = 3
+    ts = {id2["org/r0/f0.py"]: bm25(1, 2, 2, it.avgdl, n),
+          id2["org/r2/f2.py"]: bm25(1, 2, 2, it.avgdl, n)}
+    bs = {id2["org/r0/f0.py"]: bm25(2, 2, 5, ib.avgdl, n),
+          id2["org/r2/f2.py"]: bm25(1, 2, 5, ib.avgdl, n)}
+    want = {d: max(ts[d], bs[d]) + 0.3 * (ts[d] + bs[d] - max(ts[d], bs[d]))
+            for d in ts}
+    assert set(out) == set(want)
+    for d in want:
+        assert out[d] == pytest.approx(want[d], abs=1e-12)
+    # tie_breaker=1.0 degenerates to the boosted-sum (fielded) ranking
+    dm1 = {r["doc_id"]: r["score"]
+           for r in dismax_topk({"title": it, "body": ib}, q, 10,
+                                tie_breaker=1.0).collect()}
+    ft = {r["doc_id"]: r["score"]
+          for r in fielded_topk({"title": it, "body": ib}, q, 10)
+          .collect()}
+    assert set(dm1) == set(ft)
+    for d in ft:
+        assert dm1[d] == pytest.approx(ft[d], abs=1e-12)
+
+
+def test_dismax_single_field_match(spark, field_indexes):
+    """A doc matching in only one field scores exactly that field's
+    score (no tie contribution from a non-matching field)."""
+    from engine.fields import dismax_topk
+
+    it, ib, id2 = field_indexes
+    # 'cherry' appears only in body r2
+    q = [("q", "title", "cherry", 1.0), ("q", "body", "cherry", 1.0)]
+    out = {r["doc_id"]: r["score"]
+           for r in dismax_topk({"title": it, "body": ib}, q, 10,
+                                tie_breaker=0.5).collect()}
+    d = id2["org/r2/f2.py"]
+    assert set(out) == {d}
+    assert out[d] == pytest.approx(bm25(1, 1, 5, ib.avgdl, 3), abs=1e-12)
+
+
+def test_combined_fields_hand_computed(spark, field_indexes):
+    """ES combined_fields / simplified BM25F: per-term merge BEFORE
+    saturation — tf' = Σ w_f tf_f, dl' = Σ w_f dl_f, avgdl' over all
+    docs, df' = docs matching in ANY field."""
+    from engine.fields import combined_fields_topk
+
+    it, ib, id2 = field_indexes
+    out = {r["doc_id"]: r["score"]
+           for r in combined_fields_topk(
+               {"title": it, "body": ib}, [("q", ["apple"])],
+               {"title": 2.0, "body": 1.0}, 10).collect()}
+    # analyzed per-field lengths: titles [2,2,2]; bodies [5,3,5]
+    # ("with" is a stopword in body r2)
+    tdl, bdl = [2, 2, 2], [5, 3, 5]
+    dlc = [2.0 * t + 1.0 * bb for t, bb in zip(tdl, bdl)]
+    avgdl = sum(dlc) / 3
+    # apple: title tf [1,0,1], body tf [2,0,1] → df' = 2 (r0, r2)
+    tfc = {0: 2.0 * 1 + 1.0 * 2, 2: 2.0 * 1 + 1.0 * 1}
+    want = {id2[f"org/r{i}/f{i}.py"]: bm25(tfc[i], 2, dlc[i], avgdl, 3)
+            for i in tfc}
+    assert set(out) == set(want)
+    for d in want:
+        assert out[d] == pytest.approx(want[d], abs=1e-12)
+
+
+def test_complete_prefix_ranking(spark, tiny_index):
+    """Completion suggester: top-n dictionary terms under each prefix,
+    df desc then term asc — verified against the full termstats."""
+    from engine.search import complete_prefix
+
+    ts = {r["term"]: r["df"] for r in
+          tiny_index.termstats.select("term", "df").collect()}
+    out = complete_prefix(tiny_index, [("c1", "s"), ("c2", "ba")],
+                          n=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["qid"], []).append((r["rank"], r["term"], r["df"]))
+    for qid, pref in (("c1", "s"), ("c2", "ba")):
+        want = sorted((t for t in ts if t.startswith(pref)),
+                      key=lambda t: (-ts[t], t))[:3]
+        rows = sorted(got.get(qid, []))
+        assert [t for _, t, _ in rows] == want
+        assert all(df == ts[t] for _, t, df in rows)
+
+
+def test_decay_multiply_contract(spark):
+    """ES decay contract: mult(origin±offset)=1,
+    mult(origin±(offset+scale))=decay, for all three kinds; NULL
+    value → multiplier 1 (ES `missing` default)."""
+    from engine.fusion import decay_multiply
+
+    scored = spark.createDataFrame(
+        [("q", i, 2.0) for i in range(5)], "qid string, doc_id int, s double")
+    vals = spark.createDataFrame(
+        [(0, 100.0), (1, 110.0), (2, 160.0), (3, 210.0)],
+        "doc_id int, value double")  # doc 4 has no value
+    for kind in ("gauss", "exp", "linear"):
+        out = {r["doc_id"]: r["score"] for r in decay_multiply(
+            scored, vals, origin=100.0, scale=50.0, offset=10.0,
+            decay=0.5, kind=kind).collect()}
+        assert out[0] == pytest.approx(2.0, abs=1e-12)   # at origin
+        assert out[1] == pytest.approx(2.0, abs=1e-12)   # inside offset
+        assert out[2] == pytest.approx(1.0, abs=1e-12)   # decay point
+        assert out[4] == pytest.approx(2.0, abs=1e-12)   # missing → 1
+    # gauss vs exp shapes at the far point
+    far = {k: {r["doc_id"]: r["score"] for r in decay_multiply(
+        scored, vals, 100.0, 50.0, 10.0, 0.5, k).collect()}[3]
+        for k in ("gauss", "exp", "linear")}
+    assert far["gauss"] == pytest.approx(2.0 * 0.5 ** 4, abs=1e-12)
+    assert far["exp"] == pytest.approx(2.0 * 0.25, abs=1e-12)
+    assert far["linear"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_line_dedup_lines(spark):
+    """Duplicate lines across docs are dropped from every doc; unique
+    lines survive; within-doc repeats of a doc-unique line are kept;
+    blank lines are ignored as units."""
+    from engine.pipeline.curation import line_dedup
+
+    docs = spark.createDataFrame([
+        (0, "COPYRIGHT BANNER\nalpha beta\ngamma"),
+        (1, "COPYRIGHT BANNER\ndelta epsilon"),
+        (2, "zeta eta\nzeta eta\n\ntheta"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           line_dedup(docs, min_docs=2).collect()}
+    assert (out[0]["n_units"], out[0]["n_removed"]) == (3, 1)
+    assert out[0]["clean_hash"] == hashlib.md5(
+        b"alpha beta\ngamma").hexdigest()
+    assert (out[1]["n_units"], out[1]["n_removed"]) == (2, 1)
+    # doc 2: 'zeta eta' repeats WITHIN the doc only → kept twice
+    assert (out[2]["n_units"], out[2]["n_removed"]) == (3, 0)
+    assert out[2]["clean_hash"] == hashlib.md5(
+        b"zeta eta\nzeta eta\ntheta").hexdigest()
+
+
+def test_line_dedup_all_removed_and_chunks(spark):
+    """A doc whose every unit is boilerplate still appears (empty
+    clean text); token-chunk mode chunks whitespace tokens."""
+    from engine.pipeline.curation import line_dedup
+
+    docs = spark.createDataFrame([
+        (0, "same line"), (1, "same line"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_docs=2).collect()}
+    for d in (0, 1):
+        assert (out[d]["n_units"], out[d]["n_removed"]) == (1, 1)
+        assert out[d]["clean_hash"] == hashlib.md5(b"").hexdigest()
+
+    docs2 = spark.createDataFrame([
+        (0, "a b c d e f g"),     # chunks (w=3): 'a b c','d e f','g'
+        (1, "a b c x y z"),       # chunks: 'a b c','x y z'
+    ], "doc_id long, text string")
+    out2 = {r["doc_id"]: r for r in
+            line_dedup(docs2, min_docs=2, chunk_tokens=3).collect()}
+    assert (out2[0]["n_units"], out2[0]["n_removed"]) == (3, 1)
+    assert out2[0]["clean_hash"] == hashlib.md5(b"d e f g").hexdigest()
+    assert (out2[1]["n_units"], out2[1]["n_removed"]) == (2, 1)
+    assert out2[1]["clean_hash"] == hashlib.md5(b"x y z").hexdigest()
+
+
+def _winnow_ref(tokens, k, w):
+    """Plain-winnowing reference: distinct window minima of the k-gram
+    md5-prefix hashes (windows of w grams; short docs → global min)."""
+    grams = [" ".join(tokens[i:i + k])
+             for i in range(len(tokens) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+          for g in grams]
+    if not hs:
+        return set()
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[max(0, i - w + 1):i + 1])
+            for i in range(w - 1, len(hs))}
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    """Engine fingerprints equal the python reference replica; the
+    winnowing guarantee holds: docs sharing a run of k+w−1 tokens
+    share at least one fingerprint."""
+    from engine.pipeline.dedup import winnow_fingerprints
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog tonight",
+        # shares the 8-token run 'quick brown fox jumps over the lazy
+        # dog' (k+w−1 = 8) with doc 0
+        1: "intro words quick brown fox jumps over the lazy dog end",
+        2: "completely different content with no overlap at all here",
+        3: "tiny doc",          # < k tokens → no fingerprints
+        4: "one two three four five",   # exactly k tokens → 1 gram
+    }
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    out = winnow_fingerprints(docs, k=5, window=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for d, t in texts.items():
+        assert got.get(d, set()) == _winnow_ref(t.split(), 5, 4), d
+    assert got[0] & got[1], "shared 8-token run must share a fingerprint"
+    assert not (got[0] & got[2])
+    assert 3 not in got
+    assert len(got[4]) == 1
+
+
+def test_winnow_pairs_and_cap(spark):
+    """Identical docs → jaccard 1.0; the max_fp_docs cap removes
+    boilerplate fingerprints from consideration."""
+    from engine.pipeline.dedup import winnow_fingerprints, winnow_pairs
+
+    boiler = "shared legal header present in every single file here"
+    docs = spark.createDataFrame([
+        (0, "alpha beta gamma delta epsilon zeta eta theta " + boiler),
+        (1, "alpha beta gamma delta epsilon zeta eta theta " + boiler),
+        (2, "unrelated body text goes in this direction now " + boiler),
+        (3, "other material entirely distinct from the rest " + boiler),
+    ], "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=5, window=4)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in winnow_pairs(fps, min_jaccard=0.9).collect()}
+    assert pairs == {(0, 1): pytest.approx(1.0)}
+    # every doc shares the boilerplate tail → low-threshold pairs exist
+    lo = winnow_pairs(fps, min_jaccard=0.05).collect()
+    assert len(lo) == 6      # all C(4,2) pairs share the boiler run
+    # capping fingerprints seen in ≥4 docs removes the all-doc boiler
+    # signal: at a meaningful threshold only the true duplicate pair
+    # survives, still at jaccard 1.0 over its remaining fingerprints.
+    # (Window minima at the unique-text/boiler junction can differ per
+    # doc, so sub-cap residue may leave tiny-jaccard pairs — that is
+    # winnowing's documented selection behavior, not a bug.)
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in winnow_pairs(fps, min_jaccard=0.3,
+                                    max_fp_docs=3).collect()}
+    assert set(capped) == {(0, 1)}
+    assert capped[(0, 1)] == pytest.approx(1.0)

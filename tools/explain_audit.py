@@ -55,7 +55,14 @@ BNLJ_OK = {"brute-force cosine top-k",
            # edit distance), against a broadcast of the FEW misspelled
            # query terms — the distributed form of Lucene's per-query
            # dictionary automaton walk
-           "spell suggestion (dictionary scan)"}
+           "spell suggestion (dictionary scan)",
+           # completion: startswith is non-equi against a broadcast of
+           # the handful of prefixes, over a RANGE-PRUNED dictionary
+           # scan (the [p, next(p)) predicates are pushed first)
+           "completion suggester (sorted-dictionary prefix walk)",
+           # decay composes over the on-the-fly _bm25_scored oracle
+           # path (the 1-row broadcast stats relation, as with RRF)
+           "function_score gauss decay × BM25"}
 
 
 def main() -> None:
@@ -183,6 +190,27 @@ def main() -> None:
         idx, em.SUGGEST_QUERIES)
     plans["DSIR importance weights (broadcast log-ratio table)"] = \
         curation.dsir_weights(docs, docs.where(F.col("source") == "src7"))
+
+    # round-3 late additions (second wave): DisMax / combined_fields /
+    # completion / decay / line dedup / winnowing
+    from engine.fields import combined_fields_topk, dismax_topk
+    from engine.pipeline.dedup import winnow_fingerprints, winnow_pairs
+    from engine.search import complete_prefix
+    fidx = em._cached_field_indexes(spark, sf_dir)
+    plans["DisMax (per-field max + tie_breaker)"] = dismax_topk(
+        fidx, [(q, f, t, 1.0) for q, ts in em.BM25_QUERIES for t in ts
+               for f in ("title", "body")], 10, tie_breaker=0.3)
+    plans["combined_fields / BM25F (pre-saturation merge)"] = \
+        combined_fields_topk(fidx, em.BM25_QUERIES,
+                             {"title": 2.0, "body": 1.0}, 10)
+    plans["completion suggester (sorted-dictionary prefix walk)"] = \
+        complete_prefix(idx, em.COMPLETION_QUERIES, n=5)
+    plans["function_score gauss decay × BM25"] = qs[
+        "decayed_topk"](spark, sf_dir)
+    plans["cross-doc duplicate-line removal (CCNet)"] = qs[
+        "line_dedup"](spark, sf_dir)
+    plans["winnowing near-dup pairs (MOSS)"] = winnow_pairs(
+        winnow_fingerprints(docs), min_jaccard=0.5)
 
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
