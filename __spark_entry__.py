@@ -129,6 +129,15 @@ PARSED_QUERIES: list[tuple[str, str]] = [
 ]
 BOOLEAN_MSM = 1  # minimumNumberShouldMatch for boolean_msm_topk
 
+# Registered saved searches for percolation (reverse search): musts
+# conjoin, must_nots exclude, 'absentterm' matches nothing (df-0 alert)
+PERCOLATE_QUERIES: list[tuple[str, list[str], list[str]]] = [
+    ("al1", ["merge", "sort"], ["hash"]),
+    ("al2", ["hash", "join"], []),
+    ("al3", ["window"], ["merge"]),
+    ("al4", ["absentterm"], []),
+]
+
 INDEX_VERSION = "v4"  # v4: doc_id pinned int64 in docs/tf parquet
                       # (v3: block-framed blobs + block_off)
 
@@ -1519,6 +1528,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (winnow_fingerprints(_docs(spark, sf_dir), k=5, window=4)
                 .orderBy("doc_id", "fp"))
 
+    def percolate_hits(spark, sf_dir):
+        """Reverse search (ES percolate / Lucene Monitor;
+        engine/percolate.py): which registered saved searches does
+        each document match — must conjunction + must_not exclusion
+        under the analyzer; query store broadcasts, one tokenize pass
+        + one map-side-combinable hash aggregate."""
+        from engine.percolate import percolate
+
+        return (percolate(_docs(spark, sf_dir), PERCOLATE_QUERIES)
+                .orderBy("doc_id", "qid"))
+
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks
     # only the FIRST 50 entries. Round 3 rotates the operators that
     # were outside round 2's window (everything from url_domains
@@ -1542,7 +1562,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_lucene_norms_topk": bm25_lucene_norms_topk,
         # round-3 additions (inside the driver's 50-entry window)
         "semdedup_pairs": semdedup_pairs,
-        "semdedup_keep": semdedup_keep,
         "hybrid_rrf_topk": hybrid_rrf_topk,
         "collapsed_topk": collapsed_topk,
         "suggest_terms": suggest_terms,
@@ -1557,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_topk": decayed_topk,
         "line_dedup": line_dedup,
         "winnow_near_dups": winnow_near_dups,
+        "percolate_hits": percolate_hits,
         # round-2's driver-unchecked 23 (VERDICT r2 item 1)
         "url_domains": url_domains,
         "curation_report": curation_report,
@@ -1591,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window entries (lmdirichlet shares wand_lmd_topk's oracle)
         "lmdirichlet_topk": lmdirichlet_topk,
         "ib_topk": ib_topk,
+        "semdedup_keep": semdedup_keep,
         "expansion_weights": expansion_weights,
         "dedup_exact": dedup_exact,
         "minhash_near_dups": minhash_near_dups,
@@ -2350,6 +2371,32 @@ fp AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm
 WITH {_winnow_ctes}
 SELECT doc_id, fp FROM fp ORDER BY doc_id, fp
 """
+    # percolation: distinct analyzed doc terms vs the broadcast query
+    # store — must count equality, then must_not anti-join
+    pm = ", ".join(f"('{q}', '{t}')" for q, m, _ in PERCOLATE_QUERIES
+                   for t in sorted(set(m)))
+    pn = ", ".join(f"('{q}', {len(set(m))})"
+                   for q, m, _ in PERCOLATE_QUERIES)
+    px = ", ".join(f"('{q}', '{t}')" for q, _, mn in PERCOLATE_QUERIES
+                   for t in sorted(set(mn)))
+    sql["percolate_hits"] = f"""
+WITH {fts},
+dterms AS (SELECT DISTINCT doc_id, term FROM tf),
+qm(qid, term) AS (VALUES {pm}),
+qn(qid, n_must) AS (VALUES {pn}),
+qx(qid, term) AS (VALUES {px}),
+hits AS (SELECT d.doc_id, q.qid, count(*) AS c
+         FROM qm q JOIN dterms d USING (term) GROUP BY 1, 2),
+fullm AS (SELECT h.doc_id, h.qid
+          FROM hits h JOIN qn ON h.qid = qn.qid AND h.c = qn.n_must),
+bad AS (SELECT DISTINCT d.doc_id, q.qid
+        FROM qx q JOIN dterms d USING (term))
+SELECT f.doc_id, f.qid FROM fullm f
+LEFT JOIN bad b ON f.doc_id = b.doc_id AND f.qid = b.qid
+WHERE b.qid IS NULL
+ORDER BY f.doc_id, f.qid
+"""
+
     sql["winnow_near_dups"] = f"""
 WITH {_winnow_ctes},
 sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM fp GROUP BY doc_id),

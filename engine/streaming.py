@@ -529,3 +529,40 @@ def streaming_dedup_filter(spark: SparkSession, watch_dir: str,
     if available_now:
         q = q.trigger(availableNow=True)
     return q.start()
+
+
+def streaming_percolate(spark: SparkSession, watch_dir: str,
+                        out_dir: str, queries, *,
+                        text_col: str = "content",
+                        checkpoint: str | None = None,
+                        available_now: bool = True):
+    """Saved-search alerting (the streaming form of
+    :func:`engine.percolate.percolate` — ES percolate / Lucene Monitor
+    in continuous ingest): every arriving micro-batch is matched
+    against the registered query store and (doc_id, qid, epoch) match
+    rows append to ``out_dir/matches``.
+
+    Scale shape: the query store broadcasts (alerts are thousands,
+    batches are the big side), each batch pays one tokenize pass + one
+    hash aggregate — no state store at all, since percolation is
+    per-document (stateless), unlike the dedup filter's accumulated
+    band store. Per-epoch-labeled appends: same retry caveat as every
+    foreachBatch sink here.
+    """
+    from .percolate import percolate as _perc
+
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(watch_dir)
+    matches_path = f"{out_dir}/matches"
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (_perc(batch_df, queries, text_col=text_col)
+         .withColumn("epoch", F.lit(int(epoch_id)))
+         .write.mode("append").parquet(matches_path))
+
+    q = (stream.writeStream
+         .foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 checkpoint or f"{out_dir}/percolate_checkpoint"))
+    if available_now:
+        q = q.trigger(availableNow=True)
+    return q.start()

@@ -287,3 +287,69 @@ def test_winnow_pairs_and_cap(spark):
                                     max_fp_docs=3).collect()}
     assert set(capped) == {(0, 1)}
     assert capped[(0, 1)] == pytest.approx(1.0)
+
+
+def test_percolate_hand_computed(spark):
+    """Reverse search: must-conjunction + must_not exclusion under the
+    analyzer (camelCase split, stopwords dropped)."""
+    from engine.percolate import percolate
+
+    docs = spark.createDataFrame([
+        (0, "mergeSort is the fast stable sort"),
+        (1, "hash join beats merge join on small tables"),
+        (2, "a sort without the other keyword"),
+        (3, "merge sort but also hash inside"),
+    ], "doc_id long, text string")
+    queries = [
+        ("alert_ms", ["merge", "sort"], []),          # docs 0, 3
+        ("alert_nohash", ["merge", "sort"], ["hash"]),  # doc 0 only
+        ("alert_join", ["join"], []),                 # doc 1
+        ("alert_none", ["absentterm"], []),           # nobody
+    ]
+    got = {(r["doc_id"], r["qid"])
+           for r in percolate(docs, queries).collect()}
+    assert got == {(0, "alert_ms"), (3, "alert_ms"),
+                   (0, "alert_nohash"), (1, "alert_join")}
+    # duplicate must terms collapse (tf is irrelevant to percolation)
+    got2 = {(r["doc_id"], r["qid"]) for r in percolate(
+        docs, [("q", ["merge", "merge", "sort"], [])]).collect()}
+    assert got2 == {(0, "q"), (3, "q")}
+    with pytest.raises(AssertionError):
+        percolate(docs, [("bad", [], [])])
+
+
+def test_streaming_percolate_matches_batch(spark, tmp_path):
+    """Two micro-batches through streaming_percolate == the batch
+    percolate over the union (stateless per-doc op)."""
+    from engine import streaming
+    from engine.percolate import percolate
+
+    watch = str(tmp_path / "pc_in")
+    out = str(tmp_path / "pc_out")
+
+    def doc(i, text):
+        return ("r", f"f{i}", "-", "py", text, i)
+
+    wave1 = [doc(0, "merge sort in the engine core"),
+             doc(1, "hash join only here")]
+    wave2 = [doc(10, "merge sort plus hash extras"),
+             doc(11, "nothing relevant at all")]
+    queries = [("a1", ["merge", "sort"], ["hash"]),
+               ("a2", ["hash"], [])]
+
+    spark.createDataFrame(wave1, streaming.CORPUS_SCHEMA) \
+        .write.parquet(watch)
+    q = streaming.streaming_percolate(spark, watch, out, queries)
+    q.awaitTermination(180)
+    spark.createDataFrame(wave2, streaming.CORPUS_SCHEMA) \
+        .write.mode("append").parquet(watch)
+    q = streaming.streaming_percolate(spark, watch, out, queries)
+    q.awaitTermination(180)
+
+    got = {(r["doc_id"], r["qid"])
+           for r in spark.read.parquet(f"{out}/matches").collect()}
+    both = spark.createDataFrame(wave1 + wave2, streaming.CORPUS_SCHEMA)
+    want = {(r["doc_id"], r["qid"])
+            for r in percolate(both, queries,
+                               text_col="content").collect()}
+    assert got == want == {(0, "a1"), (1, "a2"), (10, "a2")}
