@@ -1539,6 +1539,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (percolate(_docs(spark, sf_dir), PERCOLATE_QUERIES)
                 .orderBy("doc_id", "qid"))
 
+    def cluster_sample(spark, sf_dir):
+        """Cluster-balanced diversity subsampling (SemDeDup /
+        SSL-prototypes lineage): ≤3 survivors per deterministic
+        k-means cell, chosen by the partition-invariant md5-uniform
+        key (engine/pipeline/similarity.py:cluster_sample)."""
+        out = similarity.cluster_sample(_emb(spark, sf_dir),
+                                        per_cell=3, n_centroids=16)
+        return out.orderBy("vec_id")
+
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks
     # only the FIRST 50 entries. Round 3 rotates the operators that
     # were outside round 2's window (everything from url_domains
@@ -1653,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": repetition_scores,
         "mixture_sample": mixture_sample,
         "dsir_sample": dsir_sample,
+        "cluster_sample": cluster_sample,
     }
 
 
@@ -2900,6 +2910,17 @@ ORDER BY vec_a, vec_b
 SELECT vec_id FROM e
 WHERE vec_id NOT IN (
   SELECT vec_b FROM pr WHERE (floor(c * 1e4 + 0.5) / 1e4) >= 0.35)
+ORDER BY vec_id
+"""
+
+    sql["cluster_sample"] = f"""{_semdedup_cells},
+samp AS (
+  SELECT vec_id, centroid_id::INT AS centroid_id,
+         row_number() OVER (PARTITION BY centroid_id
+             ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT,
+                      vec_id)::INT AS rank
+  FROM af)
+SELECT vec_id, centroid_id, rank FROM samp WHERE rank <= 3
 ORDER BY vec_id
 """
 

@@ -698,3 +698,44 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     return (short.withColumn("rank", F.row_number().over(we))
             .where(F.col("rank") <= k)
             .select("qid", "vec_id", re.alias("adist"), "rank"))
+
+
+def cluster_sample(emb: DataFrame, per_cell: int = 8,
+                   n_centroids: int | None = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n: int | None = None) -> DataFrame:
+    """Cluster-balanced (diversity) subsampling: deterministic k-means
+    cells (:func:`ivf_centroids`, the SemDeDup cell machinery) with at
+    most ``per_cell`` survivors per cell, chosen by the md5-uniform of
+    the id (the house partition-invariant sampling key, as in
+    ``curation.hash_sample``) with id-asc tie-break.
+
+    This is the cluster-balanced selection stage training-data
+    pipelines run after dedup so head clusters — boilerplate-heavy
+    modes of the embedding space — cannot dominate the sample (the
+    SemDeDup / SSL-prototypes pruning lineage applies exactly this
+    per-cluster quota; cf. Abbas et al. 2023 §4, Sorscher et al. 2022).
+
+    Scale shape: one centroid fit + one broadcast assign pass (cells
+    ≈ √n or n/1k — the knob), then ONE per-cell rank window; cells
+    hash-partition the window so no single-partition stage appears.
+    Deterministic across partitionings and engines by construction.
+
+    Returns (id_col, centroid_id:int, rank:int) for the sampled rows.
+    """
+    from pyspark.sql import Window
+
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    cents = ivf_centroids(emb, n_centroids=n_centroids, id_col=id_col,
+                          vec_col=vec_col, n=n)
+    assigned = _assign_to_centroids(base, cents)
+    u = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                16, 10).cast("long"))
+    w = Window.partitionBy("centroid_id").orderBy(u.asc(),
+                                                  F.asc("vec_id"))
+    return (assigned.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= per_cell)
+            .select(F.col("vec_id").alias(id_col),
+                    F.col("centroid_id").cast("int").alias("centroid_id"),
+                    F.col("rank").cast("int").alias("rank")))

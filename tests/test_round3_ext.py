@@ -353,3 +353,34 @@ def test_streaming_percolate_matches_batch(spark, tmp_path):
             for r in percolate(both, queries,
                                text_col="content").collect()}
     assert got == want == {(0, "a1"), (1, "a2"), (10, "a2")}
+
+
+def test_cluster_sample_quota_and_partition_invariance(spark):
+    """Cluster-balanced sampling: ≤ per_cell survivors per cell with
+    contiguous ranks, and the sample is invariant under input
+    repartitioning (md5-uniform key, not row order)."""
+    import numpy as np
+
+    from engine.pipeline.similarity import cluster_sample
+
+    rng = np.random.default_rng(7)
+    # two obvious clusters of 20 + noise dims
+    rows = []
+    for i in range(40):
+        c = [5.0, 0.0] if i < 20 else [0.0, 5.0]
+        rows.append((i, [float(c[0] + rng.normal(0, .1)),
+                         float(c[1] + rng.normal(0, .1)),
+                         float(rng.normal(0, .1))], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = cluster_sample(emb, per_cell=4, n_centroids=2).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["centroid_id"], []).append(r["rank"])
+    assert len(out) == 8
+    for ranks in by_cell.values():
+        assert sorted(ranks) == [1, 2, 3, 4]
+    out2 = cluster_sample(emb.repartition(7), per_cell=4,
+                          n_centroids=2).collect()
+    assert {(r["vec_id"], r["centroid_id"], r["rank"]) for r in out} \
+        == {(r["vec_id"], r["centroid_id"], r["rank"]) for r in out2}
