@@ -1548,6 +1548,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                         per_cell=3, n_centroids=16)
         return out.orderBy("vec_id")
 
+    def eval_extra(spark, sf_dir):
+        """R-precision + bpref (trec_eval's judged-aware companions,
+        Buckley & Voorhees 2004; engine/evaluate.py:extra_metrics)
+        over the derived run: judged pool = docs matching >= 1 query
+        term (rel=1 when ALL terms match, rel=0 = judged
+        nonrelevant)."""
+        from engine.evaluate import extra_metrics
+
+        scored = _bm25_scored(spark, sf_dir, BM25_QUERIES)
+        w = Window.partitionBy("qid").orderBy(
+            round_half_up(F.col("s"), 4).desc(), F.asc("doc_id"))
+        run = (scored.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= 20)
+               .select("qid",
+                       F.col("doc_id").cast("string").alias("docno"),
+                       "rank"))
+        tf = _tf(spark, sf_dir)
+        qt = spark.createDataFrame(
+            [(q, t) for q, ts in BM25_QUERIES for t in set(ts)],
+            "qid string, term string")
+        nt = spark.createDataFrame(
+            [(q, len(set(ts))) for q, ts in BM25_QUERIES],
+            "qid string, n_terms int")
+        qrels = (tf.join(F.broadcast(qt), "term")
+                 .groupBy("qid", "doc_id")
+                 .agg(F.count_distinct("term").alias("nm"))
+                 .join(F.broadcast(nt), "qid")
+                 .select("qid",
+                         F.col("doc_id").cast("string").alias("docno"),
+                         F.when(F.col("nm") == F.col("n_terms"),
+                                F.lit(1)).otherwise(F.lit(0))
+                         .alias("rel")))
+        per = extra_metrics(run, qrels)
+        return (per.select("qid",
+                           round_half_up(F.col("r_prec"), 6)
+                           .alias("r_prec"),
+                           round_half_up(F.col("bpref"), 6)
+                           .alias("bpref"))
+                .orderBy("qid"))
+
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks
     # only the FIRST 50 entries. Round 3 rotates the operators that
     # were outside round 2's window (everything from url_domains
@@ -1663,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": mixture_sample,
         "dsir_sample": dsir_sample,
         "cluster_sample": cluster_sample,
+        "eval_extra": eval_extra,
     }
 
 
@@ -3352,6 +3393,63 @@ LEFT JOIN p20 ON p20.qid = n.qid
 LEFT JOIN p5 ON p5.qid = n.qid
 LEFT JOIN dcg ON dcg.qid = n.qid
 JOIN idcg ON idcg.qid = n.qid
+"""
+
+    sql["eval_extra"] = f"""
+WITH {fts},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({score}) AS s
+  FROM {qvals}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id),
+run AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY (floor(s * 1e4 + 0.5) / 1e4) DESC, doc_id) AS rank
+    FROM matched) t WHERE rank <= 20),
+qu(qid, term) AS (VALUES {q_uniq}),
+nt(qid, n_terms) AS (VALUES {nt_vals}),
+pool AS (
+  SELECT qu.qid, tf.doc_id, count(DISTINCT tf.term) AS nm
+  FROM qu JOIN tf USING (term)
+  GROUP BY qu.qid, tf.doc_id),
+rel AS (SELECT p.qid, p.doc_id FROM pool p JOIN nt ON nt.qid = p.qid
+        WHERE p.nm = nt.n_terms),
+nonrel AS (SELECT p.qid, p.doc_id FROM pool p JOIN nt ON nt.qid = p.qid
+           WHERE p.nm < nt.n_terms),
+nrel AS (SELECT qid, count(*)::BIGINT AS r FROM rel GROUP BY qid),
+nnon AS (SELECT qid, count(*)::BIGINT AS nn FROM nonrel GROUP BY qid),
+hits AS (
+  SELECT ru.qid, ru.rank,
+         CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel,
+         CASE WHEN nonrel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_non
+  FROM run ru
+  LEFT JOIN rel ON rel.qid = ru.qid AND rel.doc_id = ru.doc_id
+  LEFT JOIN nonrel ON nonrel.qid = ru.qid AND nonrel.doc_id = ru.doc_id),
+c AS (SELECT qid, rank, is_rel, is_non,
+             sum(is_non) OVER (PARTITION BY qid ORDER BY rank) AS cum_non
+      FROM hits),
+rp AS (SELECT c.qid, sum(c.is_rel)::DOUBLE / max(n.r) AS r_prec
+       FROM c JOIN nrel n ON n.qid = c.qid
+       WHERE c.rank <= n.r GROUP BY c.qid),
+bp AS (
+  SELECT c.qid,
+         sum(1.0 - least(c.cum_non::DOUBLE,
+                         greatest(least(n.r, coalesce(nn.nn, 0)), 1))
+                   / greatest(least(n.r, coalesce(nn.nn, 0)), 1))
+         / max(n.r) AS bpref
+  FROM c JOIN nrel n ON n.qid = c.qid
+  LEFT JOIN nnon nn ON nn.qid = c.qid
+  WHERE c.is_rel = 1 GROUP BY c.qid)
+SELECT n.qid,
+       (floor(coalesce(rp.r_prec, 0) * 1e6 + 0.5) / 1e6) AS r_prec,
+       (floor(coalesce(bp.bpref, 0) * 1e6 + 0.5) / 1e6) AS bpref
+FROM nrel n
+LEFT JOIN rp ON rp.qid = n.qid
+LEFT JOIN bp ON bp.qid = n.qid
+ORDER BY n.qid
 """
 
     # --- embedding_near_dups ----------------------------------------------------

@@ -134,3 +134,71 @@ def standings(runs: dict[str, DataFrame], qrels: DataFrame,
     rows.sort(key=lambda r: (r["MAP"], r[f"nDCG@{k}"], r[f"P@{k}"]),
               reverse=True)
     return rows
+
+
+def extra_metrics(run: DataFrame, qrels: DataFrame) -> DataFrame:
+    """R-precision and bpref — trec_eval's judged-aware companions to
+    the reference's four-metric set (Buckley & Voorhees, SIGIR 2004;
+    trec_eval 8.1 semantics):
+
+    * ``r_prec`` = |relevant within the top-R| / R with R = |relevant|
+      per topic — precision at the recall-equivalence point.
+    * ``bpref``  = (1/R) Σ_{relevant retrieved r}
+      (1 − min(nonrel_above(r), D) / D) with D = max(min(R, N), 1),
+      where N = |judged NONrelevant| and nonrel_above counts judged
+      nonrelevant retrieved above r.  bpref only reacts to JUDGED
+      documents, so it is the stable metric under incomplete judgments
+      (the reason TREC adopted it).  D's max(·,1) pins the degenerate
+      N = 0 case to full credit per retrieved relevant doc.
+
+    run:   (qid, docno, rank);  qrels: (qid, docno, rel) with rel = 1
+    relevant, rel = 0 judged-nonrelevant (unjudged docs simply absent).
+    Topics with R = 0 are excluded (as trec_eval does); every other
+    qrels topic appears, scoring 0 when absent from the run.  Pure
+    window + aggregate plan, qid-partitioned throughout.
+    """
+    rel_docs = (qrels.where(F.col("rel") > 0)
+                .select("qid", "docno").distinct())
+    nonrel_docs = (qrels.where(F.col("rel") == 0)
+                   .select("qid", "docno").distinct()
+                   .join(rel_docs, ["qid", "docno"], "left_anti"))
+    n_rel = rel_docs.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
+    n_non = nonrel_docs.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_non"))
+
+    ranked = (run.select("qid", "docno", "rank")
+              .join(rel_docs.withColumn("is_rel", F.lit(1)),
+                    ["qid", "docno"], "left")
+              .join(nonrel_docs.withColumn("is_non", F.lit(1)),
+                    ["qid", "docno"], "left")
+              .withColumn("is_rel", F.coalesce("is_rel", F.lit(0)))
+              .withColumn("is_non", F.coalesce("is_non", F.lit(0))))
+    w = (Window.partitionBy("qid").orderBy("rank")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # at a relevant row is_non = 0, so the inclusive cumsum equals the
+    # strictly-above judged-nonrelevant count
+    ranked = ranked.withColumn("cum_non", F.sum("is_non").over(w))
+
+    rp = (ranked.join(n_rel, "qid")
+          .where(F.col("rank") <= F.col("n_rel"))
+          .groupBy("qid")
+          .agg((F.sum("is_rel") / F.first("n_rel")).alias("r_prec")))
+
+    d = F.greatest(F.least(F.col("n_rel"), F.col("n_non")), F.lit(1)) \
+        .cast("double")
+    bp = (ranked.join(n_rel, "qid")
+          .join(n_non, "qid", "left")
+          .withColumn("n_non", F.coalesce("n_non", F.lit(0)))
+          .where(F.col("is_rel") == 1)
+          .withColumn("contrib",
+                      F.lit(1.0) - F.least(F.col("cum_non").cast("double"),
+                                           d) / d)
+          .groupBy("qid")
+          .agg((F.sum("contrib") / F.first("n_rel")).alias("bpref")))
+
+    return (n_rel.select("qid")
+            .join(rp, "qid", "left")
+            .join(bp, "qid", "left")
+            .select("qid",
+                    F.coalesce("r_prec", F.lit(0.0)).alias("r_prec"),
+                    F.coalesce("bpref", F.lit(0.0)).alias("bpref")))

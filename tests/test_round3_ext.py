@@ -384,3 +384,32 @@ def test_cluster_sample_quota_and_partition_invariance(spark):
                           n_centroids=2).collect()
     assert {(r["vec_id"], r["centroid_id"], r["rank"]) for r in out} \
         == {(r["vec_id"], r["centroid_id"], r["rank"]) for r in out2}
+
+
+def test_extra_metrics_hand_computed(spark):
+    """R-precision and bpref on a hand-worked example (trec_eval 8.1
+    semantics), incl. the N=0 full-credit pin and run-missing → 0."""
+    from engine.evaluate import extra_metrics
+
+    run = spark.createDataFrame([
+        # qA: rel {a,b,c}, judged-nonrel {x,y}; ranking a x u b y c
+        ("qA", "a", 1), ("qA", "x", 2), ("qA", "u", 3),
+        ("qA", "b", 4), ("qA", "y", 5), ("qA", "c", 6),
+        # qB: rel {a}, no judged nonrel; ranking u a
+        ("qB", "u", 1), ("qB", "a", 2),
+    ], "qid string, docno string, rank int")
+    qrels = spark.createDataFrame([
+        ("qA", "a", 1), ("qA", "b", 1), ("qA", "c", 1),
+        ("qA", "x", 0), ("qA", "y", 0),
+        ("qB", "a", 1),
+        ("qC", "z", 1),          # topic absent from run → 0, 0
+    ], "qid string, docno string, rel int")
+    out = {r["qid"]: (r["r_prec"], r["bpref"])
+           for r in extra_metrics(run, qrels).collect()}
+    # qA: R=3 → top-3 has 1 rel → 1/3; D=min(3,2)=2,
+    #     contribs 1, 1-1/2, 1-2/2 → bpref = 1.5/3
+    assert out["qA"][0] == pytest.approx(1 / 3)
+    assert out["qA"][1] == pytest.approx(0.5)
+    # qB: R=1 → top-1 is unjudged → 0; N=0 → D=1, full credit
+    assert out["qB"] == (pytest.approx(0.0), pytest.approx(1.0))
+    assert out["qC"] == (pytest.approx(0.0), pytest.approx(0.0))
