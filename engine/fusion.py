@@ -79,6 +79,75 @@ def rrf_fuse(rankings: Sequence[DataFrame], k: int = RRF_K,
     return out
 
 
+def linear_fuse(rankings: Sequence[DataFrame],
+                weights: Sequence[float] | None = None,
+                id_col: str = "doc_id", topk: int | None = None,
+                score_col: str = "score",
+                ndigits: int = 6) -> DataFrame:
+    """Weighted linear fusion with per-query min-max normalization —
+    the score-based hybrid alternative to :func:`rrf_fuse`
+    (Elasticsearch 8.18's ``linear`` retriever with the ``minmax``
+    normalizer; the classic CombSUM-with-normalization of Fox & Shaw
+    1994).
+
+    Each input carries (qid, ``id_col``, ``score_col``) — raw scores
+    on arbitrary scales (BM25 vs cosine).  Per (qid, input) the scores
+    min-max normalize to [0, 1]; the fused score is
+    ``Σ_r w_r · norm_r``, with a doc absent from an input contributing
+    0 for it (the ES convention).  Degenerate inputs where every doc
+    ties (max == min) normalize to 1.0 for all members — they are all
+    equally "best"; divergence from ES documented (ES emits 0 there,
+    discarding the input's unanimous vote).
+
+    Cross-engine determinism: normalization divides ROUNDED
+    (house 6 dp) raw scores — min/max are order-invariant exact
+    comparisons, so the only float work is one subtraction/division
+    per row — and the fused sum re-rounds at ``ndigits`` before the
+    rank window (rounded-score + id-asc house rule).
+
+    Scale shape: identical to RRF — inputs are already-ranked top-k
+    sets, so every shuffle (the per-(qid, input) min/max agg, the
+    (qid, id) fused sum) is keyed over ``n_rankings × k`` rows per
+    query, bounded by requested depth, never corpus size; the min/max
+    table (|queries| × n_rankings rows) broadcasts.
+
+    Returns (qid, id_col, fused, n_lists, rank).
+    """
+    assert rankings, "at least one ranking required"
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    assert len(weights) == len(rankings)
+    parts = []
+    for i, (r, w_i) in enumerate(zip(rankings, weights)):
+        s6 = round_half_up(F.col(score_col).cast("double"), 6)
+        parts.append(r.select("qid", id_col, F.lit(i).alias("src"),
+                              s6.alias("s")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    ext = (u.groupBy("qid", "src")
+           .agg(F.min("s").alias("lo"), F.max("s").alias("hi")))
+    norm = (u.join(F.broadcast(ext), ["qid", "src"])
+            .withColumn("n",
+                        F.when(F.col("hi") == F.col("lo"), F.lit(1.0))
+                        .otherwise((F.col("s") - F.col("lo")) /
+                                   (F.col("hi") - F.col("lo")))))
+    wmap = F.create_map(*[x for i, w_i in enumerate(weights)
+                          for x in (F.lit(i), F.lit(float(w_i)))])
+    contrib = norm.select("qid", id_col,
+                          (wmap[F.col("src")] * F.col("n")).alias("c"))
+    fused = (contrib.groupBy("qid", id_col)
+             .agg(F.sum("c").alias("s"),
+                  F.count(F.lit(1)).cast("int").alias("n_lists")))
+    r6 = round_half_up(F.col("s"), ndigits)
+    w = Window.partitionBy("qid").orderBy(r6.desc(), F.asc(id_col))
+    out = (fused.withColumn("rank", F.row_number().over(w))
+           .select("qid", id_col, r6.alias("fused"), "n_lists", "rank"))
+    if topk is not None:
+        out = out.where(F.col("rank") <= topk)
+    return out
+
+
 def decay_multiply(scored: DataFrame, doc_values: DataFrame,
                    origin: float, scale: float, offset: float = 0.0,
                    decay: float = 0.5, kind: str = "gauss",

@@ -2109,6 +2109,43 @@ def facet_histogram(index: Index,
             .orderBy("qid", "bucket"))
 
 
+def cardinality_agg(index: Index,
+                    queries: Sequence[tuple[str, Sequence[str]]],
+                    values: DataFrame | None = None,
+                    value_col: str = "value") -> DataFrame:
+    """Cardinality aggregation (the Elasticsearch ``cardinality`` agg,
+    Lucene HyperLogLogPlusPlus; the reference's stack ships it —
+    reference delegates to Lucene 9.9.2, SearchFiles.java:1): for each
+    query, the approximate number of DISTINCT values of a doc-keyed
+    field over the matched document set, via the deterministic HLL
+    sketch in :mod:`engine.sketches`.
+
+    Default field: the analyzed vocabulary of the matched docs (the
+    forward tf table's ``term`` column) — "how many distinct terms do
+    the docs matching this query span", a high-cardinality field that
+    exercises the sketch's raw-estimate regime; pass ``values`` as any
+    (doc_id, ``value_col``) DataFrame for stored-field cardinality.
+
+    Scale: matched (qid, doc) hits equi-join the doc-bucketed field
+    source, the register build is ONE map-side-combinable max-agg
+    (≤ 4096 rows per query leave the map side — the whole point: no
+    count-distinct re-shuffle of matched rows), and the estimate
+    collapse is |queries| × ≤4096 rows.  Returns
+    (qid, v_zero, est) ordered by qid.
+    """
+    from .sketches import hll_cardinality
+
+    hits = _matched_hits(index, queries)
+    if values is None:
+        p = _paths(index.index_dir)
+        values = (index.spark.read.parquet(p["tf"])
+                  .select("doc_id", F.col("term").alias("value")))
+        value_col = "value"
+    vals = hits.join(values, "doc_id").select(
+        "qid", F.col(value_col).alias("value"))
+    return hll_cardinality(vals, ["qid"], "value").orderBy("qid")
+
+
 def synonym_topk(index: Index,
                  queries: Sequence[tuple[str, Sequence[Sequence[str]]]],
                  k: int, k1: float | None = None,

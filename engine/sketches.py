@@ -1,0 +1,145 @@
+"""Deterministic HyperLogLog distinct-count sketch.
+
+The Elasticsearch ``cardinality`` aggregation (backed by Lucene's
+HyperLogLogPlusPlus) answers "how many distinct values of this field
+match the query" without a distinct shuffle — the reference's users
+get it for free from the ES/Lucene stack the reference builds on
+(reference: Assignment Two delegates all search plumbing to Lucene
+9.9.2, SearchFiles.java:1).  At 100 TB a ``count(DISTINCT x)`` is a
+full re-shuffle of every matched row on x; an HLL sketch is a
+fixed-size (m = 4096 registers) state whose build is one map-side-
+combinable ``max`` aggregation and whose merge is register-wise max —
+THE cardinality plan at cluster scale.
+
+This implementation is the classic Flajolet-Fuss-Gandouet-Meunier 2007
+HLL (the 32-bit-hash formulation), made bit-for-bit reproducible
+across engines so the DuckDB oracle can replicate it exactly:
+
+* hash = first 8 hex digits of md5(value) — a 32-bit uniform (the
+  house cross-engine hash recipe, same as the sampling operators);
+* register index j = top ``P_BITS`` = 12 bits; rho = position of the
+  leftmost 1-bit of the remaining 20 bits (bit-length via the binary
+  string — exact integer arithmetic, no float log);
+* the register sum Σ 2^-M[j] is computed as the INTEGER
+  Σ 2^(RHO_MAX - M[j]) (≤ 4096·2^21 = 2^33, exact in int64 and in
+  double) so no cross-engine float-summation-order divergence exists
+  anywhere before the single final division;
+* small-range (linear counting) and large-range corrections per the
+  paper; only the corrections' single ln() touches libm, and the
+  output is rounded (house 4 dp) to absorb last-ulp libm differences.
+
+Standard error is 1.04/√m ≈ 1.6 % at m = 4096 (the ES default
+``precision_threshold`` regime).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .portable import round_half_up
+
+#: 2^P_BITS registers; 12 → m = 4096, ES cardinality's default regime.
+P_BITS = 12
+M_REGISTERS = 1 << P_BITS
+W_BITS = 32 - P_BITS                # suffix bits that feed rho
+RHO_MAX = W_BITS + 1                # rho(w=0) convention from the paper
+#: bias correction constant alpha_m for m >= 128 (Flajolet et al. §4);
+#: written as the same literal expression the oracle SQL uses so both
+#: engines produce the identical IEEE double.
+ALPHA_M = 0.7213 / (1.0 + 1.079 / float(M_REGISTERS))
+
+
+def hll_registers(df: DataFrame, keys: Sequence[str],
+                  value_col: str) -> DataFrame:
+    """Per-key HLL register table: (keys..., register, rho).
+
+    One narrow projection (md5 + integer bit ops, pure Catalyst) and
+    one map-side-combinable ``max`` aggregation — at most
+    ``m = 4096`` output rows per key regardless of input size.  NULL
+    values are ignored (the ES cardinality convention).  Duplicate
+    values need no pre-distinct: max() absorbs them, which is exactly
+    why the sketch avoids the distinct shuffle.
+    """
+    h32 = (F.conv(F.substring(F.md5(F.col(value_col).cast("string")),
+                              1, 8), 16, 10).cast("long"))
+    j = F.shiftright(h32, W_BITS)
+    w = h32.bitwiseAND(F.lit((1 << W_BITS) - 1))
+    rho = (F.when(w == 0, F.lit(RHO_MAX))
+           .otherwise(F.lit(RHO_MAX) - F.length(F.bin(w))))
+    return (df.where(F.col(value_col).isNotNull())
+            .select(*keys, j.alias("register"), rho.alias("r"))
+            .groupBy(*keys, "register")
+            .agg(F.max("r").alias("rho")))
+
+
+def hll_estimate(registers: DataFrame, keys: Sequence[str],
+                 ndigits: int = 4) -> DataFrame:
+    """Collapse a register table to (keys..., v_zero, est).
+
+    ``v_zero`` is the count of untouched registers (the linear-counting
+    statistic) and ``est`` the corrected cardinality estimate.  The
+    register sum stays integer (see module docstring) until the one
+    final division, so the estimate is deterministic across engines.
+    """
+    # shiftleft with a COLUMN amount is SQL-only (the python wrapper
+    # pins numBits to an int literal)
+    two_pow_rho_inv = F.expr(
+        f"shiftleft(cast(1 as bigint), {RHO_MAX} - rho)")
+    agg = registers.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.sum(two_pow_rho_inv).alias("s_occ"))
+    m = float(M_REGISTERS)
+    v_zero = (F.lit(M_REGISTERS).cast("long") - F.col("occ"))
+    s_total = (F.col("s_occ") +
+               v_zero * F.lit(1 << RHO_MAX).cast("long"))
+    raw = (F.lit(ALPHA_M * m * m * float(1 << RHO_MAX)) /
+           s_total.cast("double"))
+    two32 = float(1 << 32)
+    est = (F.when((raw <= F.lit(2.5 * m)) & (v_zero > 0),
+                  F.lit(m) * F.log(F.lit(m) / v_zero.cast("double")))
+           .when(raw > F.lit(two32 / 30.0),
+                 F.lit(-two32) * F.log(F.lit(1.0) - raw / F.lit(two32)))
+           .otherwise(raw))
+    return agg.select(*keys, v_zero.alias("v_zero"),
+                      round_half_up(est, ndigits).alias("est"))
+
+
+def hll_cardinality(df: DataFrame, keys: Sequence[str], value_col: str,
+                    ndigits: int = 4) -> DataFrame:
+    """Per-key approximate distinct count: registers → estimate."""
+    return hll_estimate(hll_registers(df, keys, value_col), keys,
+                        ndigits)
+
+
+def hll_estimate_py(values) -> float:
+    """Pure-Python replica (test oracle): estimate for an iterable of
+    string values, identical arithmetic to the DataFrame path."""
+    import hashlib
+    import math
+
+    regs: dict[int, int] = {}
+    for v in values:
+        if v is None:
+            continue
+        h32 = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        j = h32 >> W_BITS
+        w = h32 & ((1 << W_BITS) - 1)
+        rho = RHO_MAX if w == 0 else RHO_MAX - w.bit_length()
+        if rho > regs.get(j, 0):
+            regs[j] = rho
+    m = float(M_REGISTERS)
+    v_zero = M_REGISTERS - len(regs)
+    s_total = sum(1 << (RHO_MAX - r) for r in regs.values()) \
+        + v_zero * (1 << RHO_MAX)
+    raw = ALPHA_M * m * m * float(1 << RHO_MAX) / float(s_total)
+    if raw <= 2.5 * m and v_zero > 0:
+        est = m * math.log(m / v_zero)
+    elif raw > float(1 << 32) / 30.0:
+        est = -float(1 << 32) * math.log(1.0 - raw / float(1 << 32))
+    else:
+        est = raw
+    import math as _m
+    return _m.floor(est * 1e4 + 0.5) / 1e4

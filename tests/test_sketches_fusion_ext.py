@@ -1,0 +1,192 @@
+"""HLL cardinality sketch, linear hybrid fusion, filtered ANN."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.pipeline import similarity
+from engine.sketches import (M_REGISTERS, hll_cardinality, hll_estimate,
+                             hll_estimate_py, hll_registers)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def _vals_df(spark, key, values):
+    return spark.createDataFrame([(key, v) for v in values],
+                                 "k string, v string")
+
+
+def test_hll_matches_python_replica_both_branches(spark):
+    """Raw-estimate regime (5000 distinct) and linear-counting regime
+    (10 distinct) both agree bit-for-bit with the pure-python
+    replica (the same arithmetic the DuckDB oracle runs)."""
+    big = [f"val_{i}" for i in range(5000)]
+    small = [f"x{i}" for i in range(10)]
+    df = _vals_df(spark, "a", big).union(_vals_df(spark, "b", small))
+    out = {r["k"]: r["est"]
+           for r in hll_cardinality(df, ["k"], "v").collect()}
+    assert out["a"] == hll_estimate_py(big)
+    assert out["b"] == hll_estimate_py(small)
+    # accuracy: 1.04/sqrt(4096) ~ 1.6% std error; 5% is ~3 sigma
+    assert abs(out["a"] - 5000) / 5000 < 0.05
+    assert abs(out["b"] - 10) < 0.5
+
+
+def test_hll_ignores_nulls_and_duplicates(spark):
+    dup = _vals_df(spark, "a", ["x", "x", "y", "y", "y"])
+    with_null = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", "y")], "k string, v string")
+    e1 = hll_cardinality(dup, ["k"], "v").collect()[0]["est"]
+    e2 = hll_cardinality(with_null, ["k"], "v").collect()[0]["est"]
+    assert e1 == e2 == hll_estimate_py(["x", "y"])
+
+
+def test_hll_merge_is_register_max_and_partition_invariant(spark):
+    """The scale property: registers of A∪B == register-wise max of
+    registers(A) and registers(B) (the sketch merges without touching
+    data), and the estimate is identical at 1 and 8 partitions."""
+    a = [f"a{i}" for i in range(300)]
+    b = [f"b{i}" for i in range(400)]
+    df_a, df_b = _vals_df(spark, "k", a), _vals_df(spark, "k", b)
+    both = df_a.union(df_b)
+    regs_both = {(r["register"]): r["rho"]
+                 for r in hll_registers(both, ["k"], "v").collect()}
+    ra = {r["register"]: r["rho"]
+          for r in hll_registers(df_a, ["k"], "v").collect()}
+    rb = {r["register"]: r["rho"]
+          for r in hll_registers(df_b, ["k"], "v").collect()}
+    merged = {j: max(ra.get(j, 0), rb.get(j, 0))
+              for j in set(ra) | set(rb)}
+    assert regs_both == merged
+    e1 = hll_cardinality(both.repartition(1), ["k"], "v").collect()[0]["est"]
+    e8 = hll_cardinality(both.repartition(8), ["k"], "v").collect()[0]["est"]
+    assert e1 == e8
+
+
+def test_hll_register_count_bounded(spark):
+    """However large the input, at most m=4096 register rows per key
+    survive the map-side agg — the fixed-size-state contract."""
+    df = _vals_df(spark, "k", [f"v{i}" for i in range(20000)])
+    n = hll_registers(df, ["k"], "v").count()
+    assert n <= M_REGISTERS
+
+
+def test_cardinality_agg_tracks_exact_distinct(spark, tiny_index):
+    """Sketch estimate within 3-sigma of the true distinct-term count
+    of each query's matched doc set."""
+    from engine.search import _matched_hits, _paths, cardinality_agg
+
+    # pick real vocabulary terms (the analyzer drops stopwords, so
+    # hand-picked english terms may not exist in the synthetic corpus)
+    terms = [r["term"] for r in tiny_index.termstats
+             .orderBy(F.desc("df"), F.asc("term")).limit(3).collect()]
+    queries = [("q1", terms[:1]), ("q2", terms[1:3])]
+    est = {r["qid"]: r["est"]
+           for r in cardinality_agg(tiny_index, queries).collect()}
+    hits = _matched_hits(tiny_index, queries)
+    tf = tiny_index.spark.read.parquet(
+        _paths(tiny_index.index_dir)["tf"]).select("doc_id", "term")
+    exact = {r["qid"]: r["n"]
+             for r in hits.join(tf, "doc_id").groupBy("qid")
+             .agg(F.count_distinct("term").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for qid, n in exact.items():
+        assert abs(est[qid] - n) <= max(3.0, 0.05 * n), (qid, est[qid], n)
+
+
+# ---------------------------------------------------------------------------
+# linear (minmax) fusion
+# ---------------------------------------------------------------------------
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "qid string, doc_id long, score double")
+
+
+def test_linear_fuse_hand_computed(spark):
+    from engine.fusion import linear_fuse
+
+    # input 0: scores 10, 5, 0 -> norm 1.0, 0.5, 0.0
+    # input 1: scores 0.2, 0.1 -> norm 1.0, 0.0
+    a = _scored(spark, [("q", 1, 10.0), ("q", 2, 5.0), ("q", 3, 0.0)])
+    b = _scored(spark, [("q", 2, 0.2), ("q", 1, 0.1)])
+    out = {r["doc_id"]: (r["fused"], r["n_lists"], r["rank"])
+           for r in linear_fuse([a, b], weights=[0.7, 0.3]).collect()}
+    assert out[1] == (pytest.approx(0.7 * 1.0 + 0.3 * 0.0), 2, 1)
+    assert out[2] == (pytest.approx(0.7 * 0.5 + 0.3 * 1.0), 2, 2)
+    assert out[3] == (pytest.approx(0.0), 1, 3)
+
+
+def test_linear_fuse_degenerate_tie_normalizes_to_one(spark):
+    from engine.fusion import linear_fuse
+
+    a = _scored(spark, [("q", 1, 3.0), ("q", 2, 3.0)])  # max == min
+    out = {r["doc_id"]: r["fused"]
+           for r in linear_fuse([a], weights=[1.0]).collect()}
+    assert out == {1: pytest.approx(1.0), 2: pytest.approx(1.0)}
+
+
+def test_linear_fuse_missing_doc_contributes_zero(spark):
+    from engine.fusion import linear_fuse
+
+    a = _scored(spark, [("q", 1, 2.0), ("q", 2, 1.0)])
+    b = _scored(spark, [("q", 3, 9.0), ("q", 2, 4.0)])
+    out = {r["doc_id"]: r["fused"]
+           for r in linear_fuse([a, b]).collect()}
+    # doc 1 only in a (norm 1), doc 3 only in b (norm 1), doc 2 worst
+    # in a (0) and worst in b (0)
+    assert out[1] == pytest.approx(1.0)
+    assert out[3] == pytest.approx(1.0)
+    assert out[2] == pytest.approx(0.0)
+
+
+# ---------------------------------------------------------------------------
+# filtered ANN (ES knn.filter pre-filter semantics)
+# ---------------------------------------------------------------------------
+
+def _emb_line(spark):
+    """Vectors on a line: cosine to the query decays with index, so
+    unfiltered top-k is ids 1..k and the best EVEN id can sit outside
+    it — the pre-vs-post filter divergence case."""
+    import math
+    rows = []
+    for i in range(40):
+        ang = 0.03 * i
+        rows.append((i, [math.cos(ang), math.sin(ang), 0.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_filtered_topk_is_topk_of_filtered_set(spark):
+    emb = _emb_line(spark)
+    allowed = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    out = similarity.cosine_topk(emb, [0], k=3, allowed=allowed).collect()
+    # nearest allowed ids to query 0 (id 0 self-excluded): 7, 14, 21
+    assert [r["vec_id"] for r in out] == [7, 14, 21]
+
+
+def test_pre_filter_beats_post_filter(spark):
+    """The doc a post-filter would MISS: unfiltered top-5 of query 0
+    is ids 1..5 (no multiples of 7) — post-filtering it returns
+    nothing, while the pre-filter contract returns the true top-k of
+    the filtered set."""
+    emb = _emb_line(spark)
+    unfiltered = similarity.cosine_topk(emb, [0], k=5).collect()
+    assert {r["vec_id"] for r in unfiltered} == {1, 2, 3, 4, 5}
+    allowed = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    filtered = similarity.cosine_topk(emb, [0], k=5, allowed=allowed)
+    assert [r["vec_id"] for r in filtered.collect()] == [7, 14, 21, 28, 35]
+
+
+def test_filtered_ivf_matches_bruteforce_when_probing_all_cells(spark):
+    emb = _emb_line(spark)
+    allowed = emb.where(F.col("vec_id") % 2 == 0).select("vec_id")
+    bf = similarity.cosine_topk(emb, [0, 3], k=4, allowed=allowed)
+    ivf = similarity.cosine_topk_ivf(emb, [0, 3], k=4, n_centroids=4,
+                                     n_probe=4, allowed=allowed)
+    got_bf = sorted((r["qid"], r["rank"], r["vec_id"])
+                    for r in bf.collect())
+    got_ivf = sorted((r["qid"], r["rank"], r["vec_id"])
+                     for r in ivf.collect())
+    assert got_bf == got_ivf
+    # every result passes the filter
+    assert all(v % 2 == 0 for _, _, v in got_ivf)
