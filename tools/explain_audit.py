@@ -62,7 +62,15 @@ BNLJ_OK = {"brute-force cosine top-k",
            "completion suggester (sorted-dictionary prefix walk)",
            # decay composes over the on-the-fly _bm25_scored oracle
            # path (the 1-row broadcast stats relation, as with RRF)
-           "function_score gauss decay × BM25"}
+           "function_score gauss decay × BM25",
+           # linear fusion contains the whitelisted brute-force cosine
+           # sub-plan plus the 1-row stats relation, exactly like RRF
+           "linear hybrid fusion (minmax CombSUM)",
+           # IVF paths crossJoin the tiny broadcast centroid table
+           # (n_queries × n_centroids / n_vectors × n_centroids —
+           # broadcast side bounded by the cell count)
+           "filtered ANN (IVF + knn.filter pre-filter)",
+           "cluster-balanced diversity subsampling"}
 
 
 def main() -> None:
@@ -211,6 +219,19 @@ def main() -> None:
         "line_dedup"](spark, sf_dir)
     plans["winnowing near-dup pairs (MOSS)"] = winnow_pairs(
         winnow_fingerprints(docs), min_jaccard=0.5)
+
+    # round-3 third wave: percolation, diversity subsampling, HLL
+    # cardinality, linear fusion, filtered ANN
+    plans["percolation (broadcast saved-search store)"] = qs[
+        "percolate_hits"](spark, sf_dir)
+    plans["cluster-balanced diversity subsampling"] = qs[
+        "cluster_sample"](spark, sf_dir)
+    plans["HLL cardinality agg (register max-agg)"] = qs[
+        "cardinality_terms"](spark, sf_dir)
+    plans["linear hybrid fusion (minmax CombSUM)"] = qs[
+        "hybrid_linear_topk"](spark, sf_dir)
+    plans["filtered ANN (IVF + knn.filter pre-filter)"] = qs[
+        "ann_filtered_topk"](spark, sf_dir)
 
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
