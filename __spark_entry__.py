@@ -1641,6 +1641,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .where(F.col("rank") <= TOPK)
                 .select("qid", "vec_id", rc.alias("cosine"), "rank"))
 
+    def percentiles_dl(spark, sf_dir):
+        """ES `percentiles` agg over analyzed doc length with a
+        deterministic HDR-style power-of-two bucket sketch (4 mantissa
+        bits; midpoint nearest-rank estimates — t-digest's role with
+        a merge-order-free state the DuckDB oracle replicates
+        exactly)."""
+        from engine.search import percentiles_agg
+
+        idx = _cached_index(spark, sf_dir)
+        return percentiles_agg(idx, BM25_QUERIES)
+
+    def composite_page2(spark, sf_dir):
+        """ES `composite` agg with after-key pagination: (source,
+        lang) buckets of the first query's matched set in key order,
+        page 2 (the page after the first 5 buckets). The after-key is
+        taken from page 1's LAST row regardless of page fullness (the
+        exhausted-cursor rule from search_after)."""
+        from engine.search import composite_agg
+
+        idx = _cached_index(spark, sf_dir)
+        fields = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+        q1 = [BM25_QUERIES[0]]
+        page1 = composite_agg(idx, q1, fields, ["source", "lang"],
+                              5).collect()
+        if not page1:
+            return composite_agg(idx, q1, fields, ["source", "lang"], 5
+                                 ).limit(0)
+        last = page1[-1]
+        return composite_agg(idx, q1, fields, ["source", "lang"], 5,
+                             after=(last["source"], last["lang"]))
+
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks
     # only the FIRST 50 entries. Round 3 rotates the operators that
     # were outside round 2's window (everything from url_domains
@@ -1763,6 +1794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_terms": cardinality_terms,
         "hybrid_linear_topk": hybrid_linear_topk,
         "ann_filtered_topk": ann_filtered_topk,
+        "percentiles_dl": percentiles_dl,
+        "composite_page2": composite_page2,
         "doc_lengths": doc_lengths,
         "term_stats": term_stats,
     }
@@ -3804,6 +3837,56 @@ SELECT qid, vec_id, (floor(c * 1e4 + 0.5) / 1e4) AS cosine, rank FROM (
              ORDER BY (floor(c * 1e4 + 0.5) / 1e4) DESC, vec_id)::INT AS rank
   FROM sc) t
 WHERE rank <= {TOPK}
+"""
+
+    # --- percentiles_dl (deterministic HDR-bucket percentiles) ---------------
+    # Power-of-two buckets with 4 mantissa bits: pure integer shifts
+    # (exact cross-engine), midpoint at nearest-rank ceil(p/100 * N).
+    sql["percentiles_dl"] = f"""
+WITH {fts},
+hits AS (
+  SELECT DISTINCT q.qid, tf.doc_id
+  FROM {_sql_values(BM25_QUERIES)} JOIN tf USING (term)),
+v AS (SELECT h.qid, dl.dl FROM hits h JOIN dl ON dl.doc_id = h.doc_id),
+bk AS (SELECT qid,
+         ((dl >> s) << s)::BIGINT AS lo,
+         ((((dl >> s) + 1) << s) - 1)::BIGINT AS hi
+       FROM (SELECT qid, dl,
+                    greatest(length(bin(dl)) - 4, 0) AS s FROM v)),
+counts AS (SELECT qid, lo, hi, count(*)::BIGINT AS cnt
+           FROM bk GROUP BY qid, lo, hi),
+cum AS (SELECT qid, lo, hi, cnt,
+               sum(cnt) OVER (PARTITION BY qid ORDER BY lo) AS cum,
+               sum(cnt) OVER (PARTITION BY qid) AS n
+        FROM counts),
+p AS (SELECT unnest([50.0, 90.0, 99.0])::DOUBLE AS pct)
+SELECT qid, pct, ((lo + hi) / 2.0)::DOUBLE AS est
+FROM cum CROSS JOIN p
+WHERE cum >= ceil(pct / 100.0 * n) AND (cum - cnt) < ceil(pct / 100.0 * n)
+ORDER BY qid, pct
+"""
+
+    # --- composite_page2 (ES composite agg, after-key pagination) ------------
+    # Page 2 == buckets ranked 6..10 in (source, lang) key order over
+    # the FIRST query's matched set (the Spark side derives the
+    # after-key from page 1's last row; both formulations agree for
+    # full, short and exhausted first pages).
+    sql["composite_page2"] = f"""
+WITH {fts},
+hits AS (
+  SELECT DISTINCT q.qid, tf.doc_id
+  FROM {_sql_values(BM25_QUERIES[:1])} JOIN tf USING (term)),
+b AS (
+  SELECT h.qid, d.source, d.lang,
+         count(DISTINCT h.doc_id)::BIGINT AS n_docs
+  FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+  WHERE d.source IS NOT NULL AND d.lang IS NOT NULL
+  GROUP BY h.qid, d.source, d.lang),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY source, lang) AS rn FROM b)
+SELECT qid, source, lang, n_docs FROM r
+WHERE rn > 5 AND rn <= 10
+ORDER BY qid, source, lang
 """
 
     # --- collapsed_topk (field collapsing by documents.source) ---------------

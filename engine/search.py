@@ -2109,6 +2109,100 @@ def facet_histogram(index: Index,
             .orderBy("qid", "bucket"))
 
 
+def percentiles_agg(index: Index,
+                    queries: Sequence[tuple[str, Sequence[str]]],
+                    percents: Sequence[float] = (50.0, 90.0, 99.0)
+                    ) -> DataFrame:
+    """Percentiles aggregation (the Elasticsearch ``percentiles`` agg)
+    over analyzed document length, with a DETERMINISTIC mergeable
+    sketch state: an HDR-histogram-style power-of-two bucket table
+    (4 mantissa bits) instead of ES's t-digest, whose centroids depend
+    on merge order and so cannot be reproduced across engines or
+    partitionings.  Divergence documented: values are bucket-midpoint
+    estimates with relative error ≤ 2^-4 ≈ 6 % (t-digest is ~0.1 % at
+    the tails); the SCALE SHAPE is the point — the per-(qid, bucket)
+    count is one map-side-combinable hash agg over a fixed
+    ~8·log2(max_dl) bucket state, and sketches merge by adding counts,
+    exactly the t-digest role in a 1000-executor plan.
+
+    Bucketing is pure integer arithmetic (exact cross-engine):
+    ``e = bit_length(dl)`` via the binary-string length,
+    ``shift = max(e-4, 0)``, ``m = dl >> shift``, bucket =
+    ``[m << shift, ((m+1) << shift) - 1]`` — dl < 16 is exact.
+    The estimate for percent p is the midpoint of the bucket holding
+    nearest-rank ``ceil(p/100 · N)``.  Returns (qid, pct, est)
+    ordered by qid, pct.
+    """
+    hits = _matched_hits(index, queries)
+    p = _paths(index.index_dir)
+    dl = (index.spark.read.parquet(p["tf"])
+          .groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+    vals = hits.join(dl, "doc_id").select("qid", "dl")
+    b = vals.withColumn(
+        "shift", F.greatest(F.length(F.bin("dl")) - F.lit(4), F.lit(0)))
+    b = b.selectExpr(
+        "qid",
+        "shiftleft(shiftright(dl, shift), shift) as lo",
+        "shiftleft(shiftright(dl, shift) + 1L, shift) - 1L as hi")
+    counts = b.groupBy("qid", "lo", "hi").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("qid").orderBy("lo")
+    cum = (counts
+           .withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n", F.sum("cnt").over(Window.partitionBy("qid"))))
+    pcts = index.spark.createDataFrame(
+        [(float(x),) for x in percents], "pct double")
+    tgt = F.ceil(F.col("pct") / F.lit(100.0) * F.col("n").cast("double"))
+    hit = (cum.crossJoin(F.broadcast(pcts))
+           .where((F.col("cum") >= tgt) &
+                  ((F.col("cum") - F.col("cnt")) < tgt)))
+    return (hit.select("qid", "pct",
+                       ((F.col("lo") + F.col("hi")) / F.lit(2.0))
+                       .alias("est"))
+            .orderBy("qid", "pct"))
+
+
+def composite_agg(index: Index,
+                  queries: Sequence[tuple[str, Sequence[str]]],
+                  fields: DataFrame, key_cols: Sequence[str],
+                  page_size: int,
+                  after: Sequence | None = None) -> DataFrame:
+    """Composite aggregation (the Elasticsearch ``composite`` agg):
+    key-ordered bucket pages over the matched doc set with after-key
+    pagination — THE way to stream an unbounded bucket space out of an
+    aggregation (a terms agg with 10^9 buckets cannot materialize its
+    ordered tail; key-ordered pages can).
+
+    ``fields``: (doc_id, key_cols...) stored-field source; docs with
+    any NULL key are omitted (the ES ``missing_bucket: false``
+    default).  ``after``: the last key tuple of the previous page —
+    strictly-greater buckets (lexicographic over ``key_cols``, the ES
+    after-key contract) form the next page.
+
+    Scale: the bucket agg is map-side combinable on (qid, keys), the
+    after-key predicate prunes BEFORE the page sort, and the page cut
+    is a TakeOrderedAndProject-class plan (sort bounded by page_size ×
+    |queries|, never a global bucket sort).  Returns
+    (qid, key_cols..., n_docs) — the first ``page_size`` buckets per
+    qid in key order.
+    """
+    hits = _matched_hits(index, queries)
+    joined = hits.join(fields, "doc_id")
+    for c in key_cols:
+        joined = joined.where(F.col(c).isNotNull())
+    agg = (joined.groupBy("qid", *key_cols)
+           .agg(F.count_distinct("doc_id").alias("n_docs")))
+    if after is not None:
+        assert len(after) == len(key_cols)
+        agg = agg.where(
+            F.struct(*[F.col(c) for c in key_cols]) >
+            F.struct(*[F.lit(v) for v in after]))
+    w = Window.partitionBy("qid").orderBy(*[F.asc(c) for c in key_cols])
+    return (agg.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= page_size)
+            .select("qid", *key_cols, "n_docs")
+            .orderBy("qid", *key_cols))
+
+
 def cardinality_agg(index: Index,
                     queries: Sequence[tuple[str, Sequence[str]]],
                     values: DataFrame | None = None,

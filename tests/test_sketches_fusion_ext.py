@@ -96,6 +96,76 @@ def test_cardinality_agg_tracks_exact_distinct(spark, tiny_index):
 
 
 # ---------------------------------------------------------------------------
+# percentiles + composite aggs
+# ---------------------------------------------------------------------------
+
+def _agg_index(spark, tmp_path, contents, name):
+    from engine.index_build import build_index
+    from engine.search import Index
+
+    rows = [(f"org/r{i:02d}", f"f{i:02d}.py", "c" * 12, "python", text)
+            for i, text in enumerate(contents)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    path = str(tmp_path / name)
+    build_index(spark, df, path, n_buckets=2, n_doc_buckets=2)
+    return Index(spark, path)
+
+
+def test_percentiles_hand_computed(spark, tmp_path):
+    """dls {3,5,7,9,100}: p50 -> nearest-rank 3 -> dl 7 (exact bucket,
+    dl<16); p90/p99 -> rank 5 -> dl 100 in bucket [96,103] -> 99.5."""
+    from engine.search import percentiles_agg
+
+    def doc(dl):
+        return "common " + " ".join(f"tok{dl}x{j}" for j in range(dl - 1))
+
+    idx = _agg_index(spark, tmp_path, [doc(d) for d in (3, 5, 7, 9, 100)],
+                     "pct")
+    out = {(r["qid"], r["pct"]): r["est"]
+           for r in percentiles_agg(idx, [("q", ["common"])]).collect()}
+    assert out == {("q", 50.0): 7.0, ("q", 90.0): 99.5, ("q", 99.0): 99.5}
+
+
+def test_percentiles_bucket_is_exact_below_16(spark, tmp_path):
+    from engine.search import percentiles_agg
+
+    idx = _agg_index(spark, tmp_path,
+                     ["common " + " ".join(f"t{i}w{j}" for j in range(i))
+                      for i in range(1, 11)], "pcte")  # dls 2..11
+    out = {r["pct"]: r["est"]
+           for r in percentiles_agg(idx, [("q", ["common"])],
+                                    percents=(10.0, 50.0, 100.0)).collect()}
+    # N=10, nearest ranks 1/5/10 over sorted dls [2..11]
+    assert out == {10.0: 2.0, 50.0: 6.0, 100.0: 11.0}
+
+
+def test_composite_agg_pagination_and_null_omission(spark, tmp_path):
+    from engine.search import composite_agg
+
+    idx = _agg_index(spark, tmp_path,
+                     [f"common u{i}" for i in range(6)], "comp")
+    # key by doc parity; one doc gets a NULL key (omitted, ES default)
+    fields = idx.docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") == 5, F.lit(None))
+        .otherwise(F.concat(F.lit("g"), (F.col("doc_id") % 3)))
+        .alias("grp"))
+    q = [("q", ["common"])]
+    p1 = composite_agg(idx, q, fields, ["grp"], 2).collect()
+    assert [(r["grp"], r["n_docs"]) for r in p1] == [("g0", 2), ("g1", 2)]
+    p2 = composite_agg(idx, q, fields, ["grp"], 2,
+                       after=(p1[-1]["grp"],)).collect()
+    # doc 5 (g2) omitted for its NULL key -> g2 counts only doc 2
+    assert [(r["grp"], r["n_docs"]) for r in p2] == [("g2", 1)]
+    # exhausted cursor -> empty page
+    p3 = composite_agg(idx, q, fields, ["grp"], 2,
+                       after=(p2[-1]["grp"],)).collect()
+    assert p3 == []
+
+
+# ---------------------------------------------------------------------------
 # linear (minmax) fusion
 # ---------------------------------------------------------------------------
 
