@@ -235,7 +235,8 @@ def score_exhaustive(index: Index, query_terms: QueryTerms, k: int,
 
 
 def score_lmd(index: Index, query_terms: QueryTerms, k: int,
-              mu: float = MU, include_docno: bool = False) -> DataFrame:
+              mu: float = MU, include_docno: bool = False,
+              pair_filter: DataFrame | None = None) -> DataFrame:
     """Weighted-OR **LMDirichlet** top-k — the reference's published
     alternative similarity (Lucene LMDirichletSimilarity, GROUP_12.pdf
     §5.2.2; formula pinned in engine/scoring.py:lmd_col).
@@ -247,6 +248,13 @@ def score_lmd(index: Index, query_terms: QueryTerms, k: int,
     window shuffle keyed like the downstream (qid, doc) aggregate; at
     cluster scale this path shares the exhaustive plan's shape (the
     correctness baseline — WAND remains the pruned scale path for BM25).
+
+    ``pair_filter``: optional (qid, doc_id) DataFrame restricting
+    SCORING to those pairs (the rescore-window gate).  Applied AFTER
+    the ctf window — collection statistics must come from the full
+    posting lists, not the window — and before the (qid, doc) sum, so
+    a selective window broadcasts and the aggregate never sees
+    out-of-window docs.
     """
     matched = _matched_postings(index, query_terms)
     dec = matched.withColumn("d", decode_udf("blob"))
@@ -264,6 +272,9 @@ def score_lmd(index: Index, query_terms: QueryTerms, k: int,
     # liveDocs AFTER the ctf window: Lucene keeps deleted docs in the
     # collection statistics until their segments merge
     rows = index.live(rows)
+    if pair_filter is not None:
+        rows = rows.join(pair_filter.select("qid", "doc_id").distinct(),
+                         ["qid", "doc_id"], "left_semi")
     total_tokens = float(index.stats["total_tokens"])
     scored = rows.withColumn(
         "pscore",
@@ -278,6 +289,58 @@ def score_lmd(index: Index, query_terms: QueryTerms, k: int,
         out = out.join(index.docs.select("doc_id", "docno"), "doc_id") \
                  .select("qid", "doc_id", "docno", "score", "rank")
     return out.orderBy("qid", "rank")
+
+
+def rescore_topk(index: Index, queries_first: QueryTerms,
+                 queries_second: QueryTerms, k: int, window: int = 50,
+                 query_weight: float = 1.0, rescore_weight: float = 1.0,
+                 mu: float = MU, overfetch: int = 20) -> DataFrame:
+    """Query rescoring (Lucene ``QueryRescorer`` / the Elasticsearch
+    ``rescore`` window): rank the corpus with the CHEAP pruned
+    first-pass query (the sharded block-max WAND kernel), re-score
+    only the top-``window`` docs per query with the expensive second
+    query (LMDirichlet here — the engine's heavyweight similarity),
+    and combine
+
+        score = query_weight·first + rescore_weight·second
+
+    (the QueryRescorer combine; window docs the rescore query does not
+    match keep only the first term — Lucene's convention).  This is
+    the production recipe for expensive scorers at scale: the second
+    pass touches ``window × |queries|`` docs, never the corpus — the
+    (qid, doc) window broadcasts into the rescore decode while WAND
+    does the corpus-scale pruning.  ``k ≤ window`` required (ES:
+    rescore re-orders the window; docs below it are never re-ranked).
+
+    House determinism: window membership by ROUNDED first score
+    (overfetch, then rounded re-rank), rescore scores rounded before
+    the combine, final rank on the rounded combination.
+    Returns (qid, doc_id, score, rank) ordered by qid, rank.
+    """
+    from .portable import round_half_up
+
+    assert k <= window, "rescore never re-ranks below its window"
+    first_raw = score_wand(index, queries_first, window + overfetch)
+    r4 = round_half_up(F.col("score"), 4)
+    wv = Window.partitionBy("qid").orderBy(r4.desc(), F.asc("doc_id"))
+    first = (first_raw.withColumn("_r", F.row_number().over(wv))
+             .where(F.col("_r") <= window)
+             .select("qid", "doc_id", r4.alias("s1")))
+    second = score_lmd(index, queries_second, k=window, mu=mu,
+                       pair_filter=first.select("qid", "doc_id"))
+    s2 = round_half_up(F.col("score"), 4)
+    comb = (first.join(second.select("qid", "doc_id", s2.alias("s2")),
+                       ["qid", "doc_id"], "left")
+            .withColumn("c",
+                        F.lit(float(query_weight)) * F.col("s1") +
+                        F.lit(float(rescore_weight)) *
+                        F.coalesce(F.col("s2"), F.lit(0.0))))
+    rc = round_half_up(F.col("c"), 4)
+    w = Window.partitionBy("qid").orderBy(rc.desc(), F.asc("doc_id"))
+    return (comb.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", rc.alias("score"), "rank")
+            .orderBy("qid", "rank"))
 
 
 def score_ib(index: Index, query_terms: QueryTerms, k: int,

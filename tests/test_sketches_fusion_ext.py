@@ -166,6 +166,65 @@ def test_composite_agg_pagination_and_null_omission(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# rescore window (Lucene QueryRescorer / ES rescore)
+# ---------------------------------------------------------------------------
+
+def _round4(x):
+    import math
+    return math.floor(x * 1e4 + 0.5) / 1e4
+
+
+def test_rescore_combine_and_window_gate(spark, tmp_path):
+    from engine.search import rescore_topk, score_lmd, score_wand
+
+    docs = ["common alpha alpha", "common beta", "common alpha beta gamma",
+            "common delta epsilon zeta eta", "common common alpha"]
+    idx = _agg_index(spark, tmp_path, docs, "resc")
+    qt = [("q", "common", 1.0), ("q", "alpha", 1.0)]
+
+    # first-pass window: rounded BM25 top-3
+    first = {r["doc_id"]: _round4(r["score"])
+             for r in score_wand(idx, qt, 10).collect()}
+    window = [d for d, _ in sorted(first.items(),
+                                   key=lambda kv: (-kv[1], kv[0]))][:3]
+    lmd = {r["doc_id"]: _round4(r["score"])
+           for r in score_lmd(idx, qt, 10).collect()}
+    expected = sorted(
+        ((d, _round4(first[d] + lmd.get(d, 0.0))) for d in window),
+        key=lambda kv: (-kv[1], kv[0]))
+
+    out = rescore_topk(idx, qt, qt, k=3, window=3).collect()
+    assert [(r["doc_id"], r["score"]) for r in out] == expected
+    # window gate: every result doc came from the first-pass window
+    assert {r["doc_id"] for r in out} <= set(window)
+
+
+def test_rescore_weight_zero_is_first_pass(spark, tmp_path):
+    from engine.search import rescore_topk, score_wand
+
+    docs = ["common alpha", "common beta beta", "common gamma gamma gamma",
+            "common alpha beta"]
+    idx = _agg_index(spark, tmp_path, docs, "resc0")
+    qt = [("q", "common", 1.0)]
+    out = rescore_topk(idx, qt, qt, k=3, window=3,
+                       rescore_weight=0.0).collect()
+    first = {r["doc_id"]: _round4(r["score"])
+             for r in score_wand(idx, qt, 10).collect()}
+    expected = sorted(first.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r["doc_id"], r["score"]) for r in out] == expected
+
+
+def test_rescore_k_must_fit_window(spark, tiny_index):
+    import pytest as _pt
+
+    from engine.search import rescore_topk
+
+    with _pt.raises(AssertionError):
+        rescore_topk(tiny_index, [("q", "x", 1.0)], [("q", "x", 1.0)],
+                     k=20, window=10)
+
+
+# ---------------------------------------------------------------------------
 # linear (minmax) fusion
 # ---------------------------------------------------------------------------
 
