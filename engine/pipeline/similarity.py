@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..portable import round_half_up
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -766,3 +768,51 @@ def cluster_sample(emb: DataFrame, per_cell: int = 8,
             .select(F.col("vec_id").alias(id_col),
                     F.col("centroid_id").cast("int").alias("centroid_id"),
                     F.col("rank").cast("int").alias("rank")))
+
+
+def rp_signs(d_in: int, d_out: int) -> list[list[int]]:
+    """Deterministic Rademacher ±1 projection matrix (row j = output
+    dim): sign = parity of the first 8 md5 hex digits of ``rp:j:i`` —
+    the house cross-engine hash, so the DuckDB oracle can inline the
+    identical literal matrix."""
+    import hashlib
+
+    return [[1 if int(hashlib.md5(f"rp:{j}:{i}".encode())
+                      .hexdigest()[:8], 16) & 1 else -1
+             for i in range(d_in)]
+            for j in range(d_out)]
+
+
+def rp_project(emb: DataFrame, d_in: int, d_out: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               ndigits: int = 6) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a Rademacher (±1)
+    matrix (Achlioptas 2003, "Database-friendly random projections"):
+    y_j = (1/√d_out) Σ_i x_i·s_ji.  THE embedding-shrink pass a 100 TB
+    pipeline runs before LSH/clustering/dedup: d_in→d_out cuts every
+    downstream shuffle and cache by d_in/d_out while preserving
+    pairwise distances to (1±ε), ε ≈ √(8·ln n / d_out).
+
+    Scale shape: zero shuffles — a per-row projection of d_out dot
+    products, whole-stage codegen, the ±1 matrix is a d_in·d_out
+    literal baked into the plan (no broadcast needed).  Determinism:
+    signs are md5-derived constants, the fold is Spark's sequential
+    ``aggregate`` (bitwise-matched by DuckDB's list_dot_product), and
+    d_out is kept a power of four so 1/√d_out is an exact binary
+    float and the final scale introduces no rounding.
+
+    Output: (id, dim, val) exploded — one row per output coordinate.
+    """
+    if (d_out & (d_out - 1)) or (d_out.bit_length() - 1) % 2:
+        raise ValueError("d_out must be a power of 4 "
+                         "(exact 1/sqrt scale)")
+    scale = 1.0 / float(int(d_out ** 0.5))
+    signs = rp_signs(d_in, d_out)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    outs = F.array(*[
+        round_half_up(_dot(vec, F.array(*[F.lit(float(s))
+                                          for s in signs[j]]))
+                      * F.lit(scale), ndigits)
+        for j in range(d_out)])
+    return emb.select(F.col(id_col).alias("id"),
+                      F.posexplode(outs).alias("dim", "val"))

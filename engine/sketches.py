@@ -114,6 +114,97 @@ def hll_cardinality(df: DataFrame, keys: Sequence[str], value_col: str,
                         ndigits)
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+#
+# The frequency companion to HLL: a fixed DEPTH×WIDTH integer register
+# grid whose build is one map-side-combinable ``sum`` aggregation and
+# whose merge is register-wise add.  At 100 TB a "how often does each
+# of these terms occur" over a token stream is either a full
+# groupBy(token) shuffle (output proportional to the vocabulary) or a
+# CMS: DEPTH·WIDTH counters per key regardless of input size, with the
+# classic one-sided guarantee est ≥ true and
+# P[est > true + ε·N] ≤ (1/2)^DEPTH at WIDTH = ⌈e/ε⌉.  Same
+# cross-engine determinism recipe as the HLL above: md5-derived
+# row-salted hashes, INTEGER-only accumulation, no float anywhere.
+
+#: 4 rows × 1024 columns — ε ≈ e/1024 ≈ 0.27 % of the stream length,
+#: failure probability 2^-4 per row set; 4 KiB of int64 per key.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_col(value, row: int):
+    """Column index of ``value`` in CMS row ``row``: first 8 md5 hex
+    digits of the row-salted value, mod WIDTH (md5 output is uniform,
+    so the mod-2^10 fold keeps the uniformity)."""
+    h32 = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{row}:"), value.cast("string"))),
+        1, 8), 16, 10).cast("long"))
+    return (h32 % CMS_WIDTH).cast("int")
+
+
+def cms_registers(df: DataFrame, keys: Sequence[str],
+                  value_col: str) -> DataFrame:
+    """Per-key CMS register table: (keys..., row, col, cnt).
+
+    One narrow projection (DEPTH md5s per input row), one posexplode
+    (DEPTH-wide, a constant), one hash aggregation — at most
+    DEPTH·WIDTH output rows per key.  NULL values are ignored.
+    """
+    v = F.col(value_col)
+    cols = F.array(*[_cms_col(v, r) for r in range(CMS_DEPTH)])
+    return (df.where(v.isNotNull())
+            .select(*keys, F.posexplode(cols).alias("row", "col"))
+            .groupBy(*keys, "row", "col")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_lookup(registers: DataFrame, queries: DataFrame,
+               keys: Sequence[str], value_col: str) -> DataFrame:
+    """Point-estimate the count of each query value:
+    (keys..., value_col, est) with est = min over rows of the
+    addressed register (0 when a register was never touched — only
+    possible when the estimate is exactly 0).
+
+    The register table is DEPTH·WIDTH rows per key — broadcast-sized
+    by construction, so the join never shuffles the query side.
+    """
+    v = F.col(value_col)
+    probes = queries.select(
+        *keys, v,
+        F.posexplode(F.array(*[_cms_col(v, r)
+                               for r in range(CMS_DEPTH)]))
+        .alias("row", "col"))
+    joined = probes.join(F.broadcast(registers),
+                         [*keys, "row", "col"], "left")
+    return (joined.groupBy(*keys, value_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+                 .alias("est")))
+
+
+def cms_estimate_py(stream, query_values) -> dict:
+    """Pure-Python replica (test oracle): identical arithmetic."""
+    import hashlib
+
+    regs: dict[tuple[int, int], int] = {}
+
+    def _col(v, r):
+        return int(hashlib.md5(f"{r}:{v}".encode()).hexdigest()[:8],
+                   16) % CMS_WIDTH
+
+    for v in stream:
+        if v is None:
+            continue
+        for r in range(CMS_DEPTH):
+            k = (r, _col(v, r))
+            regs[k] = regs.get(k, 0) + 1
+    return {q: min(regs.get((r, _col(q, r)), 0)
+                   for r in range(CMS_DEPTH))
+            for q in query_values}
+
+
 def hll_estimate_py(values) -> float:
     """Pure-Python replica (test oracle): estimate for an iterable of
     string values, identical arithmetic to the DataFrame path."""
