@@ -6,7 +6,7 @@ Pure Catalyst column expressions (portable to the DuckDB oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..portable import round_half_up
@@ -308,3 +308,121 @@ def ngram_counts(docs: DataFrame, n: int = 2, min_count: int = 2,
             .groupBy("ngram")
             .agg(F.count(F.lit(1)).alias("count"))
             .where(F.col("count") >= min_count))
+
+
+def did_you_mean(docs: DataFrame, queries, max_edits: int = 2,
+                 alpha: float = 1.0, text_col: str = "text",
+                 ndigits: int = 6) -> DataFrame:
+    """Whole-query spelling correction — the Elasticsearch ``phrase``
+    suggester's mechanic (candidate generation + language-model
+    rescoring over a shingle field), distilled to a deterministic
+    single pass: per query position, vocabulary terms within
+    ``max_edits`` Levenshtein edits (plus the original token itself)
+    are rescored by an add-``alpha`` bigram LM conditioned on the
+    OBSERVED previous token, and the best candidate per position is
+    emitted (score-rounded desc, then distance asc, then term asc).
+
+    score(cand at 0)   = ln((c1(cand) + α) / (T + α·V))
+    score(cand at i>0) = ln((c2(prev_i, cand) + α) / (c1(prev_i) + α·V))
+                         when prev_i occurs in the corpus, else the
+                         unigram score (an UNSEEN context — typically
+                         itself a misspelling — carries no signal, and
+                         without the backoff every candidate ties and
+                         the distance-0 original wins vacuously).
+
+    Documented divergences from ES: a single forward pass with the
+    observed left context (no beam search over corrected sequences)
+    and add-α smoothing with unseen-context unigram backoff (instead
+    of stupid backoff) — both so the DuckDB oracle replicates the
+    arithmetic exactly; ln() outputs are rounded (house rule) before
+    any comparison.
+
+    Scale shape: the uni/bigram tables are the standard one-explode
+    hash aggs; candidate generation is a vocabulary-sized scan against
+    a broadcast query list under a length pre-filter (the
+    DirectSpellChecker enumeration); the bigram/context joins are
+    pre-pruned by the driver-known previous-token literals, so the
+    big tables never shuffle — only literal-pruned slivers broadcast.
+
+    Returns one row per qid: (qid, suggestion, n_corrected, score).
+    """
+    import re
+
+    spark = docs.sparkSession
+    qpos = []
+    for qid, text in queries:
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        for i, t in enumerate(toks):
+            qpos.append((qid, i, t, toks[i - 1] if i else None))
+    if not qpos:
+        return spark.createDataFrame(
+            [], "qid string, suggestion string, n_corrected long, "
+                "score double")
+    qdf = spark.createDataFrame(
+        qpos, "qid string, i int, orig string, prev string")
+    prevs = sorted({p for _, _, _, p in qpos if p is not None})
+
+    toks_all = docs.select(
+        F.explode(_alnum_tokens(F.col(text_col))).alias("tok"))
+    uni = toks_all.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    tot = uni.agg(F.sum("c1").cast("double").alias("T"),
+                  F.count(F.lit(1)).cast("double").alias("V"))
+
+    t = _alnum_tokens(F.col(text_col))
+    nxt = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+    pairs = F.filter(
+        F.zip_with(t, nxt, lambda a, b: F.struct(a.alias("p"),
+                                                 b.alias("w"))),
+        lambda s: s["w"].isNotNull())
+    bi = (docs.select(F.explode(pairs).alias("pr"))
+          .select("pr.p", "pr.w")
+          .where(F.col("p").isin(prevs))     # literal pushdown prune
+          .groupBy("p", "w").agg(F.count(F.lit(1)).alias("c2")))
+
+    lev = F.levenshtein("tok", "orig")
+    cand_e = (uni.join(
+        F.broadcast(qdf),
+        (F.abs(F.length("tok") - F.length("orig")) <= max_edits)
+        & (lev <= max_edits) & (lev >= 1))
+        .select("qid", "i", "orig", "prev", F.col("tok").alias("cand"),
+                lev.cast("int").alias("distance"),
+                F.col("c1").alias("c_cand")))
+    cand_0 = (qdf.join(uni, qdf["orig"] == uni["tok"], "left")
+              .select("qid", "i", "orig", "prev",
+                      F.col("orig").alias("cand"),
+                      F.lit(0).alias("distance"),
+                      F.coalesce("c1", F.lit(0)).alias("c_cand")))
+    cand = cand_0.unionByName(cand_e)
+
+    c_prev = (uni.where(F.col("tok").isin(prevs))
+              .select(F.col("tok").alias("prev"),
+                      F.col("c1").alias("c_prev")))
+    cand = (cand.join(F.broadcast(c_prev), "prev", "left")
+            .join(F.broadcast(
+                bi.select(F.col("p").alias("prev"),
+                          F.col("w").alias("cand"), "c2")),
+                ["prev", "cand"], "left")
+            .crossJoin(F.broadcast(tot)))
+    a = F.lit(float(alpha))
+    unigram = F.log((F.col("c_cand") + a)
+                    / (F.col("T") + a * F.col("V")))
+    seen_ctx = F.coalesce(F.col("c_prev"), F.lit(0)) > 0
+    sc = F.when(
+        (F.col("i") == 0) | ~seen_ctx, unigram
+    ).otherwise(
+        F.log((F.coalesce(F.col("c2"), F.lit(0)) + a)
+              / (F.col("c_prev") + a * F.col("V"))))
+    cand = cand.withColumn("sc", round_half_up(sc, ndigits))
+    w = Window.partitionBy("qid", "i").orderBy(
+        F.desc("sc"), F.asc("distance"), F.asc("cand"))
+    best = (cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1))
+    return (best.groupBy("qid")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("i", "cand"))),
+                         lambda s: s["cand"]), " ").alias("suggestion"),
+                 F.sum(F.when(F.col("distance") > 0, 1)
+                       .otherwise(0)).cast("long").alias("n_corrected"),
+                 round_half_up(F.sum("sc"), 4).alias("score")))

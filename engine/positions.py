@@ -44,7 +44,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .analysis import (RE_NONTOKEN, STOPWORDS, _STOPSET, kstem,
@@ -169,12 +169,8 @@ def phrase_match(index: Index,
     if not qrows:
         return spark.createDataFrame([], "qid string, doc_id long")
 
-    terms = sorted({t for _, t, _ in qrows})
-    qdf = spark.createDataFrame(qrows, "qid string, term string, off int")
-    pos = _positions_df(index, terms)
-    matched = pos.join(F.broadcast(qdf), "term")
-
     # lead gating: per query, the rarest term's docs (df from termstats)
+    terms = sorted({t for _, t, _ in qrows})
     dfm = index.df_map(terms)
     lead: dict[str, str] = {}
     for qid in n_offs:
@@ -184,6 +180,23 @@ def phrase_match(index: Index,
         rare = min(ts, key=lambda t: (dfm[t], t))
         if dfm[rare] <= lead_max_df and len(ts) > 1:
             lead[qid] = rare
+    return _anchor_match(index, qrows, n_offs, lead)
+
+
+def _anchor_match(index: Index, qrows: Sequence[tuple[str, str, int]],
+                  n_offs: dict[str, int],
+                  lead: dict[str, str]) -> DataFrame:
+    """Shared anchor-alignment core: docs where every query offset is
+    matched by SOME (term, off) row at the same anchor — multiple terms
+    may share an offset (MultiPhraseQuery semantics; count_distinct is
+    over offsets, so any one of them satisfies that position)."""
+    spark = index.spark
+    terms = sorted({t for _, t, _ in qrows})
+    qdf = spark.createDataFrame(list(qrows),
+                                "qid string, term string, off int")
+    pos = _positions_df(index, terms)
+    matched = pos.join(F.broadcast(qdf), "term")
+
     if lead:
         lqdf = spark.createDataFrame(
             [(q, t) for q, t in lead.items()], "qid string, term string")
@@ -210,6 +223,161 @@ def phrase_match(index: Index,
             .where(F.col("nmatch") == F.col("n_offs"))
             .select("qid", "doc_id").distinct())
     return index.live(hits).orderBy("qid", "doc_id")
+
+
+def phrase_prefix_expansions(index: Index, prefixes: Sequence[str],
+                             max_expansions: int = 50) -> dict[str, list[str]]:
+    """Per-prefix dictionary expansions in TERM ORDER, capped at
+    ``max_expansions`` — Lucene's match_phrase_prefix rewrite collects
+    the first ``max_expansions`` terms of the prefix's term-dictionary
+    range (TermsEnum order), not the highest-df ones.  The scan is
+    pre-pruned to the prefixes' [p, next(p)) sorted-dictionary ranges;
+    only the capped expansion lists come to the driver (the same
+    enumerate-then-query shape as expand_prefix_terms)."""
+    from .search import _prefix_range_filter
+
+    if not prefixes:
+        return {}
+    pdf = index.spark.createDataFrame([(p,) for p in sorted(set(prefixes))],
+                                      "prefix string")
+    ts = _prefix_range_filter(index.termstats.select("term"),
+                              list(prefixes))
+    w = Window.partitionBy("prefix").orderBy(F.asc("term"))
+    rows = (ts.join(F.broadcast(pdf),
+                    F.col("term").startswith(F.col("prefix")))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= max_expansions)
+            .select("prefix", "term").collect())
+    out: dict[str, list[str]] = {p: [] for p in prefixes}
+    for r in rows:
+        out[r["prefix"]].append(r["term"])
+    return out
+
+
+def phrase_prefix_match(index: Index,
+                        queries: Sequence[tuple[str, str]],
+                        max_expansions: int = 50,
+                        lead_max_df: int = PHRASE_LEAD_MAX_DF) -> DataFrame:
+    """match_phrase_prefix retrieval (Elasticsearch
+    ``match_phrase_prefix`` / Lucene ``MultiPhraseQuery`` with a
+    prefix-expanded last position): the analyzed phrase must occur
+    with its exact gap pattern, where the LAST emitted token is
+    treated as a prefix matched by any of its first
+    ``max_expansions`` dictionary expansions (term order — the Lucene
+    rewrite's cap).  Returns (qid, doc_id) ordered.
+
+    Semantics notes (documented divergence surface): the prefix seed
+    is the last token the analyzer EMITS (so a trailing stopword is
+    dropped and the previous token becomes the seed, as in
+    ES/Lucene); the seed itself goes through the index's analyzer
+    (stemming included) exactly like ES's analyzed prefix.  A query
+    whose seed has no dictionary expansion matches nothing.
+
+    Plan: one capped dictionary enumeration per distinct prefix
+    (sorted-range-pruned termstats scan), then the shared
+    anchor-alignment join — expansions ride as extra (term, last_off)
+    rows, so count_distinct(off) == n_offs implements the
+    any-expansion-at-that-position OR.  Lead gating stays on the
+    EXACT offsets only (an expansion doc set is a union across
+    expansion terms, so no single expansion term may gate).
+    """
+    opts = index.analyzer_opts()
+    spark = index.spark
+    exact: dict[str, list[tuple[str, int]]] = {}
+    seed: dict[str, tuple[str, int]] = {}
+    n_offs: dict[str, int] = {}
+    for qid, text in queries:
+        toks = analyze_phrase(text, **opts)
+        if not toks:
+            continue
+        exact[qid] = toks[:-1]
+        seed[qid] = toks[-1]
+        n_offs[qid] = len(toks)
+    if not seed:
+        return spark.createDataFrame([], "qid string, doc_id long")
+
+    exps = phrase_prefix_expansions(index, [p for p, _ in seed.values()],
+                                    max_expansions)
+    qrows: list[tuple[str, str, int]] = []
+    for qid in seed:
+        p, poff = seed[qid]
+        for t, off in exact[qid]:
+            qrows.append((qid, t, off))
+        for t in exps.get(p, []):
+            qrows.append((qid, t, poff))
+    if not qrows:
+        return spark.createDataFrame([], "qid string, doc_id long")
+
+    # lead gating over EXACT terms only
+    ets = sorted({t for q in exact for t, _ in exact[q]})
+    dfm = index.df_map(ets) if ets else {}
+    lead: dict[str, str] = {}
+    for qid in n_offs:
+        ts = sorted({t for t, _ in exact[qid]})
+        if not ts or any(t not in dfm for t in ts):
+            continue
+        rare = min(ts, key=lambda t: (dfm[t], t))
+        if dfm[rare] <= lead_max_df:
+            lead[qid] = rare
+    return _anchor_match(index, qrows, n_offs, lead)
+
+
+def phrase_prefix_topk(index: Index,
+                       queries: Sequence[tuple[str, str]], k: int,
+                       max_expansions: int = 50) -> DataFrame:
+    """match_phrase_prefix top-k: docs matching the prefix-expanded
+    phrase, ranked by the BM25 term-bag of the EXACT (non-prefix)
+    tokens — the prefix position gates the match set but does not
+    score (documented divergence: Lucene blends expansion stats into
+    the last position's weight).  A query with no exact tokens (bare
+    prefix) therefore returns no rows here — use
+    :func:`phrase_prefix_match` for its hit set.  Returns
+    (qid, doc_id, score, rank), gate applied BEFORE the rank cut.
+    """
+    from .portable import round_half_up
+    from .scoring import bm25_col
+    from .search import _matched_postings, decode_udf
+
+    opts = index.analyzer_opts()
+    weights: dict[tuple[str, str], float] = {}
+    for qid, text in queries:
+        toks = analyze_phrase(text, **opts)
+        for t, _ in toks[:-1]:
+            weights[(qid, t)] = weights.get((qid, t), 0.0) + 1.0
+    spark = index.spark
+    hits = phrase_prefix_match(index, queries, max_expansions)
+    if not weights:
+        return spark.createDataFrame(
+            [], "qid string, doc_id long, score double, rank int")
+    qt = [(q, t, w) for (q, t), w in sorted(weights.items())]
+    matched = _matched_postings(index, qt)
+    dec = matched.withColumn("d", decode_udf("blob"))
+    rows = dec.select(
+        "qid", "term", "weight",
+        F.explode(F.arrays_zip("d.doc_ids", "d.tfs", "d.dls")).alias("e"),
+    ).select("qid", "term", "weight",
+             F.col("e.doc_ids").alias("doc_id"),
+             F.col("e.tfs").alias("tf"),
+             F.col("e.dls").alias("dl"))
+    ts = index.termstats.select("term", "df")
+    qterms = spark.createDataFrame([(t,) for t in
+                                    sorted({t for _, t, _ in qt})],
+                                   "term string")
+    rows = rows.join(F.broadcast(ts.join(qterms, "term")), "term")
+    scored = rows.withColumn(
+        "pscore",
+        F.col("weight") * bm25_col(F.col("tf"), F.col("df"), F.col("dl"),
+                                   index.avgdl, float(index.n_docs),
+                                   index.stats["k1"], index.stats["b"]))
+    agg = (scored.groupBy("qid", "doc_id")
+           .agg(F.sum("pscore").alias("s"))
+           .join(hits, ["qid", "doc_id"]))  # gate BEFORE the window
+    r = round_half_up(F.col("s"), 4)
+    w = Window.partitionBy("qid").orderBy(r.desc(), F.asc("doc_id"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", r.alias("score"), "rank")
+            .orderBy("qid", "rank"))
 
 
 def proximity_match(index: Index,

@@ -1641,6 +1641,48 @@ def count_matches(index: Index,
             .orderBy("qid"))
 
 
+def random_score_topk(index: Index,
+                      queries: Sequence[tuple[str, Sequence[str]]],
+                      k: int, seed: int = 42) -> DataFrame:
+    """``function_score`` with ``random_score`` in replace mode (the
+    Elasticsearch deterministic random ranking: hash(seed, doc)
+    uniform per document) — the standard "sample k matched docs per
+    query, reproducibly" primitive for relevance-testing and dataset
+    sampling.  Score = first 8 md5 hex digits of ``seed:doc_id`` over
+    2^32 (the house cross-engine uniform, same recipe as
+    curation.hash_sample), identical for a doc across queries exactly
+    like ES's seeded random_score; ties broken doc_id asc.
+
+    Plan: the weighted-OR match set (decode → explode doc_ids only,
+    no tf/dl), liveDocs-filtered, then a per-qid rank window — the
+    gate sits BEFORE the rank cut.  Returns (qid, doc_id, score,
+    rank), score rounded 6 dp.
+    """
+    from engine.portable import round_half_up
+
+    spark = index.spark
+    qt = [(q, t, 1.0) for q, terms in queries for t in sorted(set(terms))]
+    if not qt:
+        return spark.createDataFrame(
+            [], "qid string, doc_id long, score double, rank int")
+    matched = _matched_postings(index, qt)
+    dec = matched.withColumn("d", decode_udf("blob"))
+    hits = index.live(
+        dec.select("qid", F.explode("d.doc_ids").alias("doc_id"))
+    ).select("qid", "doc_id").distinct()
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"),
+                       F.col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("double") / F.lit(float(1 << 32)))
+    scored = hits.withColumn("score", round_half_up(u, 6))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                          F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", "score", "rank")
+            .orderBy("qid", "rank"))
+
+
 def collection_stats(index: Index) -> DataFrame:
     """Lucene ``CollectionStatistics`` / ``IndexReader`` counters as a
     one-row DataFrame: maxDoc, sumTotalTermFreq, avg doc length,
