@@ -70,7 +70,16 @@ BNLJ_OK = {"brute-force cosine top-k",
            # (n_queries × n_centroids / n_vectors × n_centroids —
            # broadcast side bounded by the cell count)
            "filtered ANN (IVF + knn.filter pre-filter)",
-           "cluster-balanced diversity subsampling"}
+           "cluster-balanced diversity subsampling",
+           # percentiles crossJoins the ≤|percents|-row (3 here)
+           # broadcast percent list against the FIXED-SIZE bucket
+           # table (≤ ~8·log2(max_dl) rows per qid by construction)
+           "percentiles agg (HDR power-of-two buckets)",
+           # did-you-mean's candidate join is NON-EQUI by nature
+           # (length band + levenshtein) against a broadcast of the
+           # few query positions — the spell-suggestion shape — plus
+           # the 1-row (T, V) totals relation
+           "did-you-mean (edit candidates × bigram LM)"}
 
 
 def main() -> None:
@@ -232,6 +241,29 @@ def main() -> None:
         "hybrid_linear_topk"](spark, sf_dir)
     plans["filtered ANN (IVF + knn.filter pre-filter)"] = qs[
         "ann_filtered_topk"](spark, sf_dir)
+
+    # round-3 fourth wave: percentiles/composite/rescore aggs plus the
+    # ExactSubstr / CMS / JL-projection training-data ops
+    plans["percentiles agg (HDR power-of-two buckets)"] = qs[
+        "percentiles_dl"](spark, sf_dir)
+    plans["composite agg (after-key pagination)"] = qs[
+        "composite_page2"](spark, sf_dir)
+    plans["query rescoring (kernel pass + windowed LMD)"] = qs[
+        "rescored_topk"](spark, sf_dir)
+    plans["ExactSubstr span dedup (window-hash owner/excise)"] = qs[
+        "substring_dedup"](spark, sf_dir)
+    plans["Count-Min sketch term counts (register grid)"] = qs[
+        "cms_term_counts"](spark, sf_dir)
+    plans["JL random projection (literal ±1 matrix)"] = qs[
+        "rp_embed"](spark, sf_dir)
+
+    # round-3 fifth wave: match_phrase_prefix / did-you-mean / random
+    plans["match_phrase_prefix (anchor join + capped expansions)"] = qs[
+        "phrase_prefix_hits"](spark, sf_dir)
+    plans["did-you-mean (edit candidates × bigram LM)"] = qs[
+        "did_you_mean"](spark, sf_dir)
+    plans["seeded random_score ranking"] = qs[
+        "random_topk"](spark, sf_dir)
 
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
