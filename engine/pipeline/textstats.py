@@ -426,3 +426,91 @@ def did_you_mean(docs: DataFrame, queries, max_edits: int = 2,
                  F.sum(F.when(F.col("distance") > 0, 1)
                        .otherwise(0)).cast("long").alias("n_corrected"),
                  round_half_up(F.sum("sc"), 4).alias("score")))
+
+
+def nb_classifier(docs: DataFrame, positive_col: str,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n_features: int = 1 << 18,
+                  ndigits: int = 6) -> DataFrame:
+    """Classifier-based quality filtering — the GPT-3 / LLaMA / CCNet
+    pipeline stage (Brown et al. 2020 §A; Touvron et al. 2023: a
+    linear classifier over hashed bag-of-words features scores every
+    crawl document against a trusted reference slice) — as a
+    closed-form multinomial Naive Bayes, so fit AND inference are
+    deterministic single-pass aggregations with no SGD anywhere:
+
+      w(f)  = ln((c⁺(f)+1)/(T⁺+F)) − ln((c⁻(f)+1)/(T⁻+F))
+      bias  = ln((n⁺+1)/(n⁻+1))
+      score = bias + Σ_tokens w(hash(token))     (log-odds; pred = >0)
+
+    Features are md5-hashed token buckets (``n_features`` = F) — the
+    fastText/VW hashing trick that caps the weight table at a fixed,
+    broadcastable size regardless of corpus vocabulary.
+
+    Scale shape: fit = one explode + one (feature, class) hash agg
+    (≤ 2F rows) + a 2-row totals agg; inference = the same explode
+    joined to the BROADCAST weight table, one per-doc sum.  Nothing
+    is collected; the totals ride a 1-row crossJoin.  Determinism:
+    counts stay integer, each ln() output is quantized ONCE to int64
+    micro-units (house integer-accumulation recipe — float sums of
+    rounded values still carry addition-order ulps across engines),
+    per-doc accumulation is exact integer, and one final division +
+    4 dp round produces the score.
+
+    Returns (doc_id, n_tokens, score, pred).
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(positive_col).cast("boolean").alias("y"),
+                       F.explode_outer(_alnum_tokens(F.col(text_col)))
+                       .alias("tok"))
+    feat = (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+            .cast("long") % n_features)
+    ft = toks.where(F.col("tok").isNotNull()) \
+             .select("doc_id", "y", feat.alias("f"))
+    counts = (ft.groupBy("f")
+              .agg(F.sum(F.when(F.col("y"), 1).otherwise(0))
+                   .alias("cp"),
+                   F.sum(F.when(F.col("y"), 0).otherwise(1))
+                   .alias("cn")))
+    tot = (docs.select(
+        F.col(positive_col).cast("boolean").alias("y"),
+        F.size(_alnum_tokens(F.col(text_col))).alias("nt"))
+        .agg(F.sum(F.when(F.col("y"), F.col("nt")).otherwise(0))
+             .cast("double").alias("TP"),
+             F.sum(F.when(F.col("y"), 0).otherwise(F.col("nt")))
+             .cast("double").alias("TN"),
+             F.sum(F.when(F.col("y"), 1).otherwise(0))
+             .cast("double").alias("NP"),
+             F.sum(F.when(F.col("y"), 1 - 1).otherwise(1))
+             .cast("double").alias("NN")))
+    fl = F.lit(float(n_features))
+
+    def _i6(col):
+        # house integer-accumulation recipe: ln() outputs quantized to
+        # int64 micro-units ONCE, all downstream sums exact integer
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    w = _i6(F.log((F.col("cp") + 1.0) / (F.col("TP") + fl))
+            - F.log((F.col("cn") + 1.0) / (F.col("TN") + fl)))
+    weights = (counts.crossJoin(F.broadcast(tot))
+               .select("f", w.alias("w")))
+    # unseen-bucket weight (c⁺ = c⁻ = 0) and the class-prior bias —
+    # constants per fit, same micro-unit quantization
+    w0 = _i6(F.log((F.col("TN") + fl) / (F.col("TP") + fl)))
+    bias = _i6(F.log((F.col("NP") + 1.0) / (F.col("NN") + 1.0)))
+    per_tok = (ft.join(F.broadcast(weights), "f", "left")
+               .crossJoin(F.broadcast(tot))
+               .select("doc_id", F.coalesce(F.col("w"), w0).alias("w")))
+    per_doc = (per_tok.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                    F.sum("w").alias("sw")))
+    base = docs.select(F.col(id_col).alias("doc_id")) \
+        .crossJoin(F.broadcast(tot))
+    score = ((F.coalesce(F.col("sw"), F.lit(0).cast("long")) + bias)
+             .cast("double") / F.lit(1e6))
+    out = (base.join(per_doc, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("n_tokens", F.lit(0).cast("long"))
+                   .alias("n_tokens"),
+                   round_half_up(score, 4).alias("score")))
+    return out.withColumn("pred", F.col("score") > 0)
