@@ -15,6 +15,8 @@ Queries benched (each timed to completion, i.e. a full action):
   cosine_topk      brute-force cosine top-10, 5 query vectors
   simhash          tf-weighted 32-bit simhash for every doc
   quality_lang     quality scores + language ID full pass
+  substring_dedup  ExactSubstr duplicated-span removal (window hash)
+  nb_classifier    NB quality-classifier fit + full-corpus inference
 
 Extra keys: docs_per_sec (index build throughput), n_docs.
 """
@@ -126,6 +128,17 @@ def main() -> None:
     li = textstats.lang_id(docs)
     q.join(li, "doc_id").count()
     timings["quality_lang"] = time.time() - t0
+
+    from engine.pipeline import curation
+
+    t0 = time.time()
+    curation.exact_substring_dedup(docs, n=10).count()
+    timings["substring_dedup"] = time.time() - t0
+
+    t0 = time.time()
+    textstats.nb_classifier(
+        docs.withColumn("pos", F.col("lang") == "en"), "pos").count()
+    timings["nb_classifier"] = time.time() - t0
 
     from engine.streaming import sessionize
 
