@@ -956,6 +956,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             round_half_up(F.col("total_value"), 4).alias("total_value"))
             .orderBy("window_start", "event_type"))
 
+    def event_window_cardinality(spark, sf_dir):
+        """Windowed distinct-count sketch (unique users per hour):
+        HLL registers keyed by the tumbling window — the streaming-
+        safe distinct plan (engine/streaming.py; register max is the
+        one stateful agg, estimate is a batch post-pass)."""
+        from engine.streaming import windowed_cardinality
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = windowed_cardinality(events, window="1 hour")
+        return (out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"), "v_zero", "est")
+            .orderBy("window_start"))
+
     def event_sessions(spark, sf_dir):
         """Gap-based sessionization (batch form of the custom stateful
         streaming operator engine/streaming.py:sessionize_stream)."""
@@ -1986,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores_all": bm25_scores_all,
         "boolean_and": boolean_and,
         "event_window_counts": event_window_counts,
+        "event_window_cardinality": event_window_cardinality,
         "lmdirichlet_topk": lmdirichlet_topk,
         "ib_topk": ib_topk,
         "semdedup_keep": semdedup_keep,
@@ -4085,6 +4100,32 @@ WHERE rk <= 3
 """
 
     # --- event_window_counts ---------------------------------------------------
+    sql["event_window_cardinality"] = """
+WITH vals AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+         user_id AS value
+  FROM events),
+hx AS (SELECT ws, ('0x'||substr(md5(value::VARCHAR),1,8))::BIGINT AS h32
+       FROM vals WHERE value IS NOT NULL),
+reg AS (SELECT ws, h32 >> 20 AS register,
+         max(CASE WHEN (h32 & 1048575) = 0 THEN 21
+                  ELSE 21 - length(bin(h32 & 1048575)) END) AS rho
+        FROM hx GROUP BY ws, register),
+agg AS (SELECT ws, count(*)::BIGINT AS occ,
+               sum(1::BIGINT << (21 - rho))::BIGINT AS s_occ
+        FROM reg GROUP BY ws),
+es AS (SELECT ws, (4096 - occ)::BIGINT AS v_zero,
+        ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * 2097152.0)
+         / (s_occ + (4096 - occ) * 2097152)::DOUBLE AS raw
+       FROM agg)
+SELECT ws AS window_start, v_zero,
+  (floor((CASE WHEN raw <= 10240.0 AND v_zero > 0
+               THEN 4096.0 * ln(4096.0 / v_zero::DOUBLE)
+               WHEN raw > 4294967296.0 / 30.0
+               THEN -4294967296.0 * ln(1.0 - raw / 4294967296.0)
+               ELSE raw END) * 1e4 + 0.5) / 1e4) AS est
+FROM es ORDER BY window_start
+"""
     sql["event_window_counts"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*)::BIGINT AS n,

@@ -304,6 +304,53 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                     "event_type", "n", "total_value"))
 
 
+def windowed_cardinality_registers(events: DataFrame,
+                                   window: str = "1 hour",
+                                   watermark: str = "2 hours",
+                                   value_col: str = "user_id"
+                                   ) -> DataFrame:
+    """Per-window HLL register table over ``value_col`` — the
+    streaming-safe half of a windowed distinct count ("unique users
+    per hour", the canonical streaming-analytics ask that
+    count_distinct cannot answer incrementally).
+
+    Register max IS the incremental update, so this is ONE stateful
+    aggregation and runs unchanged on a streaming DataFrame (with the
+    watermark applied); state per window is bounded at m = 4096 rows
+    regardless of event volume — the property that makes the sketch
+    THE windowed-distinct plan at firehose scale.  The estimate
+    (:func:`windowed_cardinality`) is a second aggregation, so on a
+    stream it runs as a batch post-pass over the emitted registers
+    (structured streaming allows one stateful agg per query).
+    """
+    from .sketches import hll_registers
+
+    df = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    win = F.window("ts", window)
+    return hll_registers(df.select(win.alias("win"),
+                                   F.col(value_col)),
+                         ["win"], value_col)
+
+
+def windowed_cardinality(events: DataFrame, window: str = "1 hour",
+                         watermark: str = "2 hours",
+                         value_col: str = "user_id") -> DataFrame:
+    """Batch form of the windowed distinct-count sketch:
+    (window_start, window_end, v_zero, est).  The batch result is the
+    correctness oracle for the streaming register path (registers are
+    identical by construction — the test asserts it)."""
+    from .sketches import hll_estimate
+
+    regs = windowed_cardinality_registers(events, window, watermark,
+                                          value_col)
+    est = hll_estimate(regs, ["win"])
+    return est.select(F.col("win.start").alias("window_start"),
+                      F.col("win.end").alias("window_end"),
+                      "v_zero", "est")
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: gap-based sessionization
 # ---------------------------------------------------------------------------

@@ -246,3 +246,50 @@ def test_streaming_dedup_filter_matches_reference(spark, tmp_path):
     assert kept == expect
     assert 4 in kept          # unshingleable doc always kept
     assert 3 not in kept and 10 not in kept and 12 not in kept
+
+
+def test_windowed_cardinality_stream_matches_batch(spark, tmp_path):
+    """Windowed HLL distinct-count: the streaming register path
+    (single stateful max-agg, bounded state) must produce exactly the
+    batch registers, hence the identical estimate."""
+    import datetime as dt
+
+    from engine.sketches import hll_estimate
+    from engine.streaming import (windowed_cardinality,
+                                  windowed_cardinality_registers)
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(3):                    # 3 hourly windows
+        for i in range(200 * (h + 1)):    # distinct users per window
+            rows.append((h * 1000 + i,
+                         base + dt.timedelta(hours=h,
+                                             seconds=i % 3600),
+                         i % (150 * (h + 1)),  # dups inside window
+                         "click", 1.0))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    src = str(tmp_path / "wc_src")
+    events.repartition(3).write.parquet(src)
+
+    batch = {r["window_start"]: (r["v_zero"], r["est"])
+             for r in windowed_cardinality(events).collect()}
+    assert len(batch) == 3
+    # sketch accuracy: within 5 % of the true distinct count here
+    truth = {0: 150, 1: 300, 2: 450}
+    for h, (ws, (_vz, est)) in enumerate(sorted(batch.items())):
+        assert abs(est - truth[h]) / truth[h] < 0.05
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    regs = windowed_cardinality_registers(stream)
+    q = (regs.writeStream.format("memory").queryName("wc_regs")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got_regs = spark.table("wc_regs")
+    est = hll_estimate(got_regs, ["win"])
+    got = {r["win"]["start"].strftime("%Y-%m-%d %H:%M:%S"):
+           (r["v_zero"], r["est"]) for r in est.collect()}
+    want = {k.strftime("%Y-%m-%d %H:%M:%S"): v for k, v in batch.items()}
+    assert got == want
