@@ -3,14 +3,19 @@ payloads with typed metadata, processed by Arrow-batched pandas UDFs
 over ``mapInPandas``.
 
 Container-header METADATA extraction is REAL and dependency-free
-(:func:`parse_media_header`: PNG/GIF/BMP dimensions, WAV duration —
-spec'd byte layouts via stdlib ``struct``). Deep decode (pixels,
-samples, frames) and learned feature embeddings are STUBBED —
-image/audio codecs and model weights are not available in this
-environment (``DECODERS_AVAILABLE``); everything Spark-side is real
-and tested: schema, binary transport, partitioning, UDF signatures,
-Arrow batch shapes. Swap the stub branch of :func:`decode_media` for
-a libvips/ffmpeg kernel and nothing else changes.
+(:func:`parse_media_header`: PNG/JPEG/GIF/BMP dimensions, WAV duration
+— spec'd byte layouts via stdlib ``struct``). Deep decode is REAL for
+the RAW containers, which need no codec library: 24-bit uncompressed
+BMP pixels (:func:`decode_bmp_pixels` — mean RGB over the padded
+bottom-up rows) and 16-bit PCM WAV samples (:func:`decode_wav_samples`
+— RMS/peak over full-scale-normalized int16). Compressed formats
+(JPEG/PNG pixels, lossy audio, video frames) and learned feature
+embeddings stay STUBBED — their codecs and model weights are not
+available in this environment (``DECODERS_AVAILABLE``); everything
+Spark-side is real and tested: schema, binary transport, partitioning,
+UDF signatures, Arrow batch shapes. Swap the stub branch of
+:func:`decode_media` for a libvips/ffmpeg kernel and nothing else
+changes.
 """
 
 from __future__ import annotations
@@ -129,6 +134,126 @@ def parse_media_header(payload: bytes) -> dict | None:
                     "duration_ms": int(data_size * 1000 // byte_rate)}
         return {"width": None, "height": None, "duration_ms": None}
     return None
+
+
+def decode_bmp_pixels(payload: bytes) -> dict | None:
+    """REAL pixel decode for 24-bit uncompressed BMP (BI_RGB) — raw
+    RGB needs no codec library, only the spec'd layout: pixel-array
+    offset at LE u32 10, BITMAPINFOHEADER dims at 18/22, rows padded
+    to 4-byte boundaries and stored bottom-up when height > 0.
+    Returns {width, height, n_pixels, mean_r, mean_g, mean_b} or None
+    when the container isn't a decodable flavor (other bpp,
+    compression, truncation)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    w, h = struct.unpack("<ii", payload[18:26])
+    (planes, bpp) = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    height = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    if data_off + row_bytes * height > len(payload):
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height,
+        offset=data_off).reshape(height, row_bytes)[:, :w * 3]
+    px = rows.reshape(height, w, 3).astype(np.float64)
+    if h > 0:                       # bottom-up storage → flip to top-down
+        px = px[::-1]
+    mean_bgr = px.mean(axis=(0, 1))  # BMP stores B, G, R
+    return {"width": w, "height": height, "n_pixels": w * height,
+            "mean_r": float(mean_bgr[2]), "mean_g": float(mean_bgr[1]),
+            "mean_b": float(mean_bgr[0])}
+
+
+def decode_wav_samples(payload: bytes) -> dict | None:
+    """REAL sample decode for 16-bit PCM WAV — raw samples need no
+    codec, only the RIFF chunk walk (fmt: audio_format 1, bits 16).
+    Returns {sample_rate, n_channels, n_samples, rms, peak} (rms/peak
+    over all interleaved samples, full-scale normalized) or None for
+    non-PCM / other bit depths."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        return None
+    audio_format, n_ch, rate, _brate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        return None
+    samples = np.frombuffer(data, dtype="<i2",
+                            count=len(data) // 2).astype(np.float64)
+    if samples.size == 0:
+        return {"sample_rate": rate, "n_channels": n_ch,
+                "n_samples": 0, "rms": 0.0, "peak": 0.0}
+    norm = samples / 32768.0
+    return {"sample_rate": rate, "n_channels": n_ch,
+            "n_samples": int(samples.size),
+            "rms": float(np.sqrt((norm * norm).mean())),
+            "peak": float(np.abs(norm).max())}
+
+
+DEEP_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),   # bmp_pixels | wav_pcm | stub
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_pixels", T.LongType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+def extract_deep_features(media: DataFrame) -> DataFrame:
+    """Deep decode over mapInPandas: REAL for the raw containers
+    (24-bit BMP pixels, 16-bit PCM WAV samples — no codec libs
+    needed), ``kind='stub'`` rows for compressed formats whose codecs
+    this environment doesn't ship (the documented decode gap). Same
+    Arrow-batch plumbing as :func:`extract_features`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p)
+                bmp = decode_bmp_pixels(p)
+                if bmp is not None:
+                    rows.append((mid, "bmp_pixels", bmp["width"],
+                                 bmp["height"], bmp["n_pixels"],
+                                 bmp["mean_r"], bmp["mean_g"],
+                                 bmp["mean_b"], None, None, None))
+                    continue
+                wav = decode_wav_samples(p)
+                if wav is not None:
+                    rows.append((mid, "wav_pcm", None, None, None,
+                                 None, None, None, wav["sample_rate"],
+                                 wav["n_samples"], wav["rms"]))
+                    continue
+                rows.append((mid, "stub", None, None, None, None,
+                             None, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DEEP_SCHEMA])
+
+    return media.mapInPandas(run, schema=DEEP_SCHEMA)
 
 
 def decode_media(payload: bytes, modality: str) -> dict:

@@ -1,0 +1,101 @@
+"""Real deep decode for raw containers: 24-bit BMP pixels and 16-bit
+PCM WAV samples (engine/pipeline/multimodal.py)."""
+
+import math
+import struct
+
+import pytest
+
+from engine.pipeline.multimodal import (decode_bmp_pixels,
+                                        decode_wav_samples,
+                                        extract_deep_features)
+
+
+def make_bmp(pixels_topdown):
+    """Spec-constructed 24-bit BI_RGB BMP from [[(r,g,b)...] rows],
+    written bottom-up with 4-byte row padding (the standard layout)."""
+    h = len(pixels_topdown)
+    w = len(pixels_topdown[0])
+    row_bytes = (w * 3 + 3) & ~3
+    data = bytearray()
+    for row in reversed(pixels_topdown):          # bottom-up storage
+        rb = bytearray()
+        for (r, g, b) in row:
+            rb += bytes([b, g, r])                # BGR order
+        rb += b"\x00" * (row_bytes - len(rb))
+        data += rb
+    header = (b"BM"
+              + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(data), 2835, 2835, 0, 0))
+    return bytes(header + data)
+
+
+def make_wav(samples, rate=8000, channels=1):
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+PIXELS = [
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255)],   # top row
+    [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+]
+SAMPLES = [0, 16384, -16384, 32767, -32768, 0]
+
+
+def test_bmp_pixel_decode_exact():
+    got = decode_bmp_pixels(make_bmp(PIXELS))
+    assert (got["width"], got["height"], got["n_pixels"]) == (3, 2, 6)
+    flat = [c for row in PIXELS for c in row]
+    for i, ch in enumerate(("mean_r", "mean_g", "mean_b")):
+        want = sum(p[i] for p in flat) / 6.0
+        assert got[ch] == pytest.approx(want, abs=1e-12), ch
+
+
+def test_bmp_rejects_undecodable_flavors():
+    assert decode_bmp_pixels(b"BM" + b"\x00" * 60) is None  # bpp 0
+    bmp = bytearray(make_bmp(PIXELS))
+    bmp[30] = 1                                   # compression = RLE8
+    assert decode_bmp_pixels(bytes(bmp)) is None
+    assert decode_bmp_pixels(make_bmp(PIXELS)[:40]) is None  # truncated
+
+
+def test_wav_sample_decode_exact():
+    got = decode_wav_samples(make_wav(SAMPLES))
+    assert got["sample_rate"] == 8000
+    assert got["n_samples"] == len(SAMPLES)
+    norm = [s / 32768.0 for s in SAMPLES]
+    rms = math.sqrt(sum(x * x for x in norm) / len(norm))
+    assert got["rms"] == pytest.approx(rms, abs=1e-12)
+    assert got["peak"] == pytest.approx(max(abs(x) for x in norm), abs=1e-12)
+
+
+def test_wav_rejects_non_pcm():
+    wav = bytearray(make_wav(SAMPLES))
+    wav[20] = 3                                   # IEEE float format
+    assert decode_wav_samples(bytes(wav)) is None
+
+
+def test_extract_deep_features_mixed_batch(spark):
+    rows = [
+        (1, "image", make_bmp(PIXELS), "image/bmp"),
+        (2, "audio", make_wav(SAMPLES), "audio/wav"),
+        (3, "image", b"\x89PNG\r\n\x1a\n" + b"\x00" * 30, "image/png"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, payload binary, "
+              "mime string")
+    got = {r["media_id"]: r
+           for r in extract_deep_features(media).collect()}
+    assert got[1]["kind"] == "bmp_pixels"
+    assert got[1]["n_pixels"] == 6
+    assert got[1]["mean_r"] == pytest.approx(
+        sum(p[0] for row in PIXELS for p in row) / 6.0, abs=1e-12)
+    assert got[2]["kind"] == "wav_pcm"
+    assert got[2]["n_samples"] == len(SAMPLES)
+    assert got[3]["kind"] == "stub"            # compressed: codec gap
+    assert got[3]["rms"] is None
