@@ -99,7 +99,7 @@ def main() -> None:
     # --- NB classifier on a real label (LA Times vs rest) -------------
     from engine.pipeline.textstats import nb_classifier
 
-    lab = docs.withColumn("pos", F.col("docno").startswith("LA"))
+    lab = docs.withColumn("pos", F.col("docno").startswith("la"))
     t0 = time.time()
     nb = nb_classifier(lab, "pos")
     acc_row = (nb.join(lab.select("doc_id", "pos"), "doc_id")
