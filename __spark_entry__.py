@@ -75,6 +75,26 @@ PROX_QUERIES: list[tuple[str, list[str]]] = [
 ]
 PROX_WINDOW = 4
 
+# ES intervals query (all_of ordered=true, max_gaps): iv2 reverses iv1
+# (ordering must gate), iv3 carries a query-side stopword (dropped by
+# the analyzer, costless) while doc-side stopwords still cost gaps,
+# iv5 is single-term presence
+INTERVAL_QUERIES: list[tuple[str, str]] = [
+    ("iv1", "merge sort"),
+    ("iv2", "sort merge"),
+    ("iv3", "hash a table"),
+    ("iv4", "group window"),
+    ("iv5", "customer"),
+]
+INTERVAL_MAX_GAPS = 2
+
+# ES terms agg + top_hits sub-agg (buckets by stored lang field)
+TOP_HITS_BUCKETS = 3
+TOP_HITS_PER_BUCKET = 4
+
+# CCNet bigram-LM cross-entropy keep threshold (nats)
+LM_CE_THRESHOLD = 7.0
+
 # match_phrase_prefix inputs: exact tokens + a trailing prefix; mp3
 # spans a stopword gap ("by"), mp4 is a bare prefix (no exact tokens —
 # present in the hit-set entry, absent by construction from topk)
@@ -317,6 +337,45 @@ g AS (SELECT qid, doc_id, anchor, count(DISTINCT off) AS c
 SELECT DISTINCT g.qid, g.doc_id FROM g JOIN n USING (qid)
 WHERE g.c = n.n_offs
 """
+
+
+def _sql_intervals(queries, max_gaps: int) -> str:
+    """Ordered-intervals oracle: per query, assemble the per-doc sorted
+    position list of each ordered term and run the same greedy
+    next-position chain as engine/positions.py:interval_match as nested
+    DuckDB list lambdas (list_filter(...)[1] = smallest position > p,
+    NULL-propagating off the end)."""
+    from engine.positions import analyze_phrase
+
+    parts = []
+    for qid, text in queries:
+        qt = analyze_phrase(text)
+        terms = [t for t, _ in sorted(qt, key=lambda x: x[1])]
+        n = len(terms)
+        if n == 0:
+            continue
+        dterms = sorted(set(terms))
+        in_list = ", ".join(f"'{t}'" for t in dterms)
+        lists = ",\n         ".join(
+            f"list_sort(list(pos) FILTER (WHERE term = '{t}')) AS l{i + 1}"
+            for i, t in enumerate(terms))
+        if n == 1:
+            cond = "len(l1) > 0"
+        else:
+            inner = "p1"
+            for i in range(2, n + 1):
+                inner = f"(list_filter(l{i}, x{i} -> x{i} > {inner})[1])"
+            cond = (f"len(list_filter(l1, p1 -> coalesce(({inner} - p1) <= "
+                    f"{n - 1 + max_gaps}, false))) > 0")
+        parts.append(f"""
+SELECT '{qid}' AS qid, doc_id FROM (
+  SELECT doc_id, {lists}
+  FROM pt WHERE term IN ({in_list})
+  GROUP BY doc_id
+  HAVING count(DISTINCT term) = {len(dterms)})
+WHERE {cond}""")
+    body = "\nUNION ALL".join(parts)
+    return f"WITH {_sql_positions_ctes()}\n{body}"
 
 
 def _sql_phrase_prefix_parts(queries, max_expansions: int):
@@ -1301,6 +1360,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         build_positions(spark, idx.index_dir)
         return phrase_match(idx, PHRASE_QUERIES)
 
+    def interval_hits(spark, sf_dir):
+        """ES intervals query (all_of ordered=true, max_gaps) over the
+        positional index: positions p1<…<pn, one per analyzed query
+        term IN ORDER, with (pn−p1)−(n−1) ≤ max_gaps — greedy-chain
+        existence in one Catalyst nested higher-order expression,
+        positions never exploded (engine/positions.py:interval_match)."""
+        from engine.positions import build_positions, interval_match
+
+        idx = _cached_index(spark, sf_dir)
+        build_positions(spark, idx.index_dir)
+        return interval_match(idx, INTERVAL_QUERIES, INTERVAL_MAX_GAPS)
+
+    def top_hits_by_lang(spark, sf_dir):
+        """ES terms aggregation with a top_hits sub-aggregation: the
+        top langs of each query's matched set (n_docs desc, value asc)
+        and the best docs per bucket — per-bucket window over the FULL
+        scored match set, never a post-filter of a global top-k
+        (engine/search.py:top_hits_agg)."""
+        from engine.search import top_hits_agg
+
+        idx = _cached_index(spark, sf_dir)
+        return top_hits_agg(idx, BM25_QUERIES, "lang",
+                            TOP_HITS_BUCKETS, TOP_HITS_PER_BUCKET)
+
+    def lm_perplexity(spark, sf_dir):
+        """CCNet perplexity filtering (Wenzek et al. 2020): add-one
+        bigram LM fit on the lang=='en' reference slice, per-doc
+        cross-entropy in nats + keep flag; integer micro-unit
+        accumulation (engine/pipeline/textstats.py:lm_cross_entropy)."""
+        from engine.pipeline.textstats import lm_cross_entropy
+
+        return (lm_cross_entropy(
+            _docs(spark, sf_dir).withColumn("r", F.col("lang") == "en"),
+            "r", threshold=LM_CE_THRESHOLD)
+            .orderBy("doc_id"))
+
     def phrase_prefix_hits(spark, sf_dir):
         """match_phrase_prefix retrieval (ES match_phrase_prefix /
         Lucene MultiPhraseQuery with a prefix-expanded last position):
@@ -1928,8 +2023,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # which were driver-green in r1+r2 and are trivial aggregates.
         "cluster_sample": cluster_sample,
         "eval_extra": eval_extra,
-        "bm25_topk": bm25_topk,
-        "index_wand_topk": index_wand_topk,
+        # wave-9 additions (newest → inside the driver window; the
+        # rotated-out bm25_topk/index_wand_topk/event_sessions were
+        # driver-green in r2, and the rewritten kernel stays driver-
+        # covered via wand_lmd_topk/wand_ib_topk/deleted_search)
+        "interval_hits": interval_hits,
+        "top_hits_by_lang": top_hits_by_lang,
+        "lm_perplexity": lm_perplexity,
         "wand_lmd_topk": wand_lmd_topk,
         "wand_ib_topk": wand_ib_topk,
         "bm25_lucene_norms_topk": bm25_lucene_norms_topk,
@@ -1986,7 +2086,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_topk": regexp_topk,
         # changed-this-round / one-per-family representatives
         "eval_metrics": eval_metrics,
-        "event_sessions": event_sessions,
         # ---- driver window boundary (entry 50) ----
         # tail: driver-green in r1/r2 and unchanged since, siblings of
         # in-window entries (lmdirichlet shares wand_lmd_topk's oracle)
@@ -2055,6 +2154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescored_topk": rescored_topk,
         "doc_lengths": doc_lengths,
         "term_stats": term_stats,
+        # rotated out of the window this round (r2-driver-green):
+        "bm25_topk": bm25_topk,
+        "index_wand_topk": index_wand_topk,
+        "event_sessions": event_sessions,
     }
 
 
@@ -2569,6 +2672,68 @@ FROM aug
 """
 
     sql["phrase_hits"] = _sql_phrase(PHRASE_QUERIES)
+    sql["interval_hits"] = _sql_intervals(INTERVAL_QUERIES,
+                                          INTERVAL_MAX_GAPS)
+
+    th_score = bm25_sql("tf.tf", "dfs.df", "dl.dl", "stats.avgdl", "stats.n")
+    th_r4 = round_half_up_sql("s", 4)
+    sql["top_hits_by_lang"] = f"""
+WITH {fts},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({th_score}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id),
+vals AS (SELECT m.qid, m.doc_id, m.s, d.lang AS value
+         FROM matched m JOIN documents d USING (doc_id)),
+b AS (SELECT qid, value, count(*)::BIGINT AS n_docs,
+             row_number() OVER (PARTITION BY qid
+                 ORDER BY count(*) DESC, value)::INT AS bucket_rank
+      FROM vals GROUP BY qid, value),
+h AS (SELECT v.qid, v.value, b.n_docs, b.bucket_rank, v.doc_id,
+             {th_r4} AS score,
+             row_number() OVER (PARTITION BY v.qid, v.value
+                 ORDER BY {th_r4} DESC, v.doc_id)::INT AS hit_rank
+      FROM vals v JOIN b USING (qid, value)
+      WHERE b.bucket_rank <= {TOP_HITS_BUCKETS})
+SELECT qid, value, n_docs, bucket_rank, doc_id, score, hit_rank
+FROM h WHERE hit_rank <= {TOP_HITS_PER_BUCKET}
+"""
+
+    lm_i6 = "floor(ln({x}) * 1e6 + 0.5)::BIGINT"
+    lm_ce = round_half_up_sql("-(pd.s::DOUBLE) / (pd.m * 1e6)", 6)
+    sql["lm_perplexity"] = f"""
+WITH base AS (
+  SELECT doc_id, (lang = 'en') AS r, {raw_tok} AS t FROM documents),
+rows_ AS (
+  SELECT doc_id, r, b.w1 AS w1, b.w2 AS w2
+  FROM (SELECT doc_id, r,
+               unnest([{{'w1': t[i], 'w2': t[i + 1]}}
+                       for i in generate_series(1, len(t) - 1)]) AS b
+        FROM base)),
+cbi AS (SELECT w1, w2, count(*)::BIGINT AS c FROM rows_ WHERE r
+        GROUP BY w1, w2),
+cctx AS (SELECT w1, count(*)::BIGINT AS c1 FROM rows_ WHERE r
+         GROUP BY w1),
+voc AS (SELECT count(DISTINCT tok)::DOUBLE AS v
+        FROM (SELECT unnest(t) AS tok FROM base WHERE r)),
+j AS (SELECT rows_.doc_id,
+        coalesce(
+          {lm_i6.format(x="(cbi.c + 1.0) / (cctx.c1 + voc.v)")},
+          {lm_i6.format(x="1.0 / (cctx.c1 + voc.v)")},
+          {lm_i6.format(x="1.0 / voc.v")}) AS lp
+      FROM rows_ LEFT JOIN cbi USING (w1, w2)
+      LEFT JOIN cctx USING (w1), voc),
+pd AS (SELECT doc_id, count(*)::BIGINT AS m, sum(lp) AS s
+       FROM j GROUP BY doc_id),
+o AS (SELECT d.doc_id, coalesce(pd.m, 0)::BIGINT AS n_bigrams,
+             {lm_ce} AS cross_entropy
+      FROM documents d LEFT JOIN pd USING (doc_id))
+SELECT doc_id, n_bigrams, cross_entropy,
+       (cross_entropy <= {LM_CE_THRESHOLD}) AS keep
+FROM o
+"""
     sql["phrase_prefix_hits"] = _sql_phrase_prefix(PHRASE_PREFIX_QUERIES)
     sql["phrase_prefix_topk"] = _sql_phrase_prefix_topk(
         PHRASE_PREFIX_QUERIES, TOPK)

@@ -17,6 +17,7 @@ Queries benched (each timed to completion, i.e. a full action):
   quality_lang     quality scores + language ID full pass
   substring_dedup  ExactSubstr duplicated-span removal (window hash)
   nb_classifier    NB quality-classifier fit + full-corpus inference
+  lm_perplexity    CCNet bigram-LM cross-entropy fit + full-corpus score
 
 Extra keys: docs_per_sec (index build throughput), n_docs.
 """
@@ -139,6 +140,11 @@ def main() -> None:
     textstats.nb_classifier(
         docs.withColumn("pos", F.col("lang") == "en"), "pos").count()
     timings["nb_classifier"] = time.time() - t0
+
+    t0 = time.time()
+    textstats.lm_cross_entropy(
+        docs.withColumn("r", F.col("lang") == "en"), "r").count()
+    timings["lm_perplexity"] = time.time() - t0
 
     from engine.streaming import sessionize
 

@@ -514,3 +514,86 @@ def nb_classifier(docs: DataFrame, positive_col: str,
                    .alias("n_tokens"),
                    round_half_up(score, 4).alias("score")))
     return out.withColumn("pred", F.col("score") > 0)
+
+
+def lm_cross_entropy(docs: DataFrame, ref_col: str,
+                     threshold: float = 7.0,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     ndigits: int = 6) -> DataFrame:
+    """CCNet-style LM perplexity filtering (Wenzek et al. 2020 §3.3:
+    score every crawl document by its perplexity under an LM trained
+    on a trusted reference corpus; keep the low-perplexity side), with
+    the KenLM 5-gram replaced by a deterministic add-one-smoothed
+    BIGRAM LM fit on the ``ref_col == true`` slice — the exact,
+    oracle-reproducible form of the same mechanic (the n-gram order is
+    a dial, not a structural change).
+
+      P(w₂|w₁) = (c(w₁w₂)+1) / (c₁(w₁)+V)       c, c₁, V from the ref
+      H(doc)   = −(1/m) Σ ln P  over the doc's m consecutive bigrams
+      keep     = H ≤ threshold  (nats; low H ≈ low perplexity)
+
+    Unseen bigram with seen context backs off to ln(1/(c₁(w₁)+V));
+    fully-unseen context degrades to ln(1/V) — the add-one formula's
+    own limits, no special cases.
+
+    Scale shape: fit = one explode + two hash aggs (bigram counts,
+    context totals) over the REFERENCE slice only; inference = the
+    doc-bigram explode joined to the count tables (broadcast when they
+    fit; at 100 TB the bigram table is count-pruned and the pruned
+    mass rides the context backoff — stupid-backoff territory, Brants
+    et al. 2007 — documented divergence from this exact small-scale
+    form). Determinism: every ln() is quantized ONCE to int64
+    micro-units (house integer recipe, see :func:`nb_classifier`),
+    per-doc accumulation is exact integer, one final division.
+
+    Returns (doc_id, n_bigrams, cross_entropy, keep) — NULL
+    cross_entropy/keep for docs with <2 tokens.
+    """
+    toks_col = _alnum_tokens(F.col(text_col))
+    size = F.size(toks_col)
+    big = F.when(size >= 2, F.zip_with(
+        F.slice(toks_col, 1, size - 1),
+        F.slice(toks_col, 2, size - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(ref_col).cast("boolean").alias("is_ref"),
+                       big.alias("bigrams"))
+    ref_bi = (base.where("is_ref")
+              .select(F.explode("bigrams").alias("b"))
+              .select("b.w1", "b.w2"))
+    c_bi = ref_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c_ctx = ref_bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    ref_toks = (docs.where(F.col(ref_col).cast("boolean"))
+                .select(F.explode(_alnum_tokens(F.col(text_col)))
+                        .alias("tok")))
+    vocab = float(ref_toks.distinct().count() or 1)
+
+    def _i6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    vl = F.lit(vocab)
+    w_bi = c_bi.join(c_ctx, "w1").select(
+        "w1", "w2",
+        _i6(F.log((F.col("c") + 1.0) / (F.col("c1") + vl))).alias("lp"))
+    w_ctx = c_ctx.select(
+        "w1", _i6(F.log(1.0 / (F.col("c1") + vl))).alias("lp0"))
+    lp_unseen = _i6(F.log(1.0 / vl))
+
+    db = (base.select("doc_id", F.explode("bigrams").alias("b"))
+          .select("doc_id", "b.w1", "b.w2"))
+    per_doc = (db.join(w_bi, ["w1", "w2"], "left")
+               .join(w_ctx, "w1", "left")
+               .select("doc_id",
+                       F.coalesce("lp", "lp0", lp_unseen).alias("lp"))
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                    F.sum("lp").alias("slp")))
+    h = (-F.col("slp").cast("double")
+         / (F.col("n_bigrams") * F.lit(1e6)))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0).cast("long"))
+                    .alias("n_bigrams"),
+                    round_half_up(h, ndigits).alias("cross_entropy"))
+            .withColumn("keep", F.col("cross_entropy") <= threshold))

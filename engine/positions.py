@@ -450,6 +450,116 @@ def proximity_match(index: Index,
     return hits.orderBy("qid", "doc_id")
 
 
+def interval_match(index: Index,
+                   queries: Sequence[tuple[str, str]],
+                   max_gaps: int = 0,
+                   lead_max_df: int = PHRASE_LEAD_MAX_DF) -> DataFrame:
+    """Ordered interval retrieval — the ES ``intervals`` query's
+    ``all_of(ordered=true, max_gaps=g)`` / Lucene
+    ``Intervals.maxgaps(g, Intervals.ordered(...))`` contract
+    (public semantics; the reference never issues interval queries but
+    its Lucene index supports them, reference Indexer.java:30-44):
+    a doc matches iff its token stream has positions
+    ``p_1 < p_2 < … < p_n``, one per analyzed query term IN ORDER,
+    with total gap ``(p_n − p_1) − (n − 1) ≤ max_gaps``. Positions are
+    gap positions (stopwords consume a position), so a stopword between
+    two matched terms costs one gap — same stream semantics as
+    :func:`phrase_match`. Query-side stopwords are dropped by the
+    analyzer and do not affect ``max_gaps`` (ES behavior). Returns
+    (qid, doc_id) ordered.
+
+    Plan (the 100 TB story): positions stay AS ARRAYS end-to-end —
+    the bucket-pruned positional scan broadcast-joins the (qid, term,
+    ord) rows, a rarest-term doc-set semi-filter gates the head terms
+    (same recipe as :func:`phrase_match`), and one groupBy(qid, doc)
+    assembles a per-doc ord→positions map; the ordered-chain existence
+    check is a single Catalyst nested higher-order expression (for
+    each p₁, greedily chain the smallest next position per ord — the
+    greedy chain minimizes p_n for a fixed p₁, so existence is exact).
+    Shuffle volume is one ROW per (query term, doc), never exploded
+    positions; per-row work is doc-local.
+    """
+    opts = index.analyzer_opts()
+    spark = index.spark
+    qrows: list[tuple[str, str, int]] = []   # (qid, term, ord 1-based)
+    n_ords: dict[str, int] = {}
+    for qid, text in queries:
+        toks = analyze_phrase(text, **opts)   # [(term, gap-offset)] in order
+        terms = [t for t, _ in sorted(toks, key=lambda x: x[1])]
+        n_ords[qid] = len(terms)
+        for i, t in enumerate(terms):
+            qrows.append((qid, t, i + 1))
+    qrows = [r for r in qrows if n_ords[r[0]] > 0]
+    if not qrows:
+        return spark.createDataFrame([], "qid string, doc_id long")
+
+    terms = sorted({t for _, t, _ in qrows})
+    qdf = spark.createDataFrame(qrows, "qid string, term string, ord int")
+    pos = _positions_df(index, terms)
+    matched = pos.join(F.broadcast(qdf), "term")
+
+    # rarest-term lead gating (broadcastable doc-set semi-filter)
+    dfm = index.df_map(terms)
+    lead: dict[str, str] = {}
+    for qid in n_ords:
+        ts = sorted({t for q, t, _ in qrows if q == qid})
+        if any(t not in dfm for t in ts):
+            continue                      # absent term → no match anyway
+        rare = min(ts, key=lambda t: (dfm[t], t))
+        if dfm[rare] <= lead_max_df and len(ts) > 1:
+            lead[qid] = rare
+    if lead:
+        lqdf = spark.createDataFrame(
+            [(q, t) for q, t in lead.items()], "qid string, term string")
+        lead_docs = (_positions_df(index, sorted(set(lead.values())))
+                     .join(F.broadcast(lqdf), "term")
+                     .select("qid", "doc_id").distinct()
+                     .withColumn("_keep", F.lit(1)))
+        matched = (matched
+                   .join(F.broadcast(lead_docs), ["qid", "doc_id"], "left")
+                   .where(F.col("_keep").isNotNull()
+                          | ~F.col("qid").isin(list(lead)))
+                   .drop("_keep"))
+
+    ndf = F.broadcast(spark.createDataFrame(
+        [(q, n) for q, n in n_ords.items() if n > 0],
+        "qid string, n_ords int"))
+    # NOTE: a query term repeated at two ords joins the SAME positions
+    # row to both ords — the map gets both keys; the strict p-ascending
+    # chain then forces distinct occurrences.
+    grouped = (matched.groupBy("qid", "doc_id")
+               .agg(F.map_from_entries(F.collect_list(
+                        F.struct("ord", "positions"))).alias("m"),
+                    F.count_distinct("ord").alias("nd"))
+               .join(ndf, "qid")
+               .where(F.col("nd") == F.col("n_ords")))
+
+    def _gt(p):                     # factory, not `lambda x, p=p` — the
+        return lambda x: x > p      # kwarg form becomes (elem, idx) args
+
+    def _chain_ok(n: int):
+        if n == 1:
+            return F.lit(True)
+
+        def cond(p1):
+            p = p1
+            for i in range(2, n + 1):
+                p = F.get(F.filter(F.col("m")[F.lit(i)], _gt(p)), 0)
+            return F.coalesce(
+                (p - p1) <= F.lit(n - 1 + max_gaps), F.lit(False))
+
+        return F.exists(F.col("m")[F.lit(1)], cond)
+
+    parts = []
+    for n in sorted({v for v in n_ords.values() if v > 0}):
+        parts.append(grouped.where(F.col("n_ords") == n)
+                     .where(_chain_ok(n)).select("qid", "doc_id"))
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionByName(p)
+    return index.live(hits.distinct()).orderBy("qid", "doc_id")
+
+
 def phrase_topk(index: Index, phrases: Sequence[tuple[str, str]],
                 k: int) -> DataFrame:
     """Phrase-filtered BM25 top-k (Lucene PhraseQuery analog at doc

@@ -2114,6 +2114,47 @@ def facet_counts(index: Index, queries: Sequence[tuple[str, Sequence[str]]],
             .orderBy("qid", "rank"))
 
 
+def top_hits_agg(index: Index, queries: Sequence[tuple[str, Sequence[str]]],
+                 facet_col: str, n_buckets: int,
+                 hits_per_bucket: int) -> DataFrame:
+    """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation:
+    for each query, the top-``n_buckets`` values of a stored doc field
+    over the matched set (by distinct-doc count, value asc tiebreak —
+    the ES terms-agg order), and within each bucket the
+    ``hits_per_bucket`` best docs by BM25 (rounded score desc, doc_id
+    asc). Returns (qid, value, n_docs, bucket_rank, doc_id, score,
+    hit_rank).
+
+    Gate-before-cut: a bucket's best doc can sit arbitrarily deep in
+    the GLOBAL ranking (the same trap as collapse/field grouping), so
+    the per-bucket window runs over the full exhaustively-scored match
+    set, never a post-filter of a global top-k. At scale, a selective
+    bucket is better served by re-running the WAND kernel with that
+    bucket's doc set as ``doc_filter`` — this operator is the
+    correctness-exact reference shape (one posting decode, one hash
+    agg, two qid-partitioned windows)."""
+    from .portable import round_half_up
+
+    qt = [(q, t, 1.0) for q, terms in queries for t in set(terms)]
+    scored = score_exhaustive(index, qt, 1 << 31).drop("rank")
+    vals = scored.join(
+        index.docs.select("doc_id", F.col(facet_col).alias("value")),
+        "doc_id")
+    bw = Window.partitionBy("qid").orderBy(F.desc("n_docs"), F.asc("value"))
+    buckets = (vals.groupBy("qid", "value")
+               .agg(F.count(F.lit(1)).alias("n_docs"))  # 1 row/(qid,doc)
+               .withColumn("bucket_rank", F.row_number().over(bw))
+               .where(F.col("bucket_rank") <= n_buckets))
+    r = round_half_up(F.col("score"), 4)
+    hw = Window.partitionBy("qid", "value").orderBy(r.desc(), F.asc("doc_id"))
+    return (vals.join(buckets, ["qid", "value"])
+            .withColumn("hit_rank", F.row_number().over(hw))
+            .where(F.col("hit_rank") <= hits_per_bucket)
+            .select("qid", "value", F.col("n_docs").cast("long").alias("n_docs"),
+                    "bucket_rank", "doc_id", r.alias("score"), "hit_rank")
+            .orderBy("qid", "bucket_rank", "hit_rank"))
+
+
 def prefix_topk(index: Index, queries: Sequence[tuple[str, str]],
                 k: int) -> DataFrame:
     """BM25 top-k for prefix queries (scoring-boolean rewrite)."""

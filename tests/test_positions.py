@@ -266,3 +266,126 @@ def test_positional_layer_respects_analyzer_options(spark, tmp_path):
     assert len(sf) == 1 and sf[0]["first_pos"] == 0
     res = search_parsed(idx, "q", '+running "café running"', 10).collect()
     assert len(res) == 1
+
+
+# ---------------------------------------------------------------------------
+# interval_match (ES intervals all_of ordered=true, max_gaps)
+# ---------------------------------------------------------------------------
+
+def _brute_intervals(doc_contents: dict[int, str], text: str,
+                     max_gaps: int) -> set[int]:
+    qt = analyze_phrase(text)
+    terms = [t for t, _ in sorted(qt, key=lambda x: x[1])]
+    n = len(terms)
+    hits = set()
+    for doc_id, content in doc_contents.items():
+        pm = _pos_map(content)
+        if any(t not in pm for t in terms):
+            continue
+        lists = [sorted(pm[t]) for t in terms]
+
+        def chain(p):                       # greedy min chain from p
+            for lst in lists[1:]:
+                nxt = [x for x in lst if x > p]
+                if not nxt:
+                    return None
+                p = nxt[0]
+            return p
+
+        for p1 in lists[0]:
+            pn = chain(p1)
+            if pn is not None and pn - p1 <= n - 1 + max_gaps:
+                hits.add(doc_id)
+                break
+    return hits
+
+
+def test_interval_match_vs_bruteforce(pos_index, doc_contents):
+    from engine.positions import interval_match
+
+    toks = tokenize_texts([doc_contents[0]], keep_stopwords=True)[0]
+    nonstop = [t for t in toks if t not in _STOPSET]
+    qs = [
+        ("iv_adj", " ".join(toks[0:2])),           # adjacent pair
+        ("iv_rev", " ".join(reversed(nonstop[:2]))),  # order flipped
+        ("iv_far", f"{nonstop[0]} {nonstop[4]}"),  # needs gaps
+        ("iv_tri", " ".join(nonstop[:3])),
+        ("iv_one", nonstop[1]),
+        ("iv_rep", f"{nonstop[0]} {nonstop[0]}"),  # repeated term
+        ("iv_miss", f"{nonstop[0]} zzznope"),
+    ]
+    for g in (0, 2, 6):
+        res = interval_match(pos_index, qs, max_gaps=g).collect()
+        got: dict[str, set[int]] = {q: set() for q, _ in qs}
+        for r in res:
+            got[r["qid"]].add(int(r["doc_id"]))
+        matched_any = False
+        for qid, text in qs:
+            expect = _brute_intervals(doc_contents, text, g)
+            assert got[qid] == expect, f"{qid} g={g}: {text!r}"
+            matched_any = matched_any or bool(expect)
+        assert matched_any
+
+
+def test_interval_ordered_semantics(spark, tmp_path):
+    """Hand-built corpus pinning ordering, gap counting (stopwords
+    consume positions), strict-ascent for repeated terms, and the
+    max_gaps boundary."""
+    from engine.index_build import build_index
+    from engine.positions import interval_match
+    from engine.search import Index
+
+    docs = [
+        ("d0", "alpha beta gamma"),          # alpha..gamma span 2, gaps 0
+        ("d1", "alpha of the beta"),          # stopword gaps: a..b gap 2
+        ("d2", "beta alpha"),                 # reversed order only
+        ("d3", "alpha zz yy xx beta"),        # gap 3
+        ("d4", "alpha"),                      # single occurrence
+    ]
+    df = spark.createDataFrame(
+        [("r", k, "c", "py", v) for k, v in docs],
+        "repo string, path string, commit string, lang string,"
+        " content string")
+    d = str(tmp_path / "iv_idx")
+    build_index(spark, df, d, n_buckets=2, n_doc_buckets=1)
+    idx = Index(spark, d)
+    build_positions(spark, idx.index_dir)
+    content_of = dict(docs)
+    docno = {k: None for k, _ in docs}
+    for r in idx.docs.collect():
+        for k, v in content_of.items():
+            if r["content"] == v:
+                docno[k] = int(r["doc_id"])
+
+    def ids(qid, rows):
+        return {int(r["doc_id"]) for r in rows if r["qid"] == qid}
+
+    qs = [("q", "alpha beta")]
+    r0 = interval_match(idx, qs, max_gaps=0).collect()
+    assert ids("q", r0) == {docno["d0"]}            # only the adjacent one
+    r2 = interval_match(idx, qs, max_gaps=2).collect()
+    assert ids("q", r2) == {docno["d0"], docno["d1"]}   # stopwords cost 2
+    r3 = interval_match(idx, qs, max_gaps=3).collect()
+    assert ids("q", r3) == {docno["d0"], docno["d1"], docno["d3"]}
+    # d2 (reversed) never matches ordered intervals, at any gap budget
+    r9 = interval_match(idx, qs, max_gaps=9).collect()
+    assert docno["d2"] not in ids("q", r9)
+    # repeated term needs two strictly-ascending occurrences
+    rr = interval_match(idx, [("r", "alpha alpha")], max_gaps=9).collect()
+    assert ids("r", rr) == set()
+    # single-term query = term presence
+    rs = interval_match(idx, [("s", "alpha")], max_gaps=0).collect()
+    assert ids("s", rs) == {docno[k] for k in ("d0", "d1", "d2", "d3", "d4")}
+
+
+def test_interval_lead_gating_equivalence(pos_index, doc_contents):
+    from engine.positions import interval_match
+
+    toks = tokenize_texts([doc_contents[0]], keep_stopwords=True)[0]
+    nonstop = [t for t in toks if t not in _STOPSET]
+    qs = [("g1", " ".join(nonstop[:2])), ("g2", f"{nonstop[2]} {nonstop[0]}")]
+    a = sorted(map(tuple, interval_match(pos_index, qs, max_gaps=4,
+                                         lead_max_df=0).collect()))
+    b = sorted(map(tuple, interval_match(pos_index, qs, max_gaps=4,
+                                         lead_max_df=10**9).collect()))
+    assert a == b

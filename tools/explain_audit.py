@@ -265,6 +265,14 @@ def main() -> None:
     plans["seeded random_score ranking"] = qs[
         "random_topk"](spark, sf_dir)
 
+    # round-3 ninth wave: intervals / top_hits / LM perplexity
+    plans["ES intervals (ordered chain, nested HOF)"] = qs[
+        "interval_hits"](spark, sf_dir)
+    plans["top_hits agg (terms buckets + per-bucket window)"] = qs[
+        "top_hits_by_lang"](spark, sf_dir)
+    plans["CCNet bigram-LM cross-entropy filter"] = qs[
+        "lm_perplexity"](spark, sf_dir)
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
            f"Generated by `python tools/explain_audit.py {sf_dir}`. "
