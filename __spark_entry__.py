@@ -132,6 +132,13 @@ FUZZY_QUERIES: list[tuple[str, str]] = [
 WILDCARD_QUERIES: list[tuple[str, str]] = [
     ("w1", "mer*"), ("w2", "?ash"), ("w3", "s*m"), ("w4", "valu?"),
 ]
+
+# trigram-accelerated wildcard inputs: infix / leading-wildcard
+# patterns (the full-dictionary-scan killers) plus a short-literal
+# fallback (?as? has no 3-char run -> full-scan path)
+WILDCARD_TRIGRAM_QUERIES: list[tuple[str, str]] = [
+    ("wt1", "*erg*"), ("wt2", "*alue"), ("wt3", "win*ow"), ("wt4", "?as?"),
+]
 MLT_SEEDS = [0, 1, 2]
 MLT_TERMS = 10
 
@@ -1310,6 +1317,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _cached_index(spark, sf_dir)
         return _rounded_rerank(_wt(idx, WILDCARD_QUERIES, TOPK + 50), TOPK)
 
+    def wildcard_trigram_topk(spark, sf_dir):
+        """Trigram-pruned wildcard rewrite (the Code Search / Zoekt
+        technique): literal-run trigrams intersect the (trigram, term)
+        sidecar to bound candidates, LIKE verifies — EXACT, so the
+        oracle is the plain full-dictionary LIKE semantics
+        (engine/trigram.py:expand_wildcard_terms_trigram)."""
+        from engine.trigram import (build_term_trigrams,
+                                    wildcard_topk_trigram)
+
+        idx = _cached_index(spark, sf_dir)
+        build_term_trigrams(spark, idx.index_dir)
+        return _rounded_rerank(
+            wildcard_topk_trigram(idx, WILDCARD_TRIGRAM_QUERIES,
+                                  TOPK + 50), TOPK)
+
     def more_like_this(spark, sf_dir):
         """Lucene MoreLikeThis analog: seed docs become queries via
         their top tf·idf terms; the seed is excluded from its hits."""
@@ -1468,6 +1490,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _cached_index(spark, sf_dir)
         build_positions(spark, idx.index_dir)
         return proximity_match(idx, PROX_QUERIES, PROX_WINDOW)
+
+    def bloom_decontam(spark, sf_dir):
+        """Space-bounded decontamination: the eval slice compressed
+        into a fixed 16 KB Bloom filter (4096×32-bit words, k=4
+        md5-salted hashes, bitwise-OR agg build) probed by every doc
+        n-gram — one-sided, no false negatives
+        (engine/sketches.py:bloom_build/bloom_probe,
+        engine/pipeline/curation.py:bloom_decontaminate)."""
+        from engine.pipeline import curation
+
+        docs = _docs(spark, sf_dir)
+        ev = docs.where(F.col("doc_id") % 97 == 0)
+        return (curation.bloom_decontaminate(docs, ev, n=5)
+                .orderBy("doc_id"))
+
+    def extended_stats_dl(spark, sf_dir):
+        """ES extended_stats agg over analyzed doc length per query
+        match set: exact int64 accumulators, variance via the exact
+        integer numerator (n·Σx² − (Σx)²)/n² with one final division
+        (engine/search.py:extended_stats_agg)."""
+        from engine.search import extended_stats_agg
+
+        idx = _cached_index(spark, sf_dir)
+        return extended_stats_agg(idx, BM25_QUERIES)
+
+    def fvf_topk(spark, sf_dir):
+        """ES function_score field_value_factor (ln1p over doc length,
+        boost_mode multiply): factor reorders the ranking → exhaustive
+        scoring with the rank cut last; 6dp-quantized factor
+        (engine/search.py:field_value_factor_topk)."""
+        from engine.search import field_value_factor_topk
+
+        idx = _cached_index(spark, sf_dir)
+        qt = [(q, t, 1.0) for q, ts in BM25_QUERIES for t in ts]
+        return field_value_factor_topk(idx, qt, TOPK)
 
     def decontam_report(spark, sf_dir):
         """Benchmark decontamination: flag docs whose distinct 5-grams
@@ -2060,7 +2117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenize_tf/count_matches/fielded_search/term_range_topk rotate
         # to the tail: each certified by an in-window superset sibling
         # (ascii_fold_tf, random_topk, fielded_search_wand, regexp_topk)
-        "phrase_prefix_hits": phrase_prefix_hits,
+        # wave-10 Bloom decontamination takes phrase_prefix_hits'
+        # window slot (its hit-set mechanics are a strict subset of
+        # in-window phrase_prefix_topk's gate)
+        "bloom_decontam": bloom_decontam,
         "phrase_prefix_topk": phrase_prefix_topk,
         "did_you_mean": did_you_mean,
         "random_topk": random_topk,
@@ -2158,6 +2218,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk,
         "index_wand_topk": index_wand_topk,
         "event_sessions": event_sessions,
+        # wave-10 tail entries (compose driver-checked mechanics: the
+        # bm25 scored-sum family + facet_histogram's dl source):
+        "phrase_prefix_hits": phrase_prefix_hits,
+        "extended_stats_dl": extended_stats_dl,
+        "fvf_topk": fvf_topk,
+        "wildcard_trigram_topk": wildcard_trigram_topk,
     }
 
 
@@ -2328,6 +2394,87 @@ WHERE rank <= {TOPK}
 
     # -- curation ops (engine/pipeline/curation.py) --------------------
     r6 = round_half_up_sql
+    sql["bloom_decontam"] = f"""
+WITH tokd AS (
+  SELECT doc_id, {raw_tok} AS t FROM documents),
+grams AS (
+  SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ')
+                 for i in generate_series(1, len(t) - 4)]) AS gs
+  FROM tokd),
+evh AS (SELECT DISTINCT md5(gram) AS h
+        FROM (SELECT unnest(gs) AS gram FROM grams WHERE doc_id % 97 = 0)),
+evpos AS (SELECT (('0x' || substr(md5(i::VARCHAR || ':' || h), 1, 8))
+                  ::BIGINT % 131072) AS pos
+          FROM evh, generate_series(0, 3) AS s(i)),
+filt AS (SELECT pos // 32 AS word_idx,
+                bit_or(1::BIGINT << (pos % 32)::INT) AS bits
+         FROM evpos GROUP BY pos // 32),
+dg AS (SELECT doc_id, md5(gram) AS h
+       FROM (SELECT doc_id, unnest(gs) AS gram FROM grams)),
+dk AS (SELECT DISTINCT h FROM dg),
+probes AS (SELECT dk.h,
+                  (('0x' || substr(md5(i::VARCHAR || ':' || dk.h), 1, 8))
+                   ::BIGINT % 131072) AS pos
+           FROM dk, generate_series(0, 3) AS s(i)),
+member AS (SELECT p.h,
+                  min(CASE WHEN (coalesce(f.bits, 0)
+                                 & (1::BIGINT << (p.pos % 32)::INT)) <> 0
+                           THEN 1 ELSE 0 END) AS allset
+           FROM probes p LEFT JOIN filt f ON f.word_idx = p.pos // 32
+           GROUP BY p.h),
+hits AS (SELECT dg.doc_id, sum(m.allset)::BIGINT AS n_maybe
+         FROM dg JOIN member m USING (h) GROUP BY dg.doc_id)
+SELECT g.doc_id, len(gs)::BIGINT AS n_grams,
+       coalesce(h.n_maybe, 0)::BIGINT AS n_maybe,
+       CASE WHEN len(gs) > 0
+            THEN {r6("coalesce(h.n_maybe, 0) / len(gs)::DOUBLE", 6)} END
+         AS maybe_frac,
+       coalesce(CASE WHEN len(gs) > 0
+                THEN coalesce(h.n_maybe, 0) / len(gs)::DOUBLE >= 0.05 END,
+                FALSE) AS contaminated
+FROM grams g LEFT JOIN hits h USING (doc_id)
+"""
+
+    es_var = ("(agg.n * agg.sum_sq - agg.sum_dl * agg.sum_dl)::DOUBLE"
+              " / (agg.n * agg.n)::DOUBLE")
+    sql["extended_stats_dl"] = f"""
+WITH {fts},
+matched AS (
+  SELECT DISTINCT q.qid, tf.doc_id
+  FROM {_sql_values(BM25_QUERIES)} JOIN tf USING (term)),
+agg AS (
+  SELECT qid, count(*)::BIGINT AS n,
+         min(dl.dl)::BIGINT AS min_dl, max(dl.dl)::BIGINT AS max_dl,
+         sum(dl.dl)::BIGINT AS sum_dl,
+         sum(dl.dl * dl.dl)::BIGINT AS sum_sq
+  FROM matched JOIN dl USING (doc_id) GROUP BY qid)
+SELECT qid, n AS count, min_dl, max_dl, sum_dl, sum_sq,
+       {r6("agg.sum_dl::DOUBLE / agg.n", 6)} AS avg_dl,
+       {r6(es_var, 6)} AS variance,
+       {r6(f"sqrt({es_var})", 6)} AS std_dev
+FROM agg
+"""
+
+    fvf_score = bm25_sql("tf.tf", "dfs.df", "dl.dl", "stats.avgdl",
+                         "stats.n")
+    fvf_factor = r6("ln(dl.dl + 1.0)", 6)
+    fvf_r4 = round_half_up_sql(f"s * {fvf_factor}", 4)
+    sql["fvf_topk"] = f"""
+WITH {fts},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({fvf_score}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, doc_id, score, rank FROM (
+  SELECT m.qid, m.doc_id, {fvf_r4} AS score,
+         row_number() OVER (PARTITION BY m.qid
+             ORDER BY {fvf_r4} DESC, m.doc_id)::INT AS rank
+  FROM matched m JOIN dl ON m.doc_id = dl.doc_id) t
+WHERE rank <= {TOPK}
+"""
+
     sql["decontam_report"] = f"""
 WITH tokd AS (
   SELECT doc_id, {raw_tok} AS t FROM documents),
@@ -2380,6 +2527,24 @@ FROM g LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
     sql["wildcard_topk"] = f"""
 WITH {fts},
 qw(qid, pat) AS (VALUES {wv}),
+matched AS (
+  SELECT qw.qid, tf.doc_id, sum({score}) AS s
+  FROM qw JOIN tf ON tf.term LIKE qw.pat
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY qw.qid, tf.doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM matched) t
+WHERE rank <= {TOPK}
+"""
+    wtv = ", ".join(f"('{q}', '{wildcard_to_like(p)}')"
+                    for q, p in WILDCARD_TRIGRAM_QUERIES)
+    sql["wildcard_trigram_topk"] = f"""
+WITH {fts},
+qw(qid, pat) AS (VALUES {wtv}),
 matched AS (
   SELECT qw.qid, tf.doc_id, sum({score}) AS s
   FROM qw JOIN tf ON tf.term LIKE qw.pat

@@ -551,3 +551,46 @@ def exact_substring_dedup(docs: DataFrame, n: int = 10,
                F.array_join(F.transform(kept, lambda s: s["tok"]),
                             " ")).alias("cleaned_text"))
     return out
+
+
+def bloom_decontaminate(docs: DataFrame, eval_docs: DataFrame,
+                        n: int = 5, threshold: float = 0.05,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Space-bounded decontamination: the same GPT-3-style n-gram
+    overlap pass as :func:`decontaminate`, but the eval set is
+    compressed into a FIXED 16 KB Bloom filter instead of a
+    benchmark-sized distinct+broadcast join — the shape that still
+    works when the 'benchmark' is itself huge (e.g. held-out shards,
+    multi-benchmark unions) or when thousands of training shards each
+    probe the same filter: build once, broadcast 4096 rows, zero
+    eval-side reshuffles. One-sided by construction: every truly
+    overlapping n-gram tests positive (no false negatives → no
+    contamination escapes); false positives inflate n_maybe at rate
+    ≈ (1 − e^{−k·x/m})^k, so ``contaminated`` is a conservative
+    OVER-flag relative to :func:`decontaminate` — the right failure
+    direction for decontamination. Returns (doc_id, n_grams, n_maybe,
+    maybe_frac, contaminated).
+    """
+    from ..sketches import bloom_build, bloom_probe
+
+    grams = F.array_distinct(ngrams_col(_tokens(F.col(text_col)), n))
+    ev = (eval_docs
+          .select(F.explode(F.array_distinct(
+              ngrams_col(_tokens(F.col(text_col)), n))).alias("gram"))
+          .select(F.md5("gram").alias("h")).distinct())
+    filt = bloom_build(ev, "h")
+    doc_grams = (docs.select(F.col(id_col).alias("doc_id"),
+                             F.explode_outer(grams).alias("gram"))
+                 .withColumn("h", F.md5("gram")))
+    probed = bloom_probe(doc_grams, "h", filt)
+    per_doc = (probed.groupBy("doc_id")
+               .agg(F.count("gram").alias("n_grams"),
+                    F.sum(F.when(F.col("maybe"), 1).otherwise(0))
+                    .cast("long").alias("n_maybe")))
+    mf = F.when(F.col("n_grams") > 0,
+                F.col("n_maybe").cast("double") / F.col("n_grams"))
+    return per_doc.select(
+        "doc_id", "n_grams", "n_maybe",
+        round_half_up(mf, 6).alias("maybe_frac"),
+        F.coalesce(mf >= threshold, F.lit(False)).alias("contaminated"))

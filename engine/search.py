@@ -2255,6 +2255,78 @@ def facet_histogram(index: Index,
             .orderBy("qid", "bucket"))
 
 
+def extended_stats_agg(index: Index,
+                       queries: Sequence[tuple[str, Sequence[str]]]
+                       ) -> DataFrame:
+    """Extended-stats aggregation (the Elasticsearch ``extended_stats``
+    agg) over analyzed document length per query match set: count /
+    min / max / sum / sum_of_squares exact, plus avg, POPULATION
+    variance (the ES definition) and std_deviation.
+
+    Cross-engine determinism: dl is integer, so every accumulator is
+    exact int64 (sum dl² stays < 2⁵³ far past this corpus class);
+    variance = (n·Σx² − (Σx)²) / n² keeps an EXACT integer numerator
+    and denominator with ONE final IEEE division, and sqrt is
+    correctly rounded — no float-summation-order divergence exists
+    anywhere. avg/variance/std rounded 6 dp. One doc-bucketed join +
+    one map-side-combinable agg; output = |queries| rows.
+    Returns (qid, count, min_dl, max_dl, sum_dl, sum_sq, avg_dl,
+    variance, std_dev) ordered by qid.
+    """
+    from .portable import round_half_up
+
+    hits = _matched_hits(index, queries)
+    p = _paths(index.index_dir)
+    dl = (index.spark.read.parquet(p["tf"])
+          .groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+    agg = (hits.join(dl, "doc_id")
+           .groupBy("qid")
+           .agg(F.count(F.lit(1)).cast("long").alias("count"),
+                F.min("dl").cast("long").alias("min_dl"),
+                F.max("dl").cast("long").alias("max_dl"),
+                F.sum("dl").cast("long").alias("sum_dl"),
+                F.sum(F.col("dl") * F.col("dl")).cast("long")
+                .alias("sum_sq")))
+    var = ((F.col("count") * F.col("sum_sq")
+            - F.col("sum_dl") * F.col("sum_dl")).cast("double")
+           / (F.col("count") * F.col("count")).cast("double"))
+    return (agg.select(
+        "qid", "count", "min_dl", "max_dl", "sum_dl", "sum_sq",
+        round_half_up(F.col("sum_dl").cast("double") / F.col("count"), 6)
+        .alias("avg_dl"),
+        round_half_up(var, 6).alias("variance"),
+        round_half_up(F.sqrt(var), 6).alias("std_dev"))
+        .orderBy("qid"))
+
+
+def field_value_factor_topk(index: Index, query_terms: QueryTerms,
+                            k: int) -> DataFrame:
+    """ES ``function_score`` with ``field_value_factor`` (modifier
+    ``ln1p``, boost_mode ``multiply``) over analyzed doc length:
+    final = bm25 × ln(1 + dl) — the standard popularity/length boost
+    shape (ES docs' canonical field_value_factor example). The factor
+    REORDERS the ranking, so scoring is exhaustive over the match set
+    and the rank cut comes last (gate before cut); the factor is
+    quantized to 6 dp before the multiply so both engines rank the
+    same rounded product. Returns (qid, doc_id, score, rank)."""
+    from .portable import round_half_up
+
+    scored = score_exhaustive(index, query_terms, 1 << 31).drop("rank")
+    p = _paths(index.index_dir)
+    dl = (index.spark.read.parquet(p["tf"])
+          .groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+    factor = round_half_up(F.log(F.col("dl") + 1.0), 6)
+    j = scored.join(dl, "doc_id").withColumn(
+        "fscore", round_half_up(F.col("score") * factor, 4))
+    w = Window.partitionBy("qid").orderBy(F.desc("fscore"),
+                                          F.asc("doc_id"))
+    return (j.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", F.col("fscore").alias("score"),
+                    "rank")
+            .orderBy("qid", "rank"))
+
+
 def percentiles_agg(index: Index,
                     queries: Sequence[tuple[str, Sequence[str]]],
                     percents: Sequence[float] = (50.0, 90.0, 99.0)

@@ -234,3 +234,108 @@ def hll_estimate_py(values) -> float:
         est = raw
     import math as _m
     return _m.floor(est * 1e4 + 0.5) / 1e4
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (set membership with one-sided error)
+# ---------------------------------------------------------------------------
+
+# 4096 32-bit words = 131,072 bits. 32-bit words (not 64) so every
+# mask 1 << (pos % 32) stays a small positive int64 in BOTH engines —
+# DuckDB raises on 1::BIGINT << 63 overflow and Spark's sign bit would
+# differ from it; 32-bit words dodge the whole class.
+BLOOM_WORDS = 4096
+BLOOM_WORD_BITS = 32
+BLOOM_BITS = BLOOM_WORDS * BLOOM_WORD_BITS
+BLOOM_K = 4
+
+
+def _bloom_pos(value, i: int):
+    """Bit position of hash i: 32-bit md5 uniform (house cross-engine
+    recipe, salt 'i:') mod the filter size."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), value)),
+                           1, 8), 16, 10).cast("long")
+    return h % F.lit(BLOOM_BITS)
+
+
+def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
+    """Build a Bloom filter over a column of values: ≤ BLOOM_WORDS
+    rows of (word_idx, bits), via one bitwise-OR hash aggregation —
+    map-side combinable, fixed-size output regardless of input size
+    (the reason to Bloom at 100 TB: a 16 KB broadcastable state
+    replaces a distinct+join against the whole value set). Merge two
+    filters by unioning rows and re-aggregating bit_or."""
+    parts = [df.select(_bloom_pos(F.col(value_col), i).alias("pos"))
+             for i in range(BLOOM_K)]
+    allpos = parts[0]
+    for p in parts[1:]:
+        allpos = allpos.unionByName(p)
+    bits = (allpos
+            .withColumn("word_idx",
+                        F.floor(F.col("pos") / BLOOM_WORD_BITS)
+                        .cast("long"))
+            .withColumn("lowbit",
+                        (F.col("pos") % BLOOM_WORD_BITS).cast("int"))
+            .select("word_idx",
+                    F.expr("shiftleft(cast(1 as bigint), lowbit)")
+                    .alias("bit")))
+    return bits.groupBy("word_idx").agg(F.bit_or("bit").alias("bits"))
+
+
+def bloom_probe(df: DataFrame, value_col: str,
+                bloom: DataFrame) -> DataFrame:
+    """Membership probe: adds a boolean ``maybe`` column — true iff
+    ALL BLOOM_K bit positions of the value are set (one-sided: every
+    true member tests true; non-members test true with probability
+    ≈ (1 − e^{−k·n/m})^k). The filter table broadcasts; each value
+    costs K equi-joined lookups and one all-true agg."""
+    keyed = df.select(F.col(value_col).alias("_v")).distinct()
+    probes = None
+    for i in range(BLOOM_K):
+        p = keyed.select(
+            "_v", _bloom_pos(F.col("_v"), i).alias("pos"))
+        probes = p if probes is None else probes.unionByName(p)
+    probes = (probes
+              .withColumn("word_idx",
+                          F.floor(F.col("pos") / BLOOM_WORD_BITS)
+                          .cast("long"))
+              .withColumn("lowbit",
+                          (F.col("pos") % BLOOM_WORD_BITS).cast("int"))
+              .withColumn("mask",
+                          F.expr("shiftleft(cast(1 as bigint), lowbit)")))
+    hit = (probes.join(F.broadcast(bloom), "word_idx", "left")
+           .withColumn("set_",
+                       F.coalesce(F.col("bits"), F.lit(0))
+                       .bitwiseAND(F.col("mask")) != 0)
+           .groupBy("_v")
+           .agg(F.min(F.col("set_").cast("int")).alias("_all")))
+    return (df.join(hit.select(F.col("_v"),
+                               (F.col("_all") == 1).alias("maybe")),
+                    df[value_col] == F.col("_v"), "left")
+            .drop("_v"))
+
+
+def bloom_probe_py(values, member_values) -> dict:
+    """Pure-Python replica (test oracle): same hash/bit arithmetic."""
+    import hashlib
+
+    words: dict[int, int] = {}
+    for v in member_values:
+        for i in range(BLOOM_K):
+            h = int(hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:8], 16)
+            pos = h % BLOOM_BITS
+            words[pos // BLOOM_WORD_BITS] = (
+                words.get(pos // BLOOM_WORD_BITS, 0)
+                | (1 << (pos % BLOOM_WORD_BITS)))
+    out = {}
+    for v in values:
+        ok = True
+        for i in range(BLOOM_K):
+            h = int(hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:8], 16)
+            pos = h % BLOOM_BITS
+            if not (words.get(pos // BLOOM_WORD_BITS, 0)
+                    >> (pos % BLOOM_WORD_BITS)) & 1:
+                ok = False
+                break
+        out[v] = ok
+    return out

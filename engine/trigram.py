@@ -1,0 +1,141 @@
+"""Trigram term-dictionary index: candidate pruning for infix /
+leading-wildcard dictionary rewrites (the Google Code Search trick,
+Cox 2012 "Regular Expression Matching with a Trigram Index" — public
+writeup of the technique Zoekt and GitHub code search build on).
+
+Lucene walks a single-node FST term dictionary with an automaton, so
+a leading wildcard degrades to a full dictionary walk; the engine's
+distributed LIKE scan (engine/search.py:expand_wildcard_terms) has
+the same O(|vocabulary|) shape. This sidecar inverts the dictionary
+itself: one row per (trigram, term). A pattern's literal runs of ≥3
+chars yield trigrams that every matching term MUST contain, so the
+candidate set is the intersection of a few trigram posting lists —
+O(Σ |terms containing tg|) instead of O(|vocabulary|) — followed by
+an exact LIKE verify (the rewrite is therefore EXACT, never
+approximate; patterns with no ≥3-char literal run fall back to the
+full scan unchanged).
+
+Scale shape: the sidecar is dictionary-sized (Σ (len(term)−2) rows),
+written term-range-sorted so the trigram equality predicates push
+into parquet row-group pruning; the per-query intersection is one
+hash agg (count distinct trigram == n) over the pruned scan; the
+verify join is against the broadcast pattern list. Build is resumable
+(gated on _SUCCESS like every index stage).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index_build import _exists, _paths
+from .search import Index, QueryTerms, wildcard_to_like
+
+TRIGRAMS_DIRNAME = "term_trigrams"
+
+
+def _trigrams_path(index_dir: str) -> str:
+    return f"{index_dir}/{TRIGRAMS_DIRNAME}"
+
+
+def build_term_trigrams(spark: SparkSession, index_dir: str) -> dict:
+    """Materialize the (trigram, term) sidecar from termstats.
+    Terms shorter than 3 chars contain no trigram and are correctly
+    absent: no pattern WITH a ≥3-char literal run can match them."""
+    out = _trigrams_path(index_dir)
+    if _exists(spark, out):
+        return {"resumed": True}
+    terms = (spark.read.parquet(_paths(index_dir)["termstats"])
+             .select("term").where(F.length("term") >= 3))
+    tg = (terms
+          .select(F.col("term"),
+                  F.explode(F.expr(
+                      "transform(sequence(1, length(term) - 2),"
+                      " i -> substring(term, i, 3))")).alias("tg"))
+          .distinct())
+    (tg.select("tg", "term").sort("tg")
+     .write.mode("overwrite").parquet(out))
+    return {"resumed": False}
+
+
+def literal_trigrams(pattern: str, meta: str = "*?") -> list[str]:
+    """Distinct trigrams of the pattern's literal runs (segments
+    between wildcards) — the necessary-containment set."""
+    runs, cur = [], []
+    for ch in pattern:
+        if ch in meta:
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        runs.append("".join(cur))
+    out: list[str] = []
+    for r in runs:
+        for i in range(len(r) - 2):
+            t = r[i:i + 3]
+            if t not in out:
+                out.append(t)
+    return out
+
+
+def expand_wildcard_terms_trigram(index: Index,
+                                  queries: Sequence[tuple[str, str]]
+                                  ) -> QueryTerms:
+    """Exact wildcard rewrite via trigram candidate pruning: terms
+    containing ALL of the pattern's literal trigrams (one pruned scan
+    + one hash agg) verified with LIKE. Queries without a ≥3-char
+    literal run fall back to the full-dictionary scan — the result is
+    ALWAYS identical to expand_wildcard_terms (equivalence-tested)."""
+    from .search import expand_wildcard_terms
+
+    spark = index.spark
+    trig: list[tuple[str, str]] = []      # (qid, trigram)
+    n_tg: dict[str, int] = {}
+    fallback: list[tuple[str, str]] = []
+    for qid, pat in queries:
+        tgs = literal_trigrams(pat)
+        if tgs:
+            n_tg[qid] = len(tgs)
+            trig.extend((qid, t) for t in tgs)
+        else:
+            fallback.append((qid, pat))
+
+    out: QueryTerms = []
+    if fallback:
+        out.extend(expand_wildcard_terms(index, fallback))
+    if not trig:
+        return out
+
+    tgt = (spark.read.parquet(_trigrams_path(index.index_dir))
+           .where(F.col("tg").isin(sorted({t for _, t in trig}))))
+    qdf = spark.createDataFrame(trig, "qid string, tg string")
+    ndf = spark.createDataFrame(list(n_tg.items()),
+                                "qid string, n_tg int")
+    cand = (tgt.join(F.broadcast(qdf), "tg")
+            .groupBy("qid", "term")
+            .agg(F.count_distinct("tg").alias("nm"))
+            .join(F.broadcast(ndf), "qid")
+            .where(F.col("nm") == F.col("n_tg")))
+    pats = spark.createDataFrame(
+        [(q, wildcard_to_like(p)) for q, p in queries if q in n_tg],
+        "qid string, pat string")
+    rows = (cand.join(F.broadcast(pats), "qid")
+            .where(F.expr("term LIKE pat"))
+            .select("qid", "term").collect())
+    out.extend((r["qid"], r["term"], 1.0) for r in rows)
+    return out
+
+
+def wildcard_topk_trigram(index: Index,
+                          queries: Sequence[tuple[str, str]],
+                          k: int) -> DataFrame:
+    """BM25 top-k for wildcard queries via the trigram-pruned rewrite
+    (exact; falls back per-query when no literal trigram exists)."""
+    from .search import score_exhaustive
+
+    return score_exhaustive(
+        index, expand_wildcard_terms_trigram(index, queries), k)

@@ -265,6 +265,19 @@ def main() -> None:
     plans["seeded random_score ranking"] = qs[
         "random_topk"](spark, sf_dir)
 
+    # round-3 tenth wave: bloom / extended_stats / field_value_factor
+    plans["Bloom-filter decontamination (bit_or agg + probe)"] = qs[
+        "bloom_decontam"](spark, sf_dir)
+    plans["extended_stats agg (exact integer accumulators)"] = qs[
+        "extended_stats_dl"](spark, sf_dir)
+    plans["field_value_factor function_score (ln1p rerank)"] = qs[
+        "fvf_topk"](spark, sf_dir)
+
+    # round-3 eleventh wave: trigram wildcard pruning (the entry
+    # builds the sidecar itself before returning the plan)
+    plans["trigram-pruned wildcard rewrite"] = qs[
+        "wildcard_trigram_topk"](spark, sf_dir)
+
     # round-3 ninth wave: intervals / top_hits / LM perplexity
     plans["ES intervals (ordered chain, nested HOF)"] = qs[
         "interval_hits"](spark, sf_dir)
