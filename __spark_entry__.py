@@ -164,6 +164,14 @@ BOOLEAN_QUERIES: list[tuple[str, list[str], list[str], list[str]]] = [
 REGEXP_QUERIES: list[tuple[str, str]] = [
     ("rx1", "mer[a-z]*"), ("rx2", "[a-z]+[0-9]+"), ("rx3", "wind(ow)?s?"),
 ]
+
+# trigram-accelerated regexp inputs: leading-metachar patterns (the
+# full-scan killers) with required-literal runs, plus an alternation
+# (rt4) whose run extraction is empty -> fallback full-scan path
+REGEXP_TRIGRAM_QUERIES: list[tuple[str, str]] = [
+    ("rt1", ".*erge.*"), ("rt2", "[a-z]*alue"), ("rt3", "wind.*w"),
+    ("rt4", "merge|sort"),
+]
 RANGE_QUERIES: list[tuple[str, str, str]] = [
     ("rg1", "merge", "mergf"), ("rg2", "win", "wio"), ("rg3", "zz", "zzzz"),
 ]
@@ -1036,6 +1044,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("window_start"), "v_zero", "est")
             .orderBy("window_start"))
 
+    def event_window_heavy(spark, sf_dir):
+        """Windowed heavy hitters (dominant users per hour): CMS
+        registers keyed by the tumbling window — register ADD is the
+        one stateful agg (streaming-safe, 4x1024 state per window);
+        extraction flags est >= ceil(phi*window_n), one-sided: no true
+        heavy hitter missed (engine/streaming.py:
+        windowed_heavy_hitters)."""
+        from engine.streaming import windowed_heavy_hitters
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = windowed_heavy_hitters(events, window="1 hour", phi=0.08)
+        return (out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"), "value", "est", "window_n", "hh")
+            .orderBy("window_start", "value"))
+
     def event_sessions(spark, sf_dir):
         """Gap-based sessionization (batch form of the custom stateful
         streaming operator engine/streaming.py:sessionize_stream)."""
@@ -1316,6 +1340,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         idx = _cached_index(spark, sf_dir)
         return _rounded_rerank(_wt(idx, WILDCARD_QUERIES, TOPK + 50), TOPK)
+
+    def regexp_trigram_topk(spark, sf_dir):
+        """Trigram-pruned regexp rewrite: CONSERVATIVE required-
+        literal runs (sound under alternation/quantifiers/groups)
+        intersect the trigram sidecar, anchored RLIKE verifies —
+        EXACT (engine/trigram.py:expand_regexp_terms_trigram)."""
+        from engine.trigram import (build_term_trigrams,
+                                    expand_regexp_terms_trigram)
+        from engine.search import score_exhaustive
+
+        idx = _cached_index(spark, sf_dir)
+        build_term_trigrams(spark, idx.index_dir)
+        return _rounded_rerank(score_exhaustive(
+            idx, expand_regexp_terms_trigram(idx, REGEXP_TRIGRAM_QUERIES),
+            TOPK + 50), TOPK)
 
     def wildcard_trigram_topk(spark, sf_dir):
         """Trigram-pruned wildcard rewrite (the Code Search / Zoekt
@@ -2224,6 +2263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extended_stats_dl": extended_stats_dl,
         "fvf_topk": fvf_topk,
         "wildcard_trigram_topk": wildcard_trigram_topk,
+        "regexp_trigram_topk": regexp_trigram_topk,
+        "event_window_heavy": event_window_heavy,
     }
 
 
@@ -2551,6 +2592,23 @@ matched AS (
   JOIN dfs ON dfs.term = tf.term
   JOIN dl ON tf.doc_id = dl.doc_id, stats
   GROUP BY qw.qid, tf.doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM matched) t
+WHERE rank <= {TOPK}
+"""
+    rtv = ", ".join(f"('{q}', '{p}')" for q, p in REGEXP_TRIGRAM_QUERIES)
+    sql["regexp_trigram_topk"] = f"""
+WITH {fts},
+qr(qid, pat) AS (VALUES {rtv}),
+matched AS (
+  SELECT qr.qid, tf.doc_id, sum({score}) AS s
+  FROM qr JOIN tf ON regexp_matches(tf.term, '^(?:' || qr.pat || ')$')
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY qr.qid, tf.doc_id)
 SELECT qid, doc_id, {r4} AS score, rank FROM (
   SELECT qid, doc_id, s,
          row_number() OVER (PARTITION BY qid
@@ -4455,6 +4513,32 @@ SELECT ws AS window_start, v_zero,
                THEN -4294967296.0 * ln(1.0 - raw / 4294967296.0)
                ELSE raw END) * 1e4 + 0.5) / 1e4) AS est
 FROM es ORDER BY window_start
+"""
+    sql["event_window_heavy"] = """
+WITH vals AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+         user_id AS value
+  FROM events WHERE user_id IS NOT NULL),
+regs AS (
+  SELECT ws, r, ('0x'||substr(md5(r::VARCHAR || ':' || value::VARCHAR),1,8))
+               ::BIGINT % 1024 AS c, count(*)::BIGINT AS cnt
+  FROM vals, generate_series(0, 3) AS g(r) GROUP BY 1, 2, 3),
+totals AS (SELECT ws, count(*)::BIGINT AS window_n FROM vals GROUP BY ws),
+cands AS (SELECT DISTINCT ws, value FROM vals),
+probes AS (
+  SELECT cd.ws, cd.value, g.r,
+    ('0x'||substr(md5(g.r::VARCHAR || ':' || cd.value::VARCHAR),1,8))
+      ::BIGINT % 1024 AS c
+  FROM cands cd, generate_series(0, 3) AS g(r)),
+ests AS (
+  SELECT p.ws, p.value, min(coalesce(regs.cnt, 0))::BIGINT AS est
+  FROM probes p LEFT JOIN regs ON regs.ws = p.ws AND regs.r = p.r
+                               AND regs.c = p.c
+  GROUP BY p.ws, p.value)
+SELECT e.ws AS window_start, e.value, e.est, t.window_n,
+       (e.est >= ceil(0.08 * t.window_n)::BIGINT) AS hh
+FROM ests e JOIN totals t USING (ws)
+ORDER BY window_start, value
 """
     sql["event_window_counts"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -149,6 +149,13 @@ def update_docs(spark: SparkSession, index_dir: str,
     tf.write.mode("append").partitionBy("bucket").parquet(p["tf"])
     n_new = assigned.count()
     assigned.unpersist()
+    # docs/tf changed: the positional and trigram sidecars are views
+    # of those tables — drop them so the next build_* call refreshes
+    # (a stale positions table would silently miss the new content in
+    # phrase/interval search; a stale trigram table would miss NEW
+    # dictionary terms in wildcard rewrites)
+    from .index_build import invalidate_sidecars
+    invalidate_sidecars(spark, index_dir)
     return {"replaced": n_old, "added": n_new, "epoch": epoch}
 
 
@@ -325,5 +332,10 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
     conf = spark._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(conf)
     fs.delete(jvm.org.apache.hadoop.fs.Path(_tomb_dir(index_dir)), True)
+    # docs/tf/termstats rewritten: drop the derived positional and
+    # trigram sidecars (stale positions would keep returning the
+    # purged docs' anchors; a rebuilt one masks nothing stale)
+    from .index_build import invalidate_sidecars
+    invalidate_sidecars(spark, index_dir)
     return {"purged": len(dead), "n_docs": n_docs,
             "total_tokens": total_tokens, "sec": round(time.time() - t0, 2)}

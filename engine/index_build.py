@@ -425,3 +425,28 @@ def build_index(
 def load_stats(spark: SparkSession, index_dir: str) -> dict:
     row = spark.read.parquet(_paths(index_dir)["stats"]).collect()[0]
     return json.loads(row["stats_json"])
+
+
+# Derived dictionary/position sidecars are VIEWS of docs/tf/termstats;
+# any lifecycle op that rewrites those tables must drop them so the
+# next build_positions / build_term_trigrams call rebuilds from the
+# current state (both builders are idempotent and _SUCCESS-gated).
+# Pure DELETES (tombstones) do NOT invalidate: every sidecar consumer
+# applies the live-docs mask at query time.
+SIDECAR_DIRS = ("positions", "term_trigrams")
+
+
+def invalidate_sidecars(spark: SparkSession, index_dir: str) -> list[str]:
+    """Drop stale derived sidecars after a base-table rewrite.
+    Returns the list of paths actually removed."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    removed = []
+    for d in SIDECAR_DIRS:
+        path = f"{index_dir}/{d}"
+        hp = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hp.getFileSystem(conf)
+        if fs.exists(hp):
+            fs.delete(hp, True)
+            removed.append(path)
+    return removed

@@ -277,6 +277,11 @@ def compact_deltas(spark: SparkSession, index_dir: str,
         .select("term", "df", "bucket"),
         ts_tmp, int(load_stats(spark, index_dir).get("n_buckets", 8)))
     _swap(p["termstats"], ts_tmp)
+    # termstats (and the posting-visible doc set) changed: drop the
+    # derived positional/trigram sidecars so their next build sees the
+    # folded-in documents and the NEW dictionary terms
+    from .index_build import invalidate_sidecars
+    invalidate_sidecars(spark, index_dir)
     return int(n_terms)
 
 
@@ -349,6 +354,64 @@ def windowed_cardinality(events: DataFrame, window: str = "1 hour",
     return est.select(F.col("win.start").alias("window_start"),
                       F.col("win.end").alias("window_end"),
                       "v_zero", "est")
+
+
+def windowed_heavy_hitters_registers(events: DataFrame,
+                                     window: str = "1 hour",
+                                     watermark: str = "2 hours",
+                                     value_col: str = "user_id"
+                                     ) -> DataFrame:
+    """Per-window Count-Min register grid over ``value_col`` — the
+    streaming-safe half of windowed heavy-hitter detection ("which
+    users dominate each hour"). Register ADD is the incremental
+    update, so this is ONE stateful aggregation that runs unchanged on
+    a watermarked stream; state per window is bounded at DEPTH×WIDTH
+    (4×1024) rows regardless of event volume — the fixed-state
+    replacement for a per-(window, user) groupBy whose state grows
+    with the user universe. Same two-phase contract as
+    :func:`windowed_cardinality_registers`: the extraction is a batch
+    post-pass (one stateful agg per streaming query)."""
+    from .sketches import cms_registers
+
+    df = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    win = F.window("ts", window)
+    return cms_registers(df.select(win.alias("win"), F.col(value_col)),
+                         ["win"], value_col)
+
+
+def windowed_heavy_hitters(events: DataFrame, window: str = "1 hour",
+                           phi: float = 0.05,
+                           watermark: str = "2 hours",
+                           value_col: str = "user_id") -> DataFrame:
+    """Batch form of windowed heavy-hitter extraction: per window,
+    every candidate value whose CMS estimate ≥ ceil(φ · window_n).
+    CMS guarantees est ≥ true, so NO true heavy hitter is missed
+    (one-sided, like the Bloom ops); over-counted light values may
+    over-flag at the documented ε = e/WIDTH rate. The candidate set
+    (distinct values per window) is a batch-side set — bounded state
+    on the stream lives in the register half. Returns (window_start,
+    window_end, value, est, window_n, hh) ordered."""
+    regs = windowed_heavy_hitters_registers(events, window, watermark,
+                                            value_col)
+    from .sketches import cms_lookup
+
+    df = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    win = F.window("ts", window)
+    keyed = df.select(win.alias("win"), F.col(value_col))
+    totals = keyed.groupBy("win").agg(
+        F.count(F.lit(1)).alias("window_n"))
+    cands = keyed.distinct()
+    est = cms_lookup(regs, cands, ["win"], value_col)
+    thr = F.ceil(F.lit(float(phi)) * F.col("window_n")).cast("long")
+    return (est.join(totals, "win")
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    F.col(value_col).alias("value"),
+                    "est", "window_n",
+                    (F.col("est") >= thr).alias("hh"))
+            .orderBy("window_start", "value"))
 
 
 # ---------------------------------------------------------------------------

@@ -139,3 +139,144 @@ def wildcard_topk_trigram(index: Index,
 
     return score_exhaustive(
         index, expand_wildcard_terms_trigram(index, queries), k)
+
+
+def regex_literal_runs(pattern: str) -> list[str]:
+    """CONSERVATIVE required-literal runs of an (implicitly anchored)
+    regex: every string matching the pattern must contain each
+    returned run as a contiguous substring. Sound under-approximation
+    rules (fewer runs is always safe — candidates only grow):
+
+    * top-level alternation → no required literals at all;
+    * group ``(...)`` / class ``[...]`` contents are skipped entirely;
+    * an escape breaks the run (``\\.`` could be extracted, isn't);
+    * a quantifier (``* + ? {``) drops the char (or group) it
+      quantifies from the run — ``abc*`` only requires ``ab``.
+    """
+    # top-level alternation: nothing is required
+    depth, esc, in_class = 0, False, False
+    for ch in pattern:
+        if esc:
+            esc = False
+            continue
+        if ch == "\\":
+            esc = True
+            continue
+        if in_class:
+            in_class = ch != "]"
+            continue
+        if ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            return []
+
+    runs: list[str] = []
+    cur: list[str] = []
+    depth, esc, in_class, in_brace = 0, False, False, False
+
+    def flush() -> None:
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    for ch in pattern:
+        if esc:
+            esc = False
+            flush()
+            continue
+        if ch == "\\":
+            esc = True
+            continue
+        if in_class:
+            in_class = ch != "]"
+            continue
+        if in_brace:
+            in_brace = ch != "}"
+            continue
+        if ch == "[":
+            in_class = True
+            flush()
+        elif ch == "(":
+            depth += 1
+            flush()
+        elif ch == ")":
+            depth -= 1
+        elif depth > 0:
+            continue
+        elif ch == "{":
+            in_brace = True
+            if cur:                 # quantifier binds the previous char
+                cur.pop()
+            flush()
+        elif ch in "*+?":
+            if cur:
+                cur.pop()
+            flush()
+        elif ch in ".^$|":
+            flush()
+        else:
+            cur.append(ch)
+    flush()
+    return [r for r in runs if r]
+
+
+def regex_trigrams(pattern: str) -> list[str]:
+    """Distinct trigrams of the pattern's required-literal runs."""
+    out: list[str] = []
+    for r in regex_literal_runs(pattern):
+        for i in range(len(r) - 2):
+            t = r[i:i + 3]
+            if t not in out:
+                out.append(t)
+    return out
+
+
+def expand_regexp_terms_trigram(index: Index,
+                                queries: Sequence[tuple[str, str]]
+                                ) -> QueryTerms:
+    """Exact regexp rewrite via trigram candidate pruning (same plan
+    as the wildcard variant; verify = the anchored RLIKE). Queries
+    whose required-literal runs yield no trigram fall back to the
+    full-dictionary scan — always identical to expand_regexp_terms."""
+    from .search import expand_regexp_terms
+
+    spark = index.spark
+    trig: list[tuple[str, str]] = []
+    n_tg: dict[str, int] = {}
+    fallback: list[tuple[str, str]] = []
+    for qid, pat in queries:
+        tgs = regex_trigrams(pat)
+        if tgs:
+            n_tg[qid] = len(tgs)
+            trig.extend((qid, t) for t in tgs)
+        else:
+            fallback.append((qid, pat))
+
+    out: QueryTerms = []
+    if fallback:
+        out.extend(expand_regexp_terms(index, fallback))
+    if not trig:
+        return out
+
+    tgt = (spark.read.parquet(_trigrams_path(index.index_dir))
+           .where(F.col("tg").isin(sorted({t for _, t in trig}))))
+    qdf = spark.createDataFrame(trig, "qid string, tg string")
+    ndf = spark.createDataFrame(list(n_tg.items()),
+                                "qid string, n_tg int")
+    cand = (tgt.join(F.broadcast(qdf), "tg")
+            .groupBy("qid", "term")
+            .agg(F.count_distinct("tg").alias("nm"))
+            .join(F.broadcast(ndf), "qid")
+            .where(F.col("nm") == F.col("n_tg")))
+    pats = spark.createDataFrame(
+        [(q, f"^(?:{p})$") for q, p in queries if q in n_tg],
+        "qid string, pat string")
+    rows = (cand.join(F.broadcast(pats), "qid")
+            .where(F.expr("term RLIKE pat"))
+            .select("qid", "term").collect())
+    out.extend((r["qid"], r["term"], 1.0) for r in rows)
+    return out

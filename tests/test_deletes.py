@@ -326,3 +326,53 @@ def test_update_docs_appends_long_doc_ids(spark, tmp_path):
                            recursive=True):
             t = pq.read_schema(f)
             assert str(t.field("doc_id").type) == "int64", (table, f)
+
+
+def test_lifecycle_invalidates_sidecars(spark, tmp_path):
+    """Stale-sidecar regression: positional and trigram sidecars are
+    views of docs/tf/termstats — update_docs / purge_deleted /
+    compact_deltas must drop them so the next build refreshes.
+    Without invalidation, (a) a phrase/interval search misses content
+    updated into the index, and (b) a wildcard rewrite misses NEW
+    dictionary terms."""
+    import os
+
+    from engine.deletes import update_docs
+    from engine.positions import build_positions, phrase_match
+    from engine.streaming import compact_deltas
+    from engine.trigram import (build_term_trigrams,
+                                expand_wildcard_terms_trigram)
+
+    rows = [("org/r", "a.py", "c" * 12, "python", "alpha beta gamma"),
+            ("org/r", "b.py", "c" * 12, "python", "delta epsilon")]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    path = str(tmp_path / "scidx")
+    build_index(spark, df, path, n_buckets=2, n_doc_buckets=1)
+    build_positions(spark, path)
+    build_term_trigrams(spark, path)
+    assert os.path.exists(path + "/positions")
+    assert os.path.exists(path + "/term_trigrams")
+
+    # update a.py with NEW phrase content and a NEW dictionary term
+    upd = spark.createDataFrame(
+        [("org/r", "a.py", "d" * 12, "python",
+          "omega zebrafish alpha")],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    update_docs(spark, path, upd)
+    # sidecars must be gone (stale views dropped)
+    assert not os.path.exists(path + "/positions")
+    assert not os.path.exists(path + "/term_trigrams")
+
+    compact_deltas(spark, path)
+    idx = Index(spark, path)
+    # rebuilt sidecars see the new content and the new term
+    build_positions(spark, path)
+    got = {r["doc_id"] for r in
+           phrase_match(idx, [("p", "omega zebrafish")]).collect()}
+    assert len(got) == 1
+    build_term_trigrams(spark, path)
+    terms = expand_wildcard_terms_trigram(idx, [("w", "*ebrafis*")])
+    assert [t for _, t, _ in terms] == ["zebrafish"]

@@ -293,3 +293,60 @@ def test_windowed_cardinality_stream_matches_batch(spark, tmp_path):
            (r["v_zero"], r["est"]) for r in est.collect()}
     want = {k.strftime("%Y-%m-%d %H:%M:%S"): v for k, v in batch.items()}
     assert got == want
+
+
+def test_windowed_heavy_hitters_stream_matches_batch(spark, tmp_path):
+    """Windowed CMS heavy hitters: the streaming register path (single
+    stateful sum-agg, bounded 4x1024 state per window) must produce
+    exactly the batch registers; extraction never misses a TRUE heavy
+    hitter (est >= true, one-sided)."""
+    import datetime as dt
+
+    from engine.streaming import (windowed_heavy_hitters,
+                                  windowed_heavy_hitters_registers)
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(2):
+        # user 7 dominates (30%), user 8 at 10%, long tail below phi
+        for i in range(300):
+            uid = 7 if i % 10 < 3 else (8 if i % 10 == 3 else 100 + i)
+            rows.append((eid, base + dt.timedelta(hours=h,
+                                                  seconds=i % 3600),
+                         uid, "click", 1.0))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+    hh = windowed_heavy_hitters(events, phi=0.08).collect()
+    per_win = {}
+    for r in hh:
+        per_win.setdefault(r["window_start"], set())
+        if r["hh"]:
+            per_win[r["window_start"]].add(r["value"])
+    assert len(per_win) == 2
+    for ws, flagged in per_win.items():
+        # the true >=8% users MUST be flagged (no misses, one-sided)
+        assert {7, 8} <= flagged
+        # over-flagging bounded: tail users are ~0.3% each, far from
+        # phi even with CMS overcounts at this width
+        assert len(flagged) <= 4
+    # est >= true count for the dominant user
+    est7 = {r["window_start"]: r["est"] for r in hh if r["value"] == 7}
+    assert all(v >= 90 for v in est7.values())
+
+    src = str(tmp_path / "hh_src")
+    events.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    regs = windowed_heavy_hitters_registers(stream)
+    q = (regs.writeStream.format("memory").queryName("hh_regs")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["win"]["start"], r["row"], r["col"]): r["cnt"]
+           for r in spark.table("hh_regs").collect()}
+    want = {(r["win"]["start"], r["row"], r["col"]): r["cnt"]
+            for r in windowed_heavy_hitters_registers(events).collect()}
+    assert got == want

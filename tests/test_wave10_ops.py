@@ -170,3 +170,46 @@ def test_trigram_candidates_prune(spark, tiny_index):
             .where(F.col("tg").isin(tgs))
             .select("term").distinct().count())
     assert 0 < cand < vocab / 2
+
+
+def test_regex_literal_runs_are_sound():
+    """Soundness: every string that fullmatches the pattern must
+    contain each extracted run as a substring."""
+    import re
+
+    from engine.trigram import regex_literal_runs
+
+    cases = [
+        ("merge", ["merge"]),
+        ("merges?", ["merge", "merges"]),
+        ("mer.*sort", ["mersort", "merge sort", "merXYsort"]),
+        ("abc*", ["ab", "abc", "abcccc"]),
+        ("abc+def", ["abcdef", "abccdef"]),
+        ("(abc)?def", ["def", "abcdef"]),
+        ("ab\\.cd", ["ab.cd"]),
+        ("[mw]erge", ["merge", "werge"]),
+        ("colou?r", ["color", "colour"]),
+        ("a{2,3}bcd", ["aabcd", "aaabcd"]),
+        ("x(a|b)+y", ["xay", "xbay", "xabababy"]),
+    ]
+    for pat, matches in cases:
+        runs = regex_literal_runs(pat)
+        for s in matches:
+            assert re.fullmatch(pat, s), (pat, s)
+            for r in runs:
+                assert r in s, (pat, s, r)
+
+
+def test_regex_trigram_equivalence(spark, tiny_index):
+    from engine.search import expand_regexp_terms
+    from engine.trigram import (build_term_trigrams,
+                                expand_regexp_terms_trigram)
+
+    idx = tiny_index
+    build_term_trigrams(spark, idx.index_dir)
+    queries = [("r1", "mer.*"), ("r2", ".*alue"), ("r3", "w[io]ndow"),
+               ("r4", "s.m"), ("r5", "merge|sort"), ("r6", "scan{1,2}")]
+    full = sorted(expand_regexp_terms(idx, queries))
+    tri = sorted(expand_regexp_terms_trigram(idx, queries))
+    assert tri == full
+    assert any(q == "r1" for q, _, _ in full)

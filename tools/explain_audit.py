@@ -273,10 +273,14 @@ def main() -> None:
     plans["field_value_factor function_score (ln1p rerank)"] = qs[
         "fvf_topk"](spark, sf_dir)
 
-    # round-3 eleventh wave: trigram wildcard pruning (the entry
-    # builds the sidecar itself before returning the plan)
+    # round-3 eleventh/twelfth wave: trigram pruning + windowed HH
+    # (the entries build the sidecar themselves before returning)
     plans["trigram-pruned wildcard rewrite"] = qs[
         "wildcard_trigram_topk"](spark, sf_dir)
+    plans["trigram-pruned regexp rewrite"] = qs[
+        "regexp_trigram_topk"](spark, sf_dir)
+    plans["windowed heavy hitters (CMS registers)"] = qs[
+        "event_window_heavy"](spark, sf_dir)
 
     # round-3 ninth wave: intervals / top_hits / LM perplexity
     plans["ES intervals (ordered chain, nested HOF)"] = qs[
