@@ -287,32 +287,29 @@ def bloom_probe(df: DataFrame, value_col: str,
     """Membership probe: adds a boolean ``maybe`` column — true iff
     ALL BLOOM_K bit positions of the value are set (one-sided: every
     true member tests true; non-members test true with probability
-    ≈ (1 − e^{−k·n/m})^k). The filter table broadcasts; each value
-    costs K equi-joined lookups and one all-true agg."""
-    keyed = df.select(F.col(value_col).alias("_v")).distinct()
-    probes = None
+    ≈ (1 − e^{−k·n/m})^k).
+
+    The 16 KB filter is COLLECTED once and baked into the plan as a
+    literal word array (the JL-matrix recipe) — that fixed size is the
+    entire point of a Bloom filter — so the probe is a zero-shuffle,
+    zero-join per-row expression: K md5s + K array lookups per row.
+    (The first cut probed via distinct + groupBy + join-back, which
+    shuffled ~4×|distinct values| md5-string rows and OOM'd a local
+    JVM at a 285M-gram real-corpus run; nothing about membership
+    needs a shuffle.)"""
+    wmap = {int(r["word_idx"]): int(r["bits"]) for r in bloom.collect()}
+    words = F.array(*[F.lit(wmap.get(i, 0)) for i in range(BLOOM_WORDS)])
+    masks = F.array(*[F.lit(1 << b) for b in range(BLOOM_WORD_BITS)])
+    cond = None
     for i in range(BLOOM_K):
-        p = keyed.select(
-            "_v", _bloom_pos(F.col("_v"), i).alias("pos"))
-        probes = p if probes is None else probes.unionByName(p)
-    probes = (probes
-              .withColumn("word_idx",
-                          F.floor(F.col("pos") / BLOOM_WORD_BITS)
-                          .cast("long"))
-              .withColumn("lowbit",
-                          (F.col("pos") % BLOOM_WORD_BITS).cast("int"))
-              .withColumn("mask",
-                          F.expr("shiftleft(cast(1 as bigint), lowbit)")))
-    hit = (probes.join(F.broadcast(bloom), "word_idx", "left")
-           .withColumn("set_",
-                       F.coalesce(F.col("bits"), F.lit(0))
-                       .bitwiseAND(F.col("mask")) != 0)
-           .groupBy("_v")
-           .agg(F.min(F.col("set_").cast("int")).alias("_all")))
-    return (df.join(hit.select(F.col("_v"),
-                               (F.col("_all") == 1).alias("maybe")),
-                    df[value_col] == F.col("_v"), "left")
-            .drop("_v"))
+        pos = _bloom_pos(F.col(value_col), i)
+        w = F.floor(pos / BLOOM_WORD_BITS).cast("int")
+        lb = (pos % BLOOM_WORD_BITS).cast("int")
+        ok = F.get(words, w).bitwiseAND(F.get(masks, lb)) != 0
+        cond = ok if cond is None else (cond & ok)
+    return df.withColumn(
+        "maybe", F.when(F.col(value_col).isNull(), F.lit(None)
+                        ).otherwise(cond))
 
 
 def bloom_probe_py(values, member_values) -> dict:
