@@ -588,6 +588,23 @@ def _documents_as_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def _cached_resharded_index(spark: SparkSession, sf_dir: str):
+    """A third cached index exercising RESHARD (the ES shrink/split
+    analog): built at 8 term buckets, resharded to 5 — a pure
+    partition-key rewrite, so every query result must equal SQL over
+    the unchanged corpus (the same oracles as the 8-bucket index)."""
+    from engine.index_build import build_index, load_stats, reshard_index
+    from engine.search import Index
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/sfts_{INDEX_VERSION}_rs_{tag}"
+    corpus = _documents_as_corpus(_docs(spark, sf_dir))
+    build_index(spark, corpus, idx_dir, n_buckets=8, n_doc_buckets=1)
+    if load_stats(spark, idx_dir)["n_buckets"] != 5:
+        reshard_index(spark, idx_dir, 5)
+    return Index(spark, idx_dir)
+
+
 def _cached_index(spark: SparkSession, sf_dir: str):
     from engine.index_build import build_index
     from engine.search import Index
@@ -735,6 +752,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def index_wand_topk(spark, sf_dir):
         return _wand_topk_query(spark, sf_dir)
+
+    def resharded_search(spark, sf_dir):
+        """WAND top-k over a RESHARDED index (8 -> 5 term buckets via
+        engine/index_build.py:reshard_index — the ES shrink/split
+        analog): bucketing is physical only, so the oracle is the
+        plain BM25 SQL, identical to index_wand_topk's."""
+        from engine.search import score_wand
+
+        idx = _cached_resharded_index(spark, sf_dir)
+        qt = [(q, t, 1.0) for q, terms in BM25_QUERIES for t in terms]
+        res = score_wand(idx, qt, TOPK + 50)
+        return _rounded_rerank(res, TOPK)
+
+    def event_window_pipeline(spark, sf_dir):
+        """ES pipeline aggregations (cumulative_sum + derivative
+        sibling aggs) over the hourly date_histogram per event_type;
+        derivative vs the previous OCCUPIED bucket, NULL at series
+        heads (engine/streaming.py:windowed_counts_pipeline)."""
+        from engine.streaming import windowed_counts_pipeline
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = windowed_counts_pipeline(events, window="1 hour")
+        return (out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"), "event_type", "n", "cum_n",
+            "deriv_n")
+            .orderBy("event_type", "window_start"))
 
     def dedup_exact(spark, sf_dir):
         return (dedup.exact_dup_groups(_docs(spark, sf_dir))
@@ -2118,7 +2162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — rotated into the window in place of doc_lengths/term_stats,
         # which were driver-green in r1+r2 and are trivial aggregates.
         "cluster_sample": cluster_sample,
-        "eval_extra": eval_extra,
+        # resharded WAND takes eval_extra's window slot (eval_extra
+        # composes the in-window eval_metrics mechanics)
+        "resharded_search": resharded_search,
         # wave-9 additions (newest → inside the driver window; the
         # rotated-out bm25_topk/index_wand_topk/event_sessions were
         # driver-green in r2, and the rewritten kernel stays driver-
@@ -2265,6 +2311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_trigram_topk": wildcard_trigram_topk,
         "regexp_trigram_topk": regexp_trigram_topk,
         "event_window_heavy": event_window_heavy,
+        "event_window_pipeline": event_window_pipeline,
+        "eval_extra": eval_extra,
     }
 
 
@@ -2324,6 +2372,8 @@ HAVING count(DISTINCT tf.term) = (SELECT n_terms FROM nt WHERE nt.qid = q.qid)
 """
     # the index-backed WAND path must equal the pure-SQL BM25 oracle
     sql["index_wand_topk"] = _sql_bm25_topk(BM25_QUERIES, TOPK)
+    # bucketing is physical: the resharded index answers the same SQL
+    sql["resharded_search"] = _sql_bm25_topk(BM25_QUERIES, TOPK)
 
     # LMDirichlet: ctf = Σ tf per term, C = Σ dl; formula in lmd_sql
     # mirrors engine/scoring.py lmd_col expression-for-expression
@@ -4539,6 +4589,19 @@ SELECT e.ws AS window_start, e.value, e.est, t.window_n,
        (e.est >= ceil(0.08 * t.window_n)::BIGINT) AS hh
 FROM ests e JOIN totals t USING (ws)
 ORDER BY window_start, value
+"""
+    sql["event_window_pipeline"] = """
+WITH c AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2)
+SELECT window_start, event_type, n,
+       sum(n) OVER (PARTITION BY event_type ORDER BY window_start)
+         ::BIGINT AS cum_n,
+       (n - lag(n) OVER (PARTITION BY event_type ORDER BY window_start))
+         ::BIGINT AS deriv_n
+FROM c ORDER BY event_type, window_start
 """
     sql["event_window_counts"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

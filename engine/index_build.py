@@ -450,3 +450,67 @@ def invalidate_sidecars(spark: SparkSession, index_dir: str) -> list[str]:
             fs.delete(hp, True)
             removed.append(path)
     return removed
+
+
+def reshard_index(spark: SparkSession, index_dir: str,
+                  new_n_buckets: int) -> dict:
+    """Change the index's term-bucket count in place — the ES
+    shrink/split API analog (reference users get shard-count changes
+    from the ES/Lucene stack; here the term hash-bucket IS the shard
+    key). The bucket is a PHYSICAL partition key only: posting blobs
+    are per (term, salt) and carry no bucket dependence, so resharding
+    is a pure partition-column rewrite — re-hash, repartition, swap —
+    with NO posting decode/re-encode anywhere. Scale story: retuning
+    bucket count for a grown corpus costs one shuffle of the postings
+    bytes, not a rebuild.
+
+    Contract mirrors purge_deleted: delta segments must be compacted
+    first (their rows carry the OLD bucket hash); tombstones are
+    doc-level and survive untouched; the positional/trigram sidecars
+    are bucket-partitioned views and are invalidated (next build picks
+    up the new count from stats). The manifest keeps recording the
+    ORIGINAL build's lineage (resume is a build-time concern).
+    """
+    from .streaming import _has_deltas, _swap_dirs
+
+    if _has_deltas(spark, index_dir):
+        raise ValueError(
+            "reshard_index: delta segments present — run compact_deltas "
+            "first (delta rows carry the old bucket hash)")
+    p = _paths(index_dir)
+    stats = load_stats(spark, index_dir)
+    new_n = int(new_n_buckets)
+    if new_n < 1:
+        raise ValueError("new_n_buckets must be >= 1")
+    old_n = int(stats["n_buckets"])
+    if new_n == old_n:
+        return {"resharded": False, "n_buckets": old_n}
+    nb = F.pmod(F.xxhash64("term"), F.lit(new_n)).cast("int")
+
+    post = spark.read.parquet(p["postings"]).drop("bucket") \
+        .withColumn("bucket", nb)
+    tmp = f"{index_dir}/postings_reshard_tmp"
+    post.repartition(new_n, "bucket").write.mode("overwrite") \
+        .partitionBy("bucket").parquet(tmp)
+    _swap_dirs(spark, p["postings"], tmp)
+
+    tf = spark.read.parquet(p["tf"]).drop("bucket").withColumn("bucket", nb)
+    tmp = f"{index_dir}/tf_reshard_tmp"
+    tf.repartition(new_n, "bucket").write.mode("overwrite") \
+        .partitionBy("bucket").parquet(tmp)
+    _swap_dirs(spark, p["tf"], tmp)
+
+    ts = spark.read.parquet(p["termstats"]).drop("bucket") \
+        .withColumn("bucket", nb)
+    tmp = f"{index_dir}/termstats_reshard_tmp"
+    write_sorted_termstats(ts, tmp, new_n)
+    _swap_dirs(spark, p["termstats"], tmp)
+
+    stats["n_buckets"] = new_n
+    tmp = f"{index_dir}/stats_reshard_tmp"
+    spark.createDataFrame([json.dumps(stats)], "string") \
+        .toDF("stats_json").write.mode("overwrite").parquet(tmp)
+    _swap_dirs(spark, p["stats"], tmp)
+
+    invalidate_sidecars(spark, index_dir)
+    return {"resharded": True, "n_buckets": new_n, "was": old_n}

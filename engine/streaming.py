@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyspark.sql.types as T
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .analysis import tokenize_pandas_udf
@@ -354,6 +354,28 @@ def windowed_cardinality(events: DataFrame, window: str = "1 hour",
     return est.select(F.col("win.start").alias("window_start"),
                       F.col("win.end").alias("window_end"),
                       "v_zero", "est")
+
+
+def windowed_counts_pipeline(events: DataFrame,
+                             window: str = "1 hour") -> DataFrame:
+    """ES PIPELINE aggregations (``cumulative_sum`` + ``derivative``
+    sibling aggs) over the date_histogram: per event_type, the hourly
+    count buckets carry a running total and a bucket-to-bucket delta
+    (NULL in each series' first bucket — the ES derivative contract).
+    Pipeline aggs are by definition a SECOND pass over bucket results,
+    so the cost is |buckets| window-function rows, independent of
+    event volume; on a stream this is the batch post-pass over the
+    emitted windowed counts (the two-phase contract shared with the
+    windowed HLL/CMS sketches). Divergence doc'd (as facet_histogram):
+    only OCCUPIED buckets exist, so the derivative is against the
+    previous occupied bucket, not a densified timeline."""
+    base = windowed_event_counts(events, window)
+    w = (Window.partitionBy("event_type").orderBy("window_start"))
+    return (base.select(
+        "window_start", "window_end", "event_type", "n",
+        F.sum("n").over(w).alias("cum_n"),
+        (F.col("n") - F.lag("n").over(w)).alias("deriv_n"))
+        .orderBy("event_type", "window_start"))
 
 
 def windowed_heavy_hitters_registers(events: DataFrame,

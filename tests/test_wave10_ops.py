@@ -213,3 +213,93 @@ def test_regex_trigram_equivalence(spark, tiny_index):
     tri = sorted(expand_regexp_terms_trigram(idx, queries))
     assert tri == full
     assert any(q == "r1" for q, _, _ in full)
+
+
+# ---------------------------------------------------------------------------
+# reshard_index (wave 13)
+# ---------------------------------------------------------------------------
+
+def test_reshard_rank_identity(spark, tmp_path):
+    """Resharding is a physical partition-key rewrite: every query
+    path must return identical results at the new bucket count, stats
+    must update, and the delta-compaction contract must hold."""
+    import pytest as _pt
+
+    from engine.index_build import build_index, load_stats, reshard_index
+    from engine.search import Index, score_exhaustive, score_wand
+
+    rows = [("org/r", f"f{i}.py", "c" * 12, "py",
+             f"alpha beta gamma{i % 3} delta{i % 5} epsilon")
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    path = str(tmp_path / "rsidx")
+    build_index(spark, df, path, n_buckets=4, n_doc_buckets=2)
+    idx = Index(spark, path)
+    qt = [("q", "alpha", 1.0), ("q", "delta0", 2.0),
+          ("q2", "gamma1", 1.0)]
+    before_w = [(r["qid"], r["doc_id"], r["score"], r["rank"])
+                for r in score_wand(idx, qt, 10).collect()]
+    before_e = [(r["qid"], r["doc_id"], r["rank"])
+                for r in score_exhaustive(idx, qt, 10).collect()]
+
+    out = reshard_index(spark, path, 3)
+    assert out == {"resharded": True, "n_buckets": 3, "was": 4}
+    assert load_stats(spark, path)["n_buckets"] == 3
+    idx2 = Index(spark, path)
+    after_w = [(r["qid"], r["doc_id"], r["score"], r["rank"])
+               for r in score_wand(idx2, qt, 10).collect()]
+    after_e = [(r["qid"], r["doc_id"], r["rank"])
+               for r in score_exhaustive(idx2, qt, 10).collect()]
+    assert after_w == before_w and after_e == before_e
+    # driver-side pruning agrees with the rewritten partition column
+    got_buckets = {r["bucket"] for r in
+                   idx2.termstats.select("bucket").distinct().collect()}
+    assert got_buckets <= set(range(3))
+    assert set(idx2.term_buckets(["alpha", "delta0"])) <= set(range(3))
+    # same count → no-op; deltas present → refuse
+    assert reshard_index(spark, path, 3)["resharded"] is False
+    from engine.deletes import update_docs
+    update_docs(spark, path, spark.createDataFrame(
+        [("org/r", "f0.py", "d" * 12, "py", "omega content")],
+        "repo string, path string, commit string, lang string, "
+        "content string"))
+    with _pt.raises(ValueError, match="compact_deltas"):
+        reshard_index(spark, path, 2)
+
+
+# ---------------------------------------------------------------------------
+# pipeline aggregations (wave 13)
+# ---------------------------------------------------------------------------
+
+def test_windowed_counts_pipeline_replica(spark):
+    import datetime as dt
+
+    from engine.streaming import windowed_counts_pipeline
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    counts = {("click", 0): 3, ("click", 1): 5, ("click", 3): 2,
+              ("view", 0): 4, ("view", 2): 1}
+    for (et, h), n in counts.items():
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=i),
+                         i, et, 1.0))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = [(r["event_type"], r["window_start"].hour, r["n"],
+            r["cum_n"], r["deriv_n"])
+           for r in windowed_counts_pipeline(events).collect()]
+    # occupied buckets only; cum over series; deriv vs previous
+    # OCCUPIED bucket, NULL at each series head (the ES contract)
+    assert got == [
+        ("click", 0, 3, 3, None),
+        ("click", 1, 5, 8, 2),
+        ("click", 3, 2, 10, -3),
+        ("view", 0, 4, 4, None),
+        ("view", 2, 1, 5, -3),
+    ]

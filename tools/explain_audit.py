@@ -281,6 +281,10 @@ def main() -> None:
         "regexp_trigram_topk"](spark, sf_dir)
     plans["windowed heavy hitters (CMS registers)"] = qs[
         "event_window_heavy"](spark, sf_dir)
+    plans["resharded WAND (bucket-count retune)"] = qs[
+        "resharded_search"](spark, sf_dir)
+    plans["pipeline aggs (cumulative_sum + derivative)"] = qs[
+        "event_window_pipeline"](spark, sf_dir)
 
     # round-3 ninth wave: intervals / top_hits / LM perplexity
     plans["ES intervals (ordered chain, nested HOF)"] = qs[
