@@ -142,6 +142,14 @@ WILDCARD_TRIGRAM_QUERIES: list[tuple[str, str]] = [
 MLT_SEEDS = [0, 1, 2]
 MLT_TERMS = 10
 
+# free-text MLT inputs (the ES `like: "raw text"` form); mt2 is fully
+# out-of-vocabulary -> zero rows by contract
+MLT_TEXT_QUERIES: list[tuple[str, str]] = [
+    ("mt1", "merge sort joins a hash table scan with window groups"),
+    ("mt2", "zzznope qqqnothing"),
+]
+MLT_TEXT_TERMS = 5
+
 # SynonymQuery groups (qid, [[group members]]): 'quick' and 'tabel'
 # are absent from the vocabulary — Lucene df-0 terms that must drop
 # out of both the per-doc tf sum and the blended df max.
@@ -1400,6 +1408,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             idx, expand_regexp_terms_trigram(idx, REGEXP_TRIGRAM_QUERIES),
             TOPK + 50), TOPK)
 
+    def mlt_text_topk(spark, sf_dir):
+        """ES More-Like-This with free TEXT as the like-input:
+        index-analyzer parity, tf.idf term selection (rounded, term
+        asc tiebreak), weight-1.0 weighted-OR BM25
+        (engine/search.py:more_like_text)."""
+        from engine.search import more_like_text
+
+        idx = _cached_index(spark, sf_dir)
+        return _rounded_rerank(
+            more_like_text(idx, MLT_TEXT_QUERIES, TOPK + 50,
+                           n_terms=MLT_TEXT_TERMS), TOPK)
+
     def wildcard_trigram_topk(spark, sf_dir):
         """Trigram-pruned wildcard rewrite (the Code Search / Zoekt
         technique): literal-run trigrams intersect the (trigram, term)
@@ -2313,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_heavy": event_window_heavy,
         "event_window_pipeline": event_window_pipeline,
         "eval_extra": eval_extra,
+        "mlt_text_topk": mlt_text_topk,
     }
 
 
@@ -2659,6 +2680,37 @@ matched AS (
   JOIN dfs ON dfs.term = tf.term
   JOIN dl ON tf.doc_id = dl.doc_id, stats
   GROUP BY qr.qid, tf.doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM matched) t
+WHERE rank <= {TOPK}
+"""
+    from engine.analysis import tokenize_texts as _tok_texts
+    mtv = []
+    for _q, _t in MLT_TEXT_QUERIES:
+        _cnt = {}
+        for _w in _tok_texts([_t])[0]:
+            _cnt[_w] = _cnt.get(_w, 0) + 1
+        mtv.extend(f"('{_q}', '{_w}', {_c})" for _w, _c in sorted(_cnt.items()))
+    sql["mlt_text_topk"] = f"""
+WITH {fts},
+qtf(qid, term, qf) AS (VALUES {", ".join(mtv)}),
+cand AS (
+  SELECT q.qid, q.term,
+         floor(q.qf * ln(1.0 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+               * 1e6 + 0.5) / 1e6 AS sel_s
+  FROM qtf q JOIN dfs USING (term), stats),
+sel AS (SELECT qid, term FROM (
+  SELECT qid, term, row_number() OVER (PARTITION BY qid
+      ORDER BY sel_s DESC, term) AS rn FROM cand)
+  WHERE rn <= {MLT_TEXT_TERMS}),
+matched AS (
+  SELECT sel.qid, tf.doc_id, sum({score}) AS s
+  FROM sel JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY sel.qid, tf.doc_id)
 SELECT qid, doc_id, {r4} AS score, rank FROM (
   SELECT qid, doc_id, s,
          row_number() OVER (PARTITION BY qid

@@ -2088,6 +2088,50 @@ def more_like_this(index: Index, seed_ids: Sequence[int], k: int,
             .orderBy("qid", "rank"))
 
 
+def more_like_text(index: Index, queries: Sequence[tuple[str, str]],
+                   k: int, n_terms: int = 25) -> DataFrame:
+    """The free-text half of the ES More-Like-This API (``like`` also
+    accepts raw text, not only indexed doc ids): analyze the text with
+    the INDEX's analyzer (stem/fold parity — the stale-analyzer class
+    of bug), rank its terms by tf·idf against the index's df table,
+    keep the top ``n_terms`` (rounded tf·idf desc, term asc), and
+    issue them as a weight-1.0 weighted-OR BM25 query. No seed doc to
+    exclude. Term selection is driver-side arithmetic over the
+    analyzed text + a bucket-pruned df lookup — no corpus pass before
+    the final scoring query. Returns (qid, doc_id, score, rank)."""
+    import math as _math
+
+    from .analysis import tokenize_texts
+
+    opts = index.analyzer_opts()
+    all_tf: dict[str, dict[str, int]] = {}
+    for qid, text in queries:
+        toks = tokenize_texts([text], **opts)[0]
+        cnt: dict[str, int] = {}
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+        all_tf[qid] = cnt
+    vocab = sorted({t for c in all_tf.values() for t in c})
+    dfm = index.df_map(vocab)          # bucket-pruned dictionary lookup
+    n = float(index.n_docs)
+    qt: QueryTerms = []
+    for qid, cnt in all_tf.items():
+        scored = []
+        for t, tf in cnt.items():
+            df = dfm.get(t)
+            if df is None:             # not in vocabulary → no signal
+                continue
+            idf = _math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s = _math.floor(tf * idf * 1e6 + 0.5) / 1e6  # house rhu(6)
+            scored.append((-s, t))
+        for _, t in sorted(scored)[:n_terms]:
+            qt.append((qid, t, 1.0))
+    if not qt:
+        return index.spark.createDataFrame(
+            [], "qid string, doc_id long, score double, rank int")
+    return score_exhaustive(index, qt, k)
+
+
 def facet_counts(index: Index, queries: Sequence[tuple[str, Sequence[str]]],
                  facet_col: str, k: int) -> DataFrame:
     """Faceting analog (Lucene facets module): for each query, the

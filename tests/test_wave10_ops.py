@@ -303,3 +303,44 @@ def test_windowed_counts_pipeline_replica(spark):
         ("view", 0, 4, 4, None),
         ("view", 2, 1, 5, -3),
     ]
+
+
+# ---------------------------------------------------------------------------
+# more_like_text (wave 14 — the free-text half of ES MLT)
+# ---------------------------------------------------------------------------
+
+def test_more_like_text_matches_replica(spark, tiny_index):
+    import math
+
+    from engine.analysis import tokenize_texts
+    from engine.search import more_like_text, score_exhaustive
+
+    idx = tiny_index
+    seed_text = idx.docs.select("content").collect()[0]["content"]
+    queries = [("m1", seed_text), ("m2", "zzznope qqqnothing")]
+    got = more_like_text(idx, queries, 10, n_terms=5).collect()
+
+    # python replica of the term selection
+    toks = tokenize_texts([seed_text], **idx.analyzer_opts())[0]
+    cnt: dict = {}
+    for t in toks:
+        cnt[t] = cnt.get(t, 0) + 1
+    dfm = idx.df_map(sorted(cnt))
+    n = float(idx.n_docs)
+    scored = sorted(
+        (-(math.floor(tf * math.log(1 + (n - dfm[t] + 0.5)
+                                    / (dfm[t] + 0.5)) * 1e6 + 0.5) / 1e6),
+         t)
+        for t, tf in cnt.items() if t in dfm)
+    top5 = [t for _, t in scored[:5]]
+    exp = {(r["qid"], r["doc_id"], r["rank"]) for r in
+           score_exhaustive(idx, [("m1", t, 1.0) for t in top5],
+                            10).collect()}
+    assert {(r["qid"], r["doc_id"], r["rank"]) for r in got} == exp
+    # the seed doc itself should rank #1 for its own text
+    seed_id = int(idx.docs.select("doc_id", "content").collect()[0]
+                  ["doc_id"])
+    assert any(r["qid"] == "m1" and r["doc_id"] == seed_id
+               and r["rank"] == 1 for r in got)
+    # out-of-vocabulary query → no rows
+    assert not [r for r in got if r["qid"] == "m2"]
