@@ -1605,7 +1605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = _docs(spark, sf_dir)
         ev = docs.where(F.col("doc_id") % 97 == 0)
-        return (curation.bloom_decontaminate(docs, ev, n=5)
+        # n_words pinned so the oracle's bit table is static (the
+        # auto-sizer would pick the same 4096 floor at this sf)
+        return (curation.bloom_decontaminate(docs, ev, n=5,
+                                             n_words=4096)
                 .orderBy("doc_id"))
 
     def extended_stats_dl(spark, sf_dir):
@@ -2515,19 +2518,24 @@ grams AS (
   FROM tokd),
 evh AS (SELECT DISTINCT md5(gram) AS h
         FROM (SELECT unnest(gs) AS gram FROM grams WHERE doc_id % 97 = 0)),
-evpos AS (SELECT (('0x' || substr(md5(i::VARCHAR || ':' || h), 1, 8))
-                  ::BIGINT % 131072) AS pos
-          FROM evh, generate_series(0, 3) AS s(i)),
+evh2 AS (SELECT h,
+                ('0x' || substr(md5(h), 1, 8))::BIGINT AS h1,
+                (('0x' || substr(md5(h), 9, 8))::BIGINT | 1) AS h2
+         FROM evh),
+evpos AS (SELECT ((h1 + i * h2) % 131072) AS pos
+          FROM evh2, generate_series(0, 3) AS s(i)),
 filt AS (SELECT pos // 32 AS word_idx,
                 bit_or(1::BIGINT << (pos % 32)::INT) AS bits
          FROM evpos GROUP BY pos // 32),
 dg AS (SELECT doc_id, md5(gram) AS h
        FROM (SELECT doc_id, unnest(gs) AS gram FROM grams)),
 dk AS (SELECT DISTINCT h FROM dg),
-probes AS (SELECT dk.h,
-                  (('0x' || substr(md5(i::VARCHAR || ':' || dk.h), 1, 8))
-                   ::BIGINT % 131072) AS pos
-           FROM dk, generate_series(0, 3) AS s(i)),
+dk2 AS (SELECT h,
+               ('0x' || substr(md5(h), 1, 8))::BIGINT AS h1,
+               (('0x' || substr(md5(h), 9, 8))::BIGINT | 1) AS h2
+        FROM dk),
+probes AS (SELECT h, ((h1 + i * h2) % 131072) AS pos
+           FROM dk2, generate_series(0, 3) AS s(i)),
 member AS (SELECT p.h,
                   min(CASE WHEN (coalesce(f.bits, 0)
                                  & (1::BIGINT << (p.pos % 32)::INT)) <> 0

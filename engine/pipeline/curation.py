@@ -556,7 +556,8 @@ def exact_substring_dedup(docs: DataFrame, n: int = 10,
 def bloom_decontaminate(docs: DataFrame, eval_docs: DataFrame,
                         n: int = 5, threshold: float = 0.05,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        n_words: int | None = None) -> DataFrame:
     """Space-bounded decontamination: the same GPT-3-style n-gram
     overlap pass as :func:`decontaminate`, but the eval set is
     compressed into a FIXED 16 KB Bloom filter instead of a
@@ -572,18 +573,25 @@ def bloom_decontaminate(docs: DataFrame, eval_docs: DataFrame,
     direction for decontamination. Returns (doc_id, n_grams, n_maybe,
     maybe_frac, contaminated).
     """
-    from ..sketches import bloom_build, bloom_probe
+    from ..sketches import bloom_build, bloom_probe, bloom_size_for
 
     grams = F.array_distinct(ngrams_col(_tokens(F.col(text_col)), n))
     ev = (eval_docs
           .select(F.explode(F.array_distinct(
               ngrams_col(_tokens(F.col(text_col)), n))).alias("gram"))
           .select(F.md5("gram").alias("h")).distinct())
-    filt = bloom_build(ev, "h")
+    if n_words is None:
+        # size the filter to the eval set (~10 bits/element for ~1%
+        # FP): one count() over the benchmark-sized gram set — an
+        # UNDERSIZED filter saturates and flags everything (measured:
+        # 275k grams into the 131k-bit default → FP ≈ 1 on the real
+        # corpus), which stays one-sided but useless
+        n_words = bloom_size_for(ev.count())
+    filt = bloom_build(ev, "h", n_words=n_words)
     doc_grams = (docs.select(F.col(id_col).alias("doc_id"),
                              F.explode_outer(grams).alias("gram"))
                  .withColumn("h", F.md5("gram")))
-    probed = bloom_probe(doc_grams, "h", filt)
+    probed = bloom_probe(doc_grams, "h", filt, n_words=n_words)
     per_doc = (probed.groupBy("doc_id")
                .agg(F.count("gram").alias("n_grams"),
                     F.sum(F.when(F.col("maybe"), 1).otherwise(0))

@@ -549,23 +549,27 @@ def lm_cross_entropy(docs: DataFrame, ref_col: str,
     Returns (doc_id, n_bigrams, cross_entropy, keep) — NULL
     cross_entropy/keep for docs with <2 tokens.
     """
-    toks_col = _alnum_tokens(F.col(text_col))
-    size = F.size(toks_col)
+    # tokenize ONCE into a materialized column; bigrams AND the ref
+    # vocabulary both derive from it (a separate _alnum_tokens for the
+    # vocab count re-ran the dominant lower+regexp-split pass over
+    # every reference doc — the tokenize-subtree-runs-N× trap the
+    # build pipeline documents at index_build.py)
+    size = F.size(F.col("toks"))
     big = F.when(size >= 2, F.zip_with(
-        F.slice(toks_col, 1, size - 1),
-        F.slice(toks_col, 2, size - 1),
+        F.slice(F.col("toks"), 1, size - 1),
+        F.slice(F.col("toks"), 2, size - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       F.col(ref_col).cast("boolean").alias("is_ref"),
-                       big.alias("bigrams"))
+    toked = docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(ref_col).cast("boolean").alias("is_ref"),
+                        _alnum_tokens(F.col(text_col)).alias("toks"))
+    base = toked.select("doc_id", "is_ref", big.alias("bigrams"))
     ref_bi = (base.where("is_ref")
               .select(F.explode("bigrams").alias("b"))
               .select("b.w1", "b.w2"))
     c_bi = ref_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     c_ctx = ref_bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    ref_toks = (docs.where(F.col(ref_col).cast("boolean"))
-                .select(F.explode(_alnum_tokens(F.col(text_col)))
-                        .alias("tok")))
+    ref_toks = (toked.where("is_ref")
+                .select(F.explode("toks").alias("tok")))
     vocab = float(ref_toks.distinct().count() or 1)
 
     def _i6(col):

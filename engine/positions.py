@@ -489,7 +489,6 @@ def interval_match(index: Index,
         n_ords[qid] = len(terms)
         for i, t in enumerate(terms):
             qrows.append((qid, t, i + 1))
-    qrows = [r for r in qrows if n_ords[r[0]] > 0]
     if not qrows:
         return spark.createDataFrame([], "qid string, doc_id long")
 
@@ -503,8 +502,10 @@ def interval_match(index: Index,
     lead: dict[str, str] = {}
     for qid in n_ords:
         ts = sorted({t for q, t, _ in qrows if q == qid})
-        if any(t not in dfm for t in ts):
-            continue                      # absent term → no match anyway
+        # guard the all-stopword query (ts empty — min() would raise)
+        # and any absent term (no match anyway), like phrase_prefix
+        if not ts or any(t not in dfm for t in ts):
+            continue
         rare = min(ts, key=lambda t: (dfm[t], t))
         if dfm[rare] <= lead_max_df and len(ts) > 1:
             lead[qid] = rare
@@ -557,7 +558,9 @@ def interval_match(index: Index,
     hits = parts[0]
     for p in parts[1:]:
         hits = hits.unionByName(p)
-    return index.live(hits.distinct()).orderBy("qid", "doc_id")
+    # no distinct needed: grouped is unique per (qid, doc) and the
+    # per-n parts are disjoint, so the union carries no duplicates
+    return index.live(hits).orderBy("qid", "doc_id")
 
 
 def phrase_topk(index: Index, phrases: Sequence[tuple[str, str]],

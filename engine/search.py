@@ -169,7 +169,8 @@ def _matched_postings(index: Index, query_terms: QueryTerms) -> DataFrame:
             .join(F.broadcast(qt), "term"))
 
 
-def score_exhaustive(index: Index, query_terms: QueryTerms, k: int,
+def score_exhaustive(index: Index, query_terms: QueryTerms,
+                     k: int | None,
                      include_docno: bool = False,
                      k1: float | None = None,
                      b: float | None = None,
@@ -224,6 +225,11 @@ def score_exhaustive(index: Index, query_terms: QueryTerms, k: int,
                                    k1 if k1 is not None else index.stats["k1"],
                                    b if b is not None else index.stats["b"]))
     agg = scored.groupBy("qid", "doc_id").agg(F.sum("pscore").alias("score"))
+    if k is None:
+        # the no-cut form (top_hits / field_value_factor consume the
+        # full scored match set): skip the per-qid sort + rank window
+        # a cut would need — callers window on their own keys instead
+        return agg
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     out = (agg.withColumn("rank", F.row_number().over(w))
            .where(F.col("rank") <= k)
@@ -2132,6 +2138,15 @@ def more_like_text(index: Index, queries: Sequence[tuple[str, str]],
     return score_exhaustive(index, qt, k)
 
 
+def _doc_lengths(index: Index) -> DataFrame:
+    """(doc_id, dl) from the forward tf table — the single definition
+    of analyzed doc length every length-consuming agg shares (sum of
+    tf, the same stat the build computes for avgdl)."""
+    p = _paths(index.index_dir)
+    return (index.spark.read.parquet(p["tf"])
+            .groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+
+
 def facet_counts(index: Index, queries: Sequence[tuple[str, Sequence[str]]],
                  facet_col: str, k: int) -> DataFrame:
     """Faceting analog (Lucene facets module): for each query, the
@@ -2180,7 +2195,7 @@ def top_hits_agg(index: Index, queries: Sequence[tuple[str, Sequence[str]]],
     from .portable import round_half_up
 
     qt = [(q, t, 1.0) for q, terms in queries for t in set(terms)]
-    scored = score_exhaustive(index, qt, 1 << 31).drop("rank")
+    scored = score_exhaustive(index, qt, None)
     vals = scored.join(
         index.docs.select("doc_id", F.col(facet_col).alias("value")),
         "doc_id")
@@ -2288,9 +2303,7 @@ def facet_histogram(index: Index,
     Returns (qid, bucket, n_docs) ordered by qid, bucket.
     """
     hits = _matched_hits(index, queries)
-    p = _paths(index.index_dir)
-    dl = (index.spark.read.parquet(p["tf"])
-          .groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+    dl = _doc_lengths(index)
     b = (F.floor(F.col("dl") / F.lit(int(interval))) *
          F.lit(int(interval))).cast("long")
     buckets = hits.join(dl, "doc_id").select("qid", b.alias("bucket"))
@@ -2320,9 +2333,7 @@ def extended_stats_agg(index: Index,
     from .portable import round_half_up
 
     hits = _matched_hits(index, queries)
-    p = _paths(index.index_dir)
-    dl = (index.spark.read.parquet(p["tf"])
-          .groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+    dl = _doc_lengths(index)
     agg = (hits.join(dl, "doc_id")
            .groupBy("qid")
            .agg(F.count(F.lit(1)).cast("long").alias("count"),
@@ -2355,10 +2366,8 @@ def field_value_factor_topk(index: Index, query_terms: QueryTerms,
     same rounded product. Returns (qid, doc_id, score, rank)."""
     from .portable import round_half_up
 
-    scored = score_exhaustive(index, query_terms, 1 << 31).drop("rank")
-    p = _paths(index.index_dir)
-    dl = (index.spark.read.parquet(p["tf"])
-          .groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+    scored = score_exhaustive(index, query_terms, None)
+    dl = _doc_lengths(index)
     factor = round_half_up(F.log(F.col("dl") + 1.0), 6)
     j = scored.join(dl, "doc_id").withColumn(
         "fscore", round_half_up(F.col("score") * factor, 4))
@@ -2396,9 +2405,7 @@ def percentiles_agg(index: Index,
     ordered by qid, pct.
     """
     hits = _matched_hits(index, queries)
-    p = _paths(index.index_dir)
-    dl = (index.spark.read.parquet(p["tf"])
-          .groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+    dl = _doc_lengths(index)
     vals = hits.join(dl, "doc_id").select("qid", "dl")
     b = vals.withColumn(
         "shift", F.greatest(F.length(F.bin("dl")) - F.lit(4), F.lit(0)))

@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -240,37 +242,49 @@ def hll_estimate_py(values) -> float:
 # Bloom filter (set membership with one-sided error)
 # ---------------------------------------------------------------------------
 
-# 4096 32-bit words = 131,072 bits. 32-bit words (not 64) so every
-# mask 1 << (pos % 32) stays a small positive int64 in BOTH engines —
-# DuckDB raises on 1::BIGINT << 63 overflow and Spark's sign bit would
-# differ from it; 32-bit words dodge the whole class.
+# Default 4096 32-bit words = 131,072 bits — right for benchmark-sized
+# member sets (≈10k elements at 10 bits/element for ~1% FP); callers
+# with bigger sets pass n_words (bloom_decontaminate auto-sizes).
+# 32-bit words (not 64) so every mask stays a small positive int64 in
+# BOTH engines — DuckDB raises on 1::BIGINT << 63 and the sign bit
+# would diverge from Spark; 32-bit words dodge the whole class.
 BLOOM_WORDS = 4096
 BLOOM_WORD_BITS = 32
-BLOOM_BITS = BLOOM_WORDS * BLOOM_WORD_BITS
 BLOOM_K = 4
+BLOOM_BITS_PER_ELEM = 10          # sizing target: ~1% FP at k=4
+# literal-array probe is plan-friendly up to this size; bigger filters
+# probe through a vectorized pandas UDF with the words as a numpy
+# closure (identical bit arithmetic, no Catalyst plan bloat)
+_BLOOM_LITERAL_MAX_WORDS = 8192
 
 
-def _bloom_pos(value, i: int):
-    """Bit position of hash i: 32-bit md5 uniform (house cross-engine
-    recipe, salt 'i:') mod the filter size."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), value)),
-                           1, 8), 16, 10).cast("long")
-    return h % F.lit(BLOOM_BITS)
+def _bloom_h12(value):
+    """Two independent 32-bit uniforms from ONE md5 (hex digits 1-8
+    and 9-16) — Kirsch-Mitzenmacher double hashing derives all K
+    positions as (h1 + i·h2) without K separate digests. h2 is forced
+    odd so the stride never degenerates to 0."""
+    d = F.md5(value.cast("string"))
+    h1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+    return h1, h2.bitwiseOR(F.lit(1))
 
 
-def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
-    """Build a Bloom filter over a column of values: ≤ BLOOM_WORDS
+def bloom_build(df: DataFrame, value_col: str,
+                n_words: int = BLOOM_WORDS) -> DataFrame:
+    """Build a Bloom filter over a column of values: ≤ ``n_words``
     rows of (word_idx, bits), via one bitwise-OR hash aggregation —
     map-side combinable, fixed-size output regardless of input size
-    (the reason to Bloom at 100 TB: a 16 KB broadcastable state
-    replaces a distinct+join against the whole value set). Merge two
-    filters by unioning rows and re-aggregating bit_or."""
-    parts = [df.select(_bloom_pos(F.col(value_col), i).alias("pos"))
-             for i in range(BLOOM_K)]
-    allpos = parts[0]
-    for p in parts[1:]:
-        allpos = allpos.unionByName(p)
-    bits = (allpos
+    (the reason to Bloom at 100 TB: a KB-scale broadcastable state
+    replaces a distinct+join against the whole value set). ONE md5
+    per value (double hashing); merge two same-sized filters by
+    unioning rows and re-aggregating bit_or."""
+    bits_m = int(n_words) * BLOOM_WORD_BITS
+    h1, h2 = _bloom_h12(F.col(value_col))
+    pos = F.explode(F.array(
+        *[(h1 + F.lit(i) * h2) % F.lit(bits_m) for i in range(BLOOM_K)]
+    )).alias("pos")
+    bits = (df.where(F.col(value_col).isNotNull())
+            .select(pos)
             .withColumn("word_idx",
                         F.floor(F.col("pos") / BLOOM_WORD_BITS)
                         .cast("long"))
@@ -282,54 +296,102 @@ def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
     return bits.groupBy("word_idx").agg(F.bit_or("bit").alias("bits"))
 
 
-def bloom_probe(df: DataFrame, value_col: str,
-                bloom: DataFrame) -> DataFrame:
+def bloom_probe(df: DataFrame, value_col: str, bloom: DataFrame,
+                n_words: int = BLOOM_WORDS) -> DataFrame:
     """Membership probe: adds a boolean ``maybe`` column — true iff
     ALL BLOOM_K bit positions of the value are set (one-sided: every
     true member tests true; non-members test true with probability
     ≈ (1 − e^{−k·n/m})^k).
 
-    The 16 KB filter is COLLECTED once and baked into the plan as a
-    literal word array (the JL-matrix recipe) — that fixed size is the
-    entire point of a Bloom filter — so the probe is a zero-shuffle,
-    zero-join per-row expression: K md5s + K array lookups per row.
-    (The first cut probed via distinct + groupBy + join-back, which
-    shuffled ~4×|distinct values| md5-string rows and OOM'd a local
-    JVM at a 285M-gram real-corpus run; nothing about membership
-    needs a shuffle.)"""
+    The filter is COLLECTED once (its fixed size is the entire point)
+    and evaluated per-row with zero shuffles and zero joins: for
+    ≤ {_BLOOM_LITERAL_MAX_WORDS} words it bakes into the plan as a
+    literal word array (the JL-matrix recipe); larger filters probe
+    through a vectorized pandas UDF over the (h1, h2) hash columns
+    with the words as a numpy closure. (The first cut probed via
+    distinct + groupBy + join-back, which shuffled ~4×|distinct
+    values| md5-string rows and OOM'd a local JVM at a 285M-gram
+    real-corpus run; nothing about membership needs a shuffle.)"""
+    bits_m = int(n_words) * BLOOM_WORD_BITS
     wmap = {int(r["word_idx"]): int(r["bits"]) for r in bloom.collect()}
-    words = F.array(*[F.lit(wmap.get(i, 0)) for i in range(BLOOM_WORDS)])
-    masks = F.array(*[F.lit(1 << b) for b in range(BLOOM_WORD_BITS)])
-    cond = None
-    for i in range(BLOOM_K):
-        pos = _bloom_pos(F.col(value_col), i)
-        w = F.floor(pos / BLOOM_WORD_BITS).cast("int")
-        lb = (pos % BLOOM_WORD_BITS).cast("int")
-        ok = F.get(words, w).bitwiseAND(F.get(masks, lb)) != 0
-        cond = ok if cond is None else (cond & ok)
-    return df.withColumn(
-        "maybe", F.when(F.col(value_col).isNull(), F.lit(None)
-                        ).otherwise(cond))
+    h1, h2 = _bloom_h12(F.col(value_col))
+
+    if n_words <= _BLOOM_LITERAL_MAX_WORDS:
+        words = F.array(*[F.lit(wmap.get(i, 0)) for i in range(n_words)])
+        masks = F.array(*[F.lit(1 << b) for b in range(BLOOM_WORD_BITS)])
+        cond = None
+        for i in range(BLOOM_K):
+            pos = (h1 + F.lit(i) * h2) % F.lit(bits_m)
+            w = F.floor(pos / BLOOM_WORD_BITS).cast("int")
+            lb = (pos % BLOOM_WORD_BITS).cast("int")
+            ok = F.get(words, w).bitwiseAND(F.get(masks, lb)) != 0
+            cond = ok if cond is None else (cond & ok)
+        return df.withColumn(
+            "maybe", F.when(F.col(value_col).isNull(), F.lit(None)
+                            ).otherwise(cond))
+
+    arr = np.zeros(n_words, dtype=np.uint32)
+    for i, b in wmap.items():
+        arr[i] = b
+
+    @F.pandas_udf("boolean")
+    def _probe(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        a = h1s.to_numpy(dtype=np.int64)
+        b = h2s.to_numpy(dtype=np.int64)
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(BLOOM_K):
+            pos = (a + i * b) % bits_m
+            ok &= (arr[pos // BLOOM_WORD_BITS]
+                   >> (pos % BLOOM_WORD_BITS).astype(np.uint32)) & 1 == 1
+        return pd.Series(ok)
+
+    return (df.withColumn("_h1", h1).withColumn("_h2", h2)
+            .withColumn("maybe",
+                        F.when(F.col(value_col).isNull(), F.lit(None))
+                        .otherwise(_probe(F.col("_h1"), F.col("_h2"))))
+            .drop("_h1", "_h2"))
 
 
-def bloom_probe_py(values, member_values) -> dict:
-    """Pure-Python replica (test oracle): same hash/bit arithmetic."""
+def bloom_size_for(n_values: int) -> int:
+    """Power-of-two word count sized for ~1% FP at K=4
+    (BLOOM_BITS_PER_ELEM bits/element), floored at the default and
+    capped at 2^20 words (4 MB — still a trivially broadcastable /
+    collectable state)."""
+    need = max(BLOOM_WORDS,
+               (n_values * BLOOM_BITS_PER_ELEM + BLOOM_WORD_BITS - 1)
+               // BLOOM_WORD_BITS)
+    w = 1
+    while w < need:
+        w <<= 1
+    return min(w, 1 << 20)
+
+
+def bloom_probe_py(values, member_values,
+                   n_words: int = BLOOM_WORDS) -> dict:
+    """Pure-Python replica (test oracle): same double-hash bit
+    arithmetic as the DataFrame path."""
     import hashlib
+
+    bits_m = n_words * BLOOM_WORD_BITS
+
+    def h12(v):
+        d = hashlib.md5(str(v).encode()).hexdigest()
+        return int(d[:8], 16), int(d[8:16], 16) | 1
 
     words: dict[int, int] = {}
     for v in member_values:
+        h1, h2 = h12(v)
         for i in range(BLOOM_K):
-            h = int(hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:8], 16)
-            pos = h % BLOOM_BITS
+            pos = (h1 + i * h2) % bits_m
             words[pos // BLOOM_WORD_BITS] = (
                 words.get(pos // BLOOM_WORD_BITS, 0)
                 | (1 << (pos % BLOOM_WORD_BITS)))
     out = {}
     for v in values:
+        h1, h2 = h12(v)
         ok = True
         for i in range(BLOOM_K):
-            h = int(hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:8], 16)
-            pos = h % BLOOM_BITS
+            pos = (h1 + i * h2) % bits_m
             if not (words.get(pos // BLOOM_WORD_BITS, 0)
                     >> (pos % BLOOM_WORD_BITS)) & 1:
                 ok = False

@@ -421,7 +421,13 @@ def windowed_heavy_hitters(events: DataFrame, window: str = "1 hour",
 
     df = events.withColumn("ts", F.col("ts").cast("timestamp"))
     win = F.window("ts", window)
-    keyed = df.select(win.alias("win"), F.col(value_col))
+    # NULL values never enter the sketch (cms_registers filters them),
+    # so they must not enter window_n or the candidate set either —
+    # otherwise the phi threshold is computed over a larger N than the
+    # registers saw and a true heavy hitter of the NON-NULL traffic
+    # can fall under ceil(phi*N), breaking the one-sided guarantee
+    keyed = (df.select(win.alias("win"), F.col(value_col))
+             .where(F.col(value_col).isNotNull()))
     totals = keyed.groupBy("win").agg(
         F.count(F.lit(1)).alias("window_n"))
     cands = keyed.distinct()

@@ -82,22 +82,21 @@ def literal_trigrams(pattern: str, meta: str = "*?") -> list[str]:
     return out
 
 
-def expand_wildcard_terms_trigram(index: Index,
-                                  queries: Sequence[tuple[str, str]]
-                                  ) -> QueryTerms:
-    """Exact wildcard rewrite via trigram candidate pruning: terms
-    containing ALL of the pattern's literal trigrams (one pruned scan
-    + one hash agg) verified with LIKE. Queries without a ≥3-char
-    literal run fall back to the full-dictionary scan — the result is
-    ALWAYS identical to expand_wildcard_terms (equivalence-tested)."""
-    from .search import expand_wildcard_terms
-
+def _trigram_prune_expand(index: Index,
+                          queries: Sequence[tuple[str, str]],
+                          extract_fn, fallback_fn,
+                          pat_fn, verify_op: str) -> QueryTerms:
+    """Shared candidate-pruning core for the wildcard and regexp
+    rewrites: per-query trigrams from ``extract_fn`` intersect the
+    sidecar (pruned scan + one hash agg), ``pat_fn``-built patterns
+    verify with ``verify_op`` (LIKE / RLIKE); trigram-less queries go
+    through ``fallback_fn`` (the full dictionary scan) unchanged."""
     spark = index.spark
     trig: list[tuple[str, str]] = []      # (qid, trigram)
     n_tg: dict[str, int] = {}
     fallback: list[tuple[str, str]] = []
     for qid, pat in queries:
-        tgs = literal_trigrams(pat)
+        tgs = extract_fn(pat)
         if tgs:
             n_tg[qid] = len(tgs)
             trig.extend((qid, t) for t in tgs)
@@ -106,7 +105,7 @@ def expand_wildcard_terms_trigram(index: Index,
 
     out: QueryTerms = []
     if fallback:
-        out.extend(expand_wildcard_terms(index, fallback))
+        out.extend(fallback_fn(index, fallback))
     if not trig:
         return out
 
@@ -121,13 +120,28 @@ def expand_wildcard_terms_trigram(index: Index,
             .join(F.broadcast(ndf), "qid")
             .where(F.col("nm") == F.col("n_tg")))
     pats = spark.createDataFrame(
-        [(q, wildcard_to_like(p)) for q, p in queries if q in n_tg],
+        [(q, pat_fn(p)) for q, p in queries if q in n_tg],
         "qid string, pat string")
     rows = (cand.join(F.broadcast(pats), "qid")
-            .where(F.expr("term LIKE pat"))
+            .where(F.expr(f"term {verify_op} pat"))
             .select("qid", "term").collect())
     out.extend((r["qid"], r["term"], 1.0) for r in rows)
     return out
+
+
+def expand_wildcard_terms_trigram(index: Index,
+                                  queries: Sequence[tuple[str, str]]
+                                  ) -> QueryTerms:
+    """Exact wildcard rewrite via trigram candidate pruning: terms
+    containing ALL of the pattern's literal trigrams (one pruned scan
+    + one hash agg) verified with LIKE. Queries without a ≥3-char
+    literal run fall back to the full-dictionary scan — the result is
+    ALWAYS identical to expand_wildcard_terms (equivalence-tested)."""
+    from .search import expand_wildcard_terms
+
+    return _trigram_prune_expand(index, queries, literal_trigrams,
+                                 expand_wildcard_terms,
+                                 wildcard_to_like, "LIKE")
 
 
 def wildcard_topk_trigram(index: Index,
@@ -238,45 +252,12 @@ def regex_trigrams(pattern: str) -> list[str]:
 def expand_regexp_terms_trigram(index: Index,
                                 queries: Sequence[tuple[str, str]]
                                 ) -> QueryTerms:
-    """Exact regexp rewrite via trigram candidate pruning (same plan
-    as the wildcard variant; verify = the anchored RLIKE). Queries
-    whose required-literal runs yield no trigram fall back to the
-    full-dictionary scan — always identical to expand_regexp_terms."""
+    """Exact regexp rewrite via trigram candidate pruning (the shared
+    core; verify = the anchored RLIKE). Queries whose required-literal
+    runs yield no trigram fall back to the full-dictionary scan —
+    always identical to expand_regexp_terms."""
     from .search import expand_regexp_terms
 
-    spark = index.spark
-    trig: list[tuple[str, str]] = []
-    n_tg: dict[str, int] = {}
-    fallback: list[tuple[str, str]] = []
-    for qid, pat in queries:
-        tgs = regex_trigrams(pat)
-        if tgs:
-            n_tg[qid] = len(tgs)
-            trig.extend((qid, t) for t in tgs)
-        else:
-            fallback.append((qid, pat))
-
-    out: QueryTerms = []
-    if fallback:
-        out.extend(expand_regexp_terms(index, fallback))
-    if not trig:
-        return out
-
-    tgt = (spark.read.parquet(_trigrams_path(index.index_dir))
-           .where(F.col("tg").isin(sorted({t for _, t in trig}))))
-    qdf = spark.createDataFrame(trig, "qid string, tg string")
-    ndf = spark.createDataFrame(list(n_tg.items()),
-                                "qid string, n_tg int")
-    cand = (tgt.join(F.broadcast(qdf), "tg")
-            .groupBy("qid", "term")
-            .agg(F.count_distinct("tg").alias("nm"))
-            .join(F.broadcast(ndf), "qid")
-            .where(F.col("nm") == F.col("n_tg")))
-    pats = spark.createDataFrame(
-        [(q, f"^(?:{p})$") for q, p in queries if q in n_tg],
-        "qid string, pat string")
-    rows = (cand.join(F.broadcast(pats), "qid")
-            .where(F.expr("term RLIKE pat"))
-            .select("qid", "term").collect())
-    out.extend((r["qid"], r["term"], 1.0) for r in rows)
-    return out
+    return _trigram_prune_expand(index, queries, regex_trigrams,
+                                 expand_regexp_terms,
+                                 lambda p: f"^(?:{p})$", "RLIKE")

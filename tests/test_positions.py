@@ -389,3 +389,14 @@ def test_interval_lead_gating_equivalence(pos_index, doc_contents):
     b = sorted(map(tuple, interval_match(pos_index, qs, max_gaps=4,
                                          lead_max_df=10**9).collect()))
     assert a == b
+
+
+def test_interval_all_stopword_query_in_batch(pos_index):
+    """An all-stopword query in a mixed batch must yield no hits (not
+    a driver ValueError from min() over an empty term set)."""
+    from engine.positions import interval_match
+
+    res = interval_match(pos_index, [("ok", "merge sort"),
+                                     ("stop", "the of a")],
+                         max_gaps=2).collect()
+    assert not [r for r in res if r["qid"] == "stop"]

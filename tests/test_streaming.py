@@ -350,3 +350,27 @@ def test_windowed_heavy_hitters_stream_matches_batch(spark, tmp_path):
     want = {(r["win"]["start"], r["row"], r["col"]): r["cnt"]
             for r in windowed_heavy_hitters_registers(events).collect()}
     assert got == want
+
+
+def test_windowed_heavy_hitters_ignores_null_values(spark):
+    """NULL values never enter the sketch, so they must not inflate
+    window_n or appear as candidates — else a true heavy hitter of
+    the non-null traffic falls under ceil(phi*N) (review regression)."""
+    import datetime as dt
+
+    from engine.streaming import windowed_heavy_hitters
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(50):                      # user 7: 100% of non-null
+        rows.append((i, base + dt.timedelta(seconds=i), 7, "c", 1.0))
+    for i in range(950):                     # swamp of NULL users
+        rows.append((1000 + i, base + dt.timedelta(seconds=i),
+                     None, "c", 1.0))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = windowed_heavy_hitters(events, phi=0.5).collect()
+    assert [r["value"] for r in got] == [7]      # no NULL candidate row
+    assert got[0]["window_n"] == 50              # non-null N only
+    assert got[0]["hh"] is True                  # 100% >= 50% of 50

@@ -344,3 +344,28 @@ def test_more_like_text_matches_replica(spark, tiny_index):
                and r["rank"] == 1 for r in got)
     # out-of-vocabulary query → no rows
     assert not [r for r in got if r["qid"] == "m2"]
+
+
+def test_bloom_large_filter_udf_path_matches_replica(spark):
+    """n_words above the literal-array cap routes through the pandas
+    UDF — identical bit arithmetic to the python replica."""
+    from engine.sketches import bloom_build, bloom_probe, bloom_probe_py
+
+    nw = 16384
+    members = [f"m{i}" for i in range(300)]
+    probes = members[:30] + [f"x{i}" for i in range(300)]
+    mdf = spark.createDataFrame([(v,) for v in members], "v string")
+    pdf = spark.createDataFrame([(v,) for v in probes], "v string")
+    filt = bloom_build(mdf, "v", n_words=nw)
+    got = {r["v"]: r["maybe"]
+           for r in bloom_probe(pdf, "v", filt, n_words=nw).collect()}
+    assert got == bloom_probe_py(probes, members, n_words=nw)
+    assert all(got[v] for v in members[:30])
+
+
+def test_bloom_size_for():
+    from engine.sketches import BLOOM_WORDS, bloom_size_for
+
+    assert bloom_size_for(100) == BLOOM_WORDS          # floor
+    assert bloom_size_for(275_000) == 131072           # 2^ceil(log2(10n/32))
+    assert bloom_size_for(10**9) == 1 << 20            # cap
