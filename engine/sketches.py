@@ -336,8 +336,11 @@ def bloom_probe(df: DataFrame, value_col: str, bloom: DataFrame,
 
     @F.pandas_udf("boolean")
     def _probe(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
-        a = h1s.to_numpy(dtype=np.int64)
-        b = h2s.to_numpy(dtype=np.int64)
+        # NULL-value rows reach the UDF too (Spark computes UDFs in a
+        # separate projection; the when()-guard only discards the
+        # result) — fill before the int cast so numpy stays clean
+        a = h1s.fillna(0).to_numpy(dtype=np.int64)
+        b = h2s.fillna(1).to_numpy(dtype=np.int64)
         ok = np.ones(len(a), dtype=bool)
         for i in range(BLOOM_K):
             pos = (a + i * b) % bits_m
