@@ -88,6 +88,16 @@ INTERVAL_QUERIES: list[tuple[str, str]] = [
 ]
 INTERVAL_MAX_GAPS = 2
 
+# Lucene SpanNotQuery inputs: include term occurrences surviving a
+# +-SPAN_NOT_WINDOW exclude window; sn3's exclude is absent from the
+# vocabulary -> plain term match
+SPAN_NOT_QUERIES: list[tuple[str, str, str]] = [
+    ("sn1", "merge", "sort"),
+    ("sn2", "hash", "value"),
+    ("sn3", "customer", "zzznope"),
+]
+SPAN_NOT_WINDOW = 3
+
 # ES terms agg + top_hits sub-agg (buckets by stored lang field)
 TOP_HITS_BUCKETS = 3
 TOP_HITS_PER_BUCKET = 4
@@ -399,6 +409,39 @@ SELECT '{qid}' AS qid, doc_id FROM (
 WHERE {cond}""")
     body = "\nUNION ALL".join(parts)
     return f"WITH {_sql_positions_ctes()}\n{body}"
+
+
+def _sql_span_not(queries, window: int) -> str:
+    """SpanNot oracle: per-doc include/exclude position lists from the
+    positional CTEs, survival = exists p in include with no exclude
+    position in [p-w, p+w] (nested DuckDB list lambdas, NULL exclude
+    list coalesced empty)."""
+    from engine.analysis import tokenize_texts
+
+    parts = []
+    for qid, inc, exc in queries:
+        ti_l = tokenize_texts([inc])[0]
+        if not ti_l:
+            continue
+        ti = ti_l[0]
+        te_l = tokenize_texts([exc])[0]
+        te = te_l[0] if te_l else None
+        # list() over an empty FILTER group is NULL in DuckDB, not []
+        # — coalesce, or every doc lacking the exclude term drops out
+        exc_sel = (f"coalesce(list_sort(list(pos) FILTER (WHERE term = "
+                   f"'{te}')), []::BIGINT[])" if te else "[]::BIGINT[]")
+        parts.append(f"""
+SELECT '{qid}' AS qid, doc_id FROM (
+  SELECT doc_id,
+         list_sort(list(pos) FILTER (WHERE term = '{ti}')) AS li,
+         {exc_sel} AS le
+  FROM pt WHERE term IN ('{ti}'{f", '{te}'" if te else ""})
+  GROUP BY doc_id
+  HAVING len(list_filter(li, x -> x IS NOT NULL)) > 0)
+WHERE len(list_filter(li, p -> len(list_filter(le,
+        q -> q >= p - {window} AND q <= p + {window})) = 0)) > 0""")
+    return (f"WITH {_sql_positions_ctes()}\n"
+            + "\nUNION ALL".join(parts))
 
 
 def _sql_phrase_prefix_parts(queries, max_expansions: int):
@@ -1485,6 +1528,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         build_positions(spark, idx.index_dir)
         return phrase_match(idx, PHRASE_QUERIES)
 
+    def span_not_hits(spark, sf_dir):
+        """Lucene SpanNotQuery analog: docs with an include-term
+        occurrence no exclude-term occurrence falls within +-window of
+        (engine/positions.py:span_not_match — per-doc array
+        left-join + nested-HOF check, positions never exploded)."""
+        from engine.positions import build_positions, span_not_match
+
+        idx = _cached_index(spark, sf_dir)
+        build_positions(spark, idx.index_dir)
+        return span_not_match(idx, SPAN_NOT_QUERIES,
+                              pre=SPAN_NOT_WINDOW, post=SPAN_NOT_WINDOW)
+
     def interval_hits(spark, sf_dir):
         """ES intervals query (all_of ordered=true, max_gaps) over the
         positional index: positions p1<…<pn, one per analyzed query
@@ -2337,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_pipeline": event_window_pipeline,
         "eval_extra": eval_extra,
         "mlt_text_topk": mlt_text_topk,
+        "span_not_hits": span_not_hits,
     }
 
 
@@ -3007,6 +3063,8 @@ FROM aug
     sql["phrase_hits"] = _sql_phrase(PHRASE_QUERIES)
     sql["interval_hits"] = _sql_intervals(INTERVAL_QUERIES,
                                           INTERVAL_MAX_GAPS)
+    sql["span_not_hits"] = _sql_span_not(SPAN_NOT_QUERIES,
+                                         SPAN_NOT_WINDOW)
 
     th_score = bm25_sql("tf.tf", "dfs.df", "dl.dl", "stats.avgdl", "stats.n")
     th_r4 = round_half_up_sql("s", 4)

@@ -661,6 +661,70 @@ def span_first_match(index: Index,
         .orderBy("qid", "doc_id")
 
 
+def span_not_match(index: Index,
+                   queries: Sequence[tuple[str, str, str]],
+                   pre: int = 0, post: int = 0) -> DataFrame:
+    """Lucene SpanNotQuery analog (term-level spans, the common use):
+    docs with an occurrence of the INCLUDE term at some position p
+    such that NO occurrence of the EXCLUDE term lies within
+    ``[p − pre, p + post]`` — "bank not near river". pre/post are
+    Lucene SpanNotQuery's dilation params (0/0 = overlap-only, which
+    for single-term spans means same position — never true across
+    distinct terms — so callers set a window). queries:
+    (qid, include_text, exclude_text); an absent exclude term means
+    every include occurrence survives; an absent include term matches
+    nothing. Returns (qid, doc_id) ordered.
+
+    Plan: two bucket-pruned positional scans broadcast-joined to the
+    query rows, one per-doc LEFT join (exclude lists ride as arrays),
+    and a per-row nested-HOF existence check — the interval_match
+    shape, arrays never exploded.
+    """
+    opts = index.analyzer_opts()
+
+    def _an(t: str) -> str:
+        toks = tokenize_texts([t], **opts)[0]
+        return toks[0] if toks else ""
+
+    inc_rows, exc_rows = [], []
+    for qid, inc, exc in queries:
+        ti, te = _an(inc), _an(exc)
+        if not ti:
+            continue
+        inc_rows.append((qid, ti))
+        if te:
+            exc_rows.append((qid, te))
+    spark = index.spark
+    if not inc_rows:
+        return spark.createDataFrame([], "qid string, doc_id long")
+
+    pos_inc = _positions_df(index, sorted({t for _, t in inc_rows}))
+    idf = spark.createDataFrame(inc_rows, "qid string, term string")
+    inc = (pos_inc.join(F.broadcast(idf), "term")
+           .select("qid", "doc_id", F.col("positions").alias("inc")))
+    if exc_rows:
+        pos_exc = _positions_df(index, sorted({t for _, t in exc_rows}))
+        edf = spark.createDataFrame(exc_rows, "qid string, term string")
+        exc = (pos_exc.join(F.broadcast(edf), "term")
+               .select("qid", "doc_id", F.col("positions").alias("exc")))
+        joined = inc.join(exc, ["qid", "doc_id"], "left")
+    else:
+        joined = inc.withColumn("exc",
+                                F.lit(None).cast("array<int>"))
+    excl = F.coalesce(F.col("exc"), F.array().cast("array<int>"))
+
+    def _near(p):
+        return lambda q: (q >= p - F.lit(int(pre))) & \
+                         (q <= p + F.lit(int(post)))
+
+    def _survives(p):
+        return ~F.exists(excl, _near(p))
+
+    hits = (joined.where(F.exists(F.col("inc"), _survives))
+            .select("qid", "doc_id"))
+    return index.live(hits).orderBy("qid", "doc_id")
+
+
 def snippets(index: Index, hits: DataFrame,
              query_terms: Sequence[tuple[str, str]],
              width: int = 5) -> DataFrame:

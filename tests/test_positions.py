@@ -400,3 +400,37 @@ def test_interval_all_stopword_query_in_batch(pos_index):
                                      ("stop", "the of a")],
                          max_gaps=2).collect()
     assert not [r for r in res if r["qid"] == "stop"]
+
+
+def test_span_not_vs_bruteforce(pos_index, doc_contents):
+    """SpanNot: include occurrences surviving an exclude window,
+    against a per-doc python reference over gap positions."""
+    from engine.positions import span_not_match
+
+    toks = tokenize_texts([doc_contents[0]], keep_stopwords=True)[0]
+    nonstop = [t for t in toks if t not in _STOPSET]
+    qs = [("n1", nonstop[0], nonstop[1]),
+          ("n2", nonstop[1], nonstop[0]),
+          ("n3", nonstop[2], "zzznope"),   # absent exclude → plain match
+          ("n4", "zzznope", nonstop[0])]   # absent include → nothing
+    for pre, post in ((0, 0), (2, 2), (5, 1)):
+        got: dict[str, set[int]] = {q: set() for q, _, _ in qs}
+        for r in span_not_match(pos_index, qs, pre=pre,
+                                post=post).collect():
+            got[r["qid"]].add(int(r["doc_id"]))
+        for qid, inc, exc in qs:
+            an_inc = tokenize_texts([inc])[0]
+            expect: set[int] = set()
+            if an_inc:
+                ti = an_inc[0]
+                te_l = tokenize_texts([exc])[0]
+                te = te_l[0] if te_l else None
+                for did, content in doc_contents.items():
+                    pm = _pos_map(content)
+                    eq = pm.get(te, set()) if te else set()
+                    if any(all(not (p - pre <= q <= p + post)
+                               for q in eq)
+                           for p in pm.get(ti, set())):
+                        expect.add(did)
+            assert got[qid] == expect, (qid, pre, post)
+        assert got["n3"] and not got["n4"]

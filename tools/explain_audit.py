@@ -289,6 +289,8 @@ def main() -> None:
     # round-3 ninth wave: intervals / top_hits / LM perplexity
     plans["ES intervals (ordered chain, nested HOF)"] = qs[
         "interval_hits"](spark, sf_dir)
+    plans["SpanNot (exclude-window survival)"] = qs[
+        "span_not_hits"](spark, sf_dir)
     plans["top_hits agg (terms buckets + per-bucket window)"] = qs[
         "top_hits_by_lang"](spark, sf_dir)
     plans["CCNet bigram-LM cross-entropy filter"] = qs[
