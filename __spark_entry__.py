@@ -98,6 +98,9 @@ SPAN_NOT_QUERIES: list[tuple[str, str, str]] = [
 ]
 SPAN_NOT_WINDOW = 3
 
+# percentile_ranks probe values (analyzed-dl thresholds)
+PCT_RANK_VALUES = [50, 120, 400]
+
 # ES terms agg + top_hits sub-agg (buckets by stored lang field)
 TOP_HITS_BUCKETS = 3
 TOP_HITS_PER_BUCKET = 4
@@ -1528,6 +1531,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         build_positions(spark, idx.index_dir)
         return phrase_match(idx, PHRASE_QUERIES)
 
+    def matrix_stats(spark, sf_dir):
+        """ES matrix_stats agg over (analyzed dl, char length) per
+        query match set: means/variances/covariance/correlation with
+        exact int64 accumulators and the doubled extended_stats
+        determinism recipe (engine/search.py:matrix_stats_agg)."""
+        from engine.search import matrix_stats_agg
+
+        idx = _cached_index(spark, sf_dir)
+        return matrix_stats_agg(idx, BM25_QUERIES)
+
+    def percentile_ranks_dl(spark, sf_dir):
+        """ES percentile_ranks agg (inverse percentiles) over analyzed
+        doc length: EXACT ranks (integer count / one division) where
+        ES t-digests — exactness is free here since the probe values
+        are query constants (engine/search.py:percentile_ranks_agg)."""
+        from engine.search import percentile_ranks_agg
+
+        idx = _cached_index(spark, sf_dir)
+        return percentile_ranks_agg(idx, BM25_QUERIES, PCT_RANK_VALUES)
+
     def span_not_hits(spark, sf_dir):
         """Lucene SpanNotQuery analog: docs with an include-term
         occurrence no exclude-term occurrence falls within +-window of
@@ -2393,6 +2416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_extra": eval_extra,
         "mlt_text_topk": mlt_text_topk,
         "span_not_hits": span_not_hits,
+        "matrix_stats": matrix_stats,
+        "percentile_ranks_dl": percentile_ranks_dl,
     }
 
 
@@ -2631,6 +2656,52 @@ SELECT qid, n AS count, min_dl, max_dl, sum_dl, sum_sq,
 FROM agg
 """
 
+    ms_vxn = "(a.n * a.sxx - a.sx * a.sx)::DOUBLE"
+    ms_vyn = "(a.n * a.syy - a.sy * a.sy)::DOUBLE"
+    ms_cov = "(a.n * a.sxy - a.sx * a.sy)::DOUBLE"
+    sql["matrix_stats"] = f"""
+WITH {fts},
+matched AS (
+  SELECT DISTINCT q.qid, tf.doc_id
+  FROM {_sql_values(BM25_QUERIES)} JOIN tf USING (term)),
+nc AS (SELECT doc_id, length(text)::BIGINT AS nc FROM documents),
+a AS (
+  SELECT qid, count(*)::BIGINT AS n,
+         sum(dl.dl)::BIGINT AS sx, sum(nc.nc)::BIGINT AS sy,
+         sum(dl.dl * dl.dl)::BIGINT AS sxx,
+         sum(nc.nc * nc.nc)::BIGINT AS syy,
+         sum(dl.dl * nc.nc)::BIGINT AS sxy
+  FROM matched JOIN dl USING (doc_id) JOIN nc USING (doc_id)
+  GROUP BY qid)
+SELECT qid, n AS count,
+       {r6("a.sx::DOUBLE / a.n", 6)} AS mean_dl,
+       {r6("a.sy::DOUBLE / a.n", 6)} AS mean_chars,
+       {r6(f"{ms_vxn} / (a.n * a.n)::DOUBLE", 6)} AS var_dl,
+       {r6(f"{ms_vyn} / (a.n * a.n)::DOUBLE", 6)} AS var_chars,
+       {r6(f"{ms_cov} / (a.n * a.n)::DOUBLE", 6)} AS cov,
+       CASE WHEN {ms_vxn} > 0 AND {ms_vyn} > 0 THEN
+         {r6(f"{ms_cov} / (sqrt({ms_vxn}) * sqrt({ms_vyn}))", 6)} END
+         AS corr
+FROM a
+"""
+    pr_cols = ",\n         ".join(
+        f"sum(CASE WHEN dl.dl <= {v} THEN 1 ELSE 0 END)::BIGINT AS le_{v}"
+        for v in PCT_RANK_VALUES)
+    pr_parts = "\nUNION ALL\n".join(
+        f"SELECT qid, {v}::BIGINT AS value, "
+        + r6(f"le_{v}::DOUBLE * 100.0 / n", 6) + " AS pct_rank FROM a"
+        for v in sorted(PCT_RANK_VALUES))
+    sql["percentile_ranks_dl"] = f"""
+WITH {fts},
+matched AS (
+  SELECT DISTINCT q.qid, tf.doc_id
+  FROM {_sql_values(BM25_QUERIES)} JOIN tf USING (term)),
+a AS (
+  SELECT qid, count(*)::BIGINT AS n,
+         {pr_cols}
+  FROM matched JOIN dl USING (doc_id) GROUP BY qid)
+{pr_parts}
+"""
     fvf_score = bm25_sql("tf.tf", "dfs.df", "dl.dl", "stats.avgdl",
                          "stats.n")
     fvf_factor = r6("ln(dl.dl + 1.0)", 6)

@@ -2354,6 +2354,95 @@ def extended_stats_agg(index: Index,
         .orderBy("qid"))
 
 
+def matrix_stats_agg(index: Index,
+                     queries: Sequence[tuple[str, Sequence[str]]]
+                     ) -> DataFrame:
+    """Matrix-stats aggregation (the Elasticsearch ``matrix_stats``
+    agg) over the two numeric per-doc fields the index carries:
+    analyzed doc length (dl) and raw char length — per query match
+    set: count, means, POPULATION variances, covariance, and Pearson
+    correlation.
+
+    Cross-engine determinism (the extended_stats recipe, doubled):
+    both fields are integers, so Σx, Σy, Σx², Σy², Σxy are exact
+    int64; covariance = (n·Σxy − Σx·Σy)/n² and each variance keep
+    EXACT integer numerators/denominators with one IEEE division;
+    correlation divides the exact-integer covariance numerator by
+    sqrt(a)·sqrt(b) of the exact variance numerators — two correctly-
+    rounded sqrts and one multiply, written identically in the oracle
+    SQL so the float op sequence matches. 6 dp rounding on the float
+    outputs. One doc-bucketed join + one map-side-combinable agg.
+    Returns (qid, count, mean_dl, mean_chars, var_dl, var_chars,
+    cov, corr) ordered by qid.
+    """
+    from .portable import round_half_up
+
+    hits = _matched_hits(index, queries)
+    dl = _doc_lengths(index)
+    nc = index.docs.select("doc_id",
+                           F.length("content").cast("long").alias("nc"))
+    j = hits.join(dl, "doc_id").join(nc, "doc_id")
+    agg = (j.groupBy("qid")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("dl").cast("long").alias("sx"),
+                F.sum("nc").cast("long").alias("sy"),
+                F.sum(F.col("dl") * F.col("dl")).cast("long").alias("sxx"),
+                F.sum(F.col("nc") * F.col("nc")).cast("long").alias("syy"),
+                F.sum(F.col("dl") * F.col("nc")).cast("long").alias("sxy")))
+    n = F.col("n")
+    vx_num = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy_num = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov_num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    nn = (n * n).cast("double")
+    corr = F.when((vx_num > 0) & (vy_num > 0),
+                  cov_num / (F.sqrt(vx_num) * F.sqrt(vy_num)))
+    return (agg.select(
+        "qid", F.col("n").alias("count"),
+        round_half_up(F.col("sx").cast("double") / n, 6).alias("mean_dl"),
+        round_half_up(F.col("sy").cast("double") / n, 6).alias("mean_chars"),
+        round_half_up(vx_num / nn, 6).alias("var_dl"),
+        round_half_up(vy_num / nn, 6).alias("var_chars"),
+        round_half_up(cov_num / nn, 6).alias("cov"),
+        round_half_up(corr, 6).alias("corr"))
+        .orderBy("qid"))
+
+
+def percentile_ranks_agg(index: Index,
+                         queries: Sequence[tuple[str, Sequence[str]]],
+                         values: Sequence[int]) -> DataFrame:
+    """Percentile-ranks aggregation (the Elasticsearch
+    ``percentile_ranks`` agg — the inverse of ``percentiles``): for
+    each given value v, the percentage of the query's matched docs
+    whose analyzed length is ≤ v. Where ES estimates through t-digest,
+    the engine computes the EXACT rank — integer count / one division
+    / 6 dp round (deterministic by construction); the scale shape is
+    one conditional-sum hash agg, |values| columns wide, so exactness
+    costs nothing here (no sketch state is even needed: the values
+    are query constants, not quantile probes). Returns
+    (qid, value, pct_rank) ordered.
+    """
+    from .portable import round_half_up
+
+    hits = _matched_hits(index, queries)
+    dl = _doc_lengths(index)
+    j = hits.join(dl, "doc_id")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    vals = sorted(int(v) for v in values)
+    for v in vals:
+        aggs.append(F.sum(F.when(F.col("dl") <= v, 1).otherwise(0))
+                    .cast("long").alias(f"le_{v}"))
+    agg = j.groupBy("qid").agg(*aggs)
+    parts = [agg.select(
+        "qid", F.lit(v).cast("long").alias("value"),
+        round_half_up(F.col(f"le_{v}").cast("double") * 100.0
+                      / F.col("n"), 6).alias("pct_rank"))
+        for v in vals]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("qid", "value")
+
+
 def field_value_factor_topk(index: Index, query_terms: QueryTerms,
                             k: int) -> DataFrame:
     """ES ``function_score`` with ``field_value_factor`` (modifier

@@ -369,3 +369,72 @@ def test_bloom_size_for():
     assert bloom_size_for(100) == BLOOM_WORDS          # floor
     assert bloom_size_for(275_000) == 131072           # 2^ceil(log2(10n/32))
     assert bloom_size_for(10**9) == 1 << 20            # cap
+
+
+# ---------------------------------------------------------------------------
+# matrix_stats + percentile_ranks (wave 16)
+# ---------------------------------------------------------------------------
+
+def test_matrix_stats_vs_replica(spark, tiny_index):
+    from engine.search import _matched_hits, matrix_stats_agg
+
+    idx = tiny_index
+    terms = [r["term"] for r in
+             idx.termstats.orderBy(F.desc("df")).limit(2).collect()]
+    queries = [("q1", terms), ("q2", terms[:1])]
+    got = {r["qid"]: r for r in matrix_stats_agg(idx, queries).collect()}
+
+    dls = {int(r["doc_id"]): int(r["dl"]) for r in
+           idx.spark.read.parquet(idx.index_dir + "/tf")
+           .groupBy("doc_id").agg(F.sum("tf").alias("dl")).collect()}
+    ncs = {int(r["doc_id"]): len(r["content"]) for r in
+           idx.docs.select("doc_id", "content").collect()}
+    per_q: dict = {}
+    for r in _matched_hits(idx, queries).collect():
+        per_q.setdefault(r["qid"], []).append(int(r["doc_id"]))
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    for qid, ids in per_q.items():
+        xs = [dls[d] for d in ids]
+        ys = [ncs[d] for d in ids]
+        n = len(ids)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        vxn, vyn = n * sxx - sx * sx, n * syy - sy * sy
+        covn = n * sxy - sx * sy
+        g = got[qid]
+        assert g["count"] == n
+        assert g["mean_dl"] == pytest.approx(r6(sx / n), abs=1e-9)
+        assert g["var_chars"] == pytest.approx(r6(vyn / (n * n)), abs=1e-9)
+        assert g["cov"] == pytest.approx(r6(covn / (n * n)), abs=1e-9)
+        exp_corr = covn / (math.sqrt(vxn) * math.sqrt(vyn))
+        assert g["corr"] == pytest.approx(r6(exp_corr), abs=2e-6)
+        # longer docs have more chars: strong positive correlation
+        assert g["corr"] > 0.5
+
+
+def test_percentile_ranks_vs_replica(spark, tiny_index):
+    from engine.search import _matched_hits, percentile_ranks_agg
+
+    idx = tiny_index
+    terms = [r["term"] for r in
+             idx.termstats.orderBy(F.desc("df")).limit(1).collect()]
+    queries = [("q1", terms)]
+    dls = {int(r["doc_id"]): int(r["dl"]) for r in
+           idx.spark.read.parquet(idx.index_dir + "/tf")
+           .groupBy("doc_id").agg(F.sum("tf").alias("dl")).collect()}
+    xs = sorted(dls[int(r["doc_id"])] for r in
+                _matched_hits(idx, queries).collect())
+    vals = [xs[0] - 1, xs[len(xs) // 2], xs[-1]]
+    got = {(r["qid"], r["value"]): r["pct_rank"] for r in
+           percentile_ranks_agg(idx, queries, vals).collect()}
+    for v in vals:
+        exp = 100.0 * sum(1 for x in xs if x <= v) / len(xs)
+        exp = math.floor(exp * 1e6 + 0.5) / 1e6
+        assert got[("q1", v)] == pytest.approx(exp, abs=1e-9)
+    assert got[("q1", xs[0] - 1)] == 0.0
+    assert got[("q1", xs[-1])] == 100.0

@@ -291,6 +291,10 @@ def main() -> None:
         "interval_hits"](spark, sf_dir)
     plans["SpanNot (exclude-window survival)"] = qs[
         "span_not_hits"](spark, sf_dir)
+    plans["matrix_stats agg (integer-numerator corr)"] = qs[
+        "matrix_stats"](spark, sf_dir)
+    plans["percentile_ranks (exact inverse quantiles)"] = qs[
+        "percentile_ranks_dl"](spark, sf_dir)
     plans["top_hits agg (terms buckets + per-bucket window)"] = qs[
         "top_hits_by_lang"](spark, sf_dir)
     plans["CCNet bigram-LM cross-entropy filter"] = qs[
