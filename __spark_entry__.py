@@ -443,6 +443,9 @@ SELECT '{qid}' AS qid, doc_id FROM (
   HAVING len(list_filter(li, x -> x IS NOT NULL)) > 0)
 WHERE len(list_filter(li, p -> len(list_filter(le,
         q -> q >= p - {window} AND q <= p + {window})) = 0)) > 0""")
+    if not parts:                     # every include term analyzed empty
+        return ("SELECT NULL::VARCHAR AS qid, NULL::BIGINT AS doc_id "
+                "WHERE FALSE")
     return (f"WITH {_sql_positions_ctes()}\n"
             + "\nUNION ALL".join(parts))
 

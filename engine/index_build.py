@@ -487,6 +487,14 @@ def reshard_index(spark: SparkSession, index_dir: str,
         return {"resharded": False, "n_buckets": old_n}
     nb = F.pmod(F.xxhash64("term"), F.lit(new_n)).cast("int")
 
+    # drop derived sidecars BEFORE any swap: a crash after the stats
+    # swap but before a trailing invalidation would leave an old-
+    # bucket-partitioned positions/trigram table that the _SUCCESS
+    # gate treats as valid forever, silently missing matches under
+    # the new bucket pruning (review catch). Invalidating first is
+    # crash-safe in both directions — sidecars rebuild on demand.
+    invalidate_sidecars(spark, index_dir)
+
     post = spark.read.parquet(p["postings"]).drop("bucket") \
         .withColumn("bucket", nb)
     tmp = f"{index_dir}/postings_reshard_tmp"
@@ -511,6 +519,4 @@ def reshard_index(spark: SparkSession, index_dir: str,
     spark.createDataFrame([json.dumps(stats)], "string") \
         .toDF("stats_json").write.mode("overwrite").parquet(tmp)
     _swap_dirs(spark, p["stats"], tmp)
-
-    invalidate_sidecars(spark, index_dir)
     return {"resharded": True, "n_buckets": new_n, "was": old_n}

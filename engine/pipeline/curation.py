@@ -585,13 +585,23 @@ def bloom_decontaminate(docs: DataFrame, eval_docs: DataFrame,
         # FP): one count() over the benchmark-sized gram set — an
         # UNDERSIZED filter saturates and flags everything (measured:
         # 275k grams into the 131k-bit default → FP ≈ 1 on the real
-        # corpus), which stays one-sided but useless
+        # corpus), which stays one-sided but useless. Persist around
+        # the count+build pair or the tokenize+distinct eval pipeline
+        # (the dominant cost) runs twice.
+        ev = ev.persist()
+        sized = True
         n_words = bloom_size_for(ev.count())
+    else:
+        sized = False
     filt = bloom_build(ev, "h", n_words=n_words)
     doc_grams = (docs.select(F.col(id_col).alias("doc_id"),
                              F.explode_outer(grams).alias("gram"))
                  .withColumn("h", F.md5("gram")))
+    # bloom_probe COLLECTS the filter eagerly (reading the persisted
+    # ev once more), so the cache can be released right after
     probed = bloom_probe(doc_grams, "h", filt, n_words=n_words)
+    if sized:
+        ev.unpersist()
     per_doc = (probed.groupBy("doc_id")
                .agg(F.count("gram").alias("n_grams"),
                     F.sum(F.when(F.col("maybe"), 1).otherwise(0))

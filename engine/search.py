@@ -226,6 +226,10 @@ def score_exhaustive(index: Index, query_terms: QueryTerms,
                                    b if b is not None else index.stats["b"]))
     agg = scored.groupBy("qid", "doc_id").agg(F.sum("pscore").alias("score"))
     if k is None:
+        if include_docno:
+            raise ValueError(
+                "score_exhaustive: include_docno is not supported with "
+                "k=None (the no-cut form returns the bare scored agg)")
         # the no-cut form (top_hits / field_value_factor consume the
         # full scored match set): skip the per-qid sort + rank window
         # a cut would need — callers window on their own keys instead
@@ -2382,14 +2386,20 @@ def matrix_stats_agg(index: Index,
     nc = index.docs.select("doc_id",
                            F.length("content").cast("long").alias("nc"))
     j = hits.join(dl, "doc_id").join(nc, "doc_id")
+    # DECIMAL(38,0) accumulators: n·Σnc² overflows int64 around 500k
+    # docs × 10KB texts (review catch) — decimal keeps the numerators
+    # exact to 38 digits, matching DuckDB's int128 BIGINT sums
+    dec = "decimal(38,0)"
+    x = F.col("dl").cast(dec)
+    y = F.col("nc").cast(dec)
     agg = (j.groupBy("qid")
            .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                F.sum("dl").cast("long").alias("sx"),
-                F.sum("nc").cast("long").alias("sy"),
-                F.sum(F.col("dl") * F.col("dl")).cast("long").alias("sxx"),
-                F.sum(F.col("nc") * F.col("nc")).cast("long").alias("syy"),
-                F.sum(F.col("dl") * F.col("nc")).cast("long").alias("sxy")))
-    n = F.col("n")
+                F.sum(x).alias("sx"),
+                F.sum(y).alias("sy"),
+                F.sum(x * x).alias("sxx"),
+                F.sum(y * y).alias("syy"),
+                F.sum(x * y).alias("sxy")))
+    n = F.col("n").cast(dec)
     vx_num = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     vy_num = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     cov_num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
@@ -2427,7 +2437,7 @@ def percentile_ranks_agg(index: Index,
     dl = _doc_lengths(index)
     j = hits.join(dl, "doc_id")
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
-    vals = sorted(int(v) for v in values)
+    vals = sorted({int(v) for v in values})   # dups → ambiguous le_ cols
     for v in vals:
         aggs.append(F.sum(F.when(F.col("dl") <= v, 1).otherwise(0))
                     .cast("long").alias(f"le_{v}"))

@@ -358,15 +358,29 @@ def bloom_probe(df: DataFrame, value_col: str, bloom: DataFrame,
 def bloom_size_for(n_values: int) -> int:
     """Power-of-two word count sized for ~1% FP at K=4
     (BLOOM_BITS_PER_ELEM bits/element), floored at the default and
-    capped at 2^20 words (4 MB — still a trivially broadcastable /
-    collectable state)."""
+    capped at 2^24 words (64 MB closure — past that the filter stops
+    being a sensibly shippable per-task state). A capped filter is
+    SATURATION territory — the exact failure the sizing exists to
+    prevent (131k bits at 275k elements measured FP≈1) — so hitting
+    the cap warns loudly instead of silently over-flagging."""
+    import warnings
+
     need = max(BLOOM_WORDS,
                (n_values * BLOOM_BITS_PER_ELEM + BLOOM_WORD_BITS - 1)
                // BLOOM_WORD_BITS)
     w = 1
     while w < need:
         w <<= 1
-    return min(w, 1 << 20)
+    cap = 1 << 24
+    if w > cap:
+        warnings.warn(
+            f"bloom_size_for: {n_values} elements want {w} words but "
+            f"the cap is {cap} — fill fraction will exceed the ~1% FP "
+            f"design point; expect heavy over-flagging (one-sided "
+            f"guarantee still holds). Consider exact decontaminate() "
+            f"or sharding the member set.", RuntimeWarning)
+        return cap
+    return w
 
 
 def bloom_probe_py(values, member_values,

@@ -366,9 +366,14 @@ def test_bloom_large_filter_udf_path_matches_replica(spark):
 def test_bloom_size_for():
     from engine.sketches import BLOOM_WORDS, bloom_size_for
 
+    import warnings
+
     assert bloom_size_for(100) == BLOOM_WORDS          # floor
     assert bloom_size_for(275_000) == 131072           # 2^ceil(log2(10n/32))
-    assert bloom_size_for(10**9) == 1 << 20            # cap
+    with warnings.catch_warnings(record=True) as w:    # cap WARNS loudly
+        warnings.simplefilter("always")
+        assert bloom_size_for(10**9) == 1 << 24
+        assert any("over-flagging" in str(x.message) for x in w)
 
 
 # ---------------------------------------------------------------------------
