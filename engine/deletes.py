@@ -123,6 +123,14 @@ def update_docs(spark: SparkSession, index_dir: str,
                                   stats.get("block_size", _BS),
                                   stem=stem, stemmer=stemmer,
                                   ascii_fold=fold)
+    # invalidate the derived positional/trigram sidecars BEFORE the
+    # first destructive write (ADVICE r3): a crash between the docs/tf
+    # appends and a trailing invalidation would leave a stale
+    # _SUCCESS-gated sidecar that silently misses the updated content
+    # forever; invalidate-first is crash-safe in both directions (the
+    # same ordering reshard_index uses). They rebuild on next use.
+    from .index_build import invalidate_sidecars
+    invalidate_sidecars(spark, index_dir)
     writer(assigned, epoch)
     # docs + tf rows for the new ids (tf keeps purge's stats refresh
     # and the forward lookups consistent with the delta postings)
@@ -149,13 +157,6 @@ def update_docs(spark: SparkSession, index_dir: str,
     tf.write.mode("append").partitionBy("bucket").parquet(p["tf"])
     n_new = assigned.count()
     assigned.unpersist()
-    # docs/tf changed: the positional and trigram sidecars are views
-    # of those tables — drop them so the next build_* call refreshes
-    # (a stale positions table would silently miss the new content in
-    # phrase/interval search; a stale trigram table would miss NEW
-    # dictionary terms in wildcard rewrites)
-    from .index_build import invalidate_sidecars
-    invalidate_sidecars(spark, index_dir)
     return {"replaced": n_old, "added": n_new, "epoch": epoch}
 
 
@@ -253,6 +254,13 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
                  .applyInPandas(rewrite_group, schema=_ENC_SCHEMA))
     tmp = f"{index_dir}/postings_purge_tmp"
     rewritten.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    # invalidate the derived positional/trigram sidecars BEFORE the
+    # first swap (ADVICE r3): a crash after any base-table swap but
+    # before a trailing invalidation leaves a stale _SUCCESS-gated
+    # sidecar that keeps returning purged docs' anchors forever;
+    # invalidate-first is crash-safe both ways (reshard's ordering)
+    from .index_build import invalidate_sidecars
+    invalidate_sidecars(spark, index_dir)
     _swap_dirs(spark, p["postings"], tmp)
 
     # delta segments (streamed epochs / update re-adds) hold postings
@@ -332,10 +340,5 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
     conf = spark._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(conf)
     fs.delete(jvm.org.apache.hadoop.fs.Path(_tomb_dir(index_dir)), True)
-    # docs/tf/termstats rewritten: drop the derived positional and
-    # trigram sidecars (stale positions would keep returning the
-    # purged docs' anchors; a rebuilt one masks nothing stale)
-    from .index_build import invalidate_sidecars
-    invalidate_sidecars(spark, index_dir)
     return {"purged": len(dead), "n_docs": n_docs,
             "total_tokens": total_tokens, "sec": round(time.time() - t0, 2)}

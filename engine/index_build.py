@@ -422,7 +422,36 @@ def build_index(
     return metrics
 
 
-def load_stats(spark: SparkSession, index_dir: str) -> dict:
+RESHARD_MARKER = "_RESHARD_IN_PROGRESS"
+
+
+def _marker_fs(spark: SparkSession, index_dir: str):
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{RESHARD_MARKER}")
+    return hp.getFileSystem(spark._jsc.hadoopConfiguration()), hp
+
+
+def reshard_in_progress(spark: SparkSession, index_dir: str) -> bool:
+    fs, hp = _marker_fs(spark, index_dir)
+    return fs.exists(hp)
+
+
+def load_stats(spark: SparkSession, index_dir: str,
+               allow_reshard_in_progress: bool = False) -> dict:
+    """Load the index's global stats. Refuses to load while a reshard
+    marker is present (ADVICE r3): reshard's four rename-aside swaps
+    are not atomic as a group, so a crash mid-sequence can leave data
+    partitioned at new_n while stats still read old_n — term-bucket
+    pruning would then scan the wrong partitions and silently return
+    missing rows. Re-running ``reshard_index`` completes the swaps
+    idempotently and clears the marker."""
+    if not allow_reshard_in_progress and \
+            reshard_in_progress(spark, index_dir):
+        raise RuntimeError(
+            f"index at {index_dir} has an interrupted reshard "
+            f"({RESHARD_MARKER} present): bucket partitioning and "
+            "stats.n_buckets may disagree. Re-run reshard_index(...) "
+            "to complete the swaps before loading.")
     row = spark.read.parquet(_paths(index_dir)["stats"]).collect()[0]
     return json.loads(row["stats_json"])
 
@@ -478,14 +507,31 @@ def reshard_index(spark: SparkSession, index_dir: str,
             "reshard_index: delta segments present — run compact_deltas "
             "first (delta rows carry the old bucket hash)")
     p = _paths(index_dir)
-    stats = load_stats(spark, index_dir)
+    stats = load_stats(spark, index_dir, allow_reshard_in_progress=True)
     new_n = int(new_n_buckets)
     if new_n < 1:
         raise ValueError("new_n_buckets must be >= 1")
     old_n = int(stats["n_buckets"])
+    fs, marker = _marker_fs(spark, index_dir)
     if new_n == old_n:
+        # marker present + stats already at new_n ⇒ the interrupted
+        # run completed every swap including stats; only the marker
+        # delete was lost — finish it here so the index loads again
+        if fs.exists(marker):
+            fs.delete(marker, False)
+            return {"resharded": True, "n_buckets": new_n,
+                    "resumed": True}
         return {"resharded": False, "n_buckets": old_n}
     nb = F.pmod(F.xxhash64("term"), F.lit(new_n)).cast("int")
+
+    # reshard-in-progress marker BEFORE the first swap (ADVICE r3):
+    # the four rename-aside swaps are not atomic as a group — a crash
+    # after the postings/tf/termstats swaps but before the stats swap
+    # leaves data partitioned at new_n while stats.n_buckets reads
+    # old_n, so bucket pruning scans the wrong partitions. load_stats
+    # refuses while the marker exists; re-running reshard_index
+    # completes the (idempotent, key-only) rewrite and clears it.
+    fs.createNewFile(marker)
 
     # drop derived sidecars BEFORE any swap: a crash after the stats
     # swap but before a trailing invalidation would leave an old-
@@ -519,4 +565,5 @@ def reshard_index(spark: SparkSession, index_dir: str,
     spark.createDataFrame([json.dumps(stats)], "string") \
         .toDF("stats_json").write.mode("overwrite").parquet(tmp)
     _swap_dirs(spark, p["stats"], tmp)
+    fs.delete(marker, False)   # all swaps complete: the index is whole
     return {"resharded": True, "n_buckets": new_n, "was": old_n}

@@ -2325,30 +2325,38 @@ def extended_stats_agg(index: Index,
     variance (the ES definition) and std_deviation.
 
     Cross-engine determinism: dl is integer, so every accumulator is
-    exact int64 (sum dl² stays < 2⁵³ far past this corpus class);
-    variance = (n·Σx² − (Σx)²) / n² keeps an EXACT integer numerator
-    and denominator with ONE final IEEE division, and sqrt is
-    correctly rounded — no float-summation-order divergence exists
-    anywhere. avg/variance/std rounded 6 dp. One doc-bucketed join +
-    one map-side-combinable agg; output = |queries| rows.
+    exact; Σdl² and the variance numerator n·Σdl² − (Σdl)² use
+    DECIMAL(38,0) — the matrix_stats recipe (ADVICE r3: at 527k docs
+    × dl≈2000 the int64 numerator sits only ~8× below wrap; a larger
+    corpus silently wraps in Spark while DuckDB's int128 diverges
+    instead) — keeping the numerator exact to 38 digits with ONE
+    final IEEE division, and sqrt is correctly rounded — no
+    float-summation-order divergence exists anywhere. avg/variance/
+    std rounded 6 dp. One doc-bucketed join + one map-side-combinable
+    agg; output = |queries| rows.
     Returns (qid, count, min_dl, max_dl, sum_dl, sum_sq, avg_dl,
-    variance, std_dev) ordered by qid.
+    variance, std_dev) ordered by qid (sum_sq reported long — the
+    REPORTED column stays within int64 far past this corpus class;
+    only the n·Σdl² product needed the wider accumulator).
     """
     from .portable import round_half_up
 
     hits = _matched_hits(index, queries)
     dl = _doc_lengths(index)
+    dec = "decimal(38,0)"
+    x = F.col("dl").cast(dec)
     agg = (hits.join(dl, "doc_id")
            .groupBy("qid")
            .agg(F.count(F.lit(1)).cast("long").alias("count"),
                 F.min("dl").cast("long").alias("min_dl"),
                 F.max("dl").cast("long").alias("max_dl"),
                 F.sum("dl").cast("long").alias("sum_dl"),
-                F.sum(F.col("dl") * F.col("dl")).cast("long")
-                .alias("sum_sq")))
-    var = ((F.col("count") * F.col("sum_sq")
-            - F.col("sum_dl") * F.col("sum_dl")).cast("double")
-           / (F.col("count") * F.col("count")).cast("double"))
+                F.sum(x * x).alias("sum_sq_dec")))
+    n = F.col("count").cast(dec)
+    var = ((n * F.col("sum_sq_dec")
+            - F.col("sum_dl").cast(dec) * F.col("sum_dl").cast(dec))
+           .cast("double") / (n * n).cast("double"))
+    agg = agg.withColumn("sum_sq", F.col("sum_sq_dec").cast("long"))
     return (agg.select(
         "qid", "count", "min_dl", "max_dl", "sum_dl", "sum_sq",
         round_half_up(F.col("sum_dl").cast("double") / F.col("count"), 6)

@@ -263,6 +263,12 @@ def compact_deltas(spark: SparkSession, index_dir: str,
     def _swap(live: str, tmp: str) -> None:
         _swap_dirs(spark, live, tmp)
 
+    # invalidate the derived positional/trigram sidecars BEFORE the
+    # first swap (ADVICE r3): a crash after the postings swap but
+    # before a trailing invalidation leaves a stale _SUCCESS-gated
+    # sidecar missing the folded-in docs/terms forever
+    from .index_build import invalidate_sidecars
+    invalidate_sidecars(spark, index_dir)
     _swap(p["postings"], tmp_dir)
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/delta_postings"), True)
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/stream_checkpoint"), True)
@@ -277,11 +283,6 @@ def compact_deltas(spark: SparkSession, index_dir: str,
         .select("term", "df", "bucket"),
         ts_tmp, int(load_stats(spark, index_dir).get("n_buckets", 8)))
     _swap(p["termstats"], ts_tmp)
-    # termstats (and the posting-visible doc set) changed: drop the
-    # derived positional/trigram sidecars so their next build sees the
-    # folded-in documents and the NEW dictionary terms
-    from .index_build import invalidate_sidecars
-    invalidate_sidecars(spark, index_dir)
     return int(n_terms)
 
 

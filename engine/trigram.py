@@ -168,7 +168,11 @@ def regex_literal_runs(pattern: str) -> list[str]:
       quantifies from the run — ``abc*`` only requires ``ab``.
     """
     # top-level alternation: nothing is required
-    depth, esc, in_class = 0, False, False
+    # cls_pos: 0 = right after '[', 1 = right after '[^'; the char at
+    # either position is a literal member even if it is ']' (POSIX /
+    # RE2 / Python rule — ADVICE r3: '[^]]abc' leaked run ']abc' and
+    # over-pruned to zero candidates).
+    depth, esc, in_class, cls_pos = 0, False, False, 0
     for ch in pattern:
         if esc:
             esc = False
@@ -177,10 +181,17 @@ def regex_literal_runs(pattern: str) -> list[str]:
             esc = True
             continue
         if in_class:
+            if cls_pos == 0:
+                cls_pos = 1 if ch == "^" else 2
+                continue
+            if cls_pos == 1:
+                cls_pos = 2
+                continue
             in_class = ch != "]"
             continue
         if ch == "[":
             in_class = True
+            cls_pos = 0
         elif ch == "(":
             depth += 1
         elif ch == ")":
@@ -191,6 +202,7 @@ def regex_literal_runs(pattern: str) -> list[str]:
     runs: list[str] = []
     cur: list[str] = []
     depth, esc, in_class, in_brace = 0, False, False, False
+    cls_pos = 0
 
     def flush() -> None:
         if cur:
@@ -206,6 +218,12 @@ def regex_literal_runs(pattern: str) -> list[str]:
             esc = True
             continue
         if in_class:
+            if cls_pos == 0:            # ']'-first is a literal member
+                cls_pos = 1 if ch == "^" else 2
+                continue
+            if cls_pos == 1:
+                cls_pos = 2
+                continue
             in_class = ch != "]"
             continue
         if in_brace:
@@ -213,6 +231,7 @@ def regex_literal_runs(pattern: str) -> list[str]:
             continue
         if ch == "[":
             in_class = True
+            cls_pos = 0
             flush()
         elif ch == "(":
             depth += 1

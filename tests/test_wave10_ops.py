@@ -191,6 +191,14 @@ def test_regex_literal_runs_are_sound():
         ("colou?r", ["color", "colour"]),
         ("a{2,3}bcd", ["aabcd", "aaabcd"]),
         ("x(a|b)+y", ["xay", "xbay", "xabababy"]),
+        # ']'-first character classes (ADVICE r3): the leading ']' is a
+        # literal member, not a close — the old loop leaked ']abc' as a
+        # required run and over-pruned every candidate.
+        ("[^]]abc", ["xabc", "0abc"]),
+        ("[]]abc", ["]abc"]),
+        ("xyz[]x]abc", ["xyz]abc", "xyzxabc"]),
+        ("[^^]abc", ["xabc"]),
+        ("xyz[^^]a|bcd", ["bcd", "xyzza"]),
     ]
     for pat, matches in cases:
         runs = regex_literal_runs(pat)
@@ -267,6 +275,53 @@ def test_reshard_rank_identity(spark, tmp_path):
         "content string"))
     with _pt.raises(ValueError, match="compact_deltas"):
         reshard_index(spark, path, 2)
+
+
+def test_reshard_marker_guards_half_resharded_index(spark, tmp_path):
+    """ADVICE r3: the four reshard swaps are not atomic as a group. A
+    crash mid-sequence must leave the index REFUSING to load (marker
+    present), and re-running reshard_index must complete idempotently
+    and clear the marker."""
+    import pytest as _pt
+
+    from engine.index_build import (_marker_fs, build_index, load_stats,
+                                    reshard_in_progress, reshard_index)
+    from engine.search import Index, score_wand
+
+    rows = [("org/r", f"g{i}.py", "c" * 12, "py",
+             f"kappa lambda mu{i % 4} nu{i % 7}") for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    path = str(tmp_path / "rsmark")
+    build_index(spark, df, path, n_buckets=4, n_doc_buckets=2)
+    qt = [("q", "kappa", 1.0), ("q", "mu0", 2.0)]
+    before = [(r["qid"], r["doc_id"], r["rank"])
+              for r in score_wand(Index(spark, path), qt, 10).collect()]
+
+    # simulate the crash window: marker written, stats NOT yet swapped
+    fs, marker = _marker_fs(spark, path)
+    fs.createNewFile(marker)
+    assert reshard_in_progress(spark, path)
+    with _pt.raises(RuntimeError, match="interrupted reshard"):
+        Index(spark, path)
+    with _pt.raises(RuntimeError, match="interrupted reshard"):
+        load_stats(spark, path)
+    # re-running the reshard completes and clears the marker
+    out = reshard_index(spark, path, 3)
+    assert out["resharded"] is True and out["n_buckets"] == 3
+    assert not reshard_in_progress(spark, path)
+    after = [(r["qid"], r["doc_id"], r["rank"])
+             for r in score_wand(Index(spark, path), qt, 10).collect()]
+    assert after == before
+
+    # crash AFTER the stats swap but before the marker delete: the
+    # same-count re-run must recognise completion and clear the marker
+    fs.createNewFile(marker)
+    out = reshard_index(spark, path, 3)
+    assert out == {"resharded": True, "n_buckets": 3, "resumed": True}
+    assert not reshard_in_progress(spark, path)
+    assert load_stats(spark, path)["n_buckets"] == 3
 
 
 # ---------------------------------------------------------------------------
