@@ -2262,59 +2262,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The local gate (tools/check_oracles.py) still verifies ALL
     # entries every round.
     return {
-        # cluster_sample / eval_extra are the newest entries (98th/97th)
-        # — rotated into the window in place of doc_lengths/term_stats,
-        # which were driver-green in r1+r2 and are trivial aggregates.
-        "cluster_sample": cluster_sample,
-        # resharded WAND takes eval_extra's window slot (eval_extra
-        # composes the in-window eval_metrics mechanics)
+        # ---- driver window (first 50 dict slots) ----
+        # r4 rotation (VERDICT r3 item 1): the 29 entries never seen
+        # by the hard driver signal (union of CORRECTNESS_r01-r03
+        # green keys) occupy the front of the window this round.
+        "count_matches": count_matches,
+        "shared_ngrams": shared_ngrams,
+        "facet_counts": facet_counts,
+        "url_domains": url_domains,
+        "fielded_search": fielded_search,
+        "term_range_topk": term_range_topk,
+        "event_window_cardinality": event_window_cardinality,
+        "ib_topk": ib_topk,
+        "semdedup_keep": semdedup_keep,
+        "winnow_fps": winnow_fps,
+        "dsir_sample": dsir_sample,
+        "cardinality_terms": cardinality_terms,
+        "hybrid_linear_topk": hybrid_linear_topk,
+        "ann_filtered_topk": ann_filtered_topk,
+        "percentiles_dl": percentiles_dl,
+        "composite_page2": composite_page2,
+        "rescored_topk": rescored_topk,
+        "phrase_prefix_hits": phrase_prefix_hits,
+        "extended_stats_dl": extended_stats_dl,
+        "fvf_topk": fvf_topk,
+        "wildcard_trigram_topk": wildcard_trigram_topk,
+        "regexp_trigram_topk": regexp_trigram_topk,
+        "event_window_heavy": event_window_heavy,
+        "event_window_pipeline": event_window_pipeline,
+        "eval_extra": eval_extra,
+        "mlt_text_topk": mlt_text_topk,
+        "span_not_hits": span_not_hits,
+        "matrix_stats": matrix_stats,
+        "percentile_ranks_dl": percentile_ranks_dl,
+        # entries whose engine code CHANGED this round (trigram-
+        # pruned fuzzy/suggest/did_you_mean, kernelized dismax/
+        # combined_fields, pruned percolate, selective purge,
+        # reshard marker) — re-checked by the driver:
+        "fuzzy_topk": fuzzy_topk,
+        "suggest_terms": suggest_terms,
+        "did_you_mean": did_you_mean,
+        "dismax_topk": dismax_topk,
+        "combined_fields_topk": combined_fields_topk,
+        "percolate_hits": percolate_hits,
+        "deleted_search": deleted_search,
         "resharded_search": resharded_search,
-        # wave-9 additions (newest → inside the driver window; the
-        # rotated-out bm25_topk/index_wand_topk/event_sessions were
-        # driver-green in r2, and the rewritten kernel stays driver-
-        # covered via wand_lmd_topk/wand_ib_topk/deleted_search)
-        "interval_hits": interval_hits,
-        "top_hits_by_lang": top_hits_by_lang,
+        # window padding: r3-driver-green flagships (rotate out
+        # freely for any new entries added this round)
+        "eval_metrics": eval_metrics,
+        "index_wand_topk": index_wand_topk,
+        "bm25_topk": bm25_topk,
+        "substring_dedup": substring_dedup,
+        "nb_quality_scores": nb_quality_scores,
         "lm_perplexity": lm_perplexity,
+        "bloom_decontam": bloom_decontam,
+        "cms_term_counts": cms_term_counts,
+        "dsir_weights": dsir_weights,
+        "minhash_near_dups": minhash_near_dups,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
+        "parsed_query_topk": parsed_query_topk,
+        "interval_hits": interval_hits,
+        # ---- driver window boundary (entry 50) ----
+        # tail: every entry below is driver-green in some
+        # CORRECTNESS_r*.json and unchanged, or certified by an
+        # in-window sibling (tools/check_rotation.py enforces this)
+        "cluster_sample": cluster_sample,
+        "top_hits_by_lang": top_hits_by_lang,
         "wand_lmd_topk": wand_lmd_topk,
         "wand_ib_topk": wand_ib_topk,
         "bm25_lucene_norms_topk": bm25_lucene_norms_topk,
-        # round-3 additions (inside the driver's 50-entry window)
         "semdedup_pairs": semdedup_pairs,
         "hybrid_rrf_topk": hybrid_rrf_topk,
         "collapsed_topk": collapsed_topk,
-        "suggest_terms": suggest_terms,
-        "dsir_weights": dsir_weights,
         "significant_terms": significant_terms,
         "facet_histogram": facet_histogram,
         "synonym_topk": synonym_topk,
-        # round-3 late additions (this session — first driver check)
-        "dismax_topk": dismax_topk,
-        "combined_fields_topk": combined_fields_topk,
         "completion_topk": completion_topk,
         "decayed_topk": decayed_topk,
         "line_dedup": line_dedup,
         "winnow_near_dups": winnow_near_dups,
-        "percolate_hits": percolate_hits,
-        # round-3 wave-4 additions (this session — first driver check;
-        # bm25_scores_all/boolean_and/event_window_counts rotate to the
-        # tail: driver-green since r1/r2 with in-window siblings)
-        "substring_dedup": substring_dedup,
-        "cms_term_counts": cms_term_counts,
         "rp_embed": rp_embed,
-        # round-3 wave-5 additions (this session — first driver check;
-        # tokenize_tf/count_matches/fielded_search/term_range_topk rotate
-        # to the tail: each certified by an in-window superset sibling
-        # (ascii_fold_tf, random_topk, fielded_search_wand, regexp_topk)
-        # wave-10 Bloom decontamination takes phrase_prefix_hits'
-        # window slot (its hit-set mechanics are a strict subset of
-        # in-window phrase_prefix_topk's gate)
-        "bloom_decontam": bloom_decontam,
         "phrase_prefix_topk": phrase_prefix_topk,
-        "did_you_mean": did_you_mean,
         "random_topk": random_topk,
-        "nb_quality_scores": nb_quality_scores,
-        # round-2's driver-unchecked 23 (VERDICT r2 item 1)
         "curation_report": curation_report,
         "ngram_lm_counts": ngram_lm_counts,
         "pack_layout": pack_layout,
@@ -2323,41 +2352,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_explain": score_explain,
         "ascii_fold_tf": ascii_fold_tf,
         "boolean_query_topk": boolean_query_topk,
-        "deleted_search": deleted_search,
         "search_after_page2": search_after_page2,
         "boolean_msm_topk": boolean_msm_topk,
-        "parsed_query_topk": parsed_query_topk,
         "federated_search": federated_search,
         "fielded_search_wand": fielded_search_wand,
         "term_vectors": term_vectors,
         "collection_stats": collection_stats,
         "field_sorted_topk": field_sorted_topk,
         "regexp_topk": regexp_topk,
-        # changed-this-round / one-per-family representatives
-        "eval_metrics": eval_metrics,
-        # ---- driver window boundary (entry 50) ----
-        # tail: driver-green in r1/r2 and unchanged since, siblings of
-        # in-window entries (lmdirichlet shares wand_lmd_topk's oracle)
         "tokenize_tf": tokenize_tf,
-        "count_matches": count_matches,
-        "shared_ngrams": shared_ngrams,
-        "facet_counts": facet_counts,
-        "url_domains": url_domains,
-        "fielded_search": fielded_search,
-        "term_range_topk": term_range_topk,
         "bm25_scores_all": bm25_scores_all,
         "boolean_and": boolean_and,
         "event_window_counts": event_window_counts,
-        "event_window_cardinality": event_window_cardinality,
         "lmdirichlet_topk": lmdirichlet_topk,
-        "ib_topk": ib_topk,
-        "semdedup_keep": semdedup_keep,
         "expansion_weights": expansion_weights,
         "dedup_exact": dedup_exact,
-        "minhash_near_dups": minhash_near_dups,
         "cosine_topk": cosine_topk,
         "ann_buckets": ann_buckets,
-        "winnow_fps": winnow_fps,
         "trec_run": trec_run,
         "embedding_near_dups": embedding_near_dups,
         "phrase_hits": phrase_hits,
@@ -2373,7 +2384,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_multiprobe_topk": ann_multiprobe_topk,
         "ann_pq_topk": ann_pq_topk,
-        "ann_ivfpq_topk": ann_ivfpq_topk,
         "ann_rocchio_topk": ann_rocchio_topk,
         "token_counts": token_counts,
         "quality_scores": quality_scores,
@@ -2388,39 +2398,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": unigram_logprob,
         "source_mix": source_mix,
         "prefix_topk": prefix_topk,
-        "fuzzy_topk": fuzzy_topk,
         "decontam_report": decontam_report,
         "repetition_scores": repetition_scores,
         "mixture_sample": mixture_sample,
-        "dsir_sample": dsir_sample,
-        # new this session (positions 51+ — local-gate-verified now,
-        # rotate into the driver window next round)
-        "cardinality_terms": cardinality_terms,
-        "hybrid_linear_topk": hybrid_linear_topk,
-        "ann_filtered_topk": ann_filtered_topk,
-        "percentiles_dl": percentiles_dl,
-        "composite_page2": composite_page2,
-        "rescored_topk": rescored_topk,
         "doc_lengths": doc_lengths,
         "term_stats": term_stats,
-        # rotated out of the window this round (r2-driver-green):
-        "bm25_topk": bm25_topk,
-        "index_wand_topk": index_wand_topk,
         "event_sessions": event_sessions,
-        # wave-10 tail entries (compose driver-checked mechanics: the
-        # bm25 scored-sum family + facet_histogram's dl source):
-        "phrase_prefix_hits": phrase_prefix_hits,
-        "extended_stats_dl": extended_stats_dl,
-        "fvf_topk": fvf_topk,
-        "wildcard_trigram_topk": wildcard_trigram_topk,
-        "regexp_trigram_topk": regexp_trigram_topk,
-        "event_window_heavy": event_window_heavy,
-        "event_window_pipeline": event_window_pipeline,
-        "eval_extra": eval_extra,
-        "mlt_text_topk": mlt_text_topk,
-        "span_not_hits": span_not_hits,
-        "matrix_stats": matrix_stats,
-        "percentile_ranks_dl": percentile_ranks_dl,
     }
 
 
