@@ -379,14 +379,64 @@ def did_you_mean(docs: DataFrame, queries, max_edits: int = 2,
           .where(F.col("p").isin(prevs))     # literal pushdown prune
           .groupBy("p", "w").agg(F.count(F.lit(1)).alias("c2")))
 
+    # candidate generation: positions whose token is long enough for
+    # the pigeonhole trigram prune (len ≥ 3·(max_edits+1), see
+    # engine.trigram.fuzzy_piece_grams) intersect an on-the-fly vocab
+    # trigram table — one linear explode pass + an equi-join + hash
+    # agg — instead of the vocabulary × positions nested-loop DP;
+    # shorter tokens keep the brute join. Exact-equivalent either way
+    # (the prune is verified with the same Levenshtein).
+    from ..trigram import fuzzy_piece_grams
+
     lev = F.levenshtein("tok", "orig")
-    cand_e = (uni.join(
-        F.broadcast(qdf),
-        (F.abs(F.length("tok") - F.length("orig")) <= max_edits)
-        & (lev <= max_edits) & (lev >= 1))
+    gram_rows, ntg_rows, elig_keys = [], [], set()
+    for qid, i, t, _prev in qpos:
+        groups = fuzzy_piece_grams(t, max_edits)
+        if groups is None:
+            continue
+        elig_keys.add((qid, i))
+        for pid, g in enumerate(groups):
+            gram_rows.extend((qid, i, pid, tg) for tg in sorted(set(g)))
+            ntg_rows.append((qid, i, pid, len(set(g))))
+    qdf_fb = qdf.join(
+        spark.createDataFrame(
+            [(q, i) for q, i in sorted(elig_keys)] or
+            [("", -1)], "qid string, i int"),
+        ["qid", "i"], "left_anti")
+    cand_parts = [
+        uni.join(
+            F.broadcast(qdf_fb),
+            (F.abs(F.length("tok") - F.length("orig")) <= max_edits)
+            & (lev <= max_edits) & (lev >= 1))
         .select("qid", "i", "orig", "prev", F.col("tok").alias("cand"),
                 lev.cast("int").alias("distance"),
-                F.col("c1").alias("c_cand")))
+                F.col("c1").alias("c_cand"))]
+    if gram_rows:
+        vocab_tg = (uni.where(F.length("tok") >= 3)
+                    .select("tok", F.explode(F.expr(
+                        "transform(sequence(1, length(tok) - 2),"
+                        " i -> substring(tok, i, 3))")).alias("tg")))
+        gdf = spark.createDataFrame(
+            gram_rows, "qid string, i int, pid int, tg string")
+        ndf = spark.createDataFrame(
+            ntg_rows, "qid string, i int, pid int, n_tg int")
+        cand_terms = (vocab_tg.join(F.broadcast(gdf), "tg")
+                      .groupBy("qid", "i", "pid", "tok")
+                      .agg(F.count_distinct("tg").alias("nm"))
+                      .join(F.broadcast(ndf), ["qid", "i", "pid"])
+                      .where(F.col("nm") == F.col("n_tg"))
+                      .select("qid", "i", "tok").distinct())
+        cand_parts.append(
+            cand_terms.join(F.broadcast(qdf), ["qid", "i"])
+            .where((lev <= max_edits) & (lev >= 1))
+            .join(uni, "tok")
+            .select("qid", "i", "orig", "prev",
+                    F.col("tok").alias("cand"),
+                    lev.cast("int").alias("distance"),
+                    F.col("c1").alias("c_cand")))
+    cand_e = cand_parts[0]
+    for part in cand_parts[1:]:
+        cand_e = cand_e.unionByName(part)
     cand_0 = (qdf.join(uni, qdf["orig"] == uni["tok"], "left")
               .select("qid", "i", "orig", "prev",
                       F.col("orig").alias("cand"),

@@ -1549,12 +1549,23 @@ def expand_prefix_terms(index: Index,
 
 
 def expand_fuzzy_terms(index: Index, queries: Sequence[tuple[str, str]],
-                       max_edits: int = 1) -> QueryTerms:
+                       max_edits: int = 1,
+                       use_trigram: bool | None = None) -> QueryTerms:
     """Fuzzy rewrite: vocabulary terms within ``max_edits`` Levenshtein
-    edits of the query term (Lucene FuzzyQuery). Brute-force dictionary
-    scan with a length pre-filter (|len(t) − len(q)| ≤ max_edits culls
-    most of the vocabulary before the DP runs); Lucene's automaton is
-    an optimization of the same enumeration."""
+    edits of the query term (Lucene FuzzyQuery). When the trigram
+    sidecar exists (``use_trigram=None`` auto-detects) candidates come
+    from the pigeonhole trigram prune — intersect-then-verify, the
+    FST-automaton-walk analog — instead of a full dictionary scan;
+    results are identical either way (the prune is exact). The brute
+    path is a dictionary scan with a length pre-filter
+    (|len(t) − len(q)| ≤ max_edits culls most of the vocabulary before
+    the DP runs)."""
+    from .trigram import expand_fuzzy_terms_trigram, has_trigrams
+
+    if use_trigram is None:
+        use_trigram = has_trigrams(index)
+    if use_trigram:
+        return expand_fuzzy_terms_trigram(index, queries, max_edits)
     qdf = index.spark.createDataFrame(list(queries),
                                       "qid string, qterm string")
     cond = ((F.abs(F.length("term") - F.length("qterm")) <= max_edits)
@@ -1566,7 +1577,8 @@ def expand_fuzzy_terms(index: Index, queries: Sequence[tuple[str, str]],
 
 
 def suggest_terms(index: Index, queries: Sequence[tuple[str, str]],
-                  max_edits: int = 2, n: int = 5) -> DataFrame:
+                  max_edits: int = 2, n: int = 5,
+                  use_trigram: bool | None = None) -> DataFrame:
     """Spell suggestion (Lucene ``DirectSpellChecker`` analog): for
     each (qid, input term), the top-``n`` vocabulary terms within
     ``max_edits`` Levenshtein edits, ranked the way DirectSpellChecker
@@ -1581,9 +1593,18 @@ def suggest_terms(index: Index, queries: Sequence[tuple[str, str]],
     (|len(t) − len(q)| ≤ max_edits) that culls most of the vocabulary
     before the Levenshtein DP runs — Lucene's FST automaton
     intersection is an optimization of the same enumeration, as with
-    :func:`expand_fuzzy_terms`.  The rank window partitions by qid.
+    :func:`expand_fuzzy_terms`.  When the trigram sidecar exists
+    (``use_trigram=None`` auto-detects) the scan is replaced by the
+    pigeonhole trigram prune (rank-identical; equivalence-tested).
+    The rank window partitions by qid.
     Returns (qid, suggestion, distance, df, rank).
     """
+    from .trigram import has_trigrams, suggest_terms_trigram
+
+    if use_trigram is None:
+        use_trigram = has_trigrams(index)
+    if use_trigram:
+        return suggest_terms_trigram(index, queries, max_edits, n)
     qdf = index.spark.createDataFrame(list(queries),
                                       "qid string, qterm string")
     dist = F.levenshtein("term", "qterm")

@@ -155,6 +155,160 @@ def wildcard_topk_trigram(index: Index,
         index, expand_wildcard_terms_trigram(index, queries), k)
 
 
+def has_trigrams(index: Index) -> bool:
+    """True when the trigram sidecar exists (complete) for the index."""
+    return _exists(index.spark, _trigrams_path(index.index_dir))
+
+
+def fuzzy_piece_grams(qterm: str, max_edits: int) -> list[list[str]] | None:
+    """Pigeonhole filter grams for edit-distance candidate pruning
+    (the Ed-Join / q-samples partition signature): split ``qterm``
+    into ``max_edits + 1`` contiguous pieces — any term within
+    ``max_edits`` edits must contain at least ONE piece unchanged as a
+    contiguous substring (≤ max_edits ops over max_edits+1 pieces:
+    some piece is untouched, and boundary insertions don't break its
+    interior). Returns one trigram AND-group per piece (term must
+    contain all of a group's trigrams to contain the piece), or None
+    when any piece would be shorter than 3 chars (len < 3·(e+1)) —
+    the prune cannot engage and the caller falls back to the full
+    dictionary scan for that query. Whenever the prune engages, every
+    true candidate has length ≥ len(q) − e ≥ 2e + 3 ≥ 3, so the
+    trigram sidecar's ≥3-char floor excludes no candidate."""
+    k = max_edits + 1
+    if len(qterm) < 3 * k:
+        return None
+    base, rem = divmod(len(qterm), k)
+    groups, i = [], 0
+    for j in range(k):
+        ln = base + (1 if j < rem else 0)
+        p = qterm[i:i + ln]
+        i += ln
+        groups.append([p[m:m + 3] for m in range(len(p) - 2)])
+    return groups
+
+
+def fuzzy_candidate_pairs(index: Index,
+                          queries: Sequence[tuple[str, str]],
+                          max_edits: int) -> DataFrame:
+    """(qid, qterm, term) candidate pairs — a SUPERSET of the true
+    fuzzy matches {(qid, q, t) : lev(t, q) ≤ max_edits} — via the
+    trigram sidecar: per query piece, terms containing ALL of the
+    piece's trigrams (one pruned sidecar scan + one hash agg), OR'd
+    across the query's pieces. Queries too short for the pigeonhole
+    (len < 3·(max_edits+1)) fall back to the full dictionary scan
+    under the |len| pre-filter, exactly the brute path's shape. The
+    caller verifies with the exact Levenshtein, so downstream results
+    are ALWAYS identical to the brute scan (equivalence-tested).
+
+    The pigeonhole is CONJOINED with the classic count bound: an edit
+    destroys at most 3 positional trigram occurrences, so a distinct
+    gram of q vanishes from t only when its last occurrence dies —
+    ≤ 3 distinct grams per edit — hence every true candidate shares
+    ≥ max(1, g − 3e) of q's g distinct trigrams. Both filters come
+    from ONE pruned sidecar scan (the count agg over all of q's
+    grams, the piece agg over the pid-tagged subset); the count bound
+    is what keeps e=2 candidate sets small when the pieces degrade to
+    single trigrams (len 9-11 → 3-char pieces)."""
+    spark = index.spark
+    trig: list[tuple[str, int, str]] = []      # (qid, piece_id, tg)
+    n_tg: list[tuple[str, int, int]] = []
+    cnt: list[tuple[str, str]] = []            # (qid, tg) — ALL grams
+    thr: list[tuple[str, int]] = []            # (qid, count threshold)
+    fallback: list[tuple[str, str]] = []
+    for qid, q in queries:
+        groups = fuzzy_piece_grams(q, max_edits)
+        if groups is None:
+            fallback.append((qid, q))
+            continue
+        for pid, g in enumerate(groups):
+            trig.extend((qid, pid, t) for t in sorted(set(g)))
+            n_tg.append((qid, pid, len(set(g))))
+        all_g = sorted({q[m:m + 3] for m in range(len(q) - 2)})
+        cnt.extend((qid, t) for t in all_g)
+        thr.append((qid, max(1, len(all_g) - 3 * max_edits)))
+
+    qdf = spark.createDataFrame(list(queries), "qid string, qterm string")
+    parts: list[DataFrame] = []
+    if fallback:
+        fdf = spark.createDataFrame(fallback, "qid string, qterm string")
+        parts.append(
+            index.termstats.select("term")
+            .join(F.broadcast(fdf),
+                  F.abs(F.length("term") - F.length("qterm"))
+                  <= max_edits)
+            .select("qid", "qterm", "term"))
+    if trig:
+        cdf = spark.createDataFrame(cnt, "qid string, tg string")
+        matched = (spark.read.parquet(_trigrams_path(index.index_dir))
+                   .where(F.col("tg").isin(sorted({t for _, t in cnt})))
+                   .join(F.broadcast(cdf), "tg"))
+        tdf = spark.createDataFrame(thr, "qid string, thresh int")
+        by_count = (matched.groupBy("qid", "term")
+                    .agg(F.count_distinct("tg").alias("nm_all"))
+                    .join(F.broadcast(tdf), "qid")
+                    .where(F.col("nm_all") >= F.col("thresh"))
+                    .select("qid", "term"))
+        gdf = spark.createDataFrame(trig,
+                                    "qid string, pid int, tg string")
+        ndf = spark.createDataFrame(n_tg,
+                                    "qid string, pid int, n_tg int")
+        by_piece = (matched.join(F.broadcast(gdf), ["qid", "tg"])
+                    .groupBy("qid", "pid", "term")
+                    .agg(F.count_distinct("tg").alias("nm"))
+                    .join(F.broadcast(ndf), ["qid", "pid"])
+                    .where(F.col("nm") == F.col("n_tg"))
+                    .select("qid", "term").distinct())
+        cand = (by_piece.join(by_count, ["qid", "term"])
+                .join(F.broadcast(qdf), "qid")
+                .select("qid", "qterm", "term"))
+        parts.append(cand)
+    if not parts:
+        return spark.createDataFrame(
+            [], "qid string, qterm string, term string")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def expand_fuzzy_terms_trigram(index: Index,
+                               queries: Sequence[tuple[str, str]],
+                               max_edits: int = 1) -> QueryTerms:
+    """Exact fuzzy rewrite via trigram candidate pruning: pigeonhole
+    candidates verified with the exact Levenshtein DP — always
+    identical to :func:`engine.search.expand_fuzzy_terms`."""
+    cand = fuzzy_candidate_pairs(index, queries, max_edits)
+    rows = (cand.where(F.levenshtein("term", "qterm") <= max_edits)
+            .select("qid", "term").distinct().collect())
+    return [(r["qid"], r["term"], 1.0) for r in rows]
+
+
+def suggest_terms_trigram(index: Index,
+                          queries: Sequence[tuple[str, str]],
+                          max_edits: int = 2, n: int = 5) -> DataFrame:
+    """DirectSpellChecker suggestions on trigram-pruned candidates —
+    rank-identical to :func:`engine.search.suggest_terms` (same
+    distance asc / df desc / term asc window; the prune is exact).
+    The df lookup joins the small verified candidate set back to
+    termstats instead of scanning it."""
+    from pyspark.sql import Window
+
+    dist = F.levenshtein("term", "qterm")
+    cand = (fuzzy_candidate_pairs(index, queries, max_edits)
+            .where((dist <= max_edits) & (dist >= 1))
+            .select("qid", F.col("term").alias("suggestion"),
+                    dist.cast("int").alias("distance"))
+            .distinct())
+    cand = cand.join(
+        index.termstats.select(F.col("term").alias("suggestion"), "df"),
+        "suggestion")
+    w = Window.partitionBy("qid").orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("suggestion"))
+    return (cand.select("qid", "suggestion", "distance", "df")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= n))
+
+
 def regex_literal_runs(pattern: str) -> list[str]:
     """CONSERVATIVE required-literal runs of an (implicitly anchored)
     regex: every string matching the pattern must contain each

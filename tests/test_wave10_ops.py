@@ -498,3 +498,66 @@ def test_percentile_ranks_vs_replica(spark, tiny_index):
         assert got[("q1", v)] == pytest.approx(exp, abs=1e-9)
     assert got[("q1", xs[0] - 1)] == 0.0
     assert got[("q1", xs[-1])] == 100.0
+
+
+# ---------------------------------------------------------------------------
+# trigram-pruned fuzzy / suggest (round 4 — VERDICT r3 item 2)
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_piece_grams_pigeonhole():
+    from engine.trigram import fuzzy_piece_grams
+
+    # too short for the pigeonhole at the given edit budget → None
+    assert fuzzy_piece_grams("merge", 1) is None     # 5 < 6
+    assert fuzzy_piece_grams("mergesor", 2) is None  # 8 < 9
+    g1 = fuzzy_piece_grams("mergeso", 1)             # 7 → pieces 4+3
+    assert g1 == [["mer", "erg"], ["eso"]]
+    g2 = fuzzy_piece_grams("mergesorts", 2)          # 10 → 4+3+3
+    assert g2 == [["mer", "erg"], ["eso"], ["rts"]]
+
+
+def test_fuzzy_trigram_equivalence(spark, tiny_index):
+    """The trigram-pruned fuzzy rewrite must be IDENTICAL to the brute
+    dictionary scan across edit distances, incl. short-term fallback
+    and no-match queries."""
+    from engine.search import expand_fuzzy_terms
+    from engine.trigram import build_term_trigrams
+
+    idx = tiny_index
+    build_term_trigrams(spark, idx.index_dir)
+    queries = [("f1", "mergo"),        # short: falls back (len 5 < 6)
+               ("f2", "mergeabl"),     # pigeonhole engages (d1 of
+               ("f3", "mergeing"),     #   mergeable / exact+variants)
+               ("f4", "zzzzqqq"),      # engages, no matches
+               ("f5", "xy")]           # very short fallback
+    for e in (1, 2):
+        brute = sorted(expand_fuzzy_terms(idx, queries, max_edits=e,
+                                          use_trigram=False))
+        tri = sorted(expand_fuzzy_terms(idx, queries, max_edits=e,
+                                        use_trigram=True))
+        assert tri == brute, (e, tri, brute)
+    hit = expand_fuzzy_terms(idx, queries, max_edits=1,
+                             use_trigram=True)
+    assert ("f2", "mergeable", 1.0) in hit   # found THROUGH the prune
+
+
+def test_suggest_trigram_rank_identity(spark, tiny_index):
+    """suggest_terms on the pruned path must be ROW-identical to the
+    brute path (same distance/df/term ranking) for both edit budgets."""
+    from engine.search import suggest_terms
+    from engine.trigram import build_term_trigrams
+
+    idx = tiny_index
+    build_term_trigrams(spark, idx.index_dir)
+    queries = [("s1", "mergeabl"), ("s2", "searchingg"),
+               ("s3", "streaming"), ("s4", "zzzzqqqzzz")]
+    for e in (1, 2):
+        cols = ("qid", "suggestion", "distance", "df", "rank")
+        brute = sorted(tuple(r[c] for c in cols) for r in
+                       suggest_terms(idx, queries, max_edits=e, n=5,
+                                     use_trigram=False).collect())
+        tri = sorted(tuple(r[c] for c in cols) for r in
+                     suggest_terms(idx, queries, max_edits=e, n=5,
+                                   use_trigram=True).collect())
+        assert tri == brute, (e, tri, brute)
+    assert brute, "expected suggestions at e=2"

@@ -175,3 +175,33 @@ class TestRandomScore:
         b = [r["doc_id"] for r in
              random_score_topk(tiny_index, q, 10, seed=2).collect()]
         assert a != b
+
+
+class TestDidYouMeanTrigramPrune:
+    """Round-4: positions with len ≥ 3·(e+1) go through the pigeonhole
+    trigram prune instead of the vocab×positions nested-loop DP —
+    results must be identical, including mixed eligible/short queries."""
+
+    DOCS = [
+        (1, "distributed aggregation pipelines shuffle partitions"),
+        (2, "distributed aggregation beats centralized aggregation"),
+        (3, "partition pruning accelerates distributed scans ok go"),
+        (4, "shuffle partitions dominate distributed aggregation cost"),
+    ]
+
+    def test_long_token_corrections_via_prune(self, spark):
+        df = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        got = {r["qid"]: r for r in did_you_mean(
+            df, [("a", "distribted aggregaton"),     # both ≥9 chars
+                 ("b", "shuffle partitons ok"),      # mixed lengths
+                 ("c", "centralizd scams")]).collect()}
+        assert got["a"]["suggestion"] == "distributed aggregation"
+        assert got["a"]["n_corrected"] == 2
+        assert got["b"]["suggestion"] == "shuffle partitions ok"
+        assert got["b"]["n_corrected"] == 1
+        assert got["c"]["suggestion"].startswith("centralized")
+
+    def test_prune_engages_only_when_sound(self, spark):
+        from engine.trigram import fuzzy_piece_grams
+        assert fuzzy_piece_grams("partitons", 2) is not None   # 9 ≥ 9
+        assert fuzzy_piece_grams("scams", 2) is None           # 5 < 9
