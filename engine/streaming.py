@@ -206,10 +206,19 @@ def compact_deltas(spark: SparkSession, index_dir: str,
     the reference never runs — Indexer.java:50 — provided here because
     a streaming index accretes one sub-posting per term per epoch).
 
-    Per (bucket, term): decode every base sub-posting (all salts) and
-    every delta sub-posting, merge by docID (doc sets are disjoint —
-    append-only corpus), re-encode as a single posting with block-max
-    metadata under the BASE avgdl (frozen, like the batch builder).
+    SELECTIVE (VERDICT r3 item 3): only terms that actually appear in
+    a delta segment are decoded and merged; every other base row
+    streams through as unchanged columnar IO (no Python decode — its
+    avgdl-frozen block-max metadata and skew-split salts survive
+    untouched). The decode cost therefore scales with the delta
+    volume, not the index size — a small streamed epoch folds in
+    cheaply even against a huge base.
+
+    Per dirty (bucket, term): decode every base sub-posting (all
+    salts) and every delta sub-posting, merge by docID (doc sets are
+    disjoint — append-only corpus), re-encode as a single posting with
+    block-max metadata under the BASE avgdl (frozen, like the batch
+    builder).
 
     The directory swap is rename-aside (postings → postings_old, tmp →
     postings, delete postings_old), so every crash point leaves a
@@ -249,11 +258,26 @@ def compact_deltas(spark: SparkSession, index_dir: str,
             "bucket": [bucket],
         })
 
-    merged = allp.groupBy("bucket", "term").applyInPandas(
-        merge_group, schema=_ENC_SCHEMA)
+    # dirty = terms with at least one delta row; the broadcast list is
+    # bounded by the epoch batch sizes (the same policy bound the
+    # delta mechanism itself relies on)
+    dterms = (read_delta_postings(spark, index_dir)
+              .select("bucket", "term").distinct()
+              .withColumn("dirty", F.lit(True)).persist())
+    n_terms = dterms.count()   # materialize the broadcast side once
+    flagged = (spark.read.parquet(f"{index_dir}/postings")
+               .join(F.broadcast(dterms.select("bucket", "term", "dirty")),
+                     ["bucket", "term"], "left"))
+    enc_cols = [f.name for f in _ENC_SCHEMA.fields]
+    clean = flagged.where(F.col("dirty").isNull()).select(*enc_cols)
+    dirty_all = (allp.join(F.broadcast(dterms.select("bucket", "term")),
+                           ["bucket", "term"], "left_semi"))
+    merged = (dirty_all.groupBy("bucket", "term")
+              .applyInPandas(merge_group, schema=_ENC_SCHEMA)
+              .unionByName(clean))
     tmp_dir = f"{index_dir}/postings_compact_tmp"
     merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp_dir)
-    n_terms = spark.read.parquet(tmp_dir).count()
+    dterms.unpersist()
 
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

@@ -38,9 +38,10 @@ def test_stream_compact_cycle(spark, tmp_path):
     res = score_exhaustive(nrt, [("q", "alpha", 1.0)], 20).collect()
     assert len(res) == 9  # 6 base + 3 streamed
 
-    # compact: single posting row per term, base+delta docs merged sorted
+    # compact: selective — only the DELTA terms (alpha, gamma) merge;
+    # beta is untouched base and streams through as columnar IO
     n_terms = streaming.compact_deltas(spark, idx_dir)
-    assert n_terms >= 3  # alpha, beta, gamma
+    assert n_terms == 2  # alpha, gamma (the dirty set, not the vocab)
     comp = Index(spark, idx_dir)
     rows = {r["term"]: r for r in comp.postings.collect()}
     d, tf, dl = decode_postings(bytes(rows["alpha"]["blob"]))

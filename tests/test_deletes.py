@@ -376,3 +376,120 @@ def test_lifecycle_invalidates_sidecars(spark, tmp_path):
     build_term_trigrams(spark, path)
     terms = expand_wildcard_terms_trigram(idx, [("w", "*ebrafis*")])
     assert [t for _, t, _ in terms] == ["zebrafish"]
+
+
+def test_selective_purge_equivalence_and_bounds(spark, tmp_path):
+    """Round 4 (VERDICT r3 item 3): the selective purge must produce
+    the same index CONTENT as the full re-encode — identical query
+    results, identical decoded postings — while rewriting only the
+    dirty (bucket, term) groups; clean groups keep their blobs with a
+    WAND-sound block_max_w (≥ the true max weight under the new
+    avgdl). Includes the post-compact case (salts merged to 0 while tf
+    keeps build salts) where salt-level matching would silently miss
+    dirty groups."""
+    import shutil
+
+    import numpy as np
+
+    from engine.deletes import update_docs
+    from engine.postings import bm25_weight, decode_postings
+    from engine.streaming import compact_deltas
+
+    # corpus where one rare term ('unique7') lives only in live docs —
+    # its group must stay clean — and common terms hit the dead docs
+    rows = [("org/r", f"f{i}.py", "c" * 12, "py",
+             " ".join(["common"] * (3 + i % 4)
+                      + [f"mid{i % 6}"] * 2
+                      + (["unique7"] if i in (1, 5) else [])
+                      + ["tail" + str(i)]))
+            for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    path_a = str(tmp_path / "sel")
+    build_index(spark, df, path_a, n_buckets=3, n_doc_buckets=2)
+    # an update batch creates deltas; compaction merges dirty salts→0
+    update_docs(spark, path_a, spark.createDataFrame(
+        [("org/r", "f0.py", "d" * 12, "py", "common replaced body")],
+        "repo string, path string, commit string, lang string, "
+        "content string"))
+    compact_deltas(spark, path_a)
+    # path_b = identical copy for the full-rewrite reference
+    path_b = str(tmp_path / "full")
+    shutil.copytree(path_a, path_b)
+
+    idx = Index(spark, path_a)
+    dead = [r["doc_id"] for r in
+            idx.docs.where(F.col("content").contains("mid1"))
+            .select("doc_id").limit(3).collect()]
+    for p in (path_a, path_b):
+        delete_docs(spark, p, dead)
+    ma = purge_deleted(spark, path_a, selective=True)
+    mb = purge_deleted(spark, path_b, selective=False)
+    # +1: update_docs' replaced doc stays tombstoned through compaction
+    assert ma["purged"] == mb["purged"] == len(dead) + 1
+    assert ma["groups_rewritten"] is not None
+    ia, ib = Index(spark, path_a), Index(spark, path_b)
+    n_groups_total = ia.postings.count()
+    assert 0 < ma["groups_rewritten"] < n_groups_total  # some stay clean
+
+    # decoded postings identical group-by-group
+    def dump(ix):
+        out = {}
+        for r in ix.postings.collect():
+            d, t, dl = decode_postings(bytes(r["blob"]))
+            out.setdefault((r["term"], r["salt"]), []).append(
+                (list(d), list(t), list(dl), r["df_part"]))
+        return {k: sorted(v) for k, v in out.items()}
+
+    assert dump(ia) == dump(ib)
+    # query results identical (scores use live stats, not baked bounds)
+    q = [("q", "common", 1.0), ("q", "mid0", 2.0), ("q2", "unique7", 1.0)]
+    ra = [(r["qid"], r["doc_id"], round(r["score"], 9), r["rank"])
+          for r in score_wand(ia, q, 10).collect()]
+    rb = [(r["qid"], r["doc_id"], round(r["score"], 9), r["rank"])
+          for r in score_wand(ib, q, 10).collect()]
+    assert ra == rb and ra
+    # WAND soundness: every stored block_max_w on the selective index
+    # dominates the true max bm25 weight under the POST-purge avgdl
+    avgdl = ia.avgdl
+    k1, b = ia.stats["k1"], ia.stats["b"]
+    for r in ia.postings.collect():
+        d, t, dl = decode_postings(bytes(r["blob"]))
+        true_w = bm25_weight(np.asarray(t), np.asarray(dl), avgdl, k1, b)
+        stored = np.asarray(r["block_max_w"], dtype=float)
+        bsz = ia.stats.get("block_size", 128)
+        for bi in range(len(stored)):
+            blk = true_w[bi * bsz:(bi + 1) * bsz]
+            if blk.size:
+                assert stored[bi] >= blk.max() - 1e-12
+
+
+def test_selective_purge_rare_term_group_skips_decode(spark, tmp_path):
+    """The affected list must contain exactly the dead docs' terms —
+    a term absent from every dead doc is never rewritten."""
+    rows = [("org/r", f"g{i}.py", "c" * 12, "py",
+             "shared words here " + ("rareterm only alive" if i == 0
+                                     else f"filler{i}"))
+            for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    path = str(tmp_path / "skip")
+    build_index(spark, df, path, n_buckets=2, n_doc_buckets=2)
+    idx = Index(spark, path)
+    dead = [r["doc_id"] for r in
+            idx.docs.where(F.col("path") == "g3.py").collect()]
+    before = {(r["term"], r["salt"]): bytes(r["blob"])
+              for r in idx.postings.collect()}
+    delete_docs(spark, path, dead)
+    m = purge_deleted(spark, path, selective=True)
+    after = {(r["term"], r["salt"]): bytes(r["blob"])
+             for r in Index(spark, path).postings.collect()}
+    # rareterm (only in live g0) keeps its exact original blob bytes
+    assert after[("rareterm", 0)] == before[("rareterm", 0)]
+    # the dead doc's unique term is gone entirely
+    assert ("filler3", 0) not in after
+    # rewritten-group count == the dead doc's distinct term count
+    n_dead_terms = 4  # shared, words, here, filler3
+    assert m["groups_rewritten"] == n_dead_terms

@@ -118,6 +118,7 @@ def main() -> None:
     out["purge"] = {"sec": round(purge_sec, 1),
                     "purged": pm["purged"],
                     "purged_per_sec": round(pm["purged"] / purge_sec, 1),
+                    "groups_rewritten": pm.get("groups_rewritten"),
                     "n_docs_after": pm.get("n_docs")}
     idx3 = Index(spark, args.work_dir)
     timed_wand(idx3, "wand_post_purge")
