@@ -272,6 +272,98 @@ def dismax_topk(field_indexes: Mapping[str, Index],
             .orderBy("qid", "rank"))
 
 
+def dismax_topk_wand(field_indexes: Mapping[str, Index],
+                     queries: FieldedQuery, k: int,
+                     tie_breaker: float = 0.0,
+                     n_shards: int | None = None) -> DataFrame:
+    """DisMax on the generalized block-max kernel (VERDICT r3 item 6):
+    each (field, term) clause becomes one kernel list tagged with its
+    field id; the per-(qid, doc-shard) DisMax kernel combines
+    per-field totals as tie·Σ_f + (1−tie)·max_f — the exact rewrite of
+    Lucene's max + tie·Σ_others — with every block-max bound combined
+    the same way (monotone combiner ⇒ sound pruning; see
+    engine/search.py:_dismax_kernel). Rank-identical to
+    :func:`dismax_topk` (equivalence-tested); ships compressed block
+    runs through the shuffle instead of exploded (qid, doc) score
+    rows — the same shuffle-shape win as the boosted-sum kernel path.
+    Falls back to the exhaustive plan if any clause idf is negative
+    (stale-stats df > N breaks the kernel's wgt ≥ 0 contract).
+    """
+    import numpy as np
+
+    from .search import (_MATCH_COLS, _run_dismax, KIND_BM25,
+                         WAND_TARGET_POSTINGS_PER_TASK)
+
+    indexes = list(field_indexes.values())
+    assert indexes, "at least one field index required"
+    spark = indexes[0].spark
+    max_docs = max(ix.n_docs for ix in indexes)
+
+    per_q: dict[str, int] = {}
+    field_rows: dict[str, list[tuple]] = {}
+    fid_of = {f: j for j, f in enumerate(sorted(field_indexes))}
+    for fname, idx in field_indexes.items():
+        fq = [(q, t, w) for q, f, t, w in queries if f == fname]
+        if not fq:
+            continue
+        dfm = idx.df_map([t for _, t, _ in fq])
+        n, avgdl = float(idx.n_docs), idx.avgdl
+        k1, b = idx.stats["k1"], idx.stats["b"]
+        rows = []
+        for q, t, wq in fq:
+            if t not in dfm:
+                continue
+            idf = float(np.log1p((n - dfm[t] + 0.5) / (dfm[t] + 0.5)))
+            if float(wq) * idf < 0:
+                return dismax_topk(field_indexes, queries, k,
+                                   tie_breaker)
+            rows.append((q, t, float(wq) * idf, KIND_BM25,
+                         k1 * (1.0 - b), k1 * b / avgdl))
+            per_q[q] = per_q.get(q, 0) + dfm[t]
+        field_rows[fname] = rows
+    if not any(field_rows.values()):
+        return spark.createDataFrame(
+            [], "qid string, doc_id long, score double, rank int")
+    if n_shards is None:
+        s_q = {q: max(1, -(-v // WAND_TARGET_POSTINGS_PER_TASK))
+               for q, v in per_q.items()}
+    else:
+        s_q = {q: n_shards for q in per_q}
+    shard_rows_q = {q: max(1, -(-max_docs // s)) for q, s in s_q.items()}
+
+    dead_sets = [ix.dead_ids() for ix in indexes]
+    dead_all = [d for d in dead_sets if d is not None]
+    dead = (np.unique(np.concatenate(dead_all)) if dead_all else None)
+    dead_b = (spark.sparkContext.broadcast(dead)
+              if dead is not None else None)
+
+    parts = []
+    for fname, idx in field_indexes.items():
+        rows = field_rows.get(fname)
+        if not rows:
+            continue
+        qt = idx.spark.createDataFrame(
+            [(q, t, wgt, kind, p1, p2, s_q[q], shard_rows_q[q],
+              fid_of[fname])
+             for q, t, wgt, kind, p1, p2 in rows],
+            "qid string, term string, wgt double, kind int, p1 double, "
+            "p2 double, n_shards int, shard_rows long, gid int")
+        buckets = idx.term_buckets([t for _, t, *_ in rows])
+        parts.append(idx.postings
+                     .where(F.col("bucket").isin(buckets))
+                     .join(F.broadcast(qt), "term")
+                     .withColumn("role", F.lit(0))
+                     .withColumn("n_must", F.lit(0))
+                     .select(*_MATCH_COLS))
+    matched = reduce(lambda a, b: a.unionByName(b), parts)
+    out = _run_dismax(spark, matched, k, float(tie_breaker), dead_b)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", "score", "rank")
+            .orderBy("qid", "rank"))
+
+
 def combined_fields_topk(field_indexes: Mapping[str, Index],
                          queries: Sequence[tuple[str, Sequence[str]]],
                          field_weights: Mapping[str, float],

@@ -1057,6 +1057,235 @@ def _boolean_kernel(pdf: pd.DataFrame, k: int,
     })
 
 
+def _dismax_kernel(pdf: pd.DataFrame, k: int, tie: float,
+                   dead: np.ndarray | None = None) -> pd.DataFrame:
+    """DisjunctionMax top-k over ONE (query, doc-shard) group — the
+    block-max kernel generalized from sum-combination to the DisMax
+    combiner (VERDICT r3 item 6):
+
+        score(d) = tie·Σ_f S_f(d) + (1−tie)·max_f S_f(d)
+
+    where S_f = Σ clause contributions within field f (lists carry
+    their field id in the ``gid`` channel). The identity rewrites
+    Lucene's ``max + tie·Σ_others`` exactly. Every pruning bound of
+    the sum kernel carries over because the combiner is MONOTONE in
+    each per-field total (all list weights must be ≥ 0 — asserted;
+    the caller falls back to the exhaustive plan under stale-stats
+    negative idfs):
+
+    * a segment's upper bound combines the per-FIELD sums of block
+      maxima — componentwise max over docs dominates every single
+      doc's vector, and combine() is monotone, so
+      combine(seg_max_f + rem_f) ≥ the true total of any doc there;
+    * the MaxScore split marks the longest ub-ascending prefix whose
+      COMBINED per-field bound stays < θ as non-essential;
+    * decoded per-field partials are lower bounds of the per-field
+      totals (missing contributions ≥ 0), so combine(partials) is a
+      sound θ-tightener;
+    * the strongest-list seed is exact: a doc seen only in one list
+      has combine = tie·c + (1−tie)·c = c.
+
+    Rank-identical to :func:`engine.fields.dismax_topk` by
+    construction (equivalence-tested at tie ∈ {0, 0.3, 1}).
+    """
+    from .postings import decode_run
+
+    qid = pdf["qid"].iloc[0]
+    shard = int(pdf["shard"].iloc[0])
+    n_shards = int(pdf["n_shards"].iloc[0])
+    shard_rows = int(pdf["shard_rows"].iloc[0])
+    lo = shard * shard_rows
+    hi = (shard + 1) * shard_rows if shard < n_shards - 1 else np.iinfo(
+        np.int64).max
+
+    nrows = len(pdf)
+    wgts = pdf["wgt"].to_numpy(dtype=np.float64)
+    assert (wgts >= 0).all(), "dismax kernel requires non-negative wgts"
+    kinds = pdf["kind"].to_numpy(dtype=np.int64)
+    p1s = pdf["p1"].to_numpy(dtype=np.float64)
+    p2s = pdf["p2"].to_numpy(dtype=np.float64)
+    fids = pdf["gid"].to_numpy(dtype=np.int64)     # field id channel
+    ufids = np.unique(fids)
+    nf = ufids.size
+    fj = np.searchsorted(ufids, fids)              # dense field col
+    ubs_raw = [np.asarray(pdf["block_ub"].iloc[i], dtype=np.float64)
+               for i in range(nrows)]
+    ubs = [wgts[i] * ubs_raw[i] for i in range(nrows)]
+    bls = [np.asarray(pdf["block_last"].iloc[i], dtype=np.int64)
+           for i in range(nrows)]
+    offs = [np.asarray(pdf["block_off"].iloc[i], dtype=np.int64)
+            for i in range(nrows)]
+    cnts = [np.asarray(pdf["counts"].iloc[i], dtype=np.int64)
+            for i in range(nrows)]
+    tie = float(tie)
+
+    def combine(pf: np.ndarray) -> np.ndarray:
+        # pf: (n, nf) per-field totals/bounds → combined score/bound
+        return tie * pf.sum(axis=1) + (1.0 - tie) * pf.max(axis=1)
+
+    def decode_row_blocks(i: int, block_ids: np.ndarray):
+        payload = np.frombuffer(bytes(pdf["payload"].iloc[i]),
+                                dtype=np.uint8)
+        codec = int(pdf["codec"].iloc[i])
+        base0 = int(pdf["base"].iloc[i])
+        bl, off, counts = bls[i], offs[i], cnts[i]
+        dparts, cparts = [], []
+        for r_lo, r_hi in _runs(block_ids):
+            base = int(bl[r_lo - 1]) if r_lo > 0 else base0
+            d, tf, dl = decode_run(payload[off[r_lo]:off[r_hi]],
+                                   counts[r_lo:r_hi], codec, base)
+            keep = (d >= lo) & (d < hi)
+            if dead is not None:
+                keep &= ~_in_sorted(d, dead)
+            if not keep.all():
+                d, tf, dl = d[keep], tf[keep], dl[keep]
+            if d.size:
+                dparts.append(d)
+                cparts.append(wgts[i] * _contrib_np(int(kinds[i]), tf, dl,
+                                                    p1s[i], p2s[i]))
+        if not dparts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return np.concatenate(dparts), np.concatenate(cparts)
+
+    acc_docs = np.empty(0, np.int64)
+    acc_pf = np.empty((0, nf))
+
+    def merge(d: np.ndarray, c: np.ndarray, col: int) -> None:
+        nonlocal acc_docs, acc_pf
+        if d.size == 0:
+            return
+        uniq, inv = np.unique(np.concatenate([acc_docs, d]),
+                              return_inverse=True)
+        pf = np.zeros((uniq.size, nf))
+        pf[inv[:acc_docs.size]] = acc_pf    # old docs are unique rows
+        np.add.at(pf[:, col], inv[acc_docs.size:], c)
+        acc_docs, acc_pf = uniq, pf
+
+    # 1. θ seed from the strongest list (exact single-list lower bound)
+    theta = -np.inf
+    list_ub = np.array([u.max() if u.size else -np.inf for u in ubs])
+    seed_i = int(np.argmax(list_ub))
+    d0, c0 = decode_row_blocks(seed_i, np.arange(bls[seed_i].size))
+    merge(d0, c0, int(fj[seed_i]))
+    if c0.size >= k:
+        theta = float(np.partition(c0, c0.size - k)[c0.size - k])
+
+    # 2. MaxScore split under the COMBINED prefix bound
+    order = np.argsort(list_ub, kind="stable")
+    pref_f = np.zeros(nf)
+    ness_mask = np.zeros(nrows, dtype=bool)
+    for i in order:
+        pref_f[fj[i]] += max(list_ub[i], 0.0)
+        if combine(pref_f[None, :])[0] < theta:
+            ness_mask[i] = True
+        else:
+            break
+    ness_mask[seed_i] = False
+    essential = [i for i in range(nrows) if not ness_mask[i]]
+    non_essential = [i for i in range(nrows) if ness_mask[i]]
+
+    # 3. segment-level pruning (per-field remaining bounds)
+    boundaries = np.unique(np.concatenate(bls))
+    nseg = boundaries.size
+    seg_map = []
+    for i in range(nrows):
+        idx = np.searchsorted(bls[i], boundaries, side="left")
+        valid = idx < bls[i].size
+        seg_map.append((idx, valid))
+
+    def seg_ub_of(i: int) -> np.ndarray:
+        idx, valid = seg_map[i]
+        out = np.zeros(nseg)
+        out[valid] = ubs[i][idx[valid]]
+        return out
+
+    alive = np.ones(nseg, dtype=bool)
+    undecoded = [i for i in range(nrows) if i != seed_i]
+    rem_f = np.zeros((nseg, nf))
+    for j in undecoded:
+        rem_f[:, fj[j]] += seg_ub_of(j)
+
+    def tighten(theta: float) -> float:
+        if acc_docs.size >= k:
+            comb = combine(acc_pf)
+            kth = np.partition(comb, comb.size - k)[comb.size - k]
+            theta = max(theta, float(kth))
+        return theta
+
+    theta = tighten(theta)
+    for i in sorted(essential, key=lambda i: -list_ub[i]):
+        if i == seed_i:
+            continue
+        seg_pf = np.zeros((nseg, nf))
+        if acc_docs.size:
+            dseg = np.searchsorted(boundaries, acc_docs, side="left")
+            for col in range(nf):
+                np.maximum.at(seg_pf[:, col], dseg, acc_pf[:, col])
+        alive &= combine(seg_pf + rem_f) >= theta
+        idx, valid = seg_map[i]
+        need = np.unique(idx[alive & valid])
+        d, c = decode_row_blocks(i, need)
+        merge(d, c, int(fj[i]))
+        rem_f[:, fj[i]] -= seg_ub_of(i)
+        undecoded.remove(i)
+        theta = tighten(theta)
+
+    if acc_docs.size == 0:
+        return pd.DataFrame({"qid": pd.Series([], dtype=str),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+
+    # candidates: drop dead-segment docs (their partials may be
+    # incomplete), then the block-level potential test
+    seg_ok = alive[np.searchsorted(boundaries, acc_docs, side="left")]
+    pot_f = acc_pf.copy()
+    for i in non_essential:
+        idx = np.searchsorted(bls[i], acc_docs, side="left")
+        valid = idx < bls[i].size
+        pot_f[valid, fj[i]] += ubs[i][idx[valid]]
+    keep = seg_ok & (combine(pot_f) >= theta)
+    cand_docs = acc_docs[keep]
+    cand_pf = acc_pf[keep]
+
+    # 4. decode only non-essential blocks containing a candidate
+    for i in non_essential:
+        if cand_docs.size == 0:
+            break
+        idx = np.searchsorted(bls[i], cand_docs, side="left")
+        need = np.unique(idx[idx < bls[i].size])
+        d, c = decode_row_blocks(i, need)
+        if d.size:
+            pos = np.searchsorted(cand_docs, d)
+            ok = pos < cand_docs.size
+            ok[ok] &= cand_docs[pos[ok]] == d[ok]
+            np.add.at(cand_pf[:, fj[i]], pos[ok], c[ok])
+
+    if cand_docs.size == 0:
+        return pd.DataFrame({"qid": pd.Series([], dtype=str),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    sc = combine(cand_pf)
+    sel = np.lexsort((cand_docs, -sc))[:k]
+    return pd.DataFrame({
+        "qid": qid, "doc_id": cand_docs[sel].astype(np.int64),
+        "score": sc[sel],
+    })
+
+
+def _run_dismax(spark, matched: DataFrame, k: int, tie: float,
+                dead_b) -> DataFrame:
+    """Slice → per-(qid, shard) DisMax kernel (field ids ride the
+    ``gid`` channel)."""
+    sliced = matched.mapInPandas(_make_slice_fn(), schema=_SLICE_SCHEMA)
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        dead = dead_b.value if dead_b is not None else None
+        return _dismax_kernel(pdf, k, tie, dead=dead)
+
+    return sliced.groupBy("qid", "shard").applyInPandas(
+        run_group, schema=_WAND_SCHEMA)
+
+
 _WAND_SCHEMA = T.StructType([
     T.StructField("qid", T.StringType()),
     T.StructField("doc_id", T.LongType()),

@@ -413,3 +413,52 @@ def test_extra_metrics_hand_computed(spark):
     # qB: R=1 → top-1 is unjudged → 0; N=0 → D=1, full credit
     assert out["qB"] == (pytest.approx(0.0), pytest.approx(1.0))
     assert out["qC"] == (pytest.approx(0.0), pytest.approx(0.0))
+
+
+def test_dismax_kernel_rank_identity(spark, field_indexes):
+    """Round 4 (VERDICT r3 item 6): the DisMax kernel path must be
+    ROW-identical (score incl.) to the exhaustive dismax_topk across
+    tie_breaker values and shard counts, incl. single-field matches
+    and absent terms."""
+    from engine.fields import dismax_topk, dismax_topk_wand
+
+    it, ib, _ = field_indexes
+    idxs = {"title": it, "body": ib}
+    q = [("q1", "title", "apple", 1.0), ("q1", "body", "apple", 1.0),
+         ("q1", "body", "banana", 0.5),
+         ("q2", "title", "cherry", 1.0), ("q2", "body", "cherry", 1.0),
+         ("q3", "title", "zznope", 1.0), ("q3", "body", "apple", 2.0)]
+    for tie in (0.0, 0.3, 1.0):
+        ex = [(r["qid"], r["doc_id"], round(r["score"], 12), r["rank"])
+              for r in dismax_topk(idxs, q, 10, tie).collect()]
+        for ns in (None, 1, 3):
+            kn = [(r["qid"], r["doc_id"], round(r["score"], 12),
+                   r["rank"])
+                  for r in dismax_topk_wand(idxs, q, 10, tie,
+                                            n_shards=ns).collect()]
+            assert kn == ex, (tie, ns, kn, ex)
+    assert ex  # matches exist
+
+
+def test_dismax_kernel_respects_deletes(spark, field_indexes,
+                                        tmp_path):
+    """liveDocs union across field indexes masks inside the kernel."""
+    import shutil
+
+    from engine.deletes import delete_docs
+    from engine.fields import dismax_topk, dismax_topk_wand
+
+    it, ib, id2 = field_indexes
+    # copies so the module-scoped fixture stays clean
+    pt, pb = str(tmp_path / "t"), str(tmp_path / "b")
+    shutil.copytree(it.index_dir, pt)
+    shutil.copytree(ib.index_dir, pb)
+    delete_docs(spark, pt, [id2["org/r0/f0.py"]])
+    idxs = {"title": Index(spark, pt), "body": Index(spark, pb)}
+    q = [("q", "title", "apple", 1.0), ("q", "body", "apple", 1.0)]
+    ex = [(r["qid"], r["doc_id"], round(r["score"], 12), r["rank"])
+          for r in dismax_topk(idxs, q, 10, 0.3).collect()]
+    kn = [(r["qid"], r["doc_id"], round(r["score"], 12), r["rank"])
+          for r in dismax_topk_wand(idxs, q, 10, 0.3).collect()]
+    assert kn == ex
+    assert all(d != id2["org/r0/f0.py"] for _, d, _, _ in kn) and kn
