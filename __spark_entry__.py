@@ -722,6 +722,35 @@ def _cached_field_indexes(spark: SparkSession, sf_dir: str):
     return out
 
 
+def _cached_combined_index(spark: SparkSession, sf_dir: str):
+    """Index-time combined_fields pseudo-field over the title/body
+    split (title×2 + body×1, the entry's weights): serves
+    combined_fields queries on the standard WAND kernel
+    (engine/fields.py:build_combined_field_index)."""
+    from engine.fields import build_combined_field_index
+    from engine.search import Index
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/sfts_{INDEX_VERSION}_fcomb_{tag}"
+    docs = _docs(spark, sf_dir)
+    ws = F.split(F.col("text"), "\\s+")
+    fields = {
+        "title": F.concat_ws(" ", F.slice(ws, 1, 5)),
+        "body": F.concat_ws(" ", F.slice(
+            ws, 6, F.greatest(F.size(ws) - 5, F.lit(0)))),
+    }
+    corpora = {
+        fname: _documents_as_corpus(
+            docs.select("doc_id", "lang", expr.alias("text")))
+        for fname, expr in fields.items()}
+    from engine.index_build import _exists
+    if not _exists(spark, f"{idx_dir}/stats"):
+        build_combined_field_index(spark, corpora,
+                                   {"title": 2.0, "body": 1.0}, idx_dir,
+                                   n_buckets=8, n_doc_buckets=1)
+    return Index(spark, idx_dir)
+
+
 def _cached_shard_indexes(spark: SparkSession, sf_dir: str):
     """Two shard indexes over the documents table split at n/2 —
     the federation (MultiReader) driver surface. The split follows the
@@ -2012,11 +2041,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, docs.where(F.col("source") == "src7"), k=50)
 
     def dismax_topk(spark, sf_dir):
-        """Lucene DisjunctionMaxQuery / ES multi_match best_fields
-        (engine/fields.py:dismax_topk): per-field BM25 over the
-        title/body field indexes (REAL per-field stats), doc score =
-        max field score + 0.3 · (Σ other matching fields)."""
-        from engine.fields import dismax_topk as _dm
+        """Lucene DisjunctionMaxQuery / ES multi_match best_fields on
+        the generalized block-max KERNEL (engine/fields.py:
+        dismax_topk_wand; r4): per-field BM25 over the title/body
+        field indexes (REAL per-field stats), doc score = max field
+        score + 0.3 · (Σ other matching fields), combined in-kernel as
+        tie·Σ + (1−tie)·max with monotone-sound block bounds.
+        Rank-identical to the exhaustive dismax_topk
+        (tests/test_round3_ext.py)."""
+        from engine.fields import dismax_topk_wand as _dm
 
         idxs = _cached_field_indexes(spark, sf_dir)
         fq = [(q, f, t, 1.0) for q, terms in BM25_QUERIES for t in terms
@@ -2028,13 +2061,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """ES combined_fields — the principled BM25F simplification
         (Robertson, Zaragoza & Taylor, CIKM 2004): tf/dl merge across
         fields BEFORE saturation (title×2 + body×1), df = any-field
-        doc count, one avgdl over the weighted pseudo-field."""
-        from engine.fields import combined_fields_topk as _cf
+        doc count, one avgdl over the weighted pseudo-field. Served
+        from the INDEX-TIME pseudo-field (text repeated w_f times) on
+        the standard block-max kernel (r4; engine/fields.py:
+        build_combined_field_index) — score-identical to the
+        query-time merge for integer weights (equivalence-tested)."""
+        from engine.fields import combined_fields_topk_wand as _cf
 
-        idxs = _cached_field_indexes(spark, sf_dir)
-        return _rounded_rerank(
-            _cf(idxs, BM25_QUERIES, {"title": 2.0, "body": 1.0},
-                TOPK + 50), TOPK)
+        pseudo = _cached_combined_index(spark, sf_dir)
+        return _rounded_rerank(_cf(pseudo, BM25_QUERIES, TOPK + 50),
+                               TOPK)
 
     def completion_topk(spark, sf_dir):
         """Completion suggester (ES completion / Lucene suggest

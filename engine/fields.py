@@ -272,6 +272,71 @@ def dismax_topk(field_indexes: Mapping[str, Index],
             .orderBy("qid", "rank"))
 
 
+def build_combined_field_index(spark, field_corpora: Mapping[str, DataFrame],
+                               field_weights: Mapping[str, float],
+                               out_dir: str, **build_kw) -> None:
+    """Materialize the combined_fields pseudo-field as a REAL index
+    (VERDICT r3 item 6's kernel path for BM25F-simplified scoring):
+    with INTEGER field weights, repeating each field's text w_f times
+    in one space-joined pseudo-document gives exactly the
+    combined_fields statistics —
+
+        tf'(t,d) = Σ_f w_f·tf_f(t,d)     (text repeated w_f times)
+        dl'(d)   = Σ_f w_f·dl_f(d)
+        avgdl'   = total'/N,  df'(t) = |{d: t in any field}|
+
+    — so the standard block-max WAND kernel serves combined_fields
+    queries with NO query-time cross-field merging (this is the
+    classical index-time BM25F construction; ES's combined_fields
+    computes the same quantities at query time). Non-integer weights
+    cannot be expressed by repetition — use the query-time
+    :func:`combined_fields_topk` for those. Rank-identity vs the
+    query-time path is equivalence-tested.
+
+    ``field_corpora``: field name → corpus DataFrame with (repo, path,
+    commit, lang, content); rows must cover the same (repo, path) set
+    in every field (doc alignment comes from the deterministic doc_id
+    assignment, as everywhere in the fielded layer).
+    """
+    from .index_build import build_index
+
+    names = sorted(field_corpora)
+    for f in names:
+        w = field_weights.get(f, 1.0)
+        assert float(w).is_integer() and w >= 1, \
+            f"index-time combined_fields needs integer weights ≥ 1 " \
+            f"(got {f}={w}); use combined_fields_topk for fractional"
+    base = None
+    for f in names:
+        w = int(field_weights.get(f, 1.0))
+        c = (field_corpora[f]
+             .select("repo", "path", "commit", "lang",
+                     F.concat_ws(
+                         " ", *([F.col("content")] * w)).alias(f"c_{f}")))
+        base = c if base is None else base.join(
+            c.select("repo", "path", f"c_{f}"), ["repo", "path"])
+    pseudo = base.select(
+        "repo", "path", "commit", "lang",
+        F.concat_ws(" ", *[F.col(f"c_{f}") for f in names])
+        .alias("content"))
+    build_index(spark, pseudo, out_dir, **build_kw)
+
+
+def combined_fields_topk_wand(pseudo_index: Index,
+                              queries: Sequence[tuple[str, Sequence[str]]],
+                              k: int) -> DataFrame:
+    """combined_fields served by the standard block-max kernel over a
+    :func:`build_combined_field_index` pseudo-field index — the
+    index-time BM25F plan: one bucket-pruned scan, compressed block
+    runs through the shuffle, full MaxScore/BMW pruning. Rank- and
+    score-identical to the query-time :func:`combined_fields_topk`
+    for integer weights (equivalence-tested)."""
+    from .search import score_wand
+
+    qt = [(q, t, 1.0) for q, ts in queries for t in ts]
+    return score_wand(pseudo_index, qt, k)
+
+
 def dismax_topk_wand(field_indexes: Mapping[str, Index],
                      queries: FieldedQuery, k: int,
                      tie_breaker: float = 0.0,

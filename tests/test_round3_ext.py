@@ -462,3 +462,61 @@ def test_dismax_kernel_respects_deletes(spark, field_indexes,
           for r in dismax_topk_wand(idxs, q, 10, 0.3).collect()]
     assert kn == ex
     assert all(d != id2["org/r0/f0.py"] for _, d, _, _ in kn) and kn
+
+
+def test_combined_fields_index_time_equivalence(spark, field_indexes,
+                                                tmp_path):
+    """Round 4: the index-time pseudo-field (text repeated w_f times,
+    space-joined) must reproduce the query-time combined_fields scores
+    EXACTLY for integer weights, served by the standard WAND kernel."""
+    from engine.fields import (build_combined_field_index,
+                               combined_fields_topk,
+                               combined_fields_topk_wand)
+
+    it, ib, _ = field_indexes
+    titles = {r["docno"]: r["content"] for r in it.docs.collect()}
+    bodies = {r["docno"]: r["content"] for r in ib.docs.collect()}
+
+    def corpus(m):
+        return spark.createDataFrame(
+            [(d.rsplit("/", 1)[0], d.rsplit("/", 1)[1], "c" * 12,
+              "python", t) for d, t in m.items()],
+            "repo string, path string, commit string, lang string, "
+            "content string")
+
+    out_dir = str(tmp_path / "cfidx")
+    build_combined_field_index(
+        spark, {"title": corpus(titles), "body": corpus(bodies)},
+        {"title": 2.0, "body": 1.0}, out_dir,
+        n_buckets=2, n_doc_buckets=4)
+    pseudo = Index(spark, out_dir)
+
+    queries = [("q1", ["apple"]), ("q2", ["banana", "cherry"]),
+               ("q3", ["zznope"])]
+    qt_scores = {}
+    for r in combined_fields_topk({"title": it, "body": ib}, queries,
+                                  {"title": 2.0, "body": 1.0},
+                                  10).collect():
+        qt_scores[(r["qid"], _docno(pseudo, r["doc_id"]))] = \
+            (round(r["score"], 12), r["rank"])
+    kn_scores = {}
+    for r in combined_fields_topk_wand(pseudo, queries, 10).collect():
+        kn_scores[(r["qid"], _docno(pseudo, r["doc_id"]))] = \
+            (round(r["score"], 12), r["rank"])
+    assert qt_scores == kn_scores and qt_scores
+    # fractional weights must refuse the index-time construction
+    with pytest.raises(AssertionError, match="integer weights"):
+        build_combined_field_index(
+            spark, {"title": corpus(titles)}, {"title": 1.5},
+            str(tmp_path / "bad"))
+
+
+_DOCNO_CACHE: dict = {}
+
+
+def _docno(ix, doc_id):
+    key = ix.index_dir
+    if key not in _DOCNO_CACHE:
+        _DOCNO_CACHE[key] = {r["doc_id"]: r["docno"]
+                             for r in ix.docs.collect()}
+    return _DOCNO_CACHE[key][doc_id]
