@@ -43,13 +43,15 @@ _MINE_SCHEMA = T.ArrayType(T.StructType([
 ]))
 
 
-def mine_terms_udf(stem: bool = False):
+def mine_terms_udf(stem: bool = False, stemmer: str = "porter",
+                   ascii_fold: bool = False):
     """Pandas UDF: content -> array<struct<term, entity>> per doc
     (reference analyze(), Searcher.java:88-108)."""
 
     @F.pandas_udf(_MINE_SCHEMA)
     def _mine(texts: pd.Series) -> pd.Series:
-        toks = _tokenize_series(texts, stem=stem, keep_stopwords=False)
+        toks = _tokenize_series(texts, stem=stem, keep_stopwords=False,
+                                ascii_fold=ascii_fold, stemmer=stemmer)
         out = []
         for raw, ts in zip(texts.fillna(""), toks):
             caps = set()
@@ -73,12 +75,18 @@ def mine_expansion_terms(index: Index, pilot: DataFrame,
     """(qid, term, weight) expansion rows from pilot hits.
 
     pilot: (qid, doc_id, score); orig: (qid, term) to exclude.
+    Mining analyzes doc content, so it uses the INDEX's stemmer/fold
+    settings (stale-analyzer rule) — ``stem`` stays caller-controlled
+    for parity with the reference's flag.
     """
+    an = index.analyzer_opts()
     n = index.n_docs
     docs = index.docs.select("doc_id", "content")
     pilot_docs = pilot.join(docs, "doc_id")
     mined = (pilot_docs
-             .withColumn("tm", F.explode(mine_terms_udf(stem)("content")))
+             .withColumn("tm", F.explode(
+                 mine_terms_udf(stem, stemmer=an["stemmer"],
+                                ascii_fold=an["ascii_fold"])("content")))
              .select("qid", "score",
                      F.col("tm.term").alias("term"),
                      F.col("tm.entity").alias("entity")))
@@ -112,11 +120,16 @@ def expanded_query_terms(index: Index, topics: list[Topic],
     weights plus BOOST_EXPANSION per selected expansion term (a term in
     both gets the sum, matching the reference's SHOULD-clause scoring).
     """
-    anchor = topics_to_query_terms(topics, stem=stem, boosts=boosts)
+    an = index.analyzer_opts()
+    anchor = topics_to_query_terms(topics, stem=stem, boosts=boosts,
+                                   stemmer=an["stemmer"],
+                                   ascii_fold=an["ascii_fold"])
     pilot = score_exhaustive(index, anchor, pilot_k, k1=k1, b=b) \
         .select("qid", "doc_id", "score")
     orig_rows = [(t.number, term) for t in topics
-                 for term in original_terms(t, stem=stem)]
+                 for term in original_terms(t, stem=stem,
+                                            stemmer=an["stemmer"],
+                                            ascii_fold=an["ascii_fold"])]
     orig = index.spark.createDataFrame(orig_rows or [("", "")],
                                        "qid string, term string")
     exp = mine_expansion_terms(index, pilot, orig, top_terms, stem=stem,
@@ -129,8 +142,9 @@ def expanded_query_terms(index: Index, topics: list[Topic],
     return [(q, t, w) for (q, t), w in sorted(combined.items())]
 
 
-def drop_malformed_topics(topics: list[Topic], stem: bool = False
-                          ) -> list[Topic]:
+def drop_malformed_topics(topics: list[Topic], stem: bool = False, *,
+                          stemmer: str = "porter",
+                          ascii_fold: bool = False) -> list[Topic]:
     """Q12 per-topic error isolation (reference Searcher.java:82: each
     topic's query build runs in a try/catch; a failure logs and the
     loop continues). Our plan is batched, so the per-topic failure mode
@@ -144,7 +158,8 @@ def drop_malformed_topics(topics: list[Topic], stem: bool = False
     good = []
     for t in topics:
         try:
-            if not anchor_weights(t, stem=stem):
+            if not anchor_weights(t, stem=stem, stemmer=stemmer,
+                                  ascii_fold=ascii_fold):
                 raise ValueError("topic yields no query terms")
             good.append(t)
         except Exception as e:  # noqa: BLE001 — isolation is the point
@@ -162,13 +177,21 @@ def search_topics(index: Index, topics: list[Topic], num_docs: int = 1000,
     """End-to-end reference search lifecycle (Searcher.java:22-86):
     anchor (+ optional RM3 expansion) → BM25 top-numDocs with docno.
     Malformed topics are dropped per-topic (Q12), not batch-fatal.
+    Query analysis uses the INDEX's stemmer/ascii_fold settings
+    (Index.analyzer_opts() — the stale-analyzer rule); ``stem`` stays
+    the caller's parity flag as in the reference CLI.
     Returns (qid, doc_id, docno, score, rank)."""
-    topics = drop_malformed_topics(topics, stem=stem)
+    an = index.analyzer_opts()
+    topics = drop_malformed_topics(topics, stem=stem,
+                                   stemmer=an["stemmer"],
+                                   ascii_fold=an["ascii_fold"])
     if expand:
         qt = expanded_query_terms(index, topics, pilot_k, top_terms,
                                   stem=stem, boosts=boosts,
                                   entity_boost=entity_boost,
                                   expansion_boost=expansion_boost)
     else:
-        qt = topics_to_query_terms(topics, stem=stem, boosts=boosts)
+        qt = topics_to_query_terms(topics, stem=stem, boosts=boosts,
+                                   stemmer=an["stemmer"],
+                                   ascii_fold=an["ascii_fold"])
     return score_exhaustive(index, qt, num_docs, include_docno=True)

@@ -72,13 +72,15 @@ def filter_narrative(narr: str) -> str:
 
 
 def anchor_weights(topic: Topic, stem: bool = False,
-                   boosts: tuple[float, float, float] | None = None
+                   boosts: tuple[float, float, float] | None = None,
+                   *, stemmer: str = "porter", ascii_fold: bool = False
                    ) -> dict[str, float]:
     """Flatten the reference's anchor BooleanQuery into term weights:
     weight(t) = 3.0·count_title(t) + 1.3·count_desc(t)
               + 0.5·count_filtered_narr(t)   (Searcher.java:37-43).
     ``boosts`` overrides (title, desc, narr) — the sweep harness's
-    knob (reference sweep_greedy.sh:53-55)."""
+    knob (reference sweep_greedy.sh:53-55). ``stemmer``/``ascii_fold``
+    must match the target index's analyzer (Index.analyzer_opts())."""
     bt, bd, bn = boosts if boosts is not None else (
         BOOST_TITLE, BOOST_DESC, BOOST_NARR)
     weights: dict[str, float] = {}
@@ -92,25 +94,33 @@ def anchor_weights(topic: Topic, stem: bool = False,
         if n:
             fields.append((n, bn))
     for text, boost in fields:
-        for tok in tokenize_texts([text], stem=stem)[0]:
+        for tok in tokenize_texts([text], stem=stem, stemmer=stemmer,
+                                  ascii_fold=ascii_fold)[0]:
             weights[tok] = weights.get(tok, 0.0) + boost
     return weights
 
 
-def original_terms(topic: Topic, stem: bool = False) -> set[str]:
+def original_terms(topic: Topic, stem: bool = False, *,
+                   stemmer: str = "porter",
+                   ascii_fold: bool = False) -> set[str]:
     """Analyzed title+description terms — excluded from expansion
     (Searcher.java:110-118; narrative NOT included)."""
     text = f"{topic.title or ''} {topic.description or ''}"
-    return set(tokenize_texts([text], stem=stem)[0])
+    return set(tokenize_texts([text], stem=stem, stemmer=stemmer,
+                              ascii_fold=ascii_fold)[0])
 
 
 def topics_to_query_terms(topics: list[Topic], stem: bool = False,
-                          boosts: tuple[float, float, float] | None = None
+                          boosts: tuple[float, float, float] | None = None,
+                          *, stemmer: str = "porter",
+                          ascii_fold: bool = False
                           ) -> list[tuple[str, str, float]]:
     """Batch anchor queries → (qid, term, weight) rows for the engine."""
     rows = []
     for t in topics:
-        for term, w in sorted(anchor_weights(t, stem, boosts).items()):
+        for term, w in sorted(anchor_weights(t, stem, boosts,
+                                             stemmer=stemmer,
+                                             ascii_fold=ascii_fold).items()):
             rows.append((t.number, term, w))
     return rows
 
