@@ -39,6 +39,13 @@ def main() -> None:
     ap.add_argument("--index-dir", default="/tmp/trec_idx_kstem")
     ap.add_argument("--num-docs", type=int, default=1000)
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--mismatch", action="store_true",
+                    help="also run PORTER-analyzed queries against the "
+                         "KStem index — the stale-analyzer experiment "
+                         "that attributes the published 0.22 collapse "
+                         "(the reference hard-codes EnglishAnalyzer in "
+                         "Searcher.java:19 and Indexer.java:23-24 "
+                         "discards its analyzer argument)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -99,6 +106,22 @@ def main() -> None:
         "published": PUBLISHED,
     }
     print("RESULT " + json.dumps(out), flush=True)
+
+    if args.mismatch:
+        from engine.expand import drop_malformed_topics
+        from engine.search import score_exhaustive
+        from engine.topics import topics_to_query_terms
+        tps = drop_malformed_topics(topics, stem=True, stemmer="porter",
+                                    ascii_fold=False)
+        qt = topics_to_query_terms(tps, stem=True, stemmer="porter",
+                                   ascii_fold=False)
+        mm = (score_exhaustive(idx, qt, args.num_docs, include_docno=True)
+              .join(idx.docs.select("doc_id", "path"), "doc_id")
+              .select("qid", F.col("path").alias("docno"), "rank"))
+        m2 = macro_metrics(spark.createDataFrame(mm.collect()), qrels, k=20)
+        print("RESULT_MISMATCH "
+              + json.dumps({k: round(v, 4) for k, v in m2.items()}),
+              flush=True)
     spark.stop()
 
 
