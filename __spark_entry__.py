@@ -216,6 +216,10 @@ PERCOLATE_QUERIES: list[tuple[str, list[str], list[str]]] = [
     ("al4", ["absentterm"], []),
 ]
 
+# BPE trainer entry: merge rounds (min_count=1 so the fixed-round
+# unrolled oracle and the engine always run the same number of rounds)
+BPE_N_MERGES = 30
+
 INDEX_VERSION = "v4"  # v4: doc_id pinned int64 in docs/tf parquet
                       # (v3: block-framed blobs + block_off)
 
@@ -2294,6 +2298,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qt = [(q, t, 1.0) for q, ts in BM25_QUERIES for t in ts]
         return rescore_topk(idx, qt, qt, TOPK, window=30)
 
+    def bpe_merges(spark, sf_dir):
+        """BPE subword trainer (Sennrich 2016 learn_bpe semantics,
+        engine/pipeline/bpe.py): the rank-ordered merge table with
+        deterministic tie-breaks (count desc, pair lexicographic asc).
+        min_count=1 so the fixed-round oracle unrolls exactly
+        BPE_N_MERGES rounds."""
+        from engine.pipeline import bpe
+
+        return bpe.bpe_train(_docs(spark, sf_dir), BPE_N_MERGES,
+                             min_count=1, mode="driver").orderBy("rank")
+
+    def bpe_encoded(spark, sf_dir):
+        """Corpus token frequencies after encoding with the learned
+        merges (sequential rank-order application — exactly the
+        training evolution, which is what the oracle replays)."""
+        from engine.pipeline import bpe
+
+        docs = _docs(spark, sf_dir)
+        merges = bpe.bpe_train(docs, BPE_N_MERGES, min_count=1,
+                               mode="driver")
+        enc = bpe.bpe_encode(docs, merges)
+        return (enc.select(F.explode("tokens").alias("token"))
+                .groupBy("token")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .orderBy("token"))
+
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks
     # only the FIRST 50 entries. Round 3 rotates the operators that
     # were outside round 2's window (everything from url_domains
@@ -2362,12 +2392,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": dsir_weights,
         "minhash_near_dups": minhash_near_dups,
         "ann_ivfpq_topk": ann_ivfpq_topk,
-        "parsed_query_topk": parsed_query_topk,
-        "interval_hits": interval_hits,
+        "bpe_merges": bpe_merges,
+        "bpe_encoded": bpe_encoded,
         # ---- driver window boundary (entry 50) ----
         # tail: every entry below is driver-green in some
         # CORRECTNESS_r*.json and unchanged, or certified by an
         # in-window sibling (tools/check_rotation.py enforces this)
+        "parsed_query_topk": parsed_query_topk,
+        "interval_hits": interval_hits,
         "cluster_sample": cluster_sample,
         "top_hits_by_lang": top_hits_by_lang,
         "wand_lmd_topk": wand_lmd_topk,
@@ -5184,4 +5216,13 @@ SELECT qid, suggestion, distance, df, rank FROM (
   FROM cand) t
 WHERE rank <= 5
 """
+
+    # --- BPE subword trainer + encoder (engine/pipeline/bpe.py) -------------
+    # fully unrolled oracle: one CTE block per merge round, the greedy
+    # leftmost merge as a list_reduce string fold identical to the
+    # engine's Catalyst fold
+    from engine.pipeline import bpe as bpe_mod
+
+    sql["bpe_merges"] = bpe_mod.duckdb_bpe_merges_sql(BPE_N_MERGES)
+    sql["bpe_encoded"] = bpe_mod.duckdb_bpe_token_counts_sql(BPE_N_MERGES)
     return sql

@@ -300,6 +300,17 @@ def main() -> None:
     plans["CCNet bigram-LM cross-entropy filter"] = qs[
         "lm_perplexity"](spark, sf_dir)
 
+    # round-4: BPE subword trainer + encoder. The trainer's plan of
+    # record is the single O(corpus) word-frequency agg (everything
+    # after runs on the vocabulary-bounded table); the encoded-counts
+    # entry shows the zero-shuffle pandas-UDF encode + one count agg.
+    from engine.pipeline import bpe as bpe_mod
+    plans["BPE trainer word-frequency stage (the one O(corpus) agg)"] = (
+        bpe_mod.word_frequencies(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))))
+    plans["BPE encode (zero-shuffle pandas UDF) + token counts"] = qs[
+        "bpe_encoded"](spark, sf_dir)
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
            f"Generated by `python tools/explain_audit.py {sf_dir}`. "
