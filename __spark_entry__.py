@@ -220,6 +220,9 @@ PERCOLATE_QUERIES: list[tuple[str, list[str], list[str]]] = [
 # unrolled oracle and the engine always run the same number of rounds)
 BPE_N_MERGES = 30
 
+# Highlighter passage window (display tokens per snippet)
+HL_WINDOW = 12
+
 INDEX_VERSION = "v4"  # v4: doc_id pinned int64 in docs/tf parquet
                       # (v3: block-framed blobs + block_off)
 
@@ -2324,6 +2327,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).cast("long").alias("n"))
                 .orderBy("token"))
 
+    def highlighted_topk(spark, sf_dir):
+        """ES highlight API (engine/highlight.py, plain-highlighter
+        shape): BM25 top-k + best-passage snippet per hit — window-
+        token slices anchored at match positions, scored by distinct
+        matched terms desc / matches desc / start asc, matched tokens
+        wrapped in <em></em>. Only the page's qid×k rows re-analyze."""
+        from engine.highlight import highlight
+
+        hits = _topk(_bm25_scored(spark, sf_dir, BM25_QUERIES))
+        return (highlight(hits, _docs(spark, sf_dir), BM25_QUERIES,
+                          window=HL_WINDOW)
+                .orderBy("qid", "rank"))
+
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks
     # only the FIRST 50 entries. Round 3 rotates the operators that
     # were outside round 2's window (everything from url_domains
@@ -2391,13 +2407,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_term_counts": cms_term_counts,
         "dsir_weights": dsir_weights,
         "minhash_near_dups": minhash_near_dups,
-        "ann_ivfpq_topk": ann_ivfpq_topk,
         "bpe_merges": bpe_merges,
         "bpe_encoded": bpe_encoded,
+        "highlighted_topk": highlighted_topk,
         # ---- driver window boundary (entry 50) ----
         # tail: every entry below is driver-green in some
         # CORRECTNESS_r*.json and unchanged, or certified by an
         # in-window sibling (tools/check_rotation.py enforces this)
+        "ann_ivfpq_topk": ann_ivfpq_topk,
         "parsed_query_topk": parsed_query_topk,
         "interval_hits": interval_hits,
         "cluster_sample": cluster_sample,
@@ -5225,4 +5242,47 @@ WHERE rank <= 5
 
     sql["bpe_merges"] = bpe_mod.duckdb_bpe_merges_sql(BPE_N_MERGES)
     sql["bpe_encoded"] = bpe_mod.duckdb_bpe_token_counts_sql(BPE_N_MERGES)
+
+    # --- highlighting (engine/highlight.py): BM25 top-k + best passage -----
+    # display stream = stopword-KEEPING tokens; candidate passages are
+    # the HL_WINDOW-token slices anchored at each match position;
+    # scoring: distinct matched terms desc, matches desc, start asc.
+    # DuckDB list slice l[a:b] is 1-based inclusive-truncating, so
+    # toks[s+1 : s+W] == Spark slice(toks, s+1, W).
+    hl_clean = duckdb_clean_sql("text")
+    sql["highlighted_topk"] = f"""
+WITH topk AS ({_sql_bm25_topk(BM25_QUERIES, TOPK)}),
+hqt AS (
+  SELECT qid, list(DISTINCT term) AS terms
+  FROM {_sql_values(BM25_QUERIES)} GROUP BY qid),
+htok AS (
+  SELECT doc_id,
+         [t FOR t IN regexp_split_to_array({hl_clean}, '[^a-z0-9]+')
+          IF t <> ''] AS toks
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM topk)),
+hbase AS (
+  SELECT t.qid, t.doc_id, t.score, t.rank, d.toks, q.terms
+  FROM topk t JOIN htok d USING (doc_id) JOIN hqt q USING (qid)),
+hm AS (
+  SELECT *, [i - 1 FOR i IN generate_series(1, len(toks))
+             IF list_contains(terms, toks[i])] AS mpos
+  FROM hbase),
+hc AS (SELECT *, unnest(mpos) AS s FROM hm WHERE len(mpos) > 0),
+hw AS (SELECT *, toks[s + 1 : s + {HL_WINDOW}] AS win FROM hc),
+hsc AS (
+  SELECT *,
+         len(list_distinct([t FOR t IN win
+                            IF list_contains(terms, t)])) AS u,
+         len([t FOR t IN win IF list_contains(terms, t)]) AS n
+  FROM hw),
+hbest AS (
+  SELECT *, row_number() OVER (PARTITION BY qid, doc_id
+      ORDER BY u DESC, n DESC, s ASC) AS rn
+  FROM hsc)
+SELECT qid, doc_id, score, rank, len(mpos)::BIGINT AS n_matches,
+       array_to_string([CASE WHEN list_contains(terms, t)
+                             THEN '<em>' || t || '</em>' ELSE t END
+                        FOR t IN win], ' ') AS snippet
+FROM hbest WHERE rn = 1 ORDER BY qid, rank
+"""
     return sql

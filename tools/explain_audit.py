@@ -66,6 +66,11 @@ BNLJ_OK = {"brute-force cosine top-k",
            # linear fusion contains the whitelisted brute-force cosine
            # sub-plan plus the 1-row stats relation, exactly like RRF
            "linear hybrid fusion (minmax CombSUM)",
+           # highlight's hit page comes from the on-the-fly
+           # _bm25_scored path (the 1-row broadcast stats relation,
+           # as with RRF); the snippet stage itself is one
+           # broadcast-hash join of the page against docs
+           "highlighting (best-passage snippets over the hit page)",
            # IVF paths crossJoin the tiny broadcast centroid table
            # (n_queries × n_centroids / n_vectors × n_centroids —
            # broadcast side bounded by the cell count)
@@ -310,6 +315,8 @@ def main() -> None:
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))))
     plans["BPE encode (zero-shuffle pandas UDF) + token counts"] = qs[
         "bpe_encoded"](spark, sf_dir)
+    plans["highlighting (best-passage snippets over the hit page)"] = qs[
+        "highlighted_topk"](spark, sf_dir)
 
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
