@@ -223,6 +223,18 @@ BPE_N_MERGES = 30
 # Highlighter passage window (display tokens per snippet)
 HL_WINDOW = 12
 
+# ES-API-surface entry inputs: _termvectors doc page, adjacency_matrix
+# named filters (names sorted; '&' is the ES key separator), and the
+# query-time synonym table (one-way, ES search-time filter reading)
+TV_DOC_IDS = [7, 123, 321]
+ADJ_FILTERS: list[tuple[str, list[str]]] = [
+    ("hashf", ["hash"]), ("joinf", ["join"]), ("sortf", ["sort", "merge"]),
+]
+SYNONYMS: dict[str, list[str]] = {
+    "fast": ["quick", "speed"], "merge": ["join"], "query": ["scan"],
+}
+SYN_WEIGHT = 0.5
+
 INDEX_VERSION = "v4"  # v4: doc_id pinned int64 in docs/tf parquet
                       # (v3: block-framed blobs + block_off)
 
@@ -2340,6 +2352,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           window=HL_WINDOW)
                 .orderBy("qid", "rank"))
 
+    def term_vectors_docs(spark, sf_dir):
+        """ES _termvectors with term_statistics (engine/search.py
+        term_vectors): per requested doc, every indexed term with its
+        in-doc tf, the doc's analyzed length, and the dictionary df."""
+        from engine.search import term_vectors
+
+        idx = _cached_index(spark, sf_dir)
+        return term_vectors(idx, TV_DOC_IDS)
+
+    def explain_hits(spark, sf_dir):
+        """ES _explain / Lucene Explanation flattened to rows
+        (engine/search.py explain_scores): per-term BM25 breakdown
+        (tf, dl, df, idf, tf-saturation, weight, contribution) for
+        every doc on the WAND top-k page. idf and tf_norm round 6dp
+        FIRST, contribution multiplies the rounded values (ln() may
+        differ in the last ulp between engines)."""
+        from engine.search import explain_scores
+
+        idx = _cached_index(spark, sf_dir)
+        qt = [(q, t, 1.0) for q, ts in BM25_QUERIES for t in ts]
+        return explain_scores(idx, qt, _wand_topk_query(spark, sf_dir))
+
+    def adjacency_counts(spark, sf_dir):
+        """ES adjacency_matrix bucket agg (engine/search.py
+        adjacency_matrix_agg): doc counts for each named term filter
+        and each pair intersection, ES 'A&B' keys, empty buckets
+        omitted; pairs expand in-row from one sorted per-doc
+        filter-name array — never a matched x matched self-join."""
+        from engine.search import adjacency_matrix_agg
+
+        idx = _cached_index(spark, sf_dir)
+        return adjacency_matrix_agg(idx, ADJ_FILTERS)
+
+    def synonym_expand_topk(spark, sf_dir):
+        """Query-time WEIGHTED synonym expansion (engine/queryparse.py
+        expand_synonyms: each term adds its synonyms at weight x 0.5,
+        weights SUM per (qid, term) — ES's boosted search-time synonym
+        reading; the sibling synonym_topk entry is the OTHER published
+        semantics, Lucene SynonymQuery with blended df) feeding
+        weighted-OR BM25; the oracle derives the expansion
+        independently in SQL (base UNION synonym join, summed
+        weights)."""
+        from engine.queryparse import expand_synonyms
+        from engine.search import score_exhaustive
+
+        idx = _cached_index(spark, sf_dir)
+        qt = expand_synonyms(BM25_QUERIES, SYNONYMS, SYN_WEIGHT)
+        res = score_exhaustive(idx, qt, TOPK + 50)
+        r = round_half_up(F.col("score"), 4)
+        w = Window.partitionBy("qid").orderBy(r.desc(), F.asc("doc_id"))
+        return (res.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= TOPK)
+                .select("qid", "doc_id", r.alias("score"), "rank")
+                .orderBy("qid", "rank"))
+
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks
     # only the FIRST 50 entries. Round 3 rotates the operators that
     # were outside round 2's window (everything from url_domains
@@ -2403,17 +2470,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": substring_dedup,
         "nb_quality_scores": nb_quality_scores,
         "lm_perplexity": lm_perplexity,
-        "bloom_decontam": bloom_decontam,
-        "cms_term_counts": cms_term_counts,
-        "dsir_weights": dsir_weights,
-        "minhash_near_dups": minhash_near_dups,
         "bpe_merges": bpe_merges,
         "bpe_encoded": bpe_encoded,
         "highlighted_topk": highlighted_topk,
+        "term_vectors_docs": term_vectors_docs,
+        "explain_hits": explain_hits,
+        "adjacency_counts": adjacency_counts,
+        "synonym_expand_topk": synonym_expand_topk,
         # ---- driver window boundary (entry 50) ----
         # tail: every entry below is driver-green in some
         # CORRECTNESS_r*.json and unchanged, or certified by an
         # in-window sibling (tools/check_rotation.py enforces this)
+        "bloom_decontam": bloom_decontam,
+        "cms_term_counts": cms_term_counts,
+        "dsir_weights": dsir_weights,
+        "minhash_near_dups": minhash_near_dups,
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "parsed_query_topk": parsed_query_topk,
         "interval_hits": interval_hits,
@@ -5284,5 +5355,90 @@ SELECT qid, doc_id, score, rank, len(mpos)::BIGINT AS n_matches,
                              THEN '<em>' || t || '</em>' ELSE t END
                         FOR t IN win], ' ') AS snippet
 FROM hbest WHERE rn = 1 ORDER BY qid, rank
+"""
+
+    # --- term_vectors (engine/search.py term_vectors) -----------------------
+    tv_ids = ", ".join(str(d) for d in TV_DOC_IDS)
+    sql["term_vectors_docs"] = f"""
+WITH {_sql_fts_ctes()}
+SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf, dl.dl::BIGINT AS dl,
+       dfs.df::BIGINT AS df
+FROM tf JOIN dl USING (doc_id) JOIN dfs USING (term)
+WHERE tf.doc_id IN ({tv_ids})
+ORDER BY tf.doc_id, tf.term
+"""
+
+    # --- explain (engine/search.py explain_scores) ---------------------------
+    # idf and tf_norm round 6dp FIRST; contribution multiplies the two
+    # ROUNDED doubles (x weight) in the same order as the engine and
+    # rounds once more — no unrounded ln() product crosses engines
+    ex_idf = round_half_up_sql(
+        "ln(1.0 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))", 6)
+    ex_norm = round_half_up_sql(
+        f"(tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)))",
+        6)
+    sql["explain_hits"] = f"""
+WITH {_sql_fts_ctes()},
+topk AS ({_sql_bm25_topk(BM25_QUERIES, TOPK)}),
+exr AS (
+  SELECT q.qid, tf.doc_id, q.term, tf.tf::BIGINT AS tf,
+         dl.dl::BIGINT AS dl, dfs.df::BIGINT AS df,
+         {ex_idf} AS idf, {ex_norm} AS tf_norm, 1.0::DOUBLE AS weight
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats)
+SELECT e.qid, e.doc_id, e.term, e.tf, e.dl, e.df, e.idf, e.tf_norm,
+       e.weight, {round_half_up_sql("e.idf * e.tf_norm * e.weight", 6)}
+         AS contribution
+FROM exr e JOIN topk t ON t.qid = e.qid AND t.doc_id = e.doc_id
+ORDER BY e.qid, e.doc_id, e.term
+"""
+
+    # --- adjacency_matrix (engine/search.py adjacency_matrix_agg) -----------
+    adj_vals = ", ".join(f"('{n}', '{t}')"
+                         for n, terms in ADJ_FILTERS for t in terms)
+    sql["adjacency_counts"] = f"""
+WITH {_sql_fts_ctes()},
+af(fid, term) AS (VALUES {adj_vals}),
+am AS (SELECT DISTINCT af.fid, tf.doc_id FROM af JOIN tf USING (term)),
+ap AS (
+  SELECT CASE WHEN a.fid = b.fid THEN a.fid
+         ELSE a.fid || '&' || b.fid END AS key
+  FROM am a JOIN am b ON a.doc_id = b.doc_id AND a.fid <= b.fid)
+SELECT key, count(*)::BIGINT AS doc_count FROM ap
+GROUP BY key ORDER BY key
+"""
+
+    # --- synonym expansion (engine/queryparse.py expand_synonyms) -----------
+    # the oracle derives the expansion INDEPENDENTLY: base terms at
+    # weight 1 UNION synonyms at SYN_WEIGHT, weights summed per
+    # (qid, term), then the standard weighted-OR BM25 top-k
+    syn_vals = ", ".join(f"('{t}', '{s}')"
+                         for t, ss in sorted(SYNONYMS.items()) for s in ss)
+    score = bm25_sql("tf.tf", "dfs.df", "dl.dl", "stats.avgdl", "stats.n")
+    r4 = round_half_up_sql("s", 4)
+    sql["synonym_expand_topk"] = f"""
+WITH {_sql_fts_ctes()},
+syn(term, syn) AS (VALUES {syn_vals}),
+qbase AS (SELECT qid, term, 1.0::DOUBLE AS weight
+          FROM {_sql_values(BM25_QUERIES)}),
+qexp AS (
+  SELECT qid, term, weight FROM qbase
+  UNION ALL
+  SELECT q.qid, s.syn AS term, {SYN_WEIGHT}::DOUBLE AS weight
+  FROM qbase q JOIN syn s USING (term)),
+qw AS (SELECT qid, term, sum(weight) AS weight FROM qexp GROUP BY 1, 2),
+sc AS (
+  SELECT qw.qid, tf.doc_id, sum(qw.weight * {score}) AS s
+  FROM qw JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY qw.qid, tf.doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM sc) t
+WHERE rank <= {TOPK}
+ORDER BY qid, rank
 """
     return sql

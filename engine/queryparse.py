@@ -200,3 +200,30 @@ def search_parsed(index, qid: str, s: str, k: int) -> DataFrame:
                        doc_filter=doc_filter)
     return out.select("qid", "doc_id", "score", "rank") \
         .orderBy("qid", "rank")
+
+
+def expand_synonyms(queries, synonyms, syn_weight: float = 0.5):
+    """Query-time synonym expansion (the ES ``synonym`` search-time
+    token filter in its weighted-expansion reading): each query term
+    contributes itself at its own weight plus every synonym at
+    ``weight × syn_weight``; weights SUM per (qid, term) — the
+    weighted-OR contract every scorer consumes (so a synonym that is
+    ALSO an original term simply scores higher, Lucene's flattened
+    SynonymQuery-as-boolean rewrite).
+
+    ``queries``: [(qid, [terms])] or [(qid, {term: weight})];
+    ``synonyms``: {term: [synonyms]} — applied one-way as given (feed
+    both directions for symmetric sets, the ES equivalent of listing
+    both orders). Pure driver-side: queries are tiny by contract.
+    Returns [(qid, term, weight)] sorted (qid, term) — QueryTerms.
+    """
+    out: dict[tuple[str, str], float] = {}
+    for qid, terms in queries:
+        items = (terms.items() if isinstance(terms, dict)
+                 else [(t, 1.0) for t in terms])
+        for t, w in items:
+            out[(qid, t)] = out.get((qid, t), 0.0) + float(w)
+            for s in synonyms.get(t, ()):  # one-way expansion
+                out[(qid, s)] = out.get((qid, s), 0.0) \
+                    + float(w) * syn_weight
+    return [(q, t, w) for (q, t), w in sorted(out.items())]

@@ -2541,6 +2541,134 @@ def significant_terms(index: Index,
             .orderBy("qid", "rank"))
 
 
+def term_vectors(index: Index, doc_ids: Sequence[int]) -> DataFrame:
+    """Term-vectors API (the Elasticsearch ``_termvectors`` endpoint
+    with ``term_statistics=true``; Lucene exposes the same data via
+    ``IndexReader.getTermVector`` — the reference's Lucene index could
+    serve it, Searcher.java never does): for each requested doc, every
+    indexed term with its within-doc frequency, the doc's analyzed
+    length, and the term's document frequency.
+
+    Scale: the requested ids are a page-sized set — they ride as one
+    broadcast semi-join against the forward tf table (the stored-field
+    -fetch class); df attaches by broadcasting the RESULT rows' side
+    against the dictionary scan (result is docs × terms-per-doc rows,
+    page-bounded). Tombstoned docs are masked. Nothing here scales
+    with corpus size except the two columnar scans Spark prunes.
+    Returns (doc_id, term, tf, dl, df) ordered by doc_id, term.
+    """
+    p = _paths(index.index_dir)
+    ids = index.spark.createDataFrame(
+        [(int(d),) for d in doc_ids], "doc_id long")
+    tf = (index.spark.read.parquet(p["tf"])
+          .join(F.broadcast(ids), "doc_id", "left_semi"))
+    tf = index.live(tf)
+    rows = (tf.groupBy("doc_id", "term")
+            .agg(F.sum("tf").cast("long").alias("tf"),
+                 F.max("dl").cast("long").alias("dl")))
+    ts = index.termstats.select("term", F.col("df").cast("long").alias("df"))
+    return (ts.join(F.broadcast(rows), "term")
+            .select("doc_id", "term", "tf", "dl", "df")
+            .orderBy("doc_id", "term"))
+
+
+def explain_scores(index: Index, query_terms: QueryTerms,
+                   hits: DataFrame) -> DataFrame:
+    """Score-explanation API (the Elasticsearch ``_explain`` endpoint /
+    Lucene ``Explanation`` tree, flattened to rows): for each (qid,
+    doc_id) in ``hits``, the per-term BM25 breakdown — tf, dl, df, the
+    idf component, the tf-saturation component tf/(tf+k1(1−b+b·dl/
+    avgdl)), the clause weight, and the term's contribution.
+
+    Cross-engine determinism: idf contains one ln() (libm may differ
+    in the last ulp between engines) and the components multiply, so
+    idf and tf_norm are each rounded to 6 dp FIRST and the
+    contribution is one multiply of the two rounded values (times the
+    weight) rounded once more — both engines multiply identical
+    doubles in identical order.
+
+    Scale: ``hits`` is a page (qid × k rows) broadcast against the
+    bucket-pruned posting decode for the query's terms — the same scan
+    the query itself made; output is page × terms rows.
+    Returns (qid, doc_id, term, tf, dl, df, idf, tf_norm, weight,
+    contribution) ordered by qid, doc_id, term.
+    """
+    from .portable import round_half_up
+
+    matched = _matched_postings(index, query_terms)
+    dec = matched.withColumn("d", decode_udf("blob"))
+    rows = dec.select(
+        "qid", "term", "weight",
+        F.explode(F.arrays_zip("d.doc_ids", "d.tfs", "d.dls")).alias("e"),
+    ).select("qid", "term", "weight",
+             F.col("e.doc_ids").alias("doc_id"),
+             F.col("e.tfs").cast("long").alias("tf"),
+             F.col("e.dls").cast("long").alias("dl"))
+    rows = rows.join(F.broadcast(hits.select("qid", "doc_id").distinct()),
+                     ["qid", "doc_id"])
+    rows = index.live(rows)
+    ts = index.termstats.select("term", F.col("df").cast("long").alias("df"))
+    rows = rows.join(F.broadcast(
+        ts.join(_query_df(index.spark, query_terms)
+                .select("term").distinct(), "term")), "term")
+    k1 = float(index.stats["k1"])
+    b = float(index.stats["b"])
+    idf = round_half_up(
+        F.log1p((F.lit(float(index.n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))), 6)
+    tf_norm = round_half_up(
+        F.col("tf").cast("double")
+        / (F.col("tf").cast("double")
+           + F.lit(k1) * (F.lit(1.0 - b)
+                          + F.lit(b) * F.col("dl").cast("double")
+                          / F.lit(float(index.avgdl)))), 6)
+    out = (rows.withColumn("idf", idf)
+           .withColumn("tf_norm", tf_norm)
+           .withColumn("contribution",
+                       round_half_up(F.col("idf") * F.col("tf_norm")
+                                     * F.col("weight"), 6)))
+    return (out.select("qid", "doc_id", "term", "tf", "dl", "df",
+                       "idf", "tf_norm", "weight", "contribution")
+            .orderBy("qid", "doc_id", "term"))
+
+
+def adjacency_matrix_agg(index: Index,
+                         filters: Sequence[tuple[str, Sequence[str]]]
+                         ) -> DataFrame:
+    """Adjacency-matrix aggregation (the Elasticsearch
+    ``adjacency_matrix`` bucket agg): given named term filters, the
+    count of docs matching each filter and each PAIR intersection,
+    keyed ES-style — ``A`` for the filter's own bucket, ``A&B``
+    (names sorted) for the intersection; empty buckets are omitted.
+
+    Plan: the per-filter matched sets (bucket-pruned posting decode)
+    aggregate to one sorted filter-name array per doc, pairs expand
+    in-row with an indexed transform (never a matched×matched
+    self-join — per-doc work is |filters|², a query constant), and one
+    hash agg counts keys. Output ≤ f(f+1)/2 rows.
+    Returns (key, doc_count) ordered by key.
+    """
+    names = [n for n, _ in filters]
+    assert len(set(names)) == len(names), "duplicate filter names"
+    assert not any("&" in n for n in names), "'&' is the ES key separator"
+    hits = _matched_hits(index, filters)
+    fids = (hits.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("qid")).alias("fids")))
+    # self key + pair keys for j > i, all in-row
+    keys = F.flatten(F.transform(
+        F.col("fids"),
+        lambda a, i: F.concat(
+            F.array(a),
+            F.transform(
+                F.slice(F.col("fids"), i + F.lit(2),
+                        F.size(F.col("fids"))),
+                lambda bb: F.concat_ws("&", a, bb)))))
+    return (fids.select(F.explode(keys).alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+            .orderBy("key"))
+
+
 def facet_histogram(index: Index,
                     queries: Sequence[tuple[str, Sequence[str]]],
                     interval: int) -> DataFrame:

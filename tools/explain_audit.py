@@ -317,6 +317,14 @@ def main() -> None:
         "bpe_encoded"](spark, sf_dir)
     plans["highlighting (best-passage snippets over the hit page)"] = qs[
         "highlighted_topk"](spark, sf_dir)
+    plans["term_vectors API (page semi-join on forward tf)"] = qs[
+        "term_vectors_docs"](spark, sf_dir)
+    plans["_explain API (per-term BM25 breakdown rows)"] = qs[
+        "explain_hits"](spark, sf_dir)
+    plans["adjacency_matrix agg (in-row pair expansion)"] = qs[
+        "adjacency_counts"](spark, sf_dir)
+    plans["synonym-expanded weighted-OR BM25"] = qs[
+        "synonym_expand_topk"](spark, sf_dir)
 
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
