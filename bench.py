@@ -18,6 +18,9 @@ Queries benched (each timed to completion, i.e. a full action):
   substring_dedup  ExactSubstr duplicated-span removal (window hash)
   nb_classifier    NB quality-classifier fit + full-corpus inference
   lm_perplexity    CCNet bigram-LM cross-entropy fit + full-corpus score
+  bpe_train_encode BPE: word-freq agg + 200-merge driver train + full
+                   corpus encode (zero-shuffle pandas UDF)
+  highlight        WAND top-10 page + best-passage <em> snippets
 
 Extra keys: docs_per_sec (index build throughput), n_docs.
 """
@@ -145,6 +148,22 @@ def main() -> None:
     textstats.lm_cross_entropy(
         docs.withColumn("r", F.col("lang") == "en"), "r").count()
     timings["lm_perplexity"] = time.time() - t0
+
+    from engine.pipeline import bpe
+
+    t0 = time.time()
+    merges = bpe.bpe_train(docs, 200, min_count=2, mode="driver")
+    bpe.bpe_encode(docs, merges).select(
+        F.sum(F.size("tokens"))).collect()
+    timings["bpe_train_encode"] = time.time() - t0
+
+    from engine.highlight import highlight
+
+    t0 = time.time()
+    hits = score_wand(idx, qt, 10)
+    highlight(hits, docs.select("doc_id", "text"),
+              entrymod.BM25_QUERIES, window=12).count()
+    timings["highlight"] = time.time() - t0
 
     from engine.streaming import sessionize
 
