@@ -2359,7 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from engine.search import term_vectors
 
         idx = _cached_index(spark, sf_dir)
-        return term_vectors(idx, TV_DOC_IDS)
+        return term_vectors(idx, TV_DOC_IDS, with_df=True)
 
     def explain_hits(spark, sf_dir):
         """ES _explain / Lucene Explanation flattened to rows

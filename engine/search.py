@@ -1604,21 +1604,39 @@ def boolean_wand(index: Index, queries, k: int,
             .orderBy("qid", "rank"))
 
 
-def term_vectors(index: Index, doc_ids: Sequence[int]) -> DataFrame:
-    """Lucene ``TermVectors``/``Terms`` analog: the per-document term
-    vector (term, tf, dl) for the requested docs, read from the
-    build's forward tf table — which doubles as stored term vectors,
-    the way Lucene materializes per-doc terms when termVectors are
-    enabled. The read is a parquet scan with the doc_id filter pushed
-    down (no decode of the inverted postings); tombstoned docs return
-    nothing. Returns (doc_id, term, tf, dl) ordered."""
+def term_vectors(index: Index, doc_ids: Sequence[int],
+                 with_df: bool = False) -> DataFrame:
+    """Lucene ``TermVectors``/``Terms`` analog — and, with
+    ``with_df=True``, the ES ``_termvectors`` endpoint with
+    ``term_statistics``: the per-document term vector for the
+    requested docs, read from the build's forward tf table — which
+    doubles as stored term vectors, the way Lucene materializes
+    per-doc terms when termVectors are enabled. The read is a parquet
+    scan with the doc_id filter pushed down (no decode of the inverted
+    postings); tombstoned docs return nothing.
+
+    ``with_df=False`` (default): (doc_id, term, tf, dl) ordered.
+    ``with_df=True``: (doc_id, term, tf, dl, df) with the dictionary
+    document frequency attached by broadcasting the page-bounded
+    result side against the termstats scan, integer columns widened to
+    long — the one corpus-shaped cost is that dictionary scan.
+    """
     from .index_build import _paths
 
     p = _paths(index.index_dir)
     tf = index.spark.read.parquet(p["tf"])
     out = (tf.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
            .select("doc_id", "term", "tf", "dl"))
-    return index.live(out).orderBy("doc_id", "term")
+    out = index.live(out)
+    if not with_df:
+        return out.orderBy("doc_id", "term")
+    rows = (out.groupBy("doc_id", "term")
+            .agg(F.sum("tf").cast("long").alias("tf"),
+                 F.max("dl").cast("long").alias("dl")))
+    ts = index.termstats.select("term", F.col("df").cast("long").alias("df"))
+    return (ts.join(F.broadcast(rows), "term")
+            .select("doc_id", "term", "tf", "dl", "df")
+            .orderBy("doc_id", "term"))
 
 
 def search_after(index: Index, query_terms: QueryTerms, k: int,
@@ -2539,37 +2557,6 @@ def significant_terms(index: Index,
             .where(F.col("rank") <= n)
             .select("qid", "term", "fg_df", "df", "score", "rank")
             .orderBy("qid", "rank"))
-
-
-def term_vectors(index: Index, doc_ids: Sequence[int]) -> DataFrame:
-    """Term-vectors API (the Elasticsearch ``_termvectors`` endpoint
-    with ``term_statistics=true``; Lucene exposes the same data via
-    ``IndexReader.getTermVector`` — the reference's Lucene index could
-    serve it, Searcher.java never does): for each requested doc, every
-    indexed term with its within-doc frequency, the doc's analyzed
-    length, and the term's document frequency.
-
-    Scale: the requested ids are a page-sized set — they ride as one
-    broadcast semi-join against the forward tf table (the stored-field
-    -fetch class); df attaches by broadcasting the RESULT rows' side
-    against the dictionary scan (result is docs × terms-per-doc rows,
-    page-bounded). Tombstoned docs are masked. Nothing here scales
-    with corpus size except the two columnar scans Spark prunes.
-    Returns (doc_id, term, tf, dl, df) ordered by doc_id, term.
-    """
-    p = _paths(index.index_dir)
-    ids = index.spark.createDataFrame(
-        [(int(d),) for d in doc_ids], "doc_id long")
-    tf = (index.spark.read.parquet(p["tf"])
-          .join(F.broadcast(ids), "doc_id", "left_semi"))
-    tf = index.live(tf)
-    rows = (tf.groupBy("doc_id", "term")
-            .agg(F.sum("tf").cast("long").alias("tf"),
-                 F.max("dl").cast("long").alias("dl")))
-    ts = index.termstats.select("term", F.col("df").cast("long").alias("df"))
-    return (ts.join(F.broadcast(rows), "term")
-            .select("doc_id", "term", "tf", "dl", "df")
-            .orderBy("doc_id", "term"))
 
 
 def explain_scores(index: Index, query_terms: QueryTerms,

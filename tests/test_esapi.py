@@ -25,7 +25,7 @@ def _corpus_tokens(tiny_index):
 def test_term_vectors_matches_brute(spark, tiny_index):
     by_doc = _corpus_tokens(tiny_index)
     ids = sorted(by_doc)[:4]
-    got = term_vectors(tiny_index, ids).collect()
+    got = term_vectors(tiny_index, ids, with_df=True).collect()
     # brute: tf per (doc, term); df over the whole corpus; dl = len
     df = {}
     for toks in by_doc.values():
