@@ -2561,8 +2561,9 @@ def significant_terms(index: Index,
 
 def explain_scores(index: Index, query_terms: QueryTerms,
                    hits: DataFrame) -> DataFrame:
-    """Score-explanation API (the Elasticsearch ``_explain`` endpoint /
-    Lucene ``Explanation`` tree, flattened to rows): for each (qid,
+    """Score-explanation over a result PAGE (the Elasticsearch
+    ``_explain`` endpoint shape; a thin wrapper over ``score_explain``,
+    the doc-id-list ``IndexSearcher.explain`` analog): for each (qid,
     doc_id) in ``hits``, the per-term BM25 breakdown — tf, dl, df, the
     idf component, the tf-saturation component tf/(tf+k1(1−b+b·dl/
     avgdl)), the clause weight, and the term's contribution.
@@ -2574,30 +2575,27 @@ def explain_scores(index: Index, query_terms: QueryTerms,
     weight) rounded once more — both engines multiply identical
     doubles in identical order.
 
-    Scale: ``hits`` is a page (qid × k rows) broadcast against the
-    bucket-pruned posting decode for the query's terms — the same scan
-    the query itself made; output is page × terms rows.
+    Scale: ``hits`` is a page (qid × k rows) by contract — its distinct
+    doc ids collect to the driver and feed ``score_explain`` (the
+    doc-id-list Lucene ``IndexSearcher.explain`` analog this API
+    wraps: same bucket-pruned decode, same formula inputs), then the
+    per-(qid, doc) pair join keeps each hit's OWN rows only
+    (score_explain's flat id filter would also return a doc's rows
+    under every other qid that matched it). Output is page × terms
+    rows.
     Returns (qid, doc_id, term, tf, dl, df, idf, tf_norm, weight,
     contribution) ordered by qid, doc_id, term.
     """
     from .portable import round_half_up
 
-    matched = _matched_postings(index, query_terms)
-    dec = matched.withColumn("d", decode_udf("blob"))
-    rows = dec.select(
-        "qid", "term", "weight",
-        F.explode(F.arrays_zip("d.doc_ids", "d.tfs", "d.dls")).alias("e"),
-    ).select("qid", "term", "weight",
-             F.col("e.doc_ids").alias("doc_id"),
-             F.col("e.tfs").cast("long").alias("tf"),
-             F.col("e.dls").cast("long").alias("dl"))
-    rows = rows.join(F.broadcast(hits.select("qid", "doc_id").distinct()),
-                     ["qid", "doc_id"])
-    rows = index.live(rows)
-    ts = index.termstats.select("term", F.col("df").cast("long").alias("df"))
-    rows = rows.join(F.broadcast(
-        ts.join(_query_df(index.spark, query_terms)
-                .select("term").distinct(), "term")), "term")
+    page = hits.select("qid", "doc_id").distinct()
+    ids = [r["doc_id"] for r in page.select("doc_id").distinct().collect()]
+    rows = (score_explain(index, query_terms, ids)
+            .join(F.broadcast(page), ["qid", "doc_id"])
+            .select("qid", "doc_id", "term", "weight",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("dl").cast("long").alias("dl"),
+                    F.col("df").cast("long").alias("df")))
     k1 = float(index.stats["k1"])
     b = float(index.stats["b"])
     idf = round_half_up(
