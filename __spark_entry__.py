@@ -173,6 +173,12 @@ SYNONYM_QUERIES: list[tuple[str, list[list[str]]]] = [
 ]
 SIGTERMS_N = 5       # significant_terms: top-n per query
 HIST_INTERVAL = 16   # facet_histogram: dl bucket width
+RARE_MDC = 40         # rare_terms mdc: the synthetic vocab has no df<=2
+#   tail at sf0.01 (every term repeats); 40 yields a real non-empty
+#   bucket set for the driver hash (ES allows max_doc_count<=100)
+SAMPLER_SHARD = 25    # sampler: top-N scored hits feeding the facet
+SAMPLER_DEDUP_MOD = 7  # diversified_sampler: dedup key = doc_id % mod
+SAMPLER_MAX_PER = 2    # diversified_sampler: max docs per dedup key
 
 # Generic BooleanQuery clauses (qid, must, should, must_not) and the
 # remaining MultiTermQuery rewrites (RegexpQuery, TermRangeQuery)
@@ -1557,6 +1563,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _cached_index(spark, sf_dir)
         return _st(idx, BM25_QUERIES, SIGTERMS_N)
 
+    def rare_terms(spark, sf_dir):
+        """ES rare_terms bucket agg: terms whose doc count WITHIN each
+        query's matched set is <= RARE_MDC, with the corpus df beside
+        it (exact on Spark, vs ES's cuckoo-sieve approximation)."""
+        from engine.search import rare_terms_agg
+
+        idx = _cached_index(spark, sf_dir)
+        return rare_terms_agg(idx, BM25_QUERIES, RARE_MDC)
+
+    def sampler_lang(spark, sf_dir):
+        """ES sampler bucket agg: lang terms-facet over only the top
+        SAMPLER_SHARD scored hits per query (4dp-rounded rank cut)."""
+        from engine.search import sampler_facet
+
+        idx = _cached_index(spark, sf_dir)
+        return sampler_facet(idx, BM25_QUERIES, "lang", SAMPLER_SHARD)
+
+    def diversified_sampler_lang(spark, sf_dir):
+        """ES diversified_sampler: at most SAMPLER_MAX_PER docs per
+        dedup key (doc_id % SAMPLER_DEDUP_MOD) survive, in score
+        order, BEFORE the shard_size cut fills."""
+        from engine.search import sampler_facet
+
+        idx = _cached_index(spark, sf_dir)
+        return sampler_facet(
+            idx, BM25_QUERIES, "lang", SAMPLER_SHARD,
+            dedup_expr=F.pmod(F.col("doc_id"), F.lit(SAMPLER_DEDUP_MOD)),
+            max_per_value=SAMPLER_MAX_PER)
+
     def facet_histogram(spark, sf_dir):
         """ES histogram agg over analyzed doc length (occupied
         buckets, width HIST_INTERVAL) per query's matched set."""
@@ -2462,11 +2497,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_hits": percolate_hits,
         "deleted_search": deleted_search,
         "resharded_search": resharded_search,
+        # new this round (never driver-checked — must sit in-window):
+        "rare_terms": rare_terms,
+        "sampler_lang": sampler_lang,
+        "diversified_sampler_lang": diversified_sampler_lang,
         # window padding: r3-driver-green flagships (rotate out
         # freely for any new entries added this round)
-        "eval_metrics": eval_metrics,
-        "index_wand_topk": index_wand_topk,
-        "bm25_topk": bm25_topk,
         "substring_dedup": substring_dedup,
         "nb_quality_scores": nb_quality_scores,
         "lm_perplexity": lm_perplexity,
@@ -2481,6 +2517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail: every entry below is driver-green in some
         # CORRECTNESS_r*.json and unchanged, or certified by an
         # in-window sibling (tools/check_rotation.py enforces this)
+        "eval_metrics": eval_metrics,
+        "index_wand_topk": index_wand_topk,
+        "bm25_topk": bm25_topk,
         "bloom_decontam": bloom_decontam,
         "cms_term_counts": cms_term_counts,
         "dsir_weights": dsir_weights,
@@ -3081,6 +3120,67 @@ SELECT qid, term, fg_df, df, score, rank FROM (
   FROM sc) t
 WHERE rank <= {SIGTERMS_N}
 ORDER BY qid, rank
+"""
+    sql["rare_terms"] = f"""
+WITH {fts},
+hits AS (
+  SELECT DISTINCT q.qid, tf.doc_id
+  FROM {_sql_values(BM25_QUERIES)} JOIN tf USING (term)),
+fg AS (
+  SELECT h.qid, t.term, count(DISTINCT t.doc_id)::BIGINT AS fg_df
+  FROM hits h JOIN tf t ON t.doc_id = h.doc_id
+  GROUP BY h.qid, t.term)
+SELECT fg.qid, fg.term, fg.fg_df, dfs.df
+FROM fg JOIN dfs USING (term)
+WHERE fg.fg_df <= {RARE_MDC}
+ORDER BY qid, fg_df, term
+"""
+    _sampler_score = bm25_sql("tf.tf", "dfs.df", "dl.dl",
+                              "stats.avgdl", "stats.n")
+    _sampler_ranked = f"""
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({_sampler_score}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id),
+ranked AS (
+  SELECT qid, doc_id, {round_half_up_sql('s', 4)} AS rs FROM matched)
+""".strip()
+    sql["sampler_lang"] = f"""
+WITH {fts},
+{_sampler_ranked},
+sampled AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+           ORDER BY rs DESC, doc_id) AS rn
+    FROM ranked) t
+  WHERE rn <= {SAMPLER_SHARD})
+SELECT s.qid, d.lang AS value, count(*)::BIGINT AS n_docs
+FROM sampled s JOIN documents d USING (doc_id)
+GROUP BY s.qid, d.lang
+ORDER BY qid, value
+"""
+    sql["diversified_sampler_lang"] = f"""
+WITH {fts},
+{_sampler_ranked},
+dedup AS (
+  SELECT qid, doc_id, rs FROM (
+    SELECT qid, doc_id, rs, row_number() OVER (
+           PARTITION BY qid, doc_id % {SAMPLER_DEDUP_MOD}
+           ORDER BY rs DESC, doc_id) AS dr
+    FROM ranked) t
+  WHERE dr <= {SAMPLER_MAX_PER}),
+sampled AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+           ORDER BY rs DESC, doc_id) AS rn
+    FROM dedup) t
+  WHERE rn <= {SAMPLER_SHARD})
+SELECT s.qid, d.lang AS value, count(*)::BIGINT AS n_docs
+FROM sampled s JOIN documents d USING (doc_id)
+GROUP BY s.qid, d.lang
+ORDER BY qid, value
 """
     sql["facet_histogram"] = f"""
 WITH {fts},

@@ -28,7 +28,7 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 import pyspark.sql.types as T
 
@@ -2557,6 +2557,96 @@ def significant_terms(index: Index,
             .where(F.col("rank") <= n)
             .select("qid", "term", "fg_df", "df", "score", "rank")
             .orderBy("qid", "rank"))
+
+
+def rare_terms_agg(index: Index,
+                   queries: Sequence[tuple[str, Sequence[str]]],
+                   max_doc_count: int = 1) -> DataFrame:
+    """Rare-terms aggregation (the Elasticsearch ``rare_terms`` bucket
+    agg — the long-tail counterpart of ``terms``): for each query, the
+    terms whose doc count WITHIN the matched set is <= max_doc_count.
+    ES documents its implementation as approximate (a CuckooFilter
+    sieve, default ~1% false positives, dropping terms as they cross
+    the threshold — a single-node memory concession); this engine
+    computes the exact answer, because on Spark the agg is just one
+    map-side-combinable (qid, term) count over the forward tf join and
+    needs no bounded-memory sieve.
+
+    Returns (qid, term, fg_df, df) ordered by qid, fg_df asc, term
+    asc — fg_df is the in-matched-set doc count, df the corpus-wide
+    one from termstats (ES reports the same pair per bucket).
+
+    Scale: identical shuffle shape to significant_terms — the matched
+    (qid, doc) set equi-joins the doc-bucketed forward tf table, one
+    hash agg with map-side combine produces fg_df, and the background
+    df is the already-built termstats table (no second corpus pass).
+    The <= filter sits ABOVE the agg (it needs the total), but the agg
+    output is bounded by |matched| x distinct-terms-per-doc, the same
+    class ES pays. Reference: search delegated to the Lucene stack
+    that ships this agg (GROUP_12 SearchFiles.java:1).
+    """
+    hits = _matched_hits(index, queries)
+    p = _paths(index.index_dir)
+    tfw = index.spark.read.parquet(p["tf"]).select("doc_id", "term")
+    fg = (hits.join(tfw, "doc_id")
+          .groupBy("qid", "term")
+          .agg(F.count_distinct("doc_id").alias("fg_df")))
+    return (fg.where(F.col("fg_df") <= int(max_doc_count))
+            .join(index.termstats.select("term", "df"), "term")
+            .select("qid", "term", "fg_df", "df")
+            .orderBy("qid", "fg_df", "term"))
+
+
+def sampler_facet(index: Index,
+                  queries: Sequence[tuple[str, Sequence[str]]],
+                  field: str, shard_size: int,
+                  dedup_expr: Column | None = None,
+                  max_per_value: int = 1) -> DataFrame:
+    """Sampler / diversified_sampler aggregation (the Elasticsearch
+    ``sampler`` and ``diversified_sampler`` bucket aggs): run a child
+    terms facet on ``field`` over only the ``shard_size`` best-scoring
+    hits instead of the full matched set — the standard trick for
+    making expensive child aggs (significant_terms and friends)
+    affordable on huge match sets.
+
+    With ``dedup_expr`` the sample is DIVERSIFIED first: at most
+    ``max_per_value`` docs per dedup key survive (in score order), and
+    the shard_size cut applies to the survivors — ES's semantics,
+    where de-duplication happens before the sample fills, so one
+    over-represented key cannot crowd out the sample.
+
+    Rank order is the engine's deterministic contract: 4dp-rounded
+    BM25 desc, doc_id asc (rounded BEFORE every cut so both the dedup
+    window and the sample cut reproduce cross-engine — the CLAUDE.md
+    float discipline; exact-score ordering flips real ties).
+
+    Returns (qid, value, n_docs) ordered by qid, value.
+
+    Scale: the scored match set never leaves the cluster — the dedup
+    window partitions on (qid, dedup key) and the sample window on
+    qid (both genuine partitionings, never a global window), then one
+    hash agg on (qid, value); shard_size bounds the sampled rows per
+    query so the child agg's input is k-sized regardless of corpus.
+    Reference: search delegated to the Lucene stack that ships this
+    agg (GROUP_12 SearchFiles.java:1).
+    """
+    from .portable import round_half_up
+
+    qt = [(q, t, 1.0) for q, terms in queries for t in sorted(set(terms))]
+    scored = score_exhaustive(index, qt, k=None)
+    rows = (scored.join(index.docs.select("doc_id", field), "doc_id")
+            .withColumn("rscore", round_half_up(F.col("score"), 4)))
+    order = [F.desc("rscore"), F.asc("doc_id")]
+    if dedup_expr is not None:
+        wd = Window.partitionBy("qid", dedup_expr).orderBy(*order)
+        rows = (rows.withColumn("dup_rank", F.row_number().over(wd))
+                .where(F.col("dup_rank") <= int(max_per_value)))
+    ws = Window.partitionBy("qid").orderBy(*order)
+    sampled = (rows.withColumn("srank", F.row_number().over(ws))
+               .where(F.col("srank") <= int(shard_size)))
+    return (sampled.groupBy("qid", F.col(field).alias("value"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("qid", "value"))
 
 
 def explain_scores(index: Index, query_terms: QueryTerms,
