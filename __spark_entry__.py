@@ -179,6 +179,18 @@ RARE_MDC = 40         # rare_terms mdc: the synthetic vocab has no df<=2
 SAMPLER_SHARD = 25    # sampler: top-N scored hits feeding the facet
 SAMPLER_DEDUP_MOD = 7  # diversified_sampler: dedup key = doc_id % mod
 SAMPLER_MAX_PER = 2    # diversified_sampler: max docs per dedup key
+SIGTEXT_SHARD = 25     # significant_text: sampler size (re-analysis cap)
+NEG_BOOST = 0.3        # boosting query: negative_boost demotion factor
+BOOSTING_QUERIES: list[tuple[str, list[str], list[str]]] = [
+    ("b1", ["merge", "sort"], ["hash"]),
+    ("b2", ["spark", "query"], ["table", "scan"]),
+    ("b3", ["window", "agg"], []),   # no negative clause — pure positive
+]
+TERMS_SET_QUERIES: list[tuple[str, list[str]]] = [
+    ("t1", ["merge", "sort", "fast", "hash"]),
+    ("t2", ["vector", "column", "row", "scan", "batch"]),
+]
+TERMS_SET_MOD = 3      # required_matches = 1 + n_chars % mod (per-doc msm)
 
 # Generic BooleanQuery clauses (qid, must, should, must_not) and the
 # remaining MultiTermQuery rewrites (RegexpQuery, TermRangeQuery)
@@ -1592,6 +1604,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup_expr=F.pmod(F.col("doc_id"), F.lit(SAMPLER_DEDUP_MOD)),
             max_per_value=SAMPLER_MAX_PER)
 
+    def significant_text_topn(spark, sf_dir):
+        """ES significant_text agg: JLH significance over RE-ANALYZED
+        stored content of the top SIGTEXT_SHARD sampled hits (the
+        index's own analyzer opts — the stale-analyzer rule), with
+        exact-duplicate texts filtered (filter_duplicate_text)."""
+        from engine.search import significant_text as _st
+
+        idx = _cached_index(spark, sf_dir)
+        return _st(idx, BM25_QUERIES, SIGTERMS_N, SIGTEXT_SHARD,
+                   filter_duplicate_text=True)
+
+    def boosting_topk(spark, sf_dir):
+        """ES boosting compound query: positive-clause BM25 matching,
+        with hits also matching the negative clause demoted by
+        NEG_BOOST BEFORE the rank cut (demotion, not exclusion)."""
+        from engine.search import boosting_topk as _bq
+
+        idx = _cached_index(spark, sf_dir)
+        return _rounded_rerank(
+            _bq(idx, BOOSTING_QUERIES, TOPK + 50, NEG_BOOST), TOPK)
+
+    def terms_set_topk(spark, sf_dir):
+        """ES terms_set query (Lucene CoveringQuery): doc matches iff
+        it contains >= required_matches(doc) distinct query terms,
+        the minimum read per-doc from a field (1 + n_chars % mod);
+        score = BM25 sum over the matched terms."""
+        from engine.search import terms_set_topk as _tsq
+
+        idx = _cached_index(spark, sf_dir)
+        req = _docs(spark, sf_dir).select(
+            "doc_id",
+            (F.lit(1) + F.pmod(F.col("n_chars"),
+                               F.lit(TERMS_SET_MOD)))
+            .alias("required_matches"))
+        res = _tsq(idx, TERMS_SET_QUERIES, req, TOPK + 50)
+        r = round_half_up(F.col("score"), 4)
+        w = Window.partitionBy("qid").orderBy(r.desc(), F.asc("doc_id"))
+        return (res.withColumn("rrank", F.row_number().over(w))
+                .where(F.col("rrank") <= TOPK)
+                .select("qid", "doc_id", "n_matched", r.alias("score"),
+                        F.col("rrank").alias("rank"))
+                .orderBy("qid", "rank"))
+
     def facet_histogram(spark, sf_dir):
         """ES histogram agg over analyzed doc length (occupied
         buckets, width HIST_INTERVAL) per query's matched set."""
@@ -2501,11 +2556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_terms": rare_terms,
         "sampler_lang": sampler_lang,
         "diversified_sampler_lang": diversified_sampler_lang,
-        # window padding: r3-driver-green flagships (rotate out
-        # freely for any new entries added this round)
-        "substring_dedup": substring_dedup,
-        "nb_quality_scores": nb_quality_scores,
-        "lm_perplexity": lm_perplexity,
+        "significant_text_topn": significant_text_topn,
+        "boosting_topk": boosting_topk,
+        "terms_set_topk": terms_set_topk,
         "bpe_merges": bpe_merges,
         "bpe_encoded": bpe_encoded,
         "highlighted_topk": highlighted_topk,
@@ -2520,6 +2573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": eval_metrics,
         "index_wand_topk": index_wand_topk,
         "bm25_topk": bm25_topk,
+        "substring_dedup": substring_dedup,
+        "nb_quality_scores": nb_quality_scores,
+        "lm_perplexity": lm_perplexity,
         "bloom_decontam": bloom_decontam,
         "cms_term_counts": cms_term_counts,
         "dsir_weights": dsir_weights,
@@ -3181,6 +3237,94 @@ SELECT s.qid, d.lang AS value, count(*)::BIGINT AS n_docs
 FROM sampled s JOIN documents d USING (doc_id)
 GROUP BY s.qid, d.lang
 ORDER BY qid, value
+"""
+    sql["significant_text_topn"] = f"""
+WITH {fts},
+{_sampler_ranked},
+sigsamp AS (
+  SELECT qid, doc_id, rn AS srank FROM (
+    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+           ORDER BY rs DESC, doc_id) AS rn
+    FROM ranked) t
+  WHERE rn <= {SIGTEXT_SHARD}),
+samp AS (
+  SELECT qid, doc_id FROM (
+    SELECT s.qid, s.doc_id, row_number() OVER (
+           PARTITION BY s.qid, d.text ORDER BY s.srank) AS dup
+    FROM sigsamp s JOIN documents d USING (doc_id)) t
+  WHERE dup = 1),
+fgn AS (SELECT qid, count(*)::BIGINT AS fg_n FROM samp GROUP BY qid),
+fg AS (
+  SELECT s.qid, t.term, count(*)::BIGINT AS fg_df
+  FROM samp s JOIN tf t ON t.doc_id = s.doc_id
+  GROUP BY s.qid, t.term),
+sc AS (
+  SELECT fg.qid, fg.term, fg.fg_df, dfs.df, {jlh6} AS score
+  FROM fg JOIN fgn USING (qid) JOIN dfs USING (term), stats
+  WHERE {_fgp} > {_bgp})
+SELECT qid, term, fg_df, df, score, rank FROM (
+  SELECT qid, term, fg_df, df, score,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY score DESC, term)::INT AS rank
+  FROM sc) t
+WHERE rank <= {SIGTERMS_N}
+ORDER BY qid, rank
+"""
+    _boost_pos = [(q, pos) for q, pos, _n in BOOSTING_QUERIES]
+    _boost_neg = [(q, neg) for q, _p, neg in BOOSTING_QUERIES if neg]
+    sql["boosting_topk"] = f"""
+WITH {fts},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({_sampler_score}) AS s
+  FROM {_sql_values(_boost_pos)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id),
+neg AS (
+  SELECT DISTINCT n.qid, tf.doc_id
+  FROM {_sql_values(_boost_neg).replace('q(qid, term)',
+                                        'n(qid, term)')}
+  JOIN tf USING (term)),
+dem AS (
+  SELECT m.qid, m.doc_id,
+         CASE WHEN n.doc_id IS NOT NULL THEN m.s * {NEG_BOOST}
+              ELSE m.s END AS s
+  FROM matched m LEFT JOIN neg n
+    ON n.qid = m.qid AND n.doc_id = m.doc_id)
+SELECT qid, doc_id, {round_half_up_sql('s', 4)} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {round_half_up_sql('s', 4)} DESC, doc_id)::INT
+             AS rank
+  FROM dem) t
+WHERE rank <= {TOPK}
+ORDER BY qid, rank
+"""
+    sql["terms_set_topk"] = f"""
+WITH {fts},
+req AS (
+  SELECT doc_id, 1 + (n_chars % {TERMS_SET_MOD}) AS required
+  FROM documents),
+m AS (
+  SELECT q.qid, tf.doc_id,
+         count(DISTINCT q.term)::BIGINT AS n_matched,
+         sum({_sampler_score}) AS s
+  FROM {_sql_values(TERMS_SET_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id),
+ok AS (
+  SELECT m.* FROM m JOIN req USING (doc_id)
+  WHERE m.n_matched >= greatest(req.required, 1))
+SELECT qid, doc_id, n_matched, {round_half_up_sql('s', 4)} AS score,
+       rank FROM (
+  SELECT qid, doc_id, n_matched, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {round_half_up_sql('s', 4)} DESC, doc_id)::INT
+             AS rank
+  FROM ok) t
+WHERE rank <= {TOPK}
+ORDER BY qid, rank
 """
     sql["facet_histogram"] = f"""
 WITH {fts},

@@ -2649,6 +2649,199 @@ def sampler_facet(index: Index,
             .orderBy("qid", "value"))
 
 
+def significant_text(index: Index,
+                     queries: Sequence[tuple[str, Sequence[str]]],
+                     n: int, shard_size: int,
+                     filter_duplicate_text: bool = False) -> DataFrame:
+    """Significant-text aggregation (the Elasticsearch
+    ``significant_text`` bucket agg): like ``significant_terms``, but
+    the foreground counts come from RE-ANALYZING the stored source
+    text of the ``shard_size`` best-scoring hits — the agg ES built
+    for unindexed/source-only fields, always run under a sampler
+    because re-analysis is per-hit work. The re-analysis uses the
+    INDEX's own analyzer settings (``Index.analyzer_opts()`` — the
+    stale-analyzer rule: a stemmed index must re-stem or the fg terms
+    miss the dictionary).
+
+    ``filter_duplicate_text`` is ES's near-copy guard, pinned
+    deterministically: within each query's sample, documents whose
+    content is byte-identical (sha256 from the docs table) to a
+    better-ranked sampled doc are dropped from BOTH the foreground
+    counts and the foreground size — so boilerplate/retweet copies
+    can't manufacture significance.
+
+    Sample order is the engine contract (4dp-rounded BM25 desc,
+    doc_id asc); scoring is the same JLH heuristic and 6dp rounding
+    as ``significant_terms``; terms absent from the index dictionary
+    are dropped (background df would be 0 — on a frozen index every
+    re-analyzed token IS in termstats, so the inner join is a no-op
+    there). Returns (qid, term, fg_df, df, score, rank).
+
+    Scale: the only per-hit work (tokenize) happens AFTER the sample
+    cut, so its cost is |queries| x shard_size docs regardless of
+    corpus; the fg agg is map-side combinable on (qid, term); the
+    background model is the already-built termstats table (no second
+    corpus pass). Tokens are materialized in their own projection
+    before the explode (the udf-above-Generate re-run pitfall).
+    Reference: search delegated to the Lucene stack that ships this
+    agg (GROUP_12 SearchFiles.java:1).
+    """
+    from .analysis import tokenize_pandas_udf, tokens_col
+    from .portable import round_half_up
+
+    qt = [(q, t, 1.0) for q, terms in queries for t in sorted(set(terms))]
+    scored = score_exhaustive(index, qt, k=None)
+    rows = scored.withColumn("rscore", round_half_up(F.col("score"), 4))
+    ws = Window.partitionBy("qid").orderBy(F.desc("rscore"), F.asc("doc_id"))
+    sampled = (rows.withColumn("srank", F.row_number().over(ws))
+               .where(F.col("srank") <= int(shard_size))
+               .select("qid", "doc_id", "srank"))
+    docs = index.docs.select("doc_id", "content", "sha")
+    sample_docs = sampled.join(docs, "doc_id")
+    if filter_duplicate_text:
+        wd = Window.partitionBy("qid", "sha").orderBy(F.asc("srank"))
+        sample_docs = (sample_docs
+                       .withColumn("dup", F.row_number().over(wd))
+                       .where(F.col("dup") == 1))
+    opts = index.analyzer_opts()
+    if opts["stem"]:
+        tok = tokenize_pandas_udf(**opts)(F.col("content"))
+    else:
+        tok = tokens_col(F.col("content"), ascii_fold=opts["ascii_fold"])
+    toks = sample_docs.select("qid", "doc_id",
+                              F.array_distinct(tok).alias("toks"))
+    fg = (toks.select("qid", F.explode("toks").alias("term"))
+          .groupBy("qid", "term")
+          .agg(F.count(F.lit(1)).alias("fg_df")))
+    fg_n = (sample_docs.groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("fg_n")))
+    cand = (fg.join(F.broadcast(fg_n), "qid")
+            .join(index.termstats.select("term", "df"), "term"))
+    fg_pct = F.col("fg_df").cast("double") / F.col("fg_n").cast("double")
+    bg_pct = F.col("df").cast("double") / F.lit(float(index.n_docs))
+    jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    sc = (cand.where(fg_pct > bg_pct)
+          .select("qid", "term", "fg_df", "df",
+                  round_half_up(jlh, 6).alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("term"))
+    return (sc.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= n)
+            .select("qid", "term", "fg_df", "df", "score", "rank")
+            .orderBy("qid", "rank"))
+
+
+def boosting_topk(index: Index,
+                  queries: Sequence[tuple[str, Sequence[str], Sequence[str]]],
+                  k: int, negative_boost: float = 0.5) -> DataFrame:
+    """Boosting query (the Elasticsearch ``boosting`` compound query /
+    Lucene's modern BoostingQuery reading): matching is the POSITIVE
+    clause's alone, but any hit that ALSO matches the negative clause
+    has its score multiplied by ``negative_boost`` — demotion without
+    exclusion (must_not removes; boosting just sinks).
+
+    ``queries``: (qid, positive_terms, negative_terms) triples; both
+    clauses are weight-1.0 term disjunctions, scored BM25.
+
+    The demotion happens BEFORE the rank cut (the gate-before-cut
+    rule: a demoted head doc can fall arbitrarily deep, so the k-th
+    surviving doc of the demoted ranking may sit far below rank k of
+    the raw one — a post-cut demotion would be wrong). That makes
+    this an exhaustive-by-necessity plan like field_value_factor: the
+    positive match set is scored in full, the negative MATCH SET
+    (ids only, never scores) left-joins on (qid, doc_id), and the cut
+    applies to the demoted score. Returns (qid, doc_id, score, rank)
+    with the exact demoted score — callers re-rank rounded (the
+    4dp overfetch contract). Reference: search delegated to the
+    Lucene stack that ships this query (GROUP_12 SearchFiles.java:1).
+    """
+    pos_qt = [(q, t, 1.0) for q, pos, _neg in queries
+              for t in sorted(set(pos))]
+    scored = score_exhaustive(index, pos_qt, k=None)
+    negq = [(q, list(neg)) for q, _pos, neg in queries if neg]
+    if negq:
+        neg = (_matched_hits(index, negq)
+               .withColumn("_neg", F.lit(1)))
+        scored = scored.join(neg, ["qid", "doc_id"], "left")
+    else:
+        scored = scored.withColumn("_neg", F.lit(None).cast("int"))
+    demoted = F.when(F.col("_neg").isNotNull(),
+                     F.col("score") * F.lit(float(negative_boost))) \
+               .otherwise(F.col("score"))
+    out = scored.select("qid", "doc_id", demoted.alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", "score", "rank")
+            .orderBy("qid", "rank"))
+
+
+def terms_set_topk(index: Index,
+                   queries: Sequence[tuple[str, Sequence[str]]],
+                   msm_df: DataFrame, k: int,
+                   msm_col: str = "required_matches") -> DataFrame:
+    """Terms-set query (the Elasticsearch ``terms_set`` query /
+    Lucene ``CoveringQuery``): a doc matches iff it contains at least
+    ``msm(doc)`` DISTINCT terms of the query's term set, where the
+    minimum is a PER-DOCUMENT value read from a field
+    (``minimum_should_match_field``) — the dynamic generalization of
+    minimumNumberShouldMatch. Scoring is the boolean-should sum: BM25
+    over the doc's matched terms.
+
+    ``msm_df``: (doc_id, ``msm_col``) — the per-doc required count.
+    A required count above the query's term count is unsatisfiable
+    for that doc (as in ES); values <= 1 degrade to plain OR (scoring
+    rows exist only for docs matching >= 1 term, so the floor is
+    structural — Lucene's CoveringQuery iterates clause matches too).
+
+    Plan: ONE posting decode feeds both the match-count gate and the
+    score — posting lists carry each (term, doc) once, so the
+    distinct-matched-terms count is a plain COUNT over the (qid,
+    doc_id) window, whose shuffle key the downstream score agg reuses
+    (the boolean_topk exchange-reuse shape). The per-doc minimum
+    joins on doc_id; at cluster scale that field lives in the
+    doc-bucketed forward table so the join co-locates with the
+    posting rows. Returns (qid, doc_id, n_matched, score, rank) with
+    the exact score — callers re-rank rounded (4dp overfetch).
+    Reference: search delegated to the Lucene stack that ships this
+    query (GROUP_12 SearchFiles.java:1).
+    """
+    qt = [(q, t, 1.0) for q, terms in queries for t in sorted(set(terms))]
+    matched = _matched_postings(index, qt)
+    dec = matched.withColumn("d", decode_udf("blob"))
+    rows = dec.select(
+        "qid", "term", "weight",
+        F.explode(F.arrays_zip("d.doc_ids", "d.tfs", "d.dls")).alias("e"),
+    ).select(
+        "qid", "term", "weight",
+        F.col("e.doc_ids").alias("doc_id"),
+        F.col("e.tfs").alias("tf"),
+        F.col("e.dls").alias("dl"),
+    )
+    rows = index.live(rows)
+    wc = Window.partitionBy("qid", "doc_id")
+    rows = rows.withColumn("n_matched", F.count(F.lit(1)).over(wc))
+    req = msm_df.select("doc_id", F.col(msm_col).cast("long").alias("_req"))
+    rows = (rows.join(req, "doc_id")
+            .where(F.col("n_matched") >= F.greatest(F.col("_req"),
+                                                    F.lit(1))))
+    ts = index.termstats.select("term", "df")
+    rows = rows.join(F.broadcast(
+        ts.join(_query_df(index.spark, qt).select("term").distinct(),
+                "term")), "term")
+    pscore = F.col("weight") * bm25_col(
+        F.col("tf"), F.col("df"), F.col("dl"), index.avgdl,
+        float(index.n_docs), index.stats["k1"], index.stats["b"])
+    agg = (rows.withColumn("pscore", pscore)
+           .groupBy("qid", "doc_id")
+           .agg(F.max("n_matched").alias("n_matched"),
+                F.sum("pscore").alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", "n_matched", "score", "rank")
+            .orderBy("qid", "rank"))
+
+
 def explain_scores(index: Index, query_terms: QueryTerms,
                    hits: DataFrame) -> DataFrame:
     """Score-explanation over a result PAGE (the Elasticsearch

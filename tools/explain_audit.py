@@ -325,6 +325,16 @@ def main() -> None:
         "adjacency_counts"](spark, sf_dir)
     plans["synonym-expanded weighted-OR BM25"] = qs[
         "synonym_expand_topk"](spark, sf_dir)
+    plans["rare_terms agg (exact long-tail buckets)"] = qs[
+        "rare_terms"](spark, sf_dir)
+    plans["diversified_sampler (dedup window + sample cut)"] = qs[
+        "diversified_sampler_lang"](spark, sf_dir)
+    plans["significant_text (sampled re-analysis JLH)"] = qs[
+        "significant_text_topn"](spark, sf_dir)
+    plans["boosting query (demote-before-cut)"] = qs[
+        "boosting_topk"](spark, sf_dir)
+    plans["terms_set query (per-doc msm gate)"] = qs[
+        "terms_set_topk"](spark, sf_dir)
 
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
