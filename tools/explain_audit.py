@@ -335,6 +335,12 @@ def main() -> None:
         "boosting_topk"](spark, sf_dir)
     plans["terms_set query (per-doc msm gate)"] = qs[
         "terms_set_topk"](spark, sf_dir)
+    plans["weighted_avg agg (DECIMAL accumulators)"] = qs[
+        "weighted_avg_dl"](spark, sf_dir)
+    plans["boxplot + MAD (exact type-7 quantiles)"] = qs[
+        "mad_dl"](spark, sf_dir)
+    plans["multi_terms agg (composite count-desc buckets)"] = qs[
+        "multi_terms_buckets"](spark, sf_dir)
 
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
