@@ -2792,6 +2792,9 @@ def terms_set_topk(index: Index,
     for that doc (as in ES); values <= 1 degrade to plain OR (scoring
     rows exist only for docs matching >= 1 term, so the floor is
     structural — Lucene's CoveringQuery iterates clause matches too).
+    Docs ABSENT from ``msm_df`` never match (inner join — the ES
+    reading of a missing minimum_should_match_field value, which
+    Lucene's LongValues source treats as no-value → no match).
 
     Plan: ONE posting decode feeds both the match-count gate and the
     score — posting lists carry each (term, doc) once, so the
