@@ -192,6 +192,11 @@ TERMS_SET_QUERIES: list[tuple[str, list[str]]] = [
 ]
 TERMS_SET_MOD = 3      # required_matches = 1 + n_chars % mod (per-doc msm)
 MULTI_TERMS_N = 5      # multi_terms: top-n composite buckets per query
+RF_PIVOT = 300.0       # rank_feature saturation pivot ~ median char len
+RF_BOOST = 10.0        # rank_feature boost: sat spread ~0.5 x 10 = 5 pts,
+                       # enough to genuinely reorder the BM25 ranking
+MOV_WINDOW = 3         # moving_fn window (last 3 buckets, excl. current)
+SERIAL_LAG = 2         # serial_diff lag (lag-1 is derivative's column)
 
 # Generic BooleanQuery clauses (qid, must, should, must_not) and the
 # remaining MultiTermQuery rewrites (RegexpQuery, TermRangeQuery)
@@ -1682,6 +1687,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multi_terms_agg(idx, BM25_QUERIES, fields,
                                ["lang", "source"], MULTI_TERMS_N)
 
+    def rank_feature_topk(spark, sf_dir):
+        """ES rank_feature query (saturation function over the raw
+        char-length feature): score = bm25 + RF_BOOST x nc/(nc+pivot),
+        additive should clause, exhaustive scoring with the rank cut
+        last (engine/search.py:rank_feature_topk)."""
+        from engine.search import rank_feature_topk as _rf
+
+        idx = _cached_index(spark, sf_dir)
+        qt = [(q, t, 1.0) for q, ts in BM25_QUERIES for t in ts]
+        return _rf(idx, qt, TOPK, pivot=RF_PIVOT, boost=RF_BOOST)
+
+    def string_stats_dl(spark, sf_dir):
+        """ES string_stats agg (show_distribution): per match set the
+        count/min/max/avg char length of stored content plus the
+        Shannon entropy of the character distribution, int64
+        micro-unit accumulation (engine/search.py:string_stats_agg)."""
+        from engine.search import string_stats_agg
+
+        idx = _cached_index(spark, sf_dir)
+        return string_stats_agg(idx, BM25_QUERIES)
+
+    def event_window_bucket_stats(spark, sf_dir):
+        """ES sibling pipeline aggs (stats_bucket / avg_bucket /
+        min_bucket / max_bucket / sum_bucket) over the hourly
+        date_histogram per event_type: one row per series
+        (engine/streaming.py:windowed_bucket_stats)."""
+        from engine.streaming import windowed_bucket_stats
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return windowed_bucket_stats(events, window="1 hour")
+
+    def event_window_moving(spark, sf_dir):
+        """ES moving_fn (unweightedAvg, shift=0: the last MOV_WINDOW
+        buckets EXCLUDING current) + serial_diff (lag SERIAL_LAG)
+        pipeline aggs over the hourly date_histogram
+        (engine/streaming.py:windowed_moving_fn)."""
+        from engine.streaming import windowed_moving_fn
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = windowed_moving_fn(events, window="1 hour",
+                                 mov_window=MOV_WINDOW, lag=SERIAL_LAG)
+        return (out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"), "event_type", "n", "mov_avg_n",
+            "serial_diff_n")
+            .orderBy("event_type", "window_start"))
+
     def facet_histogram(spark, sf_dir):
         """ES histogram agg over analyzed doc length (occupied
         buckets, width HIST_INTERVAL) per query's matched set."""
@@ -2575,14 +2627,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not_hits": span_not_hits,
         "matrix_stats": matrix_stats,
         "percentile_ranks_dl": percentile_ranks_dl,
-        # entries whose engine code CHANGED this round (trigram-
-        # pruned fuzzy/suggest/did_you_mean, kernelized dismax/
-        # combined_fields, pruned percolate, selective purge,
-        # reshard marker) — re-checked by the driver:
-        "did_you_mean": did_you_mean,
-        "percolate_hits": percolate_hits,
-        "deleted_search": deleted_search,
-        "resharded_search": resharded_search,
+        # new this session (never driver-checked — must sit
+        # in-window): the four slots come from rotating out
+        # did_you_mean/percolate_hits/deleted_search/resharded_search
+        # (see tail comment there)
+        "rank_feature_topk": rank_feature_topk,
+        "string_stats_dl": string_stats_dl,
+        "event_window_bucket_stats": event_window_bucket_stats,
+        "event_window_moving": event_window_moving,
         # new this round (never driver-checked — must sit in-window):
         "rare_terms": rare_terms,
         "sampler_lang": sampler_lang,
@@ -2614,6 +2666,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": suggest_terms,
         "dismax_topk": dismax_topk,
         "combined_fields_topk": combined_fields_topk,
+        # did_you_mean/percolate_hits/deleted_search/resharded_search
+        # changed engine paths this round (trigram prune, indexed
+        # percolate, selective purge, reshard marker) but rotate out:
+        # each is r1-r3 driver-green AND the new path carries an
+        # equivalence test vs the old one (trigram-vs-brute,
+        # indexed-vs-broadcast percolate, selective-vs-full purge
+        # byte-identity, reshard rank-identity)
+        "did_you_mean": did_you_mean,
+        "percolate_hits": percolate_hits,
+        "deleted_search": deleted_search,
+        "resharded_search": resharded_search,
         "eval_metrics": eval_metrics,
         "index_wand_topk": index_wand_topk,
         "bm25_topk": bm25_topk,
@@ -3006,6 +3069,25 @@ SELECT qid, doc_id, score, rank FROM (
          row_number() OVER (PARTITION BY m.qid
              ORDER BY {fvf_r4} DESC, m.doc_id)::INT AS rank
   FROM matched m JOIN dl ON m.doc_id = dl.doc_id) t
+WHERE rank <= {TOPK}
+"""
+
+    rf_term = r6(f"{RF_BOOST} * (nc.nc / (nc.nc + {RF_PIVOT}))", 6)
+    rf_r4 = round_half_up_sql(f"s + {rf_term}", 4)
+    sql["rank_feature_topk"] = f"""
+WITH {fts},
+nc AS (SELECT doc_id, length(text)::DOUBLE AS nc FROM documents),
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({fvf_score}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, doc_id, score, rank FROM (
+  SELECT m.qid, m.doc_id, {rf_r4} AS score,
+         row_number() OVER (PARTITION BY m.qid
+             ORDER BY {rf_r4} DESC, m.doc_id)::INT AS rank
+  FROM matched m JOIN nc ON m.doc_id = nc.doc_id) t
 WHERE rank <= {TOPK}
 """
 
@@ -3419,6 +3501,34 @@ a AS (
 SELECT a.qid, {round_half_up_sql('med.med', 6)} AS median_dl,
        {round_half_up_sql('a.madx', 6)} AS mad
 FROM a JOIN med ON med.qid = a.qid ORDER BY a.qid
+"""
+    sql["string_stats_dl"] = f"""
+WITH {fts},
+{_hits_cte},
+lens AS (
+  SELECT h.qid, count(*)::BIGINT AS count,
+         min(length(d.text))::BIGINT AS min_length,
+         max(length(d.text))::BIGINT AS max_length,
+         sum(length(d.text))::BIGINT AS tot
+  FROM hits h JOIN documents d USING (doc_id) GROUP BY h.qid),
+chars AS (
+  SELECT h.qid, unnest(split(d.text, '')) AS ch
+  FROM hits h JOIN documents d USING (doc_id)),
+cc AS (
+  SELECT qid, ch, count(*)::BIGINT AS c FROM chars
+  WHERE ch <> '' GROUP BY qid, ch),
+tc AS (SELECT qid, sum(c)::BIGINT AS totc FROM cc GROUP BY qid),
+ent AS (
+  SELECT cc.qid,
+         sum(floor(-((cc.c::DOUBLE / tc.totc::DOUBLE) *
+                     log2(cc.c::DOUBLE / tc.totc::DOUBLE)) * 1e9
+                   + 0.5)::BIGINT) AS msum
+  FROM cc JOIN tc ON tc.qid = cc.qid GROUP BY cc.qid)
+SELECT l.qid, l.count, l.min_length, l.max_length,
+       {round_half_up_sql('l.tot::DOUBLE / l.count::DOUBLE', 6)}
+         AS avg_length,
+       {round_half_up_sql('e.msum::DOUBLE / 1e9', 6)} AS entropy
+FROM lens l JOIN ent e ON e.qid = l.qid ORDER BY l.qid
 """
     sql["multi_terms_buckets"] = f"""
 WITH {fts},
@@ -5293,6 +5403,36 @@ SELECT window_start, event_type, n,
        (n - lag(n) OVER (PARTITION BY event_type ORDER BY window_start))
          ::BIGINT AS deriv_n
 FROM c ORDER BY event_type, window_start
+"""
+    sql["event_window_bucket_stats"] = f"""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS w, event_type,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, count(*)::BIGINT AS n_buckets,
+       min(n)::BIGINT AS min_n, max(n)::BIGINT AS max_n,
+       {round_half_up_sql('sum(n)::DOUBLE / count(*)::DOUBLE', 6)}
+         AS avg_n,
+       sum(n)::BIGINT AS sum_n
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+    sql["event_window_moving"] = f"""
+WITH c AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2)
+SELECT window_start, event_type, n,
+       {round_half_up_sql(
+           'sum(n) OVER w3::DOUBLE / count(n) OVER w3::DOUBLE', 6)}
+         AS mov_avg_n,
+       (n - lag(n, {SERIAL_LAG})
+              OVER (PARTITION BY event_type ORDER BY window_start))
+         ::BIGINT AS serial_diff_n
+FROM c
+WINDOW w3 AS (PARTITION BY event_type ORDER BY window_start
+              ROWS BETWEEN {MOV_WINDOW} PRECEDING AND 1 PRECEDING)
+ORDER BY event_type, window_start
 """
     sql["event_window_counts"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -21,6 +21,8 @@ Queries benched (each timed to completion, i.e. a full action):
   bpe_train_encode BPE: word-freq agg + 200-merge driver train + full
                    corpus encode (zero-shuffle pandas UDF)
   highlight        WAND top-10 page + best-passage <em> snippets
+  rank_feature     ES rank_feature saturation boost top-10 (cut last)
+  string_stats     char-distribution entropy agg over the match sets
 
 Extra keys: docs_per_sec (index build throughput), n_docs.
 """
@@ -164,6 +166,17 @@ def main() -> None:
     highlight(hits, docs.select("doc_id", "text"),
               entrymod.BM25_QUERIES, window=12).count()
     timings["highlight"] = time.time() - t0
+
+    from engine.search import rank_feature_topk, string_stats_agg
+
+    t0 = time.time()
+    rank_feature_topk(idx, qt, 10, pivot=entrymod.RF_PIVOT,
+                      boost=entrymod.RF_BOOST).collect()
+    timings["rank_feature"] = time.time() - t0
+
+    t0 = time.time()
+    string_stats_agg(idx, entrymod.BM25_QUERIES).collect()
+    timings["string_stats"] = time.time() - t0
 
     from engine.streaming import sessionize
 

@@ -3473,3 +3473,123 @@ def synonym_topk(index: Index,
             .where(F.col("rank") <= k)
             .select("qid", "doc_id", "score", "rank")
             .orderBy("qid", "rank"))
+
+
+def rank_feature_topk(index: Index, query_terms: QueryTerms, k: int,
+                      pivot: float = 1000.0, boost: float = 1.0,
+                      function: str = "saturation",
+                      exponent: int = 2) -> DataFrame:
+    """ES ``rank_feature`` query over the index's raw char-length
+    feature (the canonical "pagerank/url_length"-class numeric field):
+    the feature contributes ADDITIVELY to the BM25 sum — the ES
+    contract (rank_feature is a should clause; docs missing the
+    feature contribute 0, never match removal). Three ES functions:
+
+    * ``saturation``: boost · x/(x + pivot)  (the ES default)
+    * ``log``:        boost · ln(scaling + x), scaling = pivot
+    * ``sigmoid``:    boost · x^e/(x^e + pivot^e)
+
+    The boost term REORDERS the ranking relative to plain BM25, so —
+    like :func:`field_value_factor_topk` — scoring is exhaustive over
+    the match set and the rank cut comes last (gate before cut; a
+    feature-rich doc can enter the top-k from arbitrarily deep).
+    Scale path (doc'd, not needed at the oracle scale): saturation and
+    sigmoid are bounded by ``boost``, so UB_total = UB_bm25 + boost is
+    a sound WAND bound and the block-max kernel applies unchanged.
+
+    Cross-engine determinism: x and pivot are integers-as-doubles, so
+    saturation/sigmoid are one exact ratio (x^e ≤ (10^5)^2 « 2^53);
+    the feature term is quantized to 6 dp BEFORE the add (ln's last
+    ulp may differ between libms), the combined score re-rounds to
+    4 dp for ranking (house float discipline). Returns
+    (qid, doc_id, score, rank). Reference: search delegated to the
+    Lucene stack that ships this query (GROUP_12 SearchFiles.java:1).
+    """
+    from .portable import round_half_up
+
+    if function not in ("saturation", "log", "sigmoid"):
+        raise ValueError(f"unknown rank_feature function {function!r}")
+    scored = score_exhaustive(index, query_terms, None)
+    feat = index.docs.select(
+        "doc_id", F.length("content").cast("double").alias("x"))
+    p = float(pivot)
+    if function == "saturation":
+        raw = F.col("x") / (F.col("x") + F.lit(p))
+    elif function == "log":
+        raw = F.log(F.col("x") + F.lit(p))
+    else:
+        e = int(exponent)
+        xe = F.pow(F.col("x"), F.lit(float(e)))
+        raw = xe / (xe + F.lit(float(p ** e)))
+    fterm = round_half_up(F.lit(float(boost)) * raw, 6)
+    j = scored.join(feat, "doc_id").withColumn(
+        "fscore", round_half_up(F.col("score") + fterm, 4))
+    w = Window.partitionBy("qid").orderBy(F.desc("fscore"),
+                                          F.asc("doc_id"))
+    return (j.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", F.col("fscore").alias("score"),
+                    "rank")
+            .orderBy("qid", "rank"))
+
+
+def string_stats_agg(index: Index,
+                     queries: Sequence[tuple[str, Sequence[str]]]
+                     ) -> DataFrame:
+    """String-stats aggregation (the Elasticsearch ``string_stats``
+    agg with ``show_distribution``) over the stored content field per
+    query match set: value count, min/max/avg character length, and
+    the Shannon entropy of the CHARACTER distribution across all
+    matched values — ES's exact definition (−Σ pᵢ·log2 pᵢ over every
+    character in every value).
+
+    Cross-engine determinism: lengths are exact integers (one final
+    division for avg, 6 dp); entropy is a sum of ln() terms, so the
+    nb_classifier int64 micro-unit recipe applies — each character's
+    −p·log2 p is quantized ONCE to 10⁻⁹ units (floor(x·1e9 + 0.5) as
+    long), accumulated as integers (addition-order-proof), and divided
+    back once at the end (6 dp). |alphabet| ≤ a few hundred keys per
+    query, so the quantized sum is « 2^53.
+
+    Scale shape: the char explode is O(total matched chars) — the
+    tokenizer's own class — feeding a map-side-combinable
+    (qid, char) count agg; the entropy pass runs over |queries| ×
+    |alphabet| rows. Character unit is the JVM UTF-16 code unit
+    (≡ codepoint for BMP text; supplementary-plane codepoints would
+    count as surrogate pairs — a doc'd divergence from DuckDB's
+    codepoint split, unreachable on the ASCII corpus). Returns (qid, count, min_length, max_length,
+    avg_length, entropy) ordered by qid. Reference: search delegated
+    to the Lucene stack that ships this agg (GROUP_12
+    SearchFiles.java:1).
+    """
+    from .portable import round_half_up
+
+    hits = _matched_hits(index, queries)
+    docs = index.docs.select(
+        "doc_id", F.col("content"),
+        F.length("content").cast("long").alias("nc"))
+    rows = hits.join(docs, "doc_id")
+    lens = (rows.groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("long").alias("count"),
+                 F.min("nc").alias("min_length"),
+                 F.max("nc").alias("max_length"),
+                 F.sum("nc").alias("tot")))
+    chars = (rows.select("qid", F.explode(F.split("content", ""))
+                         .alias("ch"))
+             .where(F.length("ch") > 0)
+             .groupBy("qid", "ch")
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    tot = chars.groupBy("qid").agg(F.sum("c").alias("totc"))
+    p = F.col("c").cast("double") / F.col("totc").cast("double")
+    term = -(p * F.log2(p))
+    micro = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")
+    ent = (chars.join(F.broadcast(tot), "qid")
+           .select("qid", micro.alias("m"))
+           .groupBy("qid").agg(F.sum("m").alias("msum")))
+    avg = F.col("tot").cast("double") / F.col("count").cast("double")
+    return (lens.join(ent, "qid")
+            .select("qid", "count", "min_length", "max_length",
+                    round_half_up(avg, 6).alias("avg_length"),
+                    round_half_up(F.col("msum").cast("double") /
+                                  F.lit(1e9), 6).alias("entropy"))
+            .orderBy("qid"))

@@ -403,6 +403,76 @@ def windowed_counts_pipeline(events: DataFrame,
         .orderBy("event_type", "window_start"))
 
 
+def windowed_bucket_stats(events: DataFrame,
+                          window: str = "1 hour") -> DataFrame:
+    """ES SIBLING pipeline aggregations (``stats_bucket`` — the
+    superset of ``avg_bucket``/``min_bucket``/``max_bucket``/
+    ``sum_bucket``) over the hourly date_histogram: per event_type,
+    the count/min/max/avg/sum of the sibling buckets' ``n`` metric.
+    Where ``cumulative_sum``/``derivative`` (windowed_counts_pipeline)
+    are PARENT pipeline aggs emitting one value per bucket, the
+    sibling family reduces the whole bucket series to ONE row per
+    series — the second-pass cost is |buckets| rows in, |series| rows
+    out, independent of event volume.
+
+    Determinism: n is an exact long, so min/max/sum/count are exact;
+    avg is one final division (6 dp). Divergence doc'd (as
+    facet_histogram): only OCCUPIED buckets exist — empty hours never
+    form buckets, matching the ES default gap_policy reading for a
+    histogram with min_doc_count=1. Returns (event_type, n_buckets,
+    min_n, max_n, avg_n, sum_n) ordered by event_type."""
+    from .portable import round_half_up
+
+    base = windowed_event_counts(events, window)
+    agg = (base.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                F.min("n").alias("min_n"),
+                F.max("n").alias("max_n"),
+                F.sum("n").alias("sum_n")))
+    avg = F.col("sum_n").cast("double") / F.col("n_buckets").cast("double")
+    return (agg.select("event_type", "n_buckets", "min_n", "max_n",
+                       round_half_up(avg, 6).alias("avg_n"), "sum_n")
+            .orderBy("event_type"))
+
+
+def windowed_moving_fn(events: DataFrame, window: str = "1 hour",
+                       mov_window: int = 3,
+                       lag: int = 2) -> DataFrame:
+    """ES ``moving_fn`` (unweightedAvg) + ``serial_diff`` pipeline
+    aggs over the hourly date_histogram per event_type.
+
+    Pinned ES semantics: moving_fn with ``shift = 0`` positions the
+    window over the ``mov_window`` buckets BEFORE the current bucket,
+    EXCLUDING it (the ES default — "the window that is offered ...
+    is the last n values excluding the current bucket"); an empty
+    window yields NULL (ES's MovingFunctions.unweightedAvg returns
+    NaN there — NULL is the relational rendering, as derivative's
+    series heads). serial_diff emits n − n[t−lag], NULL while fewer
+    than ``lag`` prior buckets exist; lag defaults to 2 so the column
+    is distinct from the derivative (lag-1) sibling already in
+    windowed_counts_pipeline. Divergence doc'd (as derivative): only
+    OCCUPIED buckets exist, so "previous" means previous occupied.
+
+    Determinism: the moving average is a ≤mov_window-row sum of exact
+    longs with one division, 6 dp; serial_diff is exact integer math.
+    Second pass over |buckets| window rows, volume-independent.
+    Returns (window_start, event_type, n, mov_avg_n, serial_diff_n)
+    ordered by event_type, window_start."""
+    from .portable import round_half_up
+
+    base = windowed_event_counts(events, window)
+    w = Window.partitionBy("event_type").orderBy("window_start")
+    prior = w.rowsBetween(-int(mov_window), -1)
+    mov = (F.sum("n").over(prior).cast("double") /
+           F.count("n").over(prior).cast("double"))
+    return (base.select(
+        "window_start", "event_type", "n",
+        round_half_up(mov, 6).alias("mov_avg_n"),
+        (F.col("n") - F.lag("n", int(lag)).over(w))
+        .alias("serial_diff_n"))
+        .orderBy("event_type", "window_start"))
+
+
 def windowed_heavy_hitters_registers(events: DataFrame,
                                      window: str = "1 hour",
                                      watermark: str = "2 hours",

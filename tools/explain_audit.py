@@ -341,6 +341,14 @@ def main() -> None:
         "mad_dl"](spark, sf_dir)
     plans["multi_terms agg (composite count-desc buckets)"] = qs[
         "multi_terms_buckets"](spark, sf_dir)
+    plans["rank_feature query (additive saturation boost)"] = qs[
+        "rank_feature_topk"](spark, sf_dir)
+    plans["string_stats agg (char-distribution entropy)"] = qs[
+        "string_stats_dl"](spark, sf_dir)
+    plans["stats_bucket sibling pipeline agg"] = qs[
+        "event_window_bucket_stats"](spark, sf_dir)
+    plans["moving_fn + serial_diff pipeline aggs"] = qs[
+        "event_window_moving"](spark, sf_dir)
 
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
