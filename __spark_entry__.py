@@ -2656,7 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (entry 50) ----
         # tail: every entry below is driver-green in some
         # CORRECTNESS_r*.json and unchanged, or certified by an
-        # in-window sibling (tools/check_rotation.py enforces this)
+        # in-window sibling (tests/test_rotation_policy.py enforces it)
         # fuzzy/suggest/dismax/combined_fields changed engine paths
         # this round but rotate out (window is at capacity with the
         # never-checked backlog): each is r1-r3 driver-green AND the

@@ -281,14 +281,21 @@ def purge_deleted(spark: SparkSession, index_dir: str,
     n_groups_rewritten = None
     if selective:
         avgdl_old = float(stats["avgdl"])
+        # dirty flag deliberately IGNORES salt (the docstring's
+        # invariant): tf keeps build-lineage salts while
+        # compact_deltas collapses a dirty term's postings to salt=0,
+        # so a (bucket, term, salt) join would miss the compacted
+        # group and stream a dead posting through as "clean" — the
+        # deleted doc resurrects (regression:
+        # test_selective_purge_after_compact_salt_collapse)
         affected = (spark.read.parquet(p["tf"])
                     .join(F.broadcast(tomb), "doc_id", "left_semi")
-                    .select("bucket", "term", "salt").distinct()
+                    .select("bucket", "term").distinct()
                     .withColumn("dirty", F.lit(True))
                     .persist())
         n_groups_rewritten = affected.count()   # materialize once
         flagged = post.join(F.broadcast(affected),
-                            ["bucket", "term", "salt"], "left")
+                            ["bucket", "term"], "left")
         dirty = flagged.where(F.col("dirty")).drop("dirty")
         scale = max(1.0, avgdl / max(avgdl_old, 1e-12))
         clean = (flagged.where(F.col("dirty").isNull()).drop("dirty")

@@ -135,6 +135,16 @@ def register_queries(spark, store_dir: str, queries: PercolateQueries,
         (spark.createDataFrame(not_rows, "qid string, term string")
          .sort("qid").write.mode("overwrite")
          .parquet(f"{store_dir}/mnot"))
+    else:
+        # a re-register with NO prohibitions must also REMOVE any
+        # mnot left by a previous register over the same store_dir —
+        # a stale table would keep firing old prohibitions against
+        # reused qids (regression: test_reregister_clears_stale_mnot)
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/mnot")
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hp):
+            fs.delete(hp, True)
     return {"n_queries": len(queries)}
 
 
@@ -163,11 +173,24 @@ def percolate_indexed(docs: DataFrame, store_dir: str,
     — the queries-evaluated-per-doc ≪ store-size counter.
     """
     spark = docs.sparkSession
+    from .index_build import _exists
+
     anchors = spark.read.parquet(f"{store_dir}/anchors")
     must = spark.read.parquet(f"{store_dir}/must")
-    try:
-        mnot = spark.read.parquet(f"{store_dir}/mnot")
-    except Exception:
+    # presence check, NOT try/except: a store registered WITH
+    # prohibitions whose mnot read fails (corrupt/partial parquet, FS
+    # error) must raise, never silently disable must_not checking
+    mnot_path = f"{store_dir}/mnot"
+    if _exists(spark, mnot_path):
+        mnot = spark.read.parquet(mnot_path)
+    else:
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(mnot_path)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hp):   # dir present but no _SUCCESS gate
+            raise ValueError(
+                f"percolator store {mnot_path} is partially written "
+                "(no _SUCCESS) — re-run register_queries")
         mnot = None
 
     toks = docs.select(

@@ -2540,10 +2540,16 @@ def significant_terms(index: Index,
     hits = _matched_hits(index, queries)
     p = _paths(index.index_dir)
     tfw = index.spark.read.parquet(p["tf"]).select("doc_id", "term")
+    # plain counts, NOT count_distinct: hits is distinct (qid, doc_id)
+    # by construction and the forward tf table carries exactly one row
+    # per (term, doc_id) — the build aggregates on that key and
+    # updates append only fresh doc_ids — so the counts are equal and
+    # the plain count genuinely map-side-combines (count_distinct
+    # forces a two-phase Expand/dedup keyed (qid, term, doc_id) first)
     fg = (hits.join(tfw, "doc_id")
           .groupBy("qid", "term")
-          .agg(F.count_distinct("doc_id").alias("fg_df")))
-    fg_n = hits.groupBy("qid").agg(F.count_distinct("doc_id").alias("fg_n"))
+          .agg(F.count(F.lit(1)).alias("fg_df")))
+    fg_n = hits.groupBy("qid").agg(F.count(F.lit(1)).alias("fg_n"))
     cand = (fg.join(F.broadcast(fg_n), "qid")
             .join(index.termstats.select("term", "df"), "term"))
     fg_pct = F.col("fg_df").cast("double") / F.col("fg_n").cast("double")
@@ -2588,9 +2594,13 @@ def rare_terms_agg(index: Index,
     hits = _matched_hits(index, queries)
     p = _paths(index.index_dir)
     tfw = index.spark.read.parquet(p["tf"]).select("doc_id", "term")
+    # plain count, not count_distinct — see significant_terms: the
+    # (qid, doc_id, term) rows are unique by construction, and the
+    # plain count is the one that map-side-combines (measured hottest
+    # path: 325k-bucket long tail at 527k docs)
     fg = (hits.join(tfw, "doc_id")
           .groupBy("qid", "term")
-          .agg(F.count_distinct("doc_id").alias("fg_df")))
+          .agg(F.count(F.lit(1)).alias("fg_df")))
     return (fg.where(F.col("fg_df") <= int(max_doc_count))
             .join(index.termstats.select("term", "df"), "term")
             .select("qid", "term", "fg_df", "df")

@@ -276,11 +276,22 @@ def expand_fuzzy_terms_trigram(index: Index,
                                max_edits: int = 1) -> QueryTerms:
     """Exact fuzzy rewrite via trigram candidate pruning: pigeonhole
     candidates verified with the exact Levenshtein DP — always
-    identical to :func:`engine.search.expand_fuzzy_terms`."""
-    cand = fuzzy_candidate_pairs(index, queries, max_edits)
+    identical to :func:`engine.search.expand_fuzzy_terms`.
+
+    The candidate machinery is keyed by a synthetic PER-PAIR id, not
+    the caller's qid: a qid carrying several qterms (two fuzzy
+    clauses in one query) must contribute one weighted clause per
+    (qterm, matched term) PAIR — the brute path's (and Lucene's
+    SHOULD-sum) multiplicity — and the per-qid piece groups /
+    count thresholds must never mix grams of different qterms
+    (regression: test_fuzzy_trigram_multi_qterm_per_qid)."""
+    uq = [(str(i), q) for i, (_, q) in enumerate(queries)]
+    cand = fuzzy_candidate_pairs(index, uq, max_edits)
     rows = (cand.where(F.levenshtein("term", "qterm") <= max_edits)
             .select("qid", "term").distinct().collect())
-    return [(r["qid"], r["term"], 1.0) for r in rows]
+    return [(queries[int(r["qid"])][0], r["term"], 1.0)
+            for r in sorted(rows, key=lambda r: (int(r["qid"]),
+                                                 r["term"]))]
 
 
 def suggest_terms_trigram(index: Index,
@@ -290,15 +301,28 @@ def suggest_terms_trigram(index: Index,
     rank-identical to :func:`engine.search.suggest_terms` (same
     distance asc / df desc / term asc window; the prune is exact).
     The df lookup joins the small verified candidate set back to
-    termstats instead of scanning it."""
+    termstats instead of scanning it. Internals key on a synthetic
+    per-pair id (see :func:`expand_fuzzy_terms_trigram`): the brute
+    path emits one candidate row per (qid, qterm, term) triple, so a
+    qid with several qterms ranks duplicate suggestions exactly as
+    many times as clauses produce them."""
     from pyspark.sql import Window
 
+    spark = index.spark
+    uq = [(str(i), q) for i, (_, q) in enumerate(queries)]
+    pid_map = spark.createDataFrame(
+        [(str(i), qid) for i, (qid, _) in enumerate(queries)],
+        "pid string, out_qid string")
     dist = F.levenshtein("term", "qterm")
-    cand = (fuzzy_candidate_pairs(index, queries, max_edits)
+    cand = (fuzzy_candidate_pairs(index, uq, max_edits)
             .where((dist <= max_edits) & (dist >= 1))
-            .select("qid", F.col("term").alias("suggestion"),
+            .select(F.col("qid").alias("pid"),
+                    F.col("term").alias("suggestion"),
                     dist.cast("int").alias("distance"))
             .distinct())
+    cand = (cand.join(F.broadcast(pid_map), "pid")
+            .select(F.col("out_qid").alias("qid"), "suggestion",
+                    "distance"))
     cand = cand.join(
         index.termstats.select(F.col("term").alias("suggestion"), "df"),
         "suggestion")

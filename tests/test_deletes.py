@@ -493,3 +493,68 @@ def test_selective_purge_rare_term_group_skips_decode(spark, tmp_path):
     # rewritten-group count == the dead doc's distinct term count
     n_dead_terms = 4  # shared, words, here, filler3
     assert m["groups_rewritten"] == n_dead_terms
+
+
+def test_selective_purge_after_compact_salt_collapse(spark, tmp_path):
+    """Regression (round-4 self-review): the dirty flag must join on
+    (bucket, term) — NEVER (bucket, term, salt). With a genuinely
+    skew-SPLIT head term (split_threshold=4 here), compact_deltas
+    collapses its postings to one salt=0 row while tf keeps the
+    build-lineage salts (pmod(doc_id, n_splits)); a salt-level join
+    finds no posting row at the tf salts, streams the group through
+    as "clean", and the deleted doc RESURRECTS in every query for
+    that term once the tombstones clear."""
+    import shutil
+
+    from engine.deletes import update_docs
+    from engine.postings import decode_postings
+    from engine.streaming import compact_deltas
+
+    rows = [("org/r", f"s{i}.py", "c" * 12, "py",
+             "headterm " + f"only{i}")
+            for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    path_a = str(tmp_path / "salted")
+    build_index(spark, df, path_a, n_buckets=2, n_doc_buckets=2,
+                split_threshold=4)
+    idx0 = Index(spark, path_a)
+    salts = sorted(r["salt"] for r in idx0.postings
+                   .where(F.col("term") == "headterm").collect())
+    assert len(salts) > 1  # the split genuinely exists pre-compact
+
+    # a delta touching headterm, then compaction → salts collapse to 0
+    update_docs(spark, path_a, spark.createDataFrame(
+        [("org/r", "s0.py", "d" * 12, "py", "headterm refreshed")],
+        "repo string, path string, commit string, lang string, "
+        "content string"))
+    compact_deltas(spark, path_a)
+    idx1 = Index(spark, path_a)
+    assert [r["salt"] for r in idx1.postings
+            .where(F.col("term") == "headterm").collect()] == [0]
+
+    path_b = str(tmp_path / "saltedfull")
+    shutil.copytree(path_a, path_b)
+
+    # delete a doc whose tf build salt is NON-zero so the stale
+    # salt-level join could never flag the compacted salt=0 group
+    tf = spark.read.parquet(f"{path_a}/tf")
+    victim = (tf.where((F.col("term") == "headterm") &
+                       (F.col("salt") != 0))
+              .select("doc_id").limit(1).collect()[0]["doc_id"])
+    for p in (path_a, path_b):
+        delete_docs(spark, p, [victim])
+    purge_deleted(spark, path_a, selective=True)
+    purge_deleted(spark, path_b, selective=False)
+
+    def headterm_docs(path):
+        out = []
+        for r in (Index(spark, path).postings
+                  .where(F.col("term") == "headterm").collect()):
+            out.extend(decode_postings(bytes(r["blob"]))[0])
+        return sorted(int(d) for d in out)
+
+    a, b = headterm_docs(path_a), headterm_docs(path_b)
+    assert victim not in a  # the resurrection bug
+    assert a == b           # selective == full, byte-for-byte content

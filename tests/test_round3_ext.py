@@ -567,3 +567,40 @@ def test_percolate_indexed_equivalence_and_pruning(spark, tmp_path):
     got2 = {(r["doc_id"], r["qid"])
             for r in percolate_indexed(docs, store2).collect()}
     assert got2 == {(0, "q"), (3, "q")}
+
+
+def test_reregister_clears_stale_mnot(spark, tmp_path):
+    """Regression (round-4 self-review): re-registering a store whose
+    NEW query set has no prohibitions must REMOVE the previous mnot
+    table — a stale one keeps firing old prohibitions against reused
+    qids. Also: the mnot read is presence-gated, not try/except — a
+    partially written mnot (dir without _SUCCESS) raises instead of
+    silently disabling must_not checking."""
+    import os
+    import shutil
+
+    import pytest
+
+    from engine.percolate import percolate_indexed, register_queries
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gamma")],
+        "doc_id long, text string")
+    store = str(tmp_path / "restore")
+    register_queries(spark, store, [("q1", ["alpha"], ["beta"])])
+    got1 = {(r["doc_id"], r["qid"])
+            for r in percolate_indexed(docs, store).collect()}
+    assert got1 == {(1, "q1")}  # doc 0 prohibited by 'beta'
+
+    # re-register the SAME qid with no prohibition: doc 0 must match
+    register_queries(spark, store, [("q1", ["alpha"], [])])
+    got2 = {(r["doc_id"], r["qid"])
+            for r in percolate_indexed(docs, store).collect()}
+    assert got2 == {(0, "q1"), (1, "q1")}
+
+    # partial mnot (no _SUCCESS) → hard error, never a silent skip
+    register_queries(spark, store, [("q1", ["alpha"], ["beta"])])
+    os.remove(f"{store}/mnot/_SUCCESS")
+    with pytest.raises(ValueError, match="partially written"):
+        percolate_indexed(docs, store).collect()
+    shutil.rmtree(store)

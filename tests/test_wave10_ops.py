@@ -561,3 +561,44 @@ def test_suggest_trigram_rank_identity(spark, tiny_index):
                                    use_trigram=True).collect())
         assert tri == brute, (e, tri, brute)
     assert brute, "expected suggestions at e=2"
+
+
+def test_fuzzy_trigram_multi_qterm_per_qid(spark, tiny_index):
+    """Regression (round-4 self-review): a qid carrying SEVERAL fuzzy
+    clauses must behave identically on both paths — one weighted
+    clause per (qterm, matched term) PAIR (Lucene SHOULD-sum
+    multiplicity: two clauses both within an edit of the same vocab
+    term contribute twice), and the per-qid trigram piece groups /
+    count thresholds must not mix the two qterms' grams. The old
+    path's (qid, term) distinct collapsed the duplicate and its
+    qid-keyed internals polluted the prune."""
+    from engine.search import expand_fuzzy_terms, suggest_terms
+    from engine.trigram import build_term_trigrams
+
+    idx = tiny_index
+    build_term_trigrams(spark, idx.index_dir)
+    # two qterms under ONE qid, both 1 edit from 'mergeable'
+    # (pigeonhole-eligible at e=1: len 8/9 ≥ 6), plus a short
+    # fallback clause under the same qid
+    queries = [("q", "mergeabl"), ("q", "mergeables"), ("q", "mergo")]
+    for e in (1, 2):
+        brute = sorted(expand_fuzzy_terms(idx, queries, max_edits=e,
+                                          use_trigram=False))
+        tri = sorted(expand_fuzzy_terms(idx, queries, max_edits=e,
+                                        use_trigram=True))
+        assert tri == brute, (e, tri, brute)
+    # the duplicate multiplicity genuinely exists (not vacuous)
+    b1 = expand_fuzzy_terms(idx, queries, max_edits=1,
+                            use_trigram=False)
+    assert b1.count(("q", "mergeable", 1.0)) >= 2
+
+    # suggest: row-identical incl. the duplicated suggestion rows
+    cols = ("qid", "suggestion", "distance", "df", "rank")
+    for e in (1, 2):
+        brute = sorted(tuple(r[c] for c in cols) for r in
+                       suggest_terms(idx, queries, max_edits=e, n=8,
+                                     use_trigram=False).collect())
+        tri = sorted(tuple(r[c] for c in cols) for r in
+                     suggest_terms(idx, queries, max_edits=e, n=8,
+                                   use_trigram=True).collect())
+        assert tri == brute, (e, tri, brute)
