@@ -126,6 +126,16 @@ def register_queries(spark, store_dir: str, queries: PercolateQueries,
     must_rows = [(q, t, len(set(m)))
                  for q, m, _ in queries for t in sorted(set(m))]
     not_rows = [(q, t) for q, _, mn in queries for t in sorted(set(mn or ()))]
+    # the three table writes are not atomic as a group: a marker
+    # brackets them (reshard_index's recipe) so a crash mid-register
+    # can never be read as a valid store mixing old and new tables —
+    # percolate_indexed refuses while the marker exists
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{store_dir}/_REGISTER_IN_PROGRESS")
+    fs = marker.getFileSystem(conf)
+    fs.mkdirs(marker)
     (spark.createDataFrame(anchors, "term string, qid string")
      .sort("term").write.mode("overwrite")
      .parquet(f"{store_dir}/anchors"))
@@ -140,11 +150,10 @@ def register_queries(spark, store_dir: str, queries: PercolateQueries,
         # mnot left by a previous register over the same store_dir —
         # a stale table would keep firing old prohibitions against
         # reused qids (regression: test_reregister_clears_stale_mnot)
-        jvm = spark._jvm
         hp = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/mnot")
-        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(hp):
             fs.delete(hp, True)
+    fs.delete(marker, True)
     return {"n_queries": len(queries)}
 
 
@@ -175,6 +184,14 @@ def percolate_indexed(docs: DataFrame, store_dir: str,
     spark = docs.sparkSession
     from .index_build import _exists
 
+    jvm0 = spark._jvm
+    mk = jvm0.org.apache.hadoop.fs.Path(
+        f"{store_dir}/_REGISTER_IN_PROGRESS")
+    if mk.getFileSystem(spark._jsc.hadoopConfiguration()).exists(mk):
+        raise ValueError(
+            f"percolator store {store_dir} has an interrupted "
+            "register_queries (marker present) — re-run "
+            "register_queries to repair it")
     anchors = spark.read.parquet(f"{store_dir}/anchors")
     must = spark.read.parquet(f"{store_dir}/must")
     # presence check, NOT try/except: a store registered WITH

@@ -604,3 +604,26 @@ def test_reregister_clears_stale_mnot(spark, tmp_path):
     with pytest.raises(ValueError, match="partially written"):
         percolate_indexed(docs, store).collect()
     shutil.rmtree(store)
+
+
+def test_register_marker_blocks_interrupted_store(spark, tmp_path):
+    """A crash mid-register leaves the _REGISTER_IN_PROGRESS marker:
+    percolate_indexed must refuse (a store mixing old and new tables
+    is not a valid state), and a completed re-register repairs it."""
+    import os
+
+    import pytest
+
+    from engine.percolate import percolate_indexed, register_queries
+
+    docs = spark.createDataFrame([(0, "alpha beta")],
+                                 "doc_id long, text string")
+    store = str(tmp_path / "mstore")
+    register_queries(spark, store, [("q1", ["alpha"], [])])
+    os.makedirs(f"{store}/_REGISTER_IN_PROGRESS", exist_ok=True)
+    with pytest.raises(ValueError, match="interrupted"):
+        percolate_indexed(docs, store).collect()
+    register_queries(spark, store, [("q1", ["alpha"], [])])
+    got = {(r["doc_id"], r["qid"])
+           for r in percolate_indexed(docs, store).collect()}
+    assert got == {(0, "q1")}
