@@ -3312,6 +3312,100 @@ def mad_agg(index: Index,
             .orderBy("qid"))
 
 
+def t_test_agg(index: Index,
+               pairs: Sequence[tuple[str, Sequence[str], Sequence[str]]]
+               ) -> DataFrame:
+    """Two-sample t-test aggregation (the Elasticsearch ``t_test``
+    agg) over analyzed document length between the match sets of two
+    term filters per query — ``pairs`` rows are (qid, terms_a,
+    terms_b), mirroring the ES agg's two filtered populations.
+
+    Emits BOTH statistics ES's two unpaired types derive from:
+    ``t_welch`` (heteroscedastic — the ES default) with its
+    Welch–Satterthwaite ``df_welch``, and ``t_pooled``
+    (homoscedastic, df = n_a + n_b − 2). Documented divergence: ES
+    returns the two-sided p-value; the p-value is
+    2·(1 − CDF_t(|t|, df)) — a scalar transform of (t, df) via the
+    regularized incomplete beta, which neither Spark nor DuckDB
+    exposes as a built-in — so the engine returns the deterministic
+    sufficient statistics instead and the transform is a driver-side
+    afterthought (scipy.stats.t.sf where available).
+
+    Cross-engine determinism (the weighted_avg/matrix_stats recipe):
+    dl is an exact integer, so Σdl and Σdl² accumulate in
+    DECIMAL(38,0) (n·Σdl² ≈ 10³⁴ at the advertised 10¹²-doc scale
+    class — wraps int64, fits decimal38) and the variance NUMERATOR
+    n·Σx² − (Σx)² is computed exactly in decimal before the single
+    cast to double; everything after is a fixed float expression
+    tree on identical IEEE inputs (no accumulation), rounded 6 dp.
+    NULL statistics when either side has n < 2 (variance undefined)
+    or both variances are 0 (the ES NaN, rendered relationally as
+    derivative/moving_fn do).
+
+    Scale: two bucket-pruned match-set decodes, one doc-bucketed dl
+    join, one map-side-combinable (qid, side) moment agg → the rest
+    is |pairs|-row arithmetic. Returns (qid, n_a, n_b, mean_a,
+    mean_b, t_welch, df_welch, t_pooled) ordered by qid. Reference:
+    search delegated to the Lucene stack that ships this agg
+    (GROUP_12 SearchFiles.java:1).
+    """
+    from .portable import round_half_up
+
+    qa = [(q, ta) for q, ta, _ in pairs]
+    qb = [(q, tb) for q, _, tb in pairs]
+    hits = (_matched_hits(index, qa).withColumn("side", F.lit("a"))
+            .unionByName(_matched_hits(index, qb)
+                         .withColumn("side", F.lit("b"))))
+    dl = _doc_lengths(index)
+    dec = "decimal(38,0)"
+    rows = hits.join(dl, "doc_id")
+    mom = (rows.groupBy("qid", "side")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("dl").cast(dec)).alias("s"),
+                F.sum(F.col("dl").cast(dec) * F.col("dl").cast(dec))
+                .alias("ss")))
+
+    def side(tag):
+        return (mom.where(F.col("side") == tag)
+                .select("qid", F.col("n").alias(f"n_{tag}"),
+                        F.col("s").alias(f"s_{tag}"),
+                        F.col("ss").alias(f"ss_{tag}")))
+
+    j = side("a").join(side("b"), "qid")
+
+    def moments(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        mean = F.col(f"s_{tag}").cast("double") / n
+        # exact decimal numerator n·Σx² − (Σx)², then ONE cast
+        varnum = (F.col(f"n_{tag}").cast(dec) * F.col(f"ss_{tag}")
+                  - F.col(f"s_{tag}") * F.col(f"s_{tag}"))
+        var = (F.when(F.col(f"n_{tag}") >= 2,
+                      varnum.cast("double")
+                      / (n * (n - F.lit(1.0)))))
+        return n, mean, var
+
+    na, ma, va = moments("a")
+    nb, mb, vb = moments("b")
+    se2 = va / na + vb / nb
+    t_w = F.when(se2 > 0, (ma - mb) / F.sqrt(se2))
+    df_w = F.when(
+        se2 > 0,
+        (se2 * se2) / ((va / na) * (va / na) / (na - F.lit(1.0))
+                       + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))))
+    sp2 = (((na - F.lit(1.0)) * va + (nb - F.lit(1.0)) * vb)
+           / (na + nb - F.lit(2.0)))
+    t_p = F.when(sp2 > 0,
+                 (ma - mb) / F.sqrt(sp2 * (F.lit(1.0) / na
+                                           + F.lit(1.0) / nb)))
+    return (j.select("qid", "n_a", "n_b",
+                     round_half_up(ma, 6).alias("mean_a"),
+                     round_half_up(mb, 6).alias("mean_b"),
+                     round_half_up(t_w, 6).alias("t_welch"),
+                     round_half_up(df_w, 6).alias("df_welch"),
+                     round_half_up(t_p, 6).alias("t_pooled"))
+            .orderBy("qid"))
+
+
 def multi_terms_agg(index: Index,
                     queries: Sequence[tuple[str, Sequence[str]]],
                     fields: DataFrame, key_cols: Sequence[str],

@@ -473,6 +473,186 @@ def windowed_moving_fn(events: DataFrame, window: str = "1 hour",
         .orderBy("event_type", "window_start"))
 
 
+def windowed_bucket_script(events: DataFrame, window: str = "1 hour",
+                           min_n: int | None = None,
+                           size: int | None = None) -> DataFrame:
+    """ES ``bucket_script`` + ``bucket_selector`` + ``bucket_sort``
+    pipeline aggs over the hourly date_histogram per event_type:
+
+    * bucket_script — per bucket, ``per_event = total_value / n``
+      computed from the sibling metrics (ONE final division, 6 dp);
+    * bucket_selector — buckets with ``n < min_n`` are DROPPED from
+      the response (when ``min_n`` is set) — the ES having-clause;
+    * bucket_sort — the surviving buckets of each series re-order by
+      ``n`` desc (window_start asc on ties — deterministic total
+      order) and truncate to the first ``size`` (when set), with
+      ``pos`` carrying the post-sort position (the ES sorted bucket
+      list rendered relationally).
+
+    Phase order pinned: selector BEFORE sort (the usual ES
+    composition — bucket_sort's `size` truncates the FILTERED list,
+    so a dropped bucket never consumes a slot). All three are by
+    definition a second pass over |buckets| rows — volume-independent
+    — one qid-free groupBy plus one event_type-partitioned window.
+    Occupied-buckets divergence doc'd as the sibling aggs. Returns
+    (event_type, window_start, n, total_value, per_event, pos)
+    ordered by event_type, pos.
+    """
+    from .portable import round_half_up
+
+    base = windowed_event_counts(events, window)
+    if min_n is not None:
+        base = base.where(F.col("n") >= int(min_n))
+    per = (F.col("total_value").cast("double") /
+           F.col("n").cast("double"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("window_start"))
+    out = (base.select("event_type", "window_start", "n",
+                       "total_value",
+                       round_half_up(per, 6).alias("per_event"))
+           .withColumn("pos", F.row_number().over(w)))
+    if size is not None:
+        out = out.where(F.col("pos") <= int(size))
+    return out.orderBy("event_type", "pos")
+
+
+def windowed_normalize(events: DataFrame, window: str = "1 hour",
+                       method: str = "percent_of_sum") -> DataFrame:
+    """ES ``normalize`` pipeline agg over the hourly date_histogram
+    per event_type — the bucket metric ``n`` rescaled within its
+    series. Methods (the ES NormalizePipelineAggregator formulas):
+
+    * ``percent_of_sum``: x / Σx
+    * ``rescale_0_1``:    (x − min) / (max − min)
+    * ``rescale_0_100``:  100 · (x − min) / (max − min)
+    * ``mean``:           (x − mean) / (max − min)
+    * ``z_score``:        (x − mean) / σ,  σ = √(Σ(x−mean)²/count)
+      (population σ — ES's formulation)
+
+    ``softmax`` is deliberately NOT offered: e^x sums are float
+    accumulation (order-dependent across engines) — the one member of
+    the ES method list that can't be made deterministic without the
+    int64-quantization recipe, and its use case (attention-style
+    weighting) doesn't fit count buckets.
+
+    Determinism: n is an exact long, so Σx, min, max, and the z-score
+    variance numerator count·Σx² − (Σx)² are exact integers (bucket
+    counts keep them « 2⁵³); each method is then a fixed float
+    expression with one-or-two divisions, 6 dp. Degenerate series
+    (max = min, or σ = 0) yield NULL — the ES NaN rendered
+    relationally, as derivative/moving_fn. Second pass over |buckets|
+    window rows, volume-independent. Returns (window_start,
+    event_type, n, normalized) ordered by event_type, window_start.
+    """
+    from .portable import round_half_up
+
+    methods = ("percent_of_sum", "rescale_0_1", "rescale_0_100",
+               "mean", "z_score")
+    if method not in methods:
+        raise ValueError(f"unknown normalize method {method!r} "
+                         f"(supported: {methods})")
+    base = windowed_event_counts(events, window)
+    w = Window.partitionBy("event_type")
+    x = F.col("n").cast("double")
+    cnt = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("n").over(w)
+    mn = F.min("n").over(w)
+    mx = F.max("n").over(w)
+    rng = (mx - mn).cast("double")
+    mean = sx.cast("double") / cnt
+    if method == "percent_of_sum":
+        norm = x / sx.cast("double")
+    elif method == "rescale_0_1":
+        norm = F.when(mx > mn, (F.col("n") - mn).cast("double") / rng)
+    elif method == "rescale_0_100":
+        norm = F.when(mx > mn,
+                      F.lit(100.0) * (F.col("n") - mn).cast("double")
+                      / rng)
+    elif method == "mean":
+        norm = F.when(mx > mn, (x - mean) / rng)
+    else:  # z_score: exact integer variance numerator, one sqrt
+        ssx = F.sum(F.col("n") * F.col("n")).over(w)
+        varnum = (F.count(F.lit(1)).over(w) * ssx - sx * sx)
+        sigma = F.sqrt(varnum.cast("double")) / cnt
+        norm = F.when(varnum > 0, (x - mean) / sigma)
+    return (base.select("window_start", "event_type", "n",
+                        round_half_up(norm, 6).alias("normalized"))
+            .orderBy("event_type", "window_start"))
+
+
+def windowed_cumulative_cardinality(events: DataFrame,
+                                    window: str = "1 hour",
+                                    value_col: str = "user_id"
+                                    ) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline agg: per date_histogram
+    bucket, the number of DISTINCT ``value_col`` values seen in the
+    stream UP TO AND INCLUDING that bucket ("total unique visitors so
+    far" — the metric cumulative_sum over per-bucket cardinalities
+    gets wrong, since a returning user double-counts).
+
+    Plan — the HLL prefix identity: registers are max-merged, so the
+    cumulative sketch state at bucket w is exactly the register-wise
+    running max over buckets ≤ w. One windowed register build
+    (:func:`windowed_cardinality_registers` — the same bounded
+    ≤ m = 4096 rows/bucket state), densified over the ≤ 4096 touched
+    registers × |buckets| grid (broadcast cross join — bounded by the
+    CALENDAR, not the data), a per-register prefix max, and one
+    estimate pass per bucket. The identity est(w) ≡ est(all events
+    with ts < end(w)) holds REGISTER-EXACTLY by construction — the
+    equivalence test asserts it against independent prefix builds.
+    ES computes the same thing the same way (its HLL++ states merge
+    cumulatively); the estimate itself is the documented ±1.04/√m.
+
+    Returns (window_start, v_zero, est) ordered by window_start —
+    v_zero the untouched-register count of the cumulative state, est
+    the corrected estimate (house 4 dp).
+    """
+    from .sketches import hll_estimate
+
+    regs = (windowed_cardinality_registers(events, window,
+                                           value_col=value_col)
+            .select(F.col("win.start").alias("window_start"),
+                    "register", "rho"))
+    wins = regs.select("window_start").distinct()
+    touched = regs.select("register").distinct()
+    grid = wins.crossJoin(F.broadcast(touched))
+    j = grid.join(regs, ["window_start", "register"], "left")
+    w = (Window.partitionBy("register").orderBy("window_start")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (j.select("window_start", "register",
+                    F.max("rho").over(w).alias("rho"))
+           .where(F.col("rho").isNotNull()))
+    return (hll_estimate(cum, ["window_start"])
+            .orderBy("window_start"))
+
+
+def windowed_top_metrics(events: DataFrame, window: str = "1 hour",
+                         size: int = 1) -> DataFrame:
+    """ES ``top_metrics`` agg inside each date_histogram ×
+    event_type bucket: the metric values of the top-``size`` events
+    by the sort field — here sort = ``ts`` desc (the canonical
+    "latest reading per bucket"), metric = ``value``.
+
+    Deterministic total order: ts desc, value desc (two full-dup rows
+    beyond that are interchangeable — identical emitted metrics).
+    Unlike the pipeline aggs this is NOT a second pass over bucket
+    rows — it must see the events — but it is ONE row_number window
+    partitioned on the bucket key (map-side top-``size`` heap per
+    partition under AQE), emitting ≤ size rows per bucket. Returns
+    (window_start, event_type, pos, ts, value) ordered by
+    event_type, window_start, pos.
+    """
+    df = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    win = F.window("ts", window)
+    rows = df.select(win["start"].alias("window_start"),
+                     "event_type", "ts", "value")
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.desc("ts"), F.desc("value"))
+    return (rows.withColumn("pos", F.row_number().over(w))
+            .where(F.col("pos") <= int(size))
+            .orderBy("event_type", "window_start", "pos"))
+
+
 def windowed_heavy_hitters_registers(events: DataFrame,
                                      window: str = "1 hour",
                                      watermark: str = "2 hours",
