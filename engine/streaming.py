@@ -613,6 +613,13 @@ def windowed_cumulative_cardinality(events: DataFrame,
                                            value_col=value_col)
             .select(F.col("win.start").alias("window_start"),
                     "register", "rho"))
+    # the register build is the only O(events) pass and feeds the
+    # plan three times (window list, touched-register list, the
+    # densify join) — persist it so the input scans once; the table
+    # is bounded at ≤ 4096 × |buckets| rows, and the handle is
+    # exposed as out._cumcard_regs for long-lived callers (the
+    # minhash-signature discipline)
+    regs = regs.persist()
     wins = regs.select("window_start").distinct()
     touched = regs.select("register").distinct()
     grid = wins.crossJoin(F.broadcast(touched))
@@ -622,8 +629,10 @@ def windowed_cumulative_cardinality(events: DataFrame,
     cum = (j.select("window_start", "register",
                     F.max("rho").over(w).alias("rho"))
            .where(F.col("rho").isNotNull()))
-    return (hll_estimate(cum, ["window_start"])
-            .orderBy("window_start"))
+    out = (hll_estimate(cum, ["window_start"])
+           .orderBy("window_start"))
+    out._cumcard_regs = regs
+    return out
 
 
 def windowed_top_metrics(events: DataFrame, window: str = "1 hour",
