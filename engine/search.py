@@ -3406,6 +3406,78 @@ def t_test_agg(index: Index,
             .orderBy("qid"))
 
 
+def filters_agg(index: Index,
+                filters: Sequence[tuple[str, Sequence[str]]],
+                other_bucket: bool = False,
+                other_bucket_key: str = "_other_") -> DataFrame:
+    """ES ``filters`` aggregation: one NAMED bucket per filter, each
+    an independent term-match set — buckets may OVERLAP (a doc
+    matching two filters counts in both), which is what separates
+    this from a terms/multi_terms agg where buckets partition. With
+    ``other_bucket=True`` an extra bucket counts the LIVE docs
+    matching NO filter (the ES other_bucket contract; its key must
+    not collide with a filter name).
+
+    Per bucket: doc count plus the avg analyzed length of the matched
+    docs (the metric sub-agg every other match-set agg here carries)
+    — exact long sums, one final division, 6 dp; the other bucket's
+    metric needs the complement's dl sum, derived from the corpus
+    totals minus the union's (one extra DISTINCT over the union set —
+    the only part that isn't a plain map-side combine, and it is
+    gated behind the flag). NULL avg_dl for an empty bucket (ES
+    renders an empty-bucket sub-agg as null). Row order follows the
+    given filter order, other bucket last (the ES response contract).
+    Returns (key, n_docs, avg_dl).
+    Reference: search delegated to the Lucene stack that ships this
+    agg (GROUP_12 SearchFiles.java:1).
+    """
+    from .portable import round_half_up
+
+    names = [k for k, _ in filters]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate filter keys")
+    if other_bucket and other_bucket_key in names:
+        raise ValueError(f"other_bucket_key {other_bucket_key!r} "
+                         "collides with a filter name")
+    spark = index.spark
+    hits = _matched_hits(index, filters)
+    dl = _doc_lengths(index)
+    rows = hits.join(dl, "doc_id")
+    per = (rows.groupBy("qid")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("dl").cast("long").alias("dl_sum")))
+    order = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(names)], "qid string, i int")
+    out = (order.join(per, "qid", "left")
+           .select(F.col("qid").alias("key"), "i",
+                   F.coalesce("n_docs", F.lit(0).cast("long"))
+                   .alias("n_docs"),
+                   F.coalesce("dl_sum", F.lit(0).cast("long"))
+                   .alias("dl_sum")))
+    if other_bucket:
+        # complement = live corpus minus the union of the match sets
+        # (the union needs ONE distinct — overlapping buckets share
+        # docs); totals come from the corpus stats pass
+        union = rows.select("doc_id", "dl").distinct()
+        tot = (index.live(index.docs.select("doc_id")).join(dl, "doc_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("dl").cast("long").alias("s")).first())
+        u = union.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                      F.sum("dl").cast("long").alias("s")).first()
+        other = spark.createDataFrame(
+            [(other_bucket_key, len(names),
+              int(tot["n"] - u["n"]),
+              int((tot["s"] or 0) - (u["s"] or 0)))],
+            "key string, i int, n_docs long, dl_sum long")
+        out = out.unionByName(other)
+    avg = F.when(F.col("n_docs") > 0,
+                 F.col("dl_sum").cast("double")
+                 / F.col("n_docs").cast("double"))
+    return (out.orderBy("i")
+            .select("key", "n_docs",
+                    round_half_up(avg, 6).alias("avg_dl")))
+
+
 def multi_terms_agg(index: Index,
                     queries: Sequence[tuple[str, Sequence[str]]],
                     fields: DataFrame, key_cols: Sequence[str],

@@ -18,6 +18,8 @@ Both are tested with ``trigger(availableNow=True)`` file streams.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.types as T
@@ -633,6 +635,97 @@ def windowed_cumulative_cardinality(events: DataFrame,
            .orderBy("window_start"))
     out._cumcard_regs = regs
     return out
+
+
+#: the ES auto_date_histogram rounding ladder (the RoundingInfo table,
+#: fixed-duration subset), as (label, seconds) pairs ascending.
+AUTO_HISTOGRAM_LADDER: tuple[tuple[str, int], ...] = (
+    ("1 minute", 60), ("5 minutes", 300), ("10 minutes", 600),
+    ("30 minutes", 1800), ("1 hour", 3600), ("3 hours", 10800),
+    ("12 hours", 43200), ("1 day", 86400), ("7 days", 604800),
+    ("30 days", 2592000),
+)
+
+
+def windowed_auto_histogram(events: DataFrame,
+                            target_buckets: int = 10) -> DataFrame:
+    """ES ``auto_date_histogram``: instead of a fixed interval, the
+    agg targets a BUCKET COUNT — the interval is chosen from the ES
+    rounding ladder as the finest one whose epoch-aligned bucket count
+    over the data's time span cannot exceed ``target_buckets``
+    (coarsest ladder rung as the fallback, matching ES's behavior
+    when even the top rounding overshoots).
+
+    The span comes from one min/max aggregation whose TWO-value
+    result drives the interval choice (driver state: two timestamps —
+    ES's own reduce phase re-buckets globally the same way); the
+    bucket-count bound is computed EXACTLY on integer epoch seconds
+    (floor(max/i) − floor(min/i) + 1 — the worst case under epoch
+    alignment), so the choice is deterministic. Documented
+    divergence: ES rounds the calendar (weeks start Monday, months
+    vary); this is the fixed-duration reading — epoch-aligned
+    tumbling windows, the same alignment every other windowed agg
+    here uses — identical for the sub-day rungs and a doc'd
+    fixed-7d/30d reading for the top ones. Returns (window_start,
+    interval, n) ordered by window_start; occupied buckets only (the
+    house date_histogram divergence). Empty input returns an empty
+    frame with the same schema.
+    """
+    df = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    mm = df.agg(F.min(F.unix_timestamp("ts")).alias("mn"),
+                F.max(F.unix_timestamp("ts")).alias("mx")).first()
+    if mm["mn"] is None:
+        return (df.sparkSession.createDataFrame(
+            [], "window_start timestamp, interval string, n long"))
+    label, _ = AUTO_HISTOGRAM_LADDER[-1]
+    for lab, sec in AUTO_HISTOGRAM_LADDER:
+        if mm["mx"] // sec - mm["mn"] // sec + 1 <= int(target_buckets):
+            label = lab
+            break
+    win = F.window("ts", label)
+    return (df.groupBy(win.alias("win"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.lit(label).alias("interval"), "n")
+            .orderBy("window_start"))
+
+
+def range_agg(df: DataFrame, col: str,
+              ranges: Sequence[tuple[str, float | None, float | None]]
+              ) -> DataFrame:
+    """ES ``range`` / ``date_range`` aggregation over a numeric
+    column: each (key, from, to) bucket counts rows with
+    ``from ≤ x < to`` — from INCLUSIVE, to EXCLUSIVE (the pinned ES
+    contract), ``None`` for an unbounded end. Buckets are independent
+    filters: they may overlap and a row can land in several (unlike
+    terms buckets) — which is exactly why the scale plan is ONE scan
+    with |ranges| conditional map-side sums (never a non-equi join of
+    rows against range bounds), unpivoted to (key, from, to, n) rows
+    at the end. NULL values land in no bucket (ES drops them). Row
+    order follows the given ranges order (the ES response contract:
+    ranges are NOT re-sorted).
+    """
+    x = F.col(col).cast("double")
+    aggs = []
+    for i, (_, lo, hi) in enumerate(ranges):
+        cond = x.isNotNull()
+        if lo is not None:
+            cond = cond & (x >= float(lo))
+        if hi is not None:
+            cond = cond & (x < float(hi))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .cast("long").alias(f"n_{i}"))
+    row = df.agg(*aggs)
+    spark = df.sparkSession
+    meta = spark.createDataFrame(
+        [(i, k, lo, hi) for i, (k, lo, hi) in enumerate(ranges)],
+        "i int, key string, range_from double, range_to double")
+    counts = row.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("i"), F.col(f"n_{i}").alias("n"))
+        for i in range(len(ranges))])).alias("s")).select("s.i", "s.n")
+    return (meta.join(F.broadcast(counts), "i")
+            .orderBy("i")
+            .select("key", "range_from", "range_to", "n"))
 
 
 def windowed_top_metrics(events: DataFrame, window: str = "1 hour",

@@ -227,3 +227,121 @@ def test_top_metrics_latest_per_bucket(spark):
         if n > 1:
             exp.append(("click", h, 2, n - 2, float(10 * n)))
     assert out == exp
+
+
+# ---------------------------------------------------------------------------
+# second mini-wave: auto_date_histogram, range agg, filters agg
+# ---------------------------------------------------------------------------
+
+def test_auto_histogram_picks_ladder_interval(spark):
+    ev = _mk_events(spark)          # 5 hours of click + view events
+    # target 10 buckets over a ~4h span: 30 minutes gives <= 10
+    out = streaming.windowed_auto_histogram(ev, target_buckets=10)
+    rows = out.collect()
+    assert {r["interval"] for r in rows} == {"30 minutes"}
+    assert len(rows) <= 10
+    assert sum(r["n"] for r in rows) == 18      # every event counted
+    # a tight target forces a coarser rung
+    coarse = streaming.windowed_auto_histogram(ev, target_buckets=2)
+    assert {r["interval"] for r in coarse.collect()} == {"3 hours"}
+    # monotone window starts
+    starts = [r["window_start"] for r in rows]
+    assert starts == sorted(starts)
+
+
+def test_auto_histogram_bound_is_exact_not_occupied(spark):
+    """The ladder choice bounds the worst-case EPOCH-ALIGNED bucket
+    count, so even adversarial span placement never overshoots."""
+    import datetime as dt
+    base = dt.datetime(2026, 1, 1, 0, 59, 0)   # straddles hour edges
+    ev = spark.createDataFrame(
+        [(base + dt.timedelta(minutes=7 * i), "e", 1.0, i)
+         for i in range(40)],
+        "ts timestamp, event_type string, value double, user_id long")
+    for target in (3, 5, 10, 20):
+        rows = streaming.windowed_auto_histogram(ev, target).collect()
+        assert 0 < len(rows) <= target, (target, len(rows))
+
+
+def test_auto_histogram_empty_input(spark):
+    ev = spark.createDataFrame(
+        [], "ts timestamp, event_type string, value double, user_id long")
+    out = streaming.windowed_auto_histogram(ev)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "window_start", "interval", "n"]
+
+
+def test_range_agg_bounds_and_overlap(spark):
+    ev = _mk_events(spark)          # click values 10,20,30,40,50; view 1,3,5
+    ranges = [("low", None, 10.0),         # to EXCLUSIVE: 1,3,5
+              ("mid", 10.0, 40.0),         # from INCLUSIVE: 10,20,30 buckets
+              ("high", 40.0, None),
+              ("all", None, None),         # overlapping bucket
+              ("empty", 1000.0, 2000.0)]
+    out = [(r["key"], r["n"]) for r in
+           streaming.range_agg(ev, "value", ranges).collect()]
+    vals = [float(10 * n) for n in (1, 2, 3, 4, 5) for _ in range(n)] + \
+           [1.0, 3.0, 5.0]
+    exp = [("low", sum(1 for v in vals if v < 10)),
+           ("mid", sum(1 for v in vals if 10 <= v < 40)),
+           ("high", sum(1 for v in vals if v >= 40)),
+           ("all", len(vals)),
+           ("empty", 0)]
+    assert out == exp               # given order preserved, not sorted
+
+
+def test_range_agg_null_values_drop(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (2.0,)], "x double")
+    out = {r["key"]: r["n"]
+           for r in streaming.range_agg(df, "x",
+                                        [("a", None, None)]).collect()}
+    assert out == {"a": 2}
+
+
+def test_filters_agg_overlap_other_and_order(spark, tiny_index):
+    from engine.analysis import tokenize_texts
+    from engine.search import filters_agg
+
+    ta, tb = _two_terms(tiny_index)
+    rows = tiny_index.docs.select("doc_id", "content").collect()
+    toks = tokenize_texts([r["content"] for r in rows])
+    dl = {r["doc_id"]: len(t) for r, t in zip(rows, toks)}
+    members = {r["doc_id"]: set(t) for r, t in zip(rows, toks)}
+
+    def bucket(term):
+        ds = [d for d, s in members.items() if term in s]
+        return len(ds), _r(sum(dl[d] for d in ds) / len(ds), 6)
+
+    filters = [("zz_a", [ta]), ("aa_both", [ta, tb])]  # keys NOT sorted
+    got = [(r["key"], r["n_docs"], r["avg_dl"])
+           for r in filters_agg(tiny_index, filters,
+                                other_bucket=True).collect()]
+    na, aa = bucket(ta)
+    both_ds = [d for d, s in members.items() if ta in s or tb in s]
+    nb = len(both_ds)
+    ab = _r(sum(dl[d] for d in both_ds) / nb, 6)
+    other_ds = [d for d in members if d not in set(both_ds)]
+    # zz_a ⊆ aa_both: overlapping buckets both count the shared docs;
+    # given order preserved with _other_ last
+    assert got[0] == ("zz_a", na, aa)
+    assert got[1] == ("aa_both", nb, ab)
+    assert got[2][0] == "_other_" and got[2][1] == len(other_ds)
+    if other_ds:
+        assert got[2][2] == _r(
+            sum(dl[d] for d in other_ds) / len(other_ds), 6)
+    assert na + nb > len(set(both_ds))     # overlap genuinely bites
+
+
+def test_filters_agg_empty_bucket_and_key_collision(spark, tiny_index):
+    from engine.search import filters_agg
+
+    ta, _ = _two_terms(tiny_index)
+    out = filters_agg(tiny_index,
+                      [("hit", [ta]), ("miss", ["zzzznotaterm"])]).collect()
+    assert [r["key"] for r in out] == ["hit", "miss"]
+    assert out[1]["n_docs"] == 0 and out[1]["avg_dl"] is None
+    with pytest.raises(ValueError, match="collides"):
+        filters_agg(tiny_index, [("_other_", [ta])], other_bucket=True)
+    with pytest.raises(ValueError, match="duplicate"):
+        filters_agg(tiny_index, [("a", [ta]), ("a", [ta])])

@@ -79,6 +79,19 @@ def main() -> None:
                                   .count())
     bench("top_metrics", lambda: streaming.windowed_top_metrics(
         ev, size=3).collect())
+    ah = bench("auto_histogram", lambda: streaming
+               .windowed_auto_histogram(ev, target_buckets=40).collect())
+    out["auto_histogram_interval"] = ah[0]["interval"] if ah else None
+    bench("range_agg", lambda: streaming.range_agg(
+        ev, "value", [("low", None, 100.0), ("mid", 100.0, 500.0),
+                      ("high", 500.0, None),
+                      ("all", None, None)]).collect())
+
+    from engine.search import filters_agg
+    bench("filters_agg", lambda: filters_agg(
+        idx, [("trade", analyze("trade", "policy")),
+              ("health", analyze("health", "care", "hospital"))],
+        other_bucket=True).collect())
 
     os.makedirs("bench_out", exist_ok=True)
     with open("bench_out/real_wave4d.json", "w") as f:
