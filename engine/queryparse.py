@@ -131,10 +131,17 @@ def parse_query(s: str, stem: bool = False, stemmer: str = "porter",
     return q
 
 
-def search_parsed(index, qid: str, s: str, k: int) -> DataFrame:
+def search_parsed(index, qid: str, s: str, k: int,
+                  fuzzy_transpositions: bool = False) -> DataFrame:
     """Parse ``s`` and execute it against the index (see module
     docstring for the execution semantics). Returns
-    (qid, doc_id, score, rank) like the other ranked query paths."""
+    (qid, doc_id, score, rank) like the other ranked query paths.
+
+    ``fuzzy_transpositions=True`` rewrites ``term~`` clauses under the
+    OSA metric — Lucene's classic QueryParser builds FuzzyQuery with
+    transpositions=true, so that flag is the Lucene-parity mode; the
+    False default keeps the repo's pinned plain-Levenshtein oracle
+    semantics (engine/editdist.py documents the difference)."""
     from pyspark.sql import functions as F
 
     from .positions import phrase_match
@@ -143,9 +150,12 @@ def search_parsed(index, qid: str, s: str, k: int) -> DataFrame:
                          expand_wildcard_terms)
 
     def _expand(kind: str, patterns: list[str]) -> list[str]:
+        if kind == "fuzzy":
+            return [t for _, t, _ in expand_fuzzy_terms(
+                index, [(qid, p) for p in patterns],
+                transpositions=fuzzy_transpositions)]
         fn = {"prefix": expand_prefix_terms,
-              "wildcard": expand_wildcard_terms,
-              "fuzzy": expand_fuzzy_terms}[kind]
+              "wildcard": expand_wildcard_terms}[kind]
         return [t for _, t, _ in fn(index, [(qid, p) for p in patterns])]
 
     def _docs_matching_any(terms: list[str]) -> DataFrame:

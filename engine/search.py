@@ -1797,35 +1797,49 @@ def expand_prefix_terms(index: Index,
 
 def expand_fuzzy_terms(index: Index, queries: Sequence[tuple[str, str]],
                        max_edits: int = 1,
-                       use_trigram: bool | None = None) -> QueryTerms:
-    """Fuzzy rewrite: vocabulary terms within ``max_edits`` Levenshtein
-    edits of the query term (Lucene FuzzyQuery). When the trigram
-    sidecar exists (``use_trigram=None`` auto-detects) candidates come
-    from the pigeonhole trigram prune — intersect-then-verify, the
+                       use_trigram: bool | None = None,
+                       transpositions: bool = False) -> QueryTerms:
+    """Fuzzy rewrite: vocabulary terms within ``max_edits`` edits of
+    the query term (Lucene FuzzyQuery). ``transpositions=False`` is
+    plain Levenshtein — the repo's pinned-oracle default; pass
+    ``transpositions=True`` for Lucene/ES parity (FuzzyQuery and the
+    classic parser's ``term~`` default to transpositions=true, i.e.
+    the OSA metric — engine/editdist.py). When the trigram sidecar
+    exists (``use_trigram=None`` auto-detects) candidates come from
+    the pigeonhole trigram prune — intersect-then-verify, the
     FST-automaton-walk analog — instead of a full dictionary scan;
-    results are identical either way (the prune is exact). The brute
-    path is a dictionary scan with a length pre-filter
-    (|len(t) − len(q)| ≤ max_edits culls most of the vocabulary before
-    the DP runs)."""
+    results are identical either way (the prune is exact in both
+    metrics). The brute path is a dictionary scan with a length
+    pre-filter (|len(t) − len(q)| ≤ max_edits holds for both metrics)
+    and, in OSA mode, the JVM ``levenshtein ≤ 2e`` sandwich before
+    the Python DP touches a row."""
     from .trigram import expand_fuzzy_terms_trigram, has_trigrams
 
     if use_trigram is None:
         use_trigram = has_trigrams(index)
     if use_trigram:
-        return expand_fuzzy_terms_trigram(index, queries, max_edits)
+        return expand_fuzzy_terms_trigram(index, queries, max_edits,
+                                          transpositions)
     qdf = index.spark.createDataFrame(list(queries),
                                       "qid string, qterm string")
+    # JVM-only join condition (a pandas UDF can't sit in a join
+    # predicate); the OSA DP verifies as a post-join filter over the
+    # lev-prefiltered pairs.
+    lev_cap = 2 * max_edits if transpositions else max_edits
     cond = ((F.abs(F.length("term") - F.length("qterm")) <= max_edits)
-            & (F.levenshtein("term", "qterm") <= max_edits))
-    rows = (index.termstats.select("term")
-            .join(F.broadcast(qdf), cond)
-            .select("qid", "term").collect())
+            & (F.levenshtein("term", "qterm") <= lev_cap))
+    cand = index.termstats.select("term").join(F.broadcast(qdf), cond)
+    if transpositions:
+        from .editdist import osa_udf
+        cand = cand.where(osa_udf("term", "qterm") <= max_edits)
+    rows = cand.select("qid", "term").collect()
     return [(r["qid"], r["term"], 1.0) for r in rows]
 
 
 def suggest_terms(index: Index, queries: Sequence[tuple[str, str]],
                   max_edits: int = 2, n: int = 5,
-                  use_trigram: bool | None = None) -> DataFrame:
+                  use_trigram: bool | None = None,
+                  transpositions: bool = False) -> DataFrame:
     """Spell suggestion (Lucene ``DirectSpellChecker`` analog): for
     each (qid, input term), the top-``n`` vocabulary terms within
     ``max_edits`` Levenshtein edits, ranked the way DirectSpellChecker
@@ -1844,6 +1858,9 @@ def suggest_terms(index: Index, queries: Sequence[tuple[str, str]],
     (``use_trigram=None`` auto-detects) the scan is replaced by the
     pigeonhole trigram prune (rank-identical; equivalence-tested).
     The rank window partitions by qid.
+    ``transpositions=True`` ranks by the OSA distance instead
+    (Lucene DirectSpellChecker's own default comparator uses the
+    transposition-aware distance) — see :func:`expand_fuzzy_terms`.
     Returns (qid, suggestion, distance, df, rank).
     """
     from .trigram import has_trigrams, suggest_terms_trigram
@@ -1851,17 +1868,27 @@ def suggest_terms(index: Index, queries: Sequence[tuple[str, str]],
     if use_trigram is None:
         use_trigram = has_trigrams(index)
     if use_trigram:
-        return suggest_terms_trigram(index, queries, max_edits, n)
+        return suggest_terms_trigram(index, queries, max_edits, n,
+                                     transpositions)
     qdf = index.spark.createDataFrame(list(queries),
                                       "qid string, qterm string")
-    dist = F.levenshtein("term", "qterm")
+    lev = F.levenshtein("term", "qterm")
+    lev_cap = 2 * max_edits if transpositions else max_edits
     cand = (index.termstats.select("term", "df")
             .join(F.broadcast(qdf),
                   (F.abs(F.length("term") - F.length("qterm"))
                    <= max_edits)
-                  & (dist <= max_edits) & (dist >= 1))
-            .select("qid", F.col("term").alias("suggestion"),
-                    dist.cast("int").alias("distance"), "df"))
+                  & (lev <= lev_cap) & (lev >= 1)))
+    if transpositions:
+        from .editdist import osa_udf
+        dist = osa_udf("term", "qterm")
+        cand = cand.withColumn("_osa", dist).where(
+            (F.col("_osa") <= max_edits) & (F.col("_osa") >= 1))
+        dist = F.col("_osa")
+    else:
+        dist = lev
+    cand = cand.select("qid", F.col("term").alias("suggestion"),
+                       dist.cast("int").alias("distance"), "df")
     w = Window.partitionBy("qid").orderBy(
         F.asc("distance"), F.desc("df"), F.asc("suggestion"))
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -2493,10 +2520,14 @@ def prefix_topk(index: Index, queries: Sequence[tuple[str, str]],
 
 
 def fuzzy_topk(index: Index, queries: Sequence[tuple[str, str]],
-               k: int, max_edits: int = 1) -> DataFrame:
-    """BM25 top-k for fuzzy queries (edit-distance term rewrite)."""
-    return score_exhaustive(index,
-                            expand_fuzzy_terms(index, queries, max_edits), k)
+               k: int, max_edits: int = 1,
+               transpositions: bool = False) -> DataFrame:
+    """BM25 top-k for fuzzy queries (edit-distance term rewrite).
+    ``transpositions=True`` = Lucene/ES FuzzyQuery default (OSA)."""
+    return score_exhaustive(
+        index,
+        expand_fuzzy_terms(index, queries, max_edits,
+                           transpositions=transpositions), k)
 
 
 def _matched_hits(index: Index, queries: Sequence[tuple[str, Sequence[str]]],

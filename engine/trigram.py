@@ -160,7 +160,8 @@ def has_trigrams(index: Index) -> bool:
     return _exists(index.spark, _trigrams_path(index.index_dir))
 
 
-def fuzzy_piece_grams(qterm: str, max_edits: int) -> list[list[str]] | None:
+def fuzzy_piece_grams(qterm: str, max_edits: int,
+                      transpositions: bool = False) -> list[list[str]] | None:
     """Pigeonhole filter grams for edit-distance candidate pruning
     (the Ed-Join / q-samples partition signature): split ``qterm``
     into ``max_edits + 1`` contiguous pieces — any term within
@@ -173,8 +174,15 @@ def fuzzy_piece_grams(qterm: str, max_edits: int) -> list[list[str]] | None:
     the prune cannot engage and the caller falls back to the full
     dictionary scan for that query. Whenever the prune engages, every
     true candidate has length ≥ len(q) − e ≥ 2e + 3 ≥ 3, so the
-    trigram sidecar's ≥3-char floor excludes no candidate."""
-    k = max_edits + 1
+    trigram sidecar's ≥3-char floor excludes no candidate.
+
+    ``transpositions=True`` (OSA distance — engine/editdist.py) needs
+    ``2·max_edits + 1`` pieces instead: an adjacent swap straddling a
+    piece boundary damages TWO pieces with one edit, so e ops damage
+    up to 2e pieces and only a 2e+1-way split still guarantees an
+    untouched one. The shorter-query fallback threshold moves to
+    len < 3·(2e+1) accordingly."""
+    k = (2 * max_edits if transpositions else max_edits) + 1
     if len(qterm) < 3 * k:
         return None
     base, rem = divmod(len(qterm), k)
@@ -189,7 +197,8 @@ def fuzzy_piece_grams(qterm: str, max_edits: int) -> list[list[str]] | None:
 
 def fuzzy_candidate_pairs(index: Index,
                           queries: Sequence[tuple[str, str]],
-                          max_edits: int) -> DataFrame:
+                          max_edits: int,
+                          transpositions: bool = False) -> DataFrame:
     """(qid, qterm, term) candidate pairs — a SUPERSET of the true
     fuzzy matches {(qid, q, t) : lev(t, q) ≤ max_edits} — via the
     trigram sidecar: per query piece, terms containing ALL of the
@@ -208,15 +217,23 @@ def fuzzy_candidate_pairs(index: Index,
     from ONE pruned sidecar scan (the count agg over all of q's
     grams, the piece agg over the pid-tagged subset); the count bound
     is what keeps e=2 candidate sets small when the pieces degrade to
-    single trigrams (len 9-11 → 3-char pieces)."""
+    single trigrams (len 9-11 → 3-char pieces).
+
+    ``transpositions=True`` weakens both filters to stay sound for
+    OSA (engine/editdist.py): 2e+1 pieces (a boundary-straddling swap
+    damages two), and a swap rewrites two adjacent positions touching
+    up to 4 trigram starts, so the count bound becomes g − 4e. The
+    superset contract is unchanged — callers verify with the exact
+    OSA DP."""
     spark = index.spark
+    per_edit = 4 if transpositions else 3
     trig: list[tuple[str, int, str]] = []      # (qid, piece_id, tg)
     n_tg: list[tuple[str, int, int]] = []
     cnt: list[tuple[str, str]] = []            # (qid, tg) — ALL grams
     thr: list[tuple[str, int]] = []            # (qid, count threshold)
     fallback: list[tuple[str, str]] = []
     for qid, q in queries:
-        groups = fuzzy_piece_grams(q, max_edits)
+        groups = fuzzy_piece_grams(q, max_edits, transpositions)
         if groups is None:
             fallback.append((qid, q))
             continue
@@ -225,7 +242,7 @@ def fuzzy_candidate_pairs(index: Index,
             n_tg.append((qid, pid, len(set(g))))
         all_g = sorted({q[m:m + 3] for m in range(len(q) - 2)})
         cnt.extend((qid, t) for t in all_g)
-        thr.append((qid, max(1, len(all_g) - 3 * max_edits)))
+        thr.append((qid, max(1, len(all_g) - per_edit * max_edits)))
 
     qdf = spark.createDataFrame(list(queries), "qid string, qterm string")
     parts: list[DataFrame] = []
@@ -271,12 +288,26 @@ def fuzzy_candidate_pairs(index: Index,
     return out
 
 
+def _fuzzy_dist_col(max_edits: int, transpositions: bool):
+    """The exact verify predicate for a (term, qterm) candidate pair.
+    Plain mode is the JVM levenshtein; OSA mode sandwiches the Python
+    DP behind the JVM ``levenshtein <= 2e`` prefilter (osa <= e
+    implies lev <= 2e — engine/editdist.py bounds)."""
+    if not transpositions:
+        return F.levenshtein("term", "qterm") <= max_edits
+    from .editdist import osa_udf
+    return ((F.levenshtein("term", "qterm") <= 2 * max_edits)
+            & (osa_udf("term", "qterm") <= max_edits))
+
+
 def expand_fuzzy_terms_trigram(index: Index,
                                queries: Sequence[tuple[str, str]],
-                               max_edits: int = 1) -> QueryTerms:
+                               max_edits: int = 1,
+                               transpositions: bool = False) -> QueryTerms:
     """Exact fuzzy rewrite via trigram candidate pruning: pigeonhole
-    candidates verified with the exact Levenshtein DP — always
-    identical to :func:`engine.search.expand_fuzzy_terms`.
+    candidates verified with the exact Levenshtein DP (OSA DP when
+    ``transpositions`` — the Lucene FuzzyQuery default flavor) —
+    always identical to :func:`engine.search.expand_fuzzy_terms`.
 
     The candidate machinery is keyed by a synthetic PER-PAIR id, not
     the caller's qid: a qid carrying several qterms (two fuzzy
@@ -286,8 +317,8 @@ def expand_fuzzy_terms_trigram(index: Index,
     count thresholds must never mix grams of different qterms
     (regression: test_fuzzy_trigram_multi_qterm_per_qid)."""
     uq = [(str(i), q) for i, (_, q) in enumerate(queries)]
-    cand = fuzzy_candidate_pairs(index, uq, max_edits)
-    rows = (cand.where(F.levenshtein("term", "qterm") <= max_edits)
+    cand = fuzzy_candidate_pairs(index, uq, max_edits, transpositions)
+    rows = (cand.where(_fuzzy_dist_col(max_edits, transpositions))
             .select("qid", "term").distinct().collect())
     return [(queries[int(r["qid"])][0], r["term"], 1.0)
             for r in sorted(rows, key=lambda r: (int(r["qid"]),
@@ -296,7 +327,8 @@ def expand_fuzzy_terms_trigram(index: Index,
 
 def suggest_terms_trigram(index: Index,
                           queries: Sequence[tuple[str, str]],
-                          max_edits: int = 2, n: int = 5) -> DataFrame:
+                          max_edits: int = 2, n: int = 5,
+                          transpositions: bool = False) -> DataFrame:
     """DirectSpellChecker suggestions on trigram-pruned candidates —
     rank-identical to :func:`engine.search.suggest_terms` (same
     distance asc / df desc / term asc window; the prune is exact).
@@ -313,8 +345,14 @@ def suggest_terms_trigram(index: Index,
     pid_map = spark.createDataFrame(
         [(str(i), qid) for i, (qid, _) in enumerate(queries)],
         "pid string, out_qid string")
-    dist = F.levenshtein("term", "qterm")
-    cand = (fuzzy_candidate_pairs(index, uq, max_edits)
+    if transpositions:
+        from .editdist import osa_udf
+        dist = F.when(F.levenshtein("term", "qterm") <= 2 * max_edits,
+                      osa_udf("term", "qterm")).otherwise(
+                          F.lit(2 * max_edits + 1))
+    else:
+        dist = F.levenshtein("term", "qterm")
+    cand = (fuzzy_candidate_pairs(index, uq, max_edits, transpositions)
             .where((dist <= max_edits) & (dist >= 1))
             .select(F.col("qid").alias("pid"),
                     F.col("term").alias("suggestion"),
