@@ -475,6 +475,47 @@ def windowed_moving_fn(events: DataFrame, window: str = "1 hour",
         .orderBy("event_type", "window_start"))
 
 
+def windowed_moving_percentiles(events: DataFrame,
+                                window: str = "1 hour",
+                                mov_window: int = 5,
+                                percents: tuple[float, ...] = (25.0, 50.0,
+                                                               75.0)
+                                ) -> DataFrame:
+    """ES ``moving_percentiles``-style sliding percentiles over the
+    hourly date_histogram per event_type, rendered bounded-state:
+    type-7 percentiles of the BUCKET METRIC series ``n`` over the
+    ``mov_window`` buckets before the current one (shift = 0 — the
+    moving_fn window model, current bucket EXCLUDED; empty window →
+    NULL, as moving_fn).
+
+    Pinned divergence: ES's own moving_percentiles merges the RAW
+    values' t-digest sketches across the window — approximate but
+    bounded. The exact relational rendering of that would carry every
+    raw value per bucket through the slide (unbounded state at scale),
+    and a t-digest replica would not be cross-engine oracle-able; the
+    bucket-metric form here is the bounded-and-exact rendering (in ES
+    terms: a ``moving_fn`` whose script computes a percentile of the
+    window values — the documented way to get sliding percentiles of
+    a bucket metric).
+
+    Determinism: inputs are exact longs; Spark ``percentile`` and
+    DuckDB ``quantile_cont`` are bitwise-equal type-7 quantiles on
+    integer inputs (round-4 verified lesson), rounded 6 dp anyway for
+    uniformity. Second pass over |buckets| rows, volume-independent.
+    Returns (window_start, event_type, n, p{P}_n per requested
+    percent) ordered by event_type, window_start."""
+    from .portable import round_half_up
+
+    base = windowed_event_counts(events, window)
+    w = Window.partitionBy("event_type").orderBy("window_start")
+    prior = w.rowsBetween(-int(mov_window), -1)
+    cols = [round_half_up(
+        F.expr(f"percentile(n, CAST({p / 100.0!r} AS DOUBLE))")
+        .over(prior), 6).alias(f"p{int(p)}_n") for p in percents]
+    return (base.select("window_start", "event_type", "n", *cols)
+            .orderBy("event_type", "window_start"))
+
+
 def windowed_bucket_script(events: DataFrame, window: str = "1 hour",
                            min_n: int | None = None,
                            size: int | None = None) -> DataFrame:

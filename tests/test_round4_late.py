@@ -175,3 +175,21 @@ def test_moving_fn_excludes_current_and_serial_diff_lag(spark):
     # occupied-buckets divergence (doc'd): hour-3 bucket's "previous"
     # is the hour-0 bucket
     assert view == [(2, None, None), (1, 2.0, None)]
+
+
+def test_moving_percentiles_type7_excludes_current(spark):
+    out = streaming.windowed_moving_percentiles(_mk_events(spark),
+                                                mov_window=3)
+    click = [(r["n"], r["p25_n"], r["p50_n"], r["p75_n"])
+             for r in out.collect() if r["event_type"] == "click"]
+    # type-7 percentiles of the PREVIOUS <=3 bucket metrics, current
+    # excluded (hand-computed: h = (m-1)*p indexing into the sorted
+    # window): [] -> NULL; [1]; [1,2]; [1,2,3]; [2,3,4]
+    assert click == [(1, None, None, None),
+                     (2, 1.0, 1.0, 1.0),
+                     (3, 1.25, 1.5, 1.75),
+                     (4, 1.5, 2.0, 2.5),
+                     (5, 2.5, 3.0, 3.5)]
+    view = [(r["n"], r["p50_n"])
+            for r in out.collect() if r["event_type"] == "view"]
+    assert view == [(2, None), (1, 2.0)]
