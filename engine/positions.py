@@ -725,6 +725,139 @@ def span_not_match(index: Index,
     return index.live(hits).orderBy("qid", "doc_id")
 
 
+def _span_within_joined(index: Index,
+                        queries: Sequence[tuple[str, str, str, str, int]]
+                        ) -> DataFrame | None:
+    """Shared little/big-pair assembly for SpanWithin/SpanContaining:
+    per (qid, doc), the little term's positions (``lit``) and the big
+    pair's positions (``a``, ``b``) ride as arrays with the per-query
+    ``slop``, via three bucket-pruned positional scans broadcast-joined
+    to the query rows — the span_not shape, arrays never exploded.
+    Inner joins throughout: a doc (or query) missing any of the three
+    terms has no candidate spans (Lucene: a missing subquery spans
+    nothing). Returns None when no query analyzes fully."""
+    opts = index.analyzer_opts()
+
+    def _an(t: str) -> str:
+        toks = tokenize_texts([t], **opts)[0]
+        return toks[0] if toks else ""
+
+    qrows = []
+    for qid, little, big_a, big_b, slop in queries:
+        tl, ta, tb = _an(little), _an(big_a), _an(big_b)
+        if tl and ta and tb:
+            qrows.append((qid, tl, ta, tb, int(slop)))
+    if not qrows:
+        return None
+    spark = index.spark
+
+    def _side(pairs: list[tuple[str, str]], out: str) -> DataFrame:
+        pos = _positions_df(index, sorted({t for _, t in pairs}))
+        qdf = spark.createDataFrame(pairs, "qid string, term string")
+        return (pos.join(F.broadcast(qdf.distinct()), "term")
+                .select("qid", "doc_id", F.col("positions").alias(out)))
+
+    lit = _side([(q, tl) for q, tl, _, _, _ in qrows], "lit")
+    aa = _side([(q, ta) for q, _, ta, _, _ in qrows], "a")
+    bb = _side([(q, tb) for q, _, _, tb, _ in qrows], "b")
+    slops = spark.createDataFrame([(q, s) for q, _, _, _, s in qrows],
+                                  "qid string, slop int")
+    return (lit.join(aa, ["qid", "doc_id"])
+            .join(bb, ["qid", "doc_id"])
+            .join(F.broadcast(slops), "qid"))
+
+
+def span_within_match(index: Index,
+                      queries: Sequence[tuple[str, str, str, str, int]]
+                      ) -> DataFrame:
+    """Lucene SpanWithinQuery analog: occurrences of the LITTLE term
+    that lie inside some BIG span, where big is the ordered two-term
+    near span (a ... b) with ≤ ``slop`` positions between — one row
+    per surviving little occurrence. queries:
+    (qid, little_text, big_first_text, big_second_text, slop).
+
+    Pinned span semantics: big spans are ALL ordered pairs (pa ∈ A,
+    pb ∈ B) with pb > pa and pb − pa − 1 ≤ slop — the interval-algebra
+    reading; Lucene's NearSpansOrdered is a lazy minimal-interval
+    iterator that can skip an enveloping candidate pair, so the pinned
+    form is a superset enumeration (documented divergence, same class
+    as interval_match's). Little span [p, p+1) is within big
+    [pa, pb+1) iff pa ≤ p ≤ pb. Gap-numbered positions as the phrase
+    plan (stopwords consume a position).
+
+    Plan: three bucket-pruned positional scans broadcast-joined per
+    role, arrays ride per (qid, doc); the containment test is a
+    per-row nested HOF (filter→exists→exists) with the survivors
+    materialized in ONE projection and exploded in the NEXT (the
+    builder pattern — an inlined filter would re-evaluate inside the
+    Generate). No shuffle beyond the three (qid, doc)-keyed joins.
+    Returns (qid, doc_id, little_pos) ordered."""
+    spark = index.spark
+    joined = _span_within_joined(index, queries)
+    if joined is None:
+        return spark.createDataFrame(
+            [], "qid string, doc_id long, little_pos long")
+    slop = F.col("slop")
+
+    def _pair_covers(p):
+        def _b_ok(pa):
+            return lambda pb: ((pb > pa) & (pb - pa - 1 <= slop) &
+                               (pb >= p))
+        return lambda pa: (pa <= p) & F.exists(F.col("b"), _b_ok(pa))
+
+    def _within(p):
+        return F.exists(F.col("a"), _pair_covers(p))
+
+    kept = joined.select(
+        "qid", "doc_id", F.filter(F.col("lit"), _within).alias("keep"))
+    out = (kept.select("qid", "doc_id", F.explode("keep").alias("lp"))
+           .select("qid", "doc_id",
+                   F.col("lp").cast("long").alias("little_pos")))
+    return index.live(out).orderBy("qid", "doc_id", "little_pos")
+
+
+def span_containing_match(index: Index,
+                          queries: Sequence[tuple[str, str, str, str,
+                                                  int]]) -> DataFrame:
+    """Lucene SpanContainingQuery analog: BIG spans (the ordered
+    two-term near span, as span_within_match — same pinned
+    enumeration) that contain at least one LITTLE occurrence — one
+    row per qualifying big span (an exists over little, so a big span
+    with several littles inside emits once). queries and plan as
+    span_within_match; the pair enumeration is a transform→filter
+    nested HOF flattened to a span list, materialized in its own
+    projection before the explode. Returns
+    (qid, doc_id, big_start, big_end) ordered — end exclusive
+    (pb + 1), the Lucene span convention."""
+    spark = index.spark
+    joined = _span_within_joined(index, queries)
+    if joined is None:
+        return spark.createDataFrame(
+            [], "qid string, doc_id long, big_start long, big_end long")
+    slop = F.col("slop")
+
+    def _has_little(pa):
+        return lambda pb: ((pb > pa) & (pb - pa - 1 <= slop) &
+                           F.exists(F.col("lit"),
+                                    lambda p: (pa <= p) & (p <= pb)))
+
+    def _pairs(pa):
+        return F.transform(F.filter(F.col("b"), _has_little(pa)),
+                           lambda pb: F.struct(pa.alias("s"),
+                                               pb.alias("e")))
+
+    spans = joined.select(
+        "qid", "doc_id",
+        F.flatten(F.transform(F.col("a"), _pairs)).alias("spans"))
+    out = (spans.select("qid", "doc_id",
+                        F.explode("spans").alias("sp"))
+           .select("qid", "doc_id",
+                   F.col("sp.s").cast("long").alias("big_start"),
+                   (F.col("sp.e") + 1).cast("long").alias("big_end")))
+    return index.live(out).orderBy("qid", "doc_id", "big_start",
+                                   "big_end")
+
+
 def snippets(index: Index, hits: DataFrame,
              query_terms: Sequence[tuple[str, str]],
              width: int = 5) -> DataFrame:

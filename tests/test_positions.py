@@ -434,3 +434,54 @@ def test_span_not_vs_bruteforce(pos_index, doc_contents):
                         expect.add(did)
             assert got[qid] == expect, (qid, pre, post)
         assert got["n3"] and not got["n4"]
+
+
+def _brute_spans(doc_contents, little, big_a, big_b, slop):
+    """Python reference for the pinned span algebra: big = all ordered
+    (pa, pb) pairs with pb > pa and pb - pa - 1 <= slop."""
+    an = [tokenize_texts([t])[0] for t in (little, big_a, big_b)]
+    if not all(an):
+        return {}, {}
+    tl, ta, tb = (a[0] for a in an)
+    within, containing = {}, {}
+    for did, content in doc_contents.items():
+        pm = _pos_map(content)
+        L, A, B = (sorted(pm.get(t, set())) for t in (tl, ta, tb))
+        pairs = [(pa, pb) for pa in A for pb in B
+                 if pb > pa and pb - pa - 1 <= slop]
+        w = sorted(p for p in L
+                   if any(pa <= p <= pb for pa, pb in pairs))
+        c = sorted((pa, pb + 1) for pa, pb in pairs
+                   if any(pa <= p <= pb for p in L))
+        if w:
+            within[did] = w
+        if c:
+            containing[did] = c
+    return within, containing
+
+
+def test_span_within_containing_vs_bruteforce(pos_index, doc_contents):
+    from engine.positions import span_containing_match, span_within_match
+
+    toks = tokenize_texts([doc_contents[0]], keep_stopwords=True)[0]
+    nonstop = [t for t in toks if t not in _STOPSET]
+    qs = [("w1", nonstop[1], nonstop[0], nonstop[2], 4),
+          ("w2", nonstop[0], nonstop[0], nonstop[1], 2),  # a == little
+          ("w3", nonstop[0], "zzznope", nonstop[1], 3)]   # missing big
+    got_w: dict[str, dict[int, list[int]]] = {q: {} for q, *_ in qs}
+    for r in span_within_match(pos_index, qs).collect():
+        got_w[r["qid"]].setdefault(int(r["doc_id"]), []).append(
+            int(r["little_pos"]))
+    got_c: dict[str, dict[int, list[tuple[int, int]]]] = {
+        q: {} for q, *_ in qs}
+    for r in span_containing_match(pos_index, qs).collect():
+        got_c[r["qid"]].setdefault(int(r["doc_id"]), []).append(
+            (int(r["big_start"]), int(r["big_end"])))
+    hit_any = False
+    for qid, little, ba, bb, slop in qs:
+        exp_w, exp_c = _brute_spans(doc_contents, little, ba, bb, slop)
+        assert got_w[qid] == exp_w, qid
+        assert got_c[qid] == exp_c, qid
+        hit_any = hit_any or bool(exp_w)
+    assert hit_any            # the probe genuinely bites somewhere
+    assert not got_w["w3"] and not got_c["w3"]
