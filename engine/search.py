@@ -2519,6 +2519,80 @@ def prefix_topk(index: Index, queries: Sequence[tuple[str, str]],
     return score_exhaustive(index, expand_prefix_terms(index, queries), k)
 
 
+def match_bool_prefix_topk(index: Index,
+                           queries: Sequence[tuple[str, str]],
+                           k: int) -> DataFrame:
+    """ES ``match_bool_prefix`` — the query behind the
+    ``search_as_you_type`` field's default multi_match mode: the input
+    analyzes to terms, every term but the LAST becomes a BM25 term
+    clause (multiplicity = weight, the term-bag convention), and the
+    last becomes a PREFIX clause under Lucene's in-bool default
+    rewrite — CONSTANT_SCORE (+1.0 for docs matching any expansion),
+    NOT prefix_topk's scoring-boolean rewrite. All clauses are SHOULD:
+    a doc matching only the prefix still ranks (at 1.0), and a
+    single-token query degenerates to a constant-score prefix match
+    ranked by doc_id — ES's actual behavior there. A query whose text
+    analyzes empty returns no rows.
+
+    Plan: the term clauses ride the normal bucket-pruned exhaustive
+    scorer; the prefix expansions come from the sorted range-pruned
+    dictionary (expand_prefix_terms) and their matched set is ONE
+    distinct (qid, doc) decode; full outer join + coalesce sums the
+    two sides, the rank cut LAST (gate-before-cut: a prefix-only doc
+    can out-rank a weak term match). Returns (qid, doc_id, score,
+    rank) with the 4dp-rounded house ordering."""
+    from .analysis import tokenize_texts
+    from .portable import round_half_up
+
+    opts = index.analyzer_opts()
+    term_qt: list[tuple[str, str, float]] = []
+    pref: list[tuple[str, str]] = []
+    for qid, text in queries:
+        toks = tokenize_texts([text], **opts)[0]
+        if not toks:
+            continue
+        pref.append((qid, toks[-1]))
+        w: dict[str, float] = {}
+        for t in toks[:-1]:
+            w[t] = w.get(t, 0.0) + 1.0
+        term_qt += [(qid, t, wt) for t, wt in sorted(w.items())]
+    spark = index.spark
+    if not pref:
+        return spark.createDataFrame(
+            [], "qid string, doc_id long, score double, rank int")
+
+    exp = expand_prefix_terms(index, pref)
+    by_q: dict[str, list[str]] = {}
+    for q, t, _ in exp:
+        by_q.setdefault(q, []).append(t)
+    sides = []
+    if term_qt:
+        sides.append(score_exhaustive(index, term_qt, None)
+                     .select("qid", "doc_id",
+                             F.col("score").alias("s_term")))
+    if by_q:
+        sides.append(_matched_hits(index, sorted(by_q.items()))
+                     .select("qid", "doc_id",
+                             F.lit(1.0).alias("s_pref")))
+    if not sides:
+        return spark.createDataFrame(
+            [], "qid string, doc_id long, score double, rank int")
+    if len(sides) == 2:
+        both = sides[0].join(sides[1], ["qid", "doc_id"], "full_outer")
+    else:
+        only = sides[0]
+        missing = "s_pref" if "s_pref" not in only.columns else "s_term"
+        both = only.withColumn(missing, F.lit(None).cast("double"))
+    total = (F.coalesce(F.col("s_term"), F.lit(0.0)) +
+             F.coalesce(F.col("s_pref"), F.lit(0.0)))
+    r = round_half_up(total, 4)
+    w = Window.partitionBy("qid").orderBy(r.desc(), F.asc("doc_id"))
+    return (both.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select("qid", "doc_id", r.alias("score"), "rank")
+            .orderBy("qid", "rank"))
+
+
 def fuzzy_topk(index: Index, queries: Sequence[tuple[str, str]],
                k: int, max_edits: int = 1,
                transpositions: bool = False) -> DataFrame:

@@ -177,6 +177,54 @@ def test_moving_fn_excludes_current_and_serial_diff_lag(spark):
     assert view == [(2, None, None), (1, 2.0, None)]
 
 
+def test_match_bool_prefix_vs_replica(spark, tiny_index):
+    """match_bool_prefix: non-last terms score BM25 (weights =
+    multiplicity), last term is a CONSTANT-SCORE prefix clause (+1.0),
+    all SHOULD — replica composed from the engine's trusted exhaustive
+    scorer + a python prefix-match over analyzed doc tokens."""
+    from engine.search import match_bool_prefix_topk
+
+    rows = tiny_index.docs.select("doc_id", "content").collect()
+    toks = {r["doc_id"]: tokenize_texts([r["content"]])[0] for r in rows}
+    terms = [r["term"] for r in
+             tiny_index.termstats.orderBy(F.desc("df"), "term")
+             .limit(3).collect()]
+    t0, t1, t2 = terms
+    queries = [("q1", f"{t0} {t1} {t2[:3]}"),     # 2 terms + prefix
+               ("q2", t2[:2]),                    # prefix-only
+               ("q3", f"{t0} {t0} {t1[:4]}"),     # duplicate term (w=2)
+               ("q4", "the of a")]                # analyzes empty
+    term_qt = {"q1": [(t0, 1.0), (t1, 1.0)], "q2": [],
+               "q3": [(t0, 2.0)]}
+    prefixes = {"q1": t2[:3], "q2": t2[:2], "q3": t1[:4]}
+    qt = [(q, t, w) for q, ts in term_qt.items() for t, w in ts]
+    base = {(r["qid"], r["doc_id"]): r["score"]
+            for r in __import__("engine.search", fromlist=["x"])
+            .score_exhaustive(tiny_index, qt, None).collect()}
+    k = 7
+    exp = {}
+    for qid in prefixes:
+        pmatch = {d for d, ts in toks.items()
+                  if any(t.startswith(prefixes[qid]) for t in ts)}
+        scores = {}
+        for (q, d), s in base.items():
+            if q == qid:
+                scores[d] = s
+        for d in pmatch:
+            scores[d] = scores.get(d, 0.0) + 1.0
+        ranked = sorted(((_r(s, 4), d) for d, s in scores.items()),
+                        key=lambda t: (-t[0], t[1]))
+        exp[qid] = [(d, s, i + 1)
+                    for i, (s, d) in enumerate(ranked[:k])]
+    got = collections.defaultdict(list)
+    for r in match_bool_prefix_topk(tiny_index, queries, k).collect():
+        got[r["qid"]].append((r["doc_id"], r["score"], r["rank"]))
+    assert dict(got) == {q: v for q, v in exp.items() if v}
+    assert "q4" not in got
+    # the prefix clause genuinely bites: q2 is constant-score 1.0
+    assert got["q2"] and all(s == 1.0 for _, s, _ in got["q2"])
+
+
 def test_moving_percentiles_type7_excludes_current(spark):
     out = streaming.windowed_moving_percentiles(_mk_events(spark),
                                                 mov_window=3)
