@@ -3339,6 +3339,69 @@ def weighted_avg_agg(index: Index,
             .orderBy("qid"))
 
 
+def scripted_metric_agg(index: Index,
+                        queries: Sequence[tuple[str, Sequence[str]]],
+                        map_sql: str = "dl",
+                        combine: str = "sum",
+                        reduce_sql: str | None = None) -> DataFrame:
+    """Scripted-metric aggregation (the Elasticsearch
+    ``scripted_metric`` agg) with the four script stages rendered as
+    Catalyst-compiled SQL, never a Python UDF:
+
+    * init   — the aggregate's zero (implicit);
+    * map    — ``map_sql``, an expression over the per-doc columns
+      ``dl`` (analyzed length), ``nc`` (char length), ``lang``,
+      ``repo``, evaluated once per matched doc;
+    * combine — the per-partition partial of the ``combine``
+      aggregate (sum/min/max/avg/count) — Spark's map-side combine IS
+      ES's per-shard combine_script, so the stage correspondence is
+      structural, not simulated;
+    * reduce — ``reduce_sql``, one final expression over the merged
+      ``state`` column (plus ``n_docs``), e.g. ``"state / n_docs"``.
+
+    Determinism contract (the house float discipline generalized):
+    the mapped value is quantized ONCE to DECIMAL(38,9) — exact for
+    integer-valued scripts, 9 dp-pinned for float ones — so the sum
+    accumulates exactly in any addition order on both engines; the
+    reduce stage is the single IEEE step, rounded 6 dp. Queries whose
+    match set is empty emit no row (the agg-family contract; ES would
+    return the init state). One doc-bucketed join + one
+    map-side-combinable agg; output = |queries| rows. Returns
+    (qid, n_docs, value) ordered by qid."""
+    from .portable import round_half_up
+
+    combines = ("sum", "min", "max", "avg", "count")
+    if combine not in combines:
+        raise ValueError(f"unknown combine {combine!r} "
+                         f"(supported: {combines})")
+    hits = _matched_hits(index, queries)
+    dl = _doc_lengths(index)
+    cols = index.docs.select(
+        "doc_id", F.length("content").cast("long").alias("nc"),
+        "lang", "repo")
+    rows = (hits.join(dl, "doc_id").join(cols, "doc_id")
+            .withColumn("m", F.expr(map_sql).cast("decimal(38,9)")))
+    n = F.count("m").cast("long").alias("n_docs")
+    if combine == "count":
+        agg = rows.groupBy("qid").agg(n, F.count("m")
+                                      .cast("decimal(38,9)").alias("st"))
+    elif combine == "avg":
+        agg = (rows.groupBy("qid")
+               .agg(n, F.sum("m").alias("s"))
+               .select("qid", "n_docs",
+                       (F.col("s").cast("double") /
+                        F.col("n_docs").cast("double")).alias("st")))
+    else:
+        agg = rows.groupBy("qid").agg(
+            n, getattr(F, combine)("m").alias("st"))
+    state = agg.select("qid", "n_docs",
+                       F.col("st").cast("double").alias("state"))
+    out = F.expr(reduce_sql) if reduce_sql else F.col("state")
+    return (state.select("qid", "n_docs",
+                         round_half_up(out, 6).alias("value"))
+            .orderBy("qid"))
+
+
 def boxplot_agg(index: Index,
                 queries: Sequence[tuple[str, Sequence[str]]]
                 ) -> DataFrame:

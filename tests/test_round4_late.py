@@ -225,6 +225,48 @@ def test_match_bool_prefix_vs_replica(spark, tiny_index):
     assert got["q2"] and all(s == 1.0 for _, s, _ in got["q2"])
 
 
+def test_scripted_metric_vs_replica(spark, tiny_index):
+    """scripted_metric: map/combine/reduce as Catalyst SQL — python
+    replica over analyzed token counts and char lengths, covering an
+    integer-sum map, an avg+reduce chain, and a categorical map."""
+    from engine.search import scripted_metric_agg
+
+    queries = _queries(tiny_index)
+    rows = tiny_index.docs.select("doc_id", "content", "lang").collect()
+    toks = tokenize_texts([r["content"] for r in rows])
+    info = {r["doc_id"]: (len(t), len(r["content"]), r["lang"], set(t))
+            for r, t in zip(rows, toks)}
+
+    def matched(ts):
+        return [d for d, (_, _, _, s) in info.items()
+                if any(t in s for t in ts)]
+
+    cases = [
+        ("dl", "sum", None,
+         lambda ds: sum(info[d][0] for d in ds)),
+        ("dl * nc", "avg", "state / 100.0",
+         lambda ds: _r(sum(info[d][0] * info[d][1] for d in ds)
+                       / len(ds) / 100.0, 6)),
+        ("case when lang = 'py' then 1 else 0 end", "sum", None,
+         lambda ds: sum(1 for d in ds if info[d][2] == "py")),
+        ("nc", "max", "state + n_docs",
+         lambda ds: max(info[d][1] for d in ds) + len(ds)),
+    ]
+    for map_sql, comb, red, ref in cases:
+        got = {r["qid"]: (r["n_docs"], r["value"])
+               for r in scripted_metric_agg(
+                   tiny_index, queries, map_sql, comb, red).collect()}
+        for qid, ts in queries:
+            ds = matched(ts)
+            assert got[qid] == (len(ds), _r(float(ref(ds)), 6)), \
+                (map_sql, comb, qid)
+    try:
+        scripted_metric_agg(tiny_index, queries, "dl", "median")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
 def test_moving_percentiles_type7_excludes_current(spark):
     out = streaming.windowed_moving_percentiles(_mk_events(spark),
                                                 mov_window=3)
