@@ -84,7 +84,12 @@ BNLJ_OK = {"brute-force cosine top-k",
            # (length band + levenshtein) against a broadcast of the
            # few query positions — the spell-suggestion shape — plus
            # the 1-row (T, V) totals relation
-           "did-you-mean (edit candidates × bigram LM)"}
+           "did-you-mean (edit candidates × bigram LM)",
+           # the HLL prefix-max densify is an EXPLICIT crossJoin of
+           # the bucket list against the broadcast ≤4096 touched
+           # registers — bounded by the CALENDAR × register count,
+           # never by event volume (docstring pins the bound)
+           "cumulative_cardinality (HLL prefix-max)"}
 
 
 def main() -> None:
@@ -349,6 +354,48 @@ def main() -> None:
         "event_window_bucket_stats"](spark, sf_dir)
     plans["moving_fn + serial_diff pipeline aggs"] = qs[
         "event_window_moving"](spark, sf_dir)
+
+    # round-4 tail: engine-complete ops queued for the r5 driver
+    # window — audited directly from the engine surfaces (no
+    # queries() entry yet; the 50-slot window is at capacity)
+    from engine import streaming as st_mod
+    from engine.positions import span_containing_match, span_within_match
+    from engine.search import (filters_agg, fuzzy_topk,
+                               match_bool_prefix_topk,
+                               scripted_metric_agg, t_test_agg)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ta, tb = em.BM25_QUERIES[0][1][0], em.BM25_QUERIES[1][1][0]
+    plans["t_test agg (Welch + pooled sufficient stats)"] = t_test_agg(
+        idx, [("t1", [ta], [tb])])
+    plans["filters agg (named overlapping buckets + other)"] = \
+        filters_agg(idx, [("fa", [ta]), ("fb", [tb])], other_bucket=True)
+    plans["scripted_metric agg (Catalyst map/combine/reduce)"] = \
+        scripted_metric_agg(idx, [("s1", [ta])], "dl * nc", "avg",
+                            "state / 1000.0")
+    plans["match_bool_prefix (search_as_you_type query)"] = \
+        match_bool_prefix_topk(idx, [("m1", f"{ta} {tb[:3]}")], 10)
+    plans["OSA fuzzy top-k (transpositions=true rewrite)"] = fuzzy_topk(
+        idx, [("f1", ta[:-1] + "x")], 10, max_edits=1,
+        transpositions=True)
+    plans["span_within (little inside ordered near pair)"] = \
+        span_within_match(idx, [("sw", ta, ta, tb, 6)])
+    plans["span_containing (near pairs holding a little)"] = \
+        span_containing_match(idx, [("sc", ta, ta, tb, 6)])
+    plans["bucket_script/selector/sort pipeline aggs"] = \
+        st_mod.windowed_bucket_script(ev, min_n=1, size=5)
+    plans["normalize pipeline agg (z_score)"] = st_mod.windowed_normalize(
+        ev, method="z_score")
+    plans["cumulative_cardinality (HLL prefix-max)"] = \
+        st_mod.windowed_cumulative_cardinality(ev)
+    plans["top_metrics agg (latest reading per bucket)"] = \
+        st_mod.windowed_top_metrics(ev, size=2)
+    plans["auto_date_histogram (rung-derived interval)"] = \
+        st_mod.windowed_auto_histogram(ev)
+    plans["range agg (overlapping from/to buckets, one scan)"] = \
+        st_mod.range_agg(ev, "value", [("lo", None, 0.5),
+                                       ("hi", 0.5, None)])
+    plans["moving_percentiles (sliding type-7 quantiles)"] = \
+        st_mod.windowed_moving_percentiles(ev)
 
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
