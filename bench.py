@@ -23,6 +23,10 @@ Queries benched (each timed to completion, i.e. a full action):
   highlight        WAND top-10 page + best-passage <em> snippets
   rank_feature     ES rank_feature saturation boost top-10 (cut last)
   string_stats     char-distribution entropy agg over the match sets
+  match_bool_prefix search_as_you_type query: BM25 terms + constant-
+                   score last-term prefix, top-10
+  scripted_metric  map/combine/reduce agg as Catalyst SQL (avg of
+                   dl*nc per match set, one reduce expression)
 
 Extra keys: docs_per_sec (index build throughput), n_docs.
 """
@@ -177,6 +181,19 @@ def main() -> None:
     t0 = time.time()
     string_stats_agg(idx, entrymod.BM25_QUERIES).collect()
     timings["string_stats"] = time.time() - t0
+
+    from engine.search import match_bool_prefix_topk, scripted_metric_agg
+
+    mbp = [(q, " ".join(ts[:-1] + [ts[-1][:4]]))
+           for q, ts in entrymod.BM25_QUERIES]
+    t0 = time.time()
+    match_bool_prefix_topk(idx, mbp, 10).collect()
+    timings["match_bool_prefix"] = time.time() - t0
+
+    t0 = time.time()
+    scripted_metric_agg(idx, entrymod.BM25_QUERIES, "dl * nc", "avg",
+                        "state / 1000.0").collect()
+    timings["scripted_metric"] = time.time() - t0
 
     from engine.streaming import sessionize
 
