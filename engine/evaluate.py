@@ -202,3 +202,74 @@ def extra_metrics(run: DataFrame, qrels: DataFrame) -> DataFrame:
             .select("qid",
                     F.coalesce("r_prec", F.lit(0.0)).alias("r_prec"),
                     F.coalesce("bpref", F.lit(0.0)).alias("bpref")))
+
+def rank_eval_metrics(run: DataFrame, qrels: DataFrame,
+                      k: int = 20) -> DataFrame:
+    """The ES ``_rank_eval`` API's remaining metric set beside the
+    reference's four: per-topic MRR@k, recall@k, and ERR@k
+    (Chapelle et al., CIKM 2009 — the metric ES ships as
+    ``expected_reciprocal_rank``).
+
+    * ``mrr``    = 1/rank of the FIRST relevant doc within the top-k,
+      0 when none (the ES reciprocal_rank contract).
+    * ``recall`` = |relevant ∩ top-k| / |relevant| (ES recall's
+      full-recall base, same denominator class as AP's).
+    * ``err``    = Σ_{r≤k} (1/r)·R_r·Π_{i<r}(1−R_i) with binary
+      grades: R ∈ {0, ½} via (2^g−1)/2^g_max at g_max = 1 — so each
+      relevant doc at rank r with m relevant above contributes
+      (½)^{m+1}/r.
+
+    Determinism: MRR and recall are one division each; ERR terms mix
+    exact dyadics with a 1/r division, so each term is quantized ONCE
+    to int64 nano-units (the nb_classifier recipe), integer-summed,
+    divided back once (6 dp — sums of per-rank floats would carry
+    addition-order ulps across engines otherwise).
+
+    run: (qid, docno, rank); qrels: (qid, docno, rel) with rel ∈
+    {0, 1}. Every qrels topic with ≥1 relevant doc appears (topics
+    absent from the run score 0); R = 0 topics are excluded as
+    trec_eval does. Pure window + aggregate plan, qid-partitioned.
+    """
+    rel_docs = (qrels.where(F.col("rel") > 0)
+                .select("qid", "docno").distinct())
+    n_rel = rel_docs.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_rel"))
+
+    ranked = (run.select("qid", "docno", "rank")
+              .where(F.col("rank") <= k)
+              .join(rel_docs.withColumn("is_rel", F.lit(1)),
+                    ["qid", "docno"], "left")
+              .withColumn("is_rel", F.coalesce("is_rel", F.lit(0))))
+    w = (Window.partitionBy("qid").orderBy("rank")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = ranked.withColumn("cum_rel", F.sum("is_rel").over(w))
+
+    hits = ranked.where(F.col("is_rel") == 1)
+    mrr = hits.groupBy("qid").agg(
+        (F.lit(1.0) / F.min("rank")).alias("mrr_raw"))
+    rec = hits.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("rel_in_k"))
+    # ERR term: (1/2)^cum_rel / rank, nano-quantized per term
+    term = (F.pow(F.lit(0.5), F.col("cum_rel")) /
+            F.col("rank").cast("double"))
+    nano = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")
+    err = (hits.select("qid", nano.alias("t"))
+           .groupBy("qid").agg(F.sum("t").alias("tsum")))
+
+    from .portable import round_half_up
+    out = (n_rel
+           .join(mrr, "qid", "left")
+           .join(rec, "qid", "left")
+           .join(err, "qid", "left")
+           .select(
+               "qid",
+               round_half_up(F.coalesce("mrr_raw", F.lit(0.0)), 6)
+               .alias("mrr"),
+               round_half_up(
+                   F.coalesce("rel_in_k", F.lit(0)).cast("double") /
+                   F.col("n_rel").cast("double"), 6).alias("recall"),
+               round_half_up(
+                   F.coalesce("tsum", F.lit(0)).cast("double") /
+                   F.lit(1e9), 6).alias("err"))
+           .orderBy("qid"))
+    return out

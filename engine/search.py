@@ -3937,3 +3937,205 @@ def string_stats_agg(index: Index,
                     round_half_up(F.col("msum").cast("double") /
                                   F.lit(1e9), 6).alias("entropy"))
             .orderBy("qid"))
+
+
+def script_score_topk(index: Index, query_terms: QueryTerms, k: int,
+                      script_sql: str = "s",
+                      min_score: float | None = None) -> DataFrame:
+    """ES ``script_score`` query: the script's value REPLACES the
+    query score (unlike ``rank_feature``'s additive should clause).
+    ``script_sql`` is a deterministic Catalyst SQL expression — the
+    engine's "script language", mirroring how ES scripts compile to
+    Lucene ``DoubleValuesSource`` — over three bound variables:
+
+    * ``s``  — the raw BM25 weighted-OR sum (ES ``_score``)
+    * ``dl`` — analyzed doc length (``doc['dl'].value``-class access)
+    * ``nc`` — raw char length of the stored content field
+
+    ``min_score``: docs whose (rounded) script score falls below it
+    are EXCLUDED from the result entirely — the ES contract, applied
+    BEFORE the rank cut (gate-before-cut: exclusion promotes deeper
+    docs into the top-k, never truncates it).
+
+    The script reorders arbitrarily, so — like
+    :func:`field_value_factor_topk` — scoring is exhaustive over the
+    match set with the rank cut last. ES additionally REJECTS negative
+    final scores at runtime; a distributed plan cannot cheaply assert
+    per-row, so that caller contract is documented, not enforced
+    (negative values simply rank low). Cross-engine determinism: the
+    script output is quantized ONCE to 4 dp (house float discipline)
+    and both the ``min_score`` gate and the rank window read the
+    ROUNDED value. Returns (qid, doc_id, score, rank). Reference:
+    search delegated to the Lucene stack that ships this query
+    (GROUP_12 SearchFiles.java:1).
+    """
+    from .portable import round_half_up
+
+    scored = (score_exhaustive(index, query_terms, None)
+              .select("qid", "doc_id", F.col("score").alias("s")))
+    feats = index.docs.select(
+        "doc_id", F.length("content").cast("double").alias("nc"))
+    j = (scored.join(_doc_lengths(index), "doc_id")
+         .join(feats, "doc_id")
+         .withColumn("fs", round_half_up(F.expr(script_sql), 4)))
+    if min_score is not None:
+        j = j.where(F.col("fs") >= F.lit(float(min_score)))
+    w = Window.partitionBy("qid").orderBy(F.desc("fs"), F.asc("doc_id"))
+    return (j.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", F.col("fs").alias("score"), "rank")
+            .orderBy("qid", "rank"))
+
+
+def distance_feature_topk(index: Index, query_terms: QueryTerms, k: int,
+                          origin: float, pivot: float,
+                          boost: float = 1.0) -> DataFrame:
+    """ES ``distance_feature`` query over the index's raw char-length
+    feature (the numeric-field convention shared with
+    :func:`rank_feature_topk`): the feature term
+
+        boost · pivot / (pivot + |x − origin|)
+
+    is ADDED to the BM25 sum as a should clause — the exact ES
+    formula for numeric/date fields (1.0 at the origin, 0.5 at
+    ``pivot`` distance, monotone-decaying), docs missing the feature
+    contribute 0. Distinct from ``function_score`` decay
+    (engine/fusion.py decayed_topk): decay MULTIPLIES the query score
+    and offers gauss/exp/linear shapes; distance_feature is additive,
+    reciprocal-shaped, and — because the term is bounded by ``boost``
+    — WAND-safe: UB_total = UB_bm25 + boost is a sound upper bound,
+    so the block-max kernel applies unchanged when this is the hot
+    path (the same bound argument as rank_feature's saturation; doc'd,
+    exhaustive at oracle scale since the feature reorders).
+
+    Cross-engine determinism: x, origin and pivot are exact doubles;
+    the single division quantizes to 6 dp before the add, the
+    combined score to 4 dp (house discipline). Returns (qid, doc_id,
+    score, rank). Reference: search delegated to the Lucene stack
+    that ships this query (GROUP_12 SearchFiles.java:1).
+    """
+    from .portable import round_half_up
+
+    if float(pivot) <= 0:
+        raise ValueError("distance_feature pivot must be > 0")
+    scored = score_exhaustive(index, query_terms, None)
+    feat = index.docs.select(
+        "doc_id", F.length("content").cast("double").alias("x"))
+    dist = F.abs(F.col("x") - F.lit(float(origin)))
+    fterm = round_half_up(
+        F.lit(float(boost)) * F.lit(float(pivot)) /
+        (F.lit(float(pivot)) + dist), 6)
+    j = scored.join(feat, "doc_id").withColumn(
+        "fscore", round_half_up(F.col("score") + fterm, 4))
+    w = Window.partitionBy("qid").orderBy(F.desc("fscore"),
+                                          F.asc("doc_id"))
+    return (j.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", F.col("fscore").alias("score"),
+                    "rank")
+            .orderBy("qid", "rank"))
+
+
+def pinned_topk(index: Index, query_terms: QueryTerms,
+                pinned: Sequence[tuple[str, Sequence[int]]], k: int,
+                use_wand: bool = True) -> DataFrame:
+    """ES ``pinned`` query: per query, the listed doc ids are promoted
+    to the TOP of the result in exactly the order given; organic
+    results follow in plain BM25 order with pinned docs removed
+    (never shown twice). Pinned ids that do not exist in the corpus
+    or are tombstoned are skipped (the ES contract — unknown ids are
+    ignored, not errors). ES assigns pins synthetic scores
+    (Float.MAX_VALUE-class constants so they sort first); here pinned
+    rows carry ``score`` NULL and ``pinned`` true instead — the
+    honest rendering, since a pin needs no organic score to justify
+    its position and computing one for an arbitrarily-deep doc would
+    cost a full exhaustive pass.
+
+    Scale shape: the pin list is a per-query constant (broadcast);
+    organic retrieval is the engine's sharded block-max WAND page at
+    k + |pins| + margin with the house rounded re-rank
+    (``use_wand=False`` forces the exhaustive path — rank-identical
+    by construction, equivalence-tested), pins drop out via a
+    broadcast anti-join, and the overlay window is one per-qid
+    row_number. Pins can only push organic rows DOWN, so a k-deep
+    organic page always suffices. Returns (qid, doc_id, score,
+    pinned, rank). Reference: search delegated to the Lucene stack
+    that ships this query (GROUP_12 SearchFiles.java:1).
+    """
+    from .portable import round_half_up
+
+    spark = index.spark
+    prows = []
+    for q, ids in pinned:
+        seen = set()
+        for d in ids:
+            if int(d) in seen:       # ES dedups, first occurrence wins
+                continue
+            seen.add(int(d))
+            prows.append((q, int(d), len(seen)))
+    pdf = spark.createDataFrame(
+        prows or [("", -1, 0)], "qid string, doc_id long, pin_order int")
+    if not prows:
+        pdf = pdf.where(F.lit(False))
+    pdf = index.live(pdf.join(index.docs.select("doc_id"), "doc_id"))
+    n_pins = max((len(ids) for _, ids in pinned), default=0)
+    if use_wand:
+        raw = score_wand(index, query_terms, k + n_pins + 50)
+    else:
+        raw = score_exhaustive(index, query_terms, None)
+    org = (raw.select("qid", "doc_id",
+                      round_half_up(F.col("score"), 4).alias("score"))
+           .join(pdf.select("qid", "doc_id"), ["qid", "doc_id"],
+                 "left_anti")
+           .withColumn("pin_order", F.lit(None).cast("int")))
+    pins = pdf.select("qid", "doc_id",
+                      F.lit(None).cast("double").alias("score"),
+                      "pin_order")
+    full = pins.unionByName(org)
+    w = Window.partitionBy("qid").orderBy(
+        F.asc_nulls_last("pin_order"), F.desc_nulls_last("score"),
+        F.asc("doc_id"))
+    return (full.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", "score",
+                    F.col("pin_order").isNotNull().alias("pinned"),
+                    "rank")
+            .orderBy("qid", "rank"))
+
+def constant_score_topk(index: Index,
+                        queries: Sequence[tuple[str, Sequence[str]]],
+                        k: int, boost: float = 1.0,
+                        mode: str = "any") -> DataFrame:
+    """ES ``constant_score`` query: a FILTER-context wrapper — every
+    matching doc scores exactly ``boost``, no tf/idf/norm math
+    anywhere (Lucene's ConstantScoreQuery, the query ES docs push for
+    yes/no clauses because filter context skips scoring and caches).
+    ``mode='any'`` wraps an OR-of-terms filter, ``mode='all'`` an
+    AND-of-terms filter (the two filter shapes the engine's boolean
+    layer provides; richer bool filters compose via
+    :func:`boolean_topk`'s machinery).
+
+    With every score identical, ranking degenerates to the index
+    order tie-break — doc_id asc, Lucene's constant-score contract —
+    so the plan is one bucket-pruned match-set decode feeding a
+    per-qid row_number window: NO score aggregation, NO per-term
+    weights, nothing proportional to tf. That absence IS the
+    operator: at 100× the filter path ships (qid, doc_id) pairs only
+    (count_matches' shuffle class), while a scored OR would carry a
+    per-posting contribution into an agg. Returns (qid, doc_id,
+    score, rank) with score ≡ boost. Reference: search delegated to
+    the Lucene stack that ships ConstantScoreQuery (GROUP_12
+    SearchFiles.java:1).
+    """
+    if mode == "any":
+        hits = _matched_hits(index, queries)
+    elif mode == "all":
+        hits = boolean_and(index, queries)
+    else:
+        raise ValueError(f"unknown constant_score mode {mode!r}")
+    w = Window.partitionBy("qid").orderBy(F.asc("doc_id"))
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id",
+                    F.lit(float(boost)).alias("score"), "rank")
+            .orderBy("qid", "rank"))

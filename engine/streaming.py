@@ -1122,3 +1122,40 @@ def streaming_percolate(spark: SparkSession, watch_dir: str,
     if available_now:
         q = q.trigger(availableNow=True)
     return q.start()
+
+def rate_agg(events: DataFrame, window: str = "1 hour",
+             unit: str = "1 minute") -> DataFrame:
+    """ES ``rate`` aggregation inside a ``date_histogram``: each
+    bucket's doc count and value sum re-expressed per ``unit`` of
+    time — ``rate = bucket_value · unit/interval`` (the ES formula;
+    hourly buckets with a minute unit divide by 60). ES refuses a
+    unit LONGER than the histogram interval (the rate would
+    extrapolate, not measure) — pinned here with the same error.
+
+    Determinism: n is an exact long and total_value reuses the exact
+    summation class of :func:`windowed_event_counts` (the driver-green
+    base agg); each rate multiplies that base by one exact ratio
+    literal and rounds 6 dp. Scale shape: identical to
+    windowed_event_counts — ONE map-side-combinable (window,
+    event_type) agg; the rate math is a per-bucket projection.
+    Returns (window_start, window_end, event_type, n, doc_rate,
+    value_rate). Reference: search delegated to the Lucene/ES stack
+    that ships this agg (GROUP_12 SearchFiles.java:1).
+    """
+    from .portable import round_half_up
+
+    win_s = _duration_seconds(window)
+    unit_s = _duration_seconds(unit)
+    if unit_s > win_s:
+        raise ValueError(
+            f"rate unit {unit!r} is longer than the histogram "
+            f"interval {window!r} (the ES contract refuses this)")
+    ratio = F.lit(float(unit_s) / float(win_s))
+    base = windowed_event_counts(events, window)
+    return (base.select(
+        "window_start", "window_end", "event_type", "n",
+        round_half_up(F.col("n").cast("double") * ratio, 6)
+        .alias("doc_rate"),
+        round_half_up(F.col("total_value") * ratio, 6)
+        .alias("value_rate"))
+        .orderBy("window_start", "event_type"))

@@ -396,6 +396,30 @@ def main() -> None:
                                        ("hi", 0.5, None)])
     plans["moving_percentiles (sliding type-7 quantiles)"] = \
         st_mod.windowed_moving_percentiles(ev)
+    from engine.search import (distance_feature_topk, pinned_topk,
+                               script_score_topk)
+    plans["script_score (script replaces the score + min_score gate)"] = \
+        script_score_topk(idx, qt, 10, "s + ln(1 + dl) / 10",
+                          min_score=0.1)
+    plans["distance_feature (additive reciprocal boost)"] = \
+        distance_feature_topk(idx, qt, 10, origin=500.0, pivot=200.0,
+                              boost=2.0)
+    plans["pinned query (promotion overlay on the WAND page)"] = \
+        pinned_topk(idx, qt, [("q1", [3, 5])], 10)
+    from engine.evaluate import rank_eval_metrics
+    from engine.search import constant_score_topk
+    plans["constant_score (filter context, no scoring anywhere)"] = \
+        constant_score_topk(idx, em.BM25_QUERIES, 10, boost=1.2)
+    plans["rate agg (per-unit re-expression of bucket counts)"] = \
+        st_mod.rate_agg(ev)
+    qrels_df = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d2", 0)],
+        "qid string, docno string, rel int")
+    run_df = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d2", 2)],
+        "qid string, docno string, rank int")
+    plans["rank_eval metrics (MRR / recall / ERR)"] = \
+        rank_eval_metrics(run_df, qrels_df, k=10)
 
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
