@@ -3365,7 +3365,10 @@ def scripted_metric_agg(index: Index,
     accumulates exactly in any addition order on both engines; the
     reduce stage is the single IEEE step, rounded 6 dp. Queries whose
     match set is empty emit no row (the agg-family contract; ES would
-    return the init state). One doc-bucketed join + one
+    return the init state). NULL mapped values (a no-ELSE CASE, a NULL
+    input column) follow plain SQL aggregate semantics — skipped by
+    the combine, with ``n_docs`` still counting every MATCHED doc and
+    avg dividing by the non-NULL count. One doc-bucketed join + one
     map-side-combinable agg; output = |queries| rows. Returns
     (qid, n_docs, value) ordered by qid."""
     from .portable import round_half_up
@@ -3381,16 +3384,24 @@ def scripted_metric_agg(index: Index,
         "lang", "repo")
     rows = (hits.join(dl, "doc_id").join(cols, "doc_id")
             .withColumn("m", F.expr(map_sql).cast("decimal(38,9)")))
-    n = F.count("m").cast("long").alias("n_docs")
+    # n_docs counts MATCHED docs (the docstring's 'once per matched
+    # doc'); a map script producing NULL (no-ELSE CASE, NULL input
+    # col) is skipped by the aggregates under plain SQL semantics —
+    # counting non-NULL m here silently shrank n_docs AND the avg
+    # denominator together, hiding that anything was skipped
+    n = F.count(F.lit(1)).cast("long").alias("n_docs")
     if combine == "count":
         agg = rows.groupBy("qid").agg(n, F.count("m")
                                       .cast("decimal(38,9)").alias("st"))
     elif combine == "avg":
+        # SQL AVG: sum of non-NULL values over the COUNT OF NON-NULL
+        # values (not n_docs — the two differ for NULL-producing maps)
         agg = (rows.groupBy("qid")
-               .agg(n, F.sum("m").alias("s"))
+               .agg(n, F.sum("m").alias("s"),
+                    F.count("m").cast("long").alias("nm"))
                .select("qid", "n_docs",
                        (F.col("s").cast("double") /
-                        F.col("n_docs").cast("double")).alias("st")))
+                        F.col("nm").cast("double")).alias("st")))
     else:
         agg = rows.groupBy("qid").agg(
             n, getattr(F, combine)("m").alias("st"))
@@ -3539,7 +3550,15 @@ def t_test_agg(index: Index,
                         F.col("s").alias(f"s_{tag}"),
                         F.col("ss").alias(f"ss_{tag}")))
 
-    j = side("a").join(side("b"), "qid")
+    # every pair's qid appears even when a side matches NOTHING
+    # (n = 0 < 2 ⇒ the documented NULL statistics, not a dropped
+    # row — an inner join here silently lost the qid entirely)
+    qids = index.spark.createDataFrame(
+        [(q,) for q, _, _ in pairs], "qid string").distinct()
+    j = (qids.join(side("a"), "qid", "left")
+         .join(side("b"), "qid", "left")
+         .withColumn("n_a", F.coalesce("n_a", F.lit(0).cast("long")))
+         .withColumn("n_b", F.coalesce("n_b", F.lit(0).cast("long"))))
 
     def moments(tag):
         n = F.col(f"n_{tag}").cast("double")
@@ -3627,9 +3646,14 @@ def filters_agg(index: Index,
         # (the union needs ONE distinct — overlapping buckets share
         # docs); totals come from the corpus stats pass
         union = rows.select("doc_id", "dl").distinct()
-        tot = (index.live(index.docs.select("doc_id")).join(dl, "doc_id")
+        # LEFT join dl: a live doc whose content analyzed to zero
+        # tokens has no dl row but still matches no filter — an inner
+        # join here undercounted the other bucket by those docs
+        tot = (index.live(index.docs.select("doc_id"))
+               .join(dl, "doc_id", "left")
                .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                    F.sum("dl").cast("long").alias("s")).first())
+                    F.sum(F.coalesce("dl", F.lit(0)))
+                    .cast("long").alias("s")).first())
         u = union.agg(F.count(F.lit(1)).cast("long").alias("n"),
                       F.sum("dl").cast("long").alias("s")).first()
         other = spark.createDataFrame(
@@ -3962,7 +3986,10 @@ def script_score_topk(index: Index, query_terms: QueryTerms, k: int,
     match set with the rank cut last. ES additionally REJECTS negative
     final scores at runtime; a distributed plan cannot cheaply assert
     per-row, so that caller contract is documented, not enforced
-    (negative values simply rank low). Cross-engine determinism: the
+    (negative values simply rank low; a script evaluating to NULL
+    follows SQL semantics — the doc ranks after every scored doc, and
+    under ``min_score`` the NULL comparison excludes it).
+    Cross-engine determinism: the
     script output is quantized ONCE to 4 dp (house float discipline)
     and both the ``min_score`` gate and the rank window read the
     ROUNDED value. Returns (qid, doc_id, score, rank). Reference:
@@ -4022,9 +4049,11 @@ def distance_feature_topk(index: Index, query_terms: QueryTerms, k: int,
     feat = index.docs.select(
         "doc_id", F.length("content").cast("double").alias("x"))
     dist = F.abs(F.col("x") - F.lit(float(origin)))
-    fterm = round_half_up(
+    # docs missing the feature contribute 0 (the ES should-clause
+    # contract) — coalesce so a NULL feature can never NULL the score
+    fterm = F.coalesce(round_half_up(
         F.lit(float(boost)) * F.lit(float(pivot)) /
-        (F.lit(float(pivot)) + dist), 6)
+        (F.lit(float(pivot)) + dist), 6), F.lit(0.0))
     j = scored.join(feat, "doc_id").withColumn(
         "fscore", round_half_up(F.col("score") + fterm, 4))
     w = Window.partitionBy("qid").orderBy(F.desc("fscore"),

@@ -506,12 +506,24 @@ def windowed_moving_percentiles(events: DataFrame,
     percent) ordered by event_type, window_start."""
     from .portable import round_half_up
 
+    # collision-proof labels: int(p) folded 99.0 and 99.9 into two
+    # columns BOTH named p99_n (row[name] silently read the first) —
+    # keep the integer spelling for whole percents, '_'-join the rest
+    def label(p: float) -> str:
+        s = str(int(p)) if float(p) == int(p) else \
+            str(float(p)).replace(".", "_")
+        return f"p{s}_n"
+
+    names = [label(p) for p in percents]
+    if len(set(names)) != len(names):
+        raise ValueError(f"percent labels collide: {names}")
     base = windowed_event_counts(events, window)
     w = Window.partitionBy("event_type").orderBy("window_start")
     prior = w.rowsBetween(-int(mov_window), -1)
     cols = [round_half_up(
         F.expr(f"percentile(n, CAST({p / 100.0!r} AS DOUBLE))")
-        .over(prior), 6).alias(f"p{int(p)}_n") for p in percents]
+        .over(prior), 6).alias(name)
+        for p, name in zip(percents, names)]
     return (base.select("window_start", "event_type", "n", *cols)
             .orderBy("event_type", "window_start"))
 
@@ -746,6 +758,9 @@ def range_agg(df: DataFrame, col: str,
     order follows the given ranges order (the ES response contract:
     ranges are NOT re-sorted).
     """
+    if not ranges:
+        raise ValueError("range agg needs at least one range "
+                         "(the ES contract rejects an empty list)")
     x = F.col(col).cast("double")
     aggs = []
     for i, (_, lo, hi) in enumerate(ranges):
@@ -758,8 +773,14 @@ def range_agg(df: DataFrame, col: str,
                     .cast("long").alias(f"n_{i}"))
     row = df.agg(*aggs)
     spark = df.sparkSession
+    # float() the bounds: the filter side coerces, but createDataFrame
+    # verifies python ints against the declared double columns and
+    # raises — int bounds are the natural caller spelling
     meta = spark.createDataFrame(
-        [(i, k, lo, hi) for i, (k, lo, hi) in enumerate(ranges)],
+        [(i, k,
+          None if lo is None else float(lo),
+          None if hi is None else float(hi))
+         for i, (k, lo, hi) in enumerate(ranges)],
         "i int, key string, range_from double, range_to double")
     counts = row.select(F.explode(F.array(*[
         F.struct(F.lit(i).alias("i"), F.col(f"n_{i}").alias("n"))

@@ -352,11 +352,15 @@ def suggest_terms_trigram(index: Index,
                           F.lit(2 * max_edits + 1))
     else:
         dist = F.levenshtein("term", "qterm")
+    # materialize the distance ONCE before filtering: Catalyst does
+    # not CSE a pandas UDF across Filter and Project, so referencing
+    # `dist` in both ran the O(|a|·|b|) OSA DP twice per candidate
     cand = (fuzzy_candidate_pairs(index, uq, max_edits, transpositions)
-            .where((dist <= max_edits) & (dist >= 1))
+            .withColumn("_dist", dist)
+            .where((F.col("_dist") <= max_edits) & (F.col("_dist") >= 1))
             .select(F.col("qid").alias("pid"),
                     F.col("term").alias("suggestion"),
-                    dist.cast("int").alias("distance"))
+                    F.col("_dist").cast("int").alias("distance"))
             .distinct())
     cand = (cand.join(F.broadcast(pid_map), "pid")
             .select(F.col("out_qid").alias("qid"), "suggestion",
