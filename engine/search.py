@@ -3705,6 +3705,47 @@ def multi_terms_agg(index: Index,
             .orderBy("qid", "rank"))
 
 
+def value_count_missing_agg(index: Index,
+                            queries: Sequence[tuple[str, Sequence[str]]],
+                            fields: DataFrame, field: str,
+                            include_global: bool = True) -> DataFrame:
+    """ES ``value_count`` + ``missing`` metric/bucket aggs, plus the
+    ``global`` bucket, over a stored field: per query, how many
+    matched docs HAVE a value for ``field`` (value_count), how many
+    do not (missing — NULL value or absent from ``fields`` entirely,
+    both "no value" in the ES reading), and the match-set size their
+    sum must equal. With ``include_global`` a ``_global``-qid row
+    aggregates the same pair over ALL live docs — the ES ``global``
+    bucket, which ESCAPES the query scope (its point: side-by-side
+    per-query vs corpus-wide ratios in one response).
+
+    Pinned divergence: ES value_count counts VALUES (a multi-valued
+    field counts each element); ``fields`` here is a scalar column,
+    so value_count == docs-with-a-value — the scalar-field reading.
+
+    Scale: the match set equi-joins ``fields`` on doc_id (LEFT join —
+    absent rows are the missing bucket, never silently dropped), the
+    per-qid agg is map-side combinable, output is |queries| (+1)
+    rows. The global row costs one docs-table scan of doc_id only
+    (column-pruned), no decode. Returns (qid, n_docs, value_count,
+    missing) ordered by qid. Reference: search delegated to the
+    Lucene/ES stack that ships these aggs (GROUP_12
+    SearchFiles.java:1).
+    """
+    hits = _matched_hits(index, queries)
+    if include_global:
+        everything = (index.live(index.docs.select("doc_id"))
+                      .select(F.lit("_global").alias("qid"), "doc_id"))
+        hits = hits.unionByName(everything)
+    joined = hits.join(fields.select("doc_id", field), "doc_id", "left")
+    return (joined.groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.count(field).cast("long").alias("value_count"),
+                 F.count_if(F.col(field).isNull()).cast("long")
+                 .alias("missing"))
+            .orderBy("qid"))
+
+
 def composite_agg(index: Index,
                   queries: Sequence[tuple[str, Sequence[str]]],
                   fields: DataFrame, key_cols: Sequence[str],

@@ -437,6 +437,64 @@ def windowed_bucket_stats(events: DataFrame,
             .orderBy("event_type"))
 
 
+def windowed_percentiles_bucket(events: DataFrame,
+                                window: str = "1 hour",
+                                percents: tuple[float, ...] = (25.0, 50.0,
+                                                               75.0)
+                                ) -> DataFrame:
+    """ES ``percentiles_bucket`` SIBLING pipeline agg over the hourly
+    date_histogram: per event_type, the requested percentiles of the
+    sibling buckets' ``n`` metric — the percentile member of the
+    stats_bucket family (:func:`windowed_bucket_stats`), |buckets|
+    rows in, |series| rows out.
+
+    Pinned divergence from ES, stated honestly: ES's
+    PercentilesBucketPipelineAggregator collects the bucket values
+    into a list and takes the NEAREST-RANK value (index
+    ``ceil(p/100·n)−1`` of the sorted list — no interpolation, unlike
+    the metric ``percentiles`` agg's t-digest); we emit BOTH readings
+    so neither is approximated: ``p{P}_nearest_n`` is the exact ES
+    formula, ``p{P}_n`` the type-7 linear interpolation the rest of
+    this engine's quantile surface uses (Spark ``percentile`` /
+    DuckDB ``quantile_cont``, bitwise-equal on integer inputs —
+    round-4 verified). Occupied-buckets divergence doc'd as the
+    sibling aggs (empty hours never form buckets; ES skip
+    gap_policy).
+
+    Determinism: inputs are exact longs; nearest-rank picks an actual
+    long; interpolation rounded 6 dp for uniformity. Second pass over
+    |buckets| rows — volume-independent: ONE (event_type) groupBy,
+    the same shuffle class as windowed_bucket_stats. Reference:
+    search delegated to the Lucene/ES stack that ships this agg
+    (GROUP_12 SearchFiles.java:1)."""
+    from .portable import round_half_up
+
+    def label(p: float) -> str:
+        s = str(int(p)) if float(p) == int(p) else \
+            str(float(p)).replace(".", "_")
+        return s
+
+    names = [label(p) for p in percents]
+    if len(set(names)) != len(names):
+        raise ValueError(f"percent labels collide: {names}")
+    base = windowed_event_counts(events, window)
+    cnt = F.count(F.lit(1))
+    cols = []
+    for p, name in zip(percents, names):
+        frac = float(p) / 100.0
+        cols.append(round_half_up(
+            F.expr(f"percentile(n, CAST({frac!r} AS DOUBLE))"), 6)
+            .alias(f"p{name}_n"))
+        # ES nearest-rank: sorted_values[max(ceil(p/100*n), 1) - 1]
+        idx = F.greatest(F.ceil(F.lit(frac) * cnt.cast("double")),
+                         F.lit(1)).cast("int")
+        cols.append(F.element_at(F.expr("sort_array(collect_list(n))"),
+                                 idx).alias(f"p{name}_nearest_n"))
+    return (base.groupBy("event_type")
+            .agg(cnt.cast("long").alias("n_buckets"), *cols)
+            .orderBy("event_type"))
+
+
 def windowed_moving_fn(events: DataFrame, window: str = "1 hour",
                        mov_window: int = 3,
                        lag: int = 2) -> DataFrame:

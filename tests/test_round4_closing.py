@@ -1,0 +1,109 @@
+"""Round-4 closing wave: percentiles_bucket sibling pipeline agg,
+value_count/missing/global aggs, simple_query_string, cross_fields,
+span_or-near (engine-complete, r5 window queue). Python replicas plus
+the pinned ES contracts for each."""
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from engine import streaming
+from engine.analysis import tokenize_texts
+from engine.search import value_count_missing_agg
+
+
+def _r(x, p):
+    return math.floor(x * 10 ** p + 0.5) / 10 ** p
+
+
+def _mk_events(spark):
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for h, n in enumerate([1, 2, 3, 4, 5]):
+        for i in range(n):
+            rows.append((base + dt.timedelta(hours=h, minutes=i),
+                         "click", 1.0))
+    rows += [(base, "view", 1.0), (base + dt.timedelta(minutes=1),
+                                   "view", 1.0),
+             (base + dt.timedelta(hours=3), "view", 1.0)]
+    return spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double")
+
+
+def test_percentiles_bucket_both_readings(spark):
+    out = {r["event_type"]: r.asDict()
+           for r in streaming.windowed_percentiles_bucket(
+               _mk_events(spark)).collect()}
+    # click buckets n = [1,2,3,4,5]: type-7 p25/p50/p75 = 2/3/4;
+    # ES nearest-rank ceil(p*n)-1 indexes the same values here
+    c = out["click"]
+    assert c["n_buckets"] == 5
+    assert (c["p25_n"], c["p50_n"], c["p75_n"]) == (2.0, 3.0, 4.0)
+    assert (c["p25_nearest_n"], c["p50_nearest_n"],
+            c["p75_nearest_n"]) == (2, 3, 4)
+    # view buckets n = [2,1] -> sorted [1,2]: the two readings
+    # genuinely DIVERGE (interpolation vs nearest-rank) — the reason
+    # both columns exist
+    v = out["view"]
+    assert v["n_buckets"] == 2
+    assert (v["p25_n"], v["p50_n"], v["p75_n"]) == (1.25, 1.5, 1.75)
+    assert (v["p25_nearest_n"], v["p50_nearest_n"],
+            v["p75_nearest_n"]) == (1, 1, 2)
+
+
+def test_percentiles_bucket_single_bucket_and_collision(spark):
+    base = dt.datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [(base, "solo", 1.0), (base + dt.timedelta(minutes=5),
+                               "solo", 1.0)],
+        "ts timestamp, event_type string, value double")
+    row = streaming.windowed_percentiles_bucket(ev).collect()[0]
+    # one bucket of n=2: every percentile of a 1-element series is it
+    assert (row["p25_n"], row["p50_n"], row["p75_n"]) == (2, 2, 2)
+    assert row["p50_nearest_n"] == 2
+    import pytest
+    with pytest.raises(ValueError, match="collide"):
+        streaming.windowed_percentiles_bucket(ev, percents=(99.0, 99))
+
+
+def _queries(tiny_index):
+    terms = [r["term"] for r in
+             tiny_index.termstats.orderBy(F.desc("df"), "term")
+             .limit(2).collect()]
+    return [("q1", [terms[0]]), ("q2", [terms[1]])]
+
+
+def test_value_count_missing_and_global(spark, tiny_index):
+    queries = _queries(tiny_index)
+    rows = tiny_index.docs.select("doc_id", "content").collect()
+    toks = tokenize_texts([r["content"] for r in rows])
+    terms_of = {r["doc_id"]: set(t) for r, t in zip(rows, toks)}
+    all_ids = sorted(terms_of)
+    # field present unless doc_id % 3 == 0 (NULL) or % 5 == 0 (row
+    # ABSENT from fields entirely) — both must land in `missing`
+    fields = spark.createDataFrame(
+        [(d, None if d % 3 == 0 else f"g{d % 2}")
+         for d in all_ids if d % 5 != 0],
+        "doc_id long, grp string")
+    got = {r["qid"]: (r["n_docs"], r["value_count"], r["missing"])
+           for r in value_count_missing_agg(
+               tiny_index, queries, fields, "grp").collect()}
+
+    def expect(ids):
+        vc = sum(1 for d in ids if d % 3 != 0 and d % 5 != 0)
+        return (len(ids), vc, len(ids) - vc)
+
+    for qid, ts in queries:
+        ids = [d for d in all_ids
+               if any(t in terms_of[d] for t in ts)]
+        assert got[qid] == expect(ids)
+        n, vc, miss = got[qid]
+        assert vc + miss == n and miss > 0 and vc > 0  # both bite
+    assert got["_global"] == expect(all_ids)
+    # global escapes the query scope: covers every live doc
+    assert got["_global"][0] == len(all_ids)
+    # include_global=False drops the row
+    per_q = value_count_missing_agg(tiny_index, queries, fields,
+                                    "grp", include_global=False)
+    assert sorted(r["qid"] for r in per_q.collect()) == ["q1", "q2"]
