@@ -212,6 +212,330 @@ def search_parsed(index, qid: str, s: str, k: int,
         .orderBy("qid", "rank")
 
 
+# --------------------------------------------------------------------
+# simple_query_string — the ES/Lucene SimpleQueryParser analog
+# --------------------------------------------------------------------
+
+_SQS_ALL_FLAGS = frozenset(
+    {"AND", "OR", "NOT", "PHRASE", "PREFIX", "FUZZY", "SLOP",
+     "PRECEDENCE"})
+
+
+def _tokenize_sqs(s: str, flags: frozenset) -> list[tuple]:
+    """Lenient tokenizer — NEVER raises. Emits ('word', text),
+    ('phrase', text, slop), ('(',), (')',), ('|',), ('+',), ('-',).
+    ``\\`` escapes the next char into the current word; a disabled
+    flag's syntax char falls through as a word char; an unterminated
+    quote is dropped and the remainder parses as plain text."""
+    toks: list[tuple] = []
+    word: list[str] = []
+    i, n = 0, len(s)
+
+    def flush() -> None:
+        if word:
+            toks.append(("word", "".join(word)))
+            word.clear()
+
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            word.append(s[i + 1])
+            i += 2
+            continue
+        if c.isspace():
+            flush()
+            i += 1
+            continue
+        if c == '"' and "PHRASE" in flags:
+            j, buf = i + 1, []
+            while j < n and s[j] != '"':
+                if s[j] == "\\" and j + 1 < n:
+                    buf.append(s[j + 1])
+                    j += 2
+                else:
+                    buf.append(s[j])
+                    j += 1
+            if j >= n:          # unterminated: drop the quote char
+                i += 1
+                continue
+            flush()
+            slop, j = 0, j + 1
+            if j < n and s[j] == "~" and "SLOP" in flags:
+                m = re.match(r"~(\d+)", s[j:])
+                if m:
+                    slop = int(m.group(1))
+                    j += m.end()
+            if buf and "".join(buf).strip():
+                toks.append(("phrase", "".join(buf), slop))
+            i = j
+            continue
+        if c == "(" and "PRECEDENCE" in flags:
+            flush()
+            toks.append(("(",))
+        elif c == ")" and "PRECEDENCE" in flags:
+            flush()
+            toks.append((")",))
+        elif c == "|" and "OR" in flags:
+            flush()
+            toks.append(("|",))
+        elif c == "+" and "AND" in flags:
+            flush()
+            toks.append(("+",))
+        elif (c == "-" and "NOT" in flags and not word):
+            toks.append(("-",))       # negation only at word start
+        else:
+            word.append(c)
+        i += 1
+    flush()
+    return toks
+
+
+def _parse_sqs(toks: list[tuple], i: int, default_op: str,
+               depth: int = 0) -> tuple:
+    """Parse one parenthesized level. Returns (node | None, next_i).
+    Node shapes: ('level', op, positives, nots) | ('word', t) |
+    ('phrase', t, slop). Lucene-parity pins: ``-x`` attaches as a
+    MUST_NOT of the CURRENT level regardless of surrounding ``|``
+    (so ``a | -b`` means a AND NOT b, the BooleanQuery reading);
+    AND binds tighter than OR among positives; a dangling operator
+    or negation is silently dropped (never throws); an unmatched
+    '(' auto-closes at end of input, a stray ')' closes its level."""
+    pos: list = []          # positive items in order
+    joins: list[str] = []   # op between consecutive positives
+    nots: list = []
+    pending: str | None = None
+    neg = False
+    while i < len(toks):
+        t = toks[i]
+        kind = t[0]
+        if kind == ")":
+            i += 1
+            if depth == 0:      # stray ')' at top level: ignore
+                pending, neg = None, False
+                continue
+            break
+        if kind == "|":
+            pending, neg, i = "or", False, i + 1
+            continue
+        if kind == "+":
+            pending, neg, i = "and", False, i + 1
+            continue
+        if kind == "-":
+            neg, i = True, i + 1
+            continue
+        if kind == "(":
+            node, i = _parse_sqs(toks, i + 1, default_op, depth + 1)
+        else:
+            node, i = t, i + 1
+        if node is not None:
+            if neg:
+                nots.append(node)       # level-scoped MUST_NOT
+            else:
+                if pos:
+                    joins.append(pending or default_op)
+                pos.append(node)
+        pending, neg = None, False
+    # group positives: AND binds tighter than OR
+    groups: list[list] = [[]]
+    for j, item in enumerate(pos):
+        if j > 0 and joins[j - 1] == "or":
+            groups.append([])
+        groups[-1].append(item)
+    groups = [g for g in groups if g]
+    if not groups and not nots:
+        return None, i
+    if len(groups) <= 1:
+        inner = groups[0] if groups else []
+        return ("level", "and", inner, nots), i
+
+    def _wrap(g: list):
+        return g[0] if len(g) == 1 else ("level", "and", g, [])
+
+    return ("level", "or", [_wrap(g) for g in groups], nots), i
+
+
+def simple_query_string_topk(index, qid: str, s: str, k: int,
+                             default_operator: str = "or",
+                             flags: frozenset | set | None = None,
+                             fuzzy_transpositions: bool = True):
+    """ES ``simple_query_string`` (Lucene SimpleQueryParser): the
+    LENIENT user-facing query language — ``+`` AND, ``|`` OR, ``-``
+    NOT, ``"..."`` phrase (``~N`` slop), trailing-``*`` prefix,
+    ``~N`` fuzzy (default 2 edits, OSA — the FuzzyQuery default;
+    capped at 2 like Lucene), ``( )`` precedence, ``\\`` escape —
+    that NEVER throws: malformed syntax degrades to literal text
+    (the parser's whole contract, and why ES exposes it to end
+    users where ``query_string`` is dev-only). ``flags`` disables
+    feature subsets (any of AND/OR/NOT/PHRASE/PREFIX/FUZZY/SLOP/
+    PRECEDENCE — a disabled flag's syntax char becomes plain text,
+    the ES flags contract); ``default_operator`` joins bare
+    whitespace-adjacent clauses.
+
+    Pinned semantics (each the Lucene SimpleQueryParser reading):
+    ``-x`` attaches as MUST_NOT of its enclosing level regardless of
+    ``|`` (``a | -b`` = a AND NOT b); AND binds tighter than OR; a
+    level whose positives all vanish (analyzer-dropped) but keeps
+    prohibitions matches NOTHING (pure-negation BooleanQuery); an
+    empty prefix/fuzzy expansion is an unmatchable clause (Lucene's
+    MatchNoDocsQuery rewrite) — harmless under OR, fatal under AND;
+    a multi-token analyzed word scores as its weighted-OR (the
+    flattened SynonymQuery reading). Sloppy phrases gate via the
+    unordered-proximity superset window N + len − 1 (every true
+    Lucene slop-N occurrence qualifies; some reorderings Lucene's
+    transposition-cost model rejects also pass — one-sided,
+    documented divergence).
+
+    Execution (Spark-first): ONE exhaustive weighted-OR scoring pass
+    over ALL atoms' terms (atom id rides the qid channel — the
+    engine's oracle-green scorer, bucket-pruned decode, tombstones
+    masked), phrase gates semi-join their atom's rows, then a
+    per-doc pivot (|atoms| columns) evaluates the boolean tree as
+    ONE Catalyst expression — no per-clause query, no driver loop;
+    the rank window orders by the ROUNDED summed score (4 dp) then
+    doc_id asc and cuts AFTER the root-match filter (gate-before-
+    cut). Scale: cost is one decode of the atom term set + one
+    (doc_id) agg bounded by the matched-docs union; the tree is
+    column math. Returns (qid, doc_id, score, rank).
+    Reference: the ES/Lucene stack the reference delegates search to
+    ships this parser (GROUP_12 Searcher.java:38-42 uses the classic
+    parser only to escape text — this is the user-facing sibling).
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .portable import round_half_up
+    from .positions import phrase_match, proximity_match
+    from .search import (expand_fuzzy_terms, expand_prefix_terms,
+                         score_exhaustive)
+
+    if default_operator not in ("or", "and"):
+        raise ValueError(f"default_operator must be 'or'/'and', got "
+                         f"{default_operator!r}")
+    fl = frozenset(flags) if flags is not None else _SQS_ALL_FLAGS
+    unknown = fl - _SQS_ALL_FLAGS
+    if unknown:
+        raise ValueError(f"unknown flags {sorted(unknown)}")
+    opts = index.analyzer_opts()
+    spark = index.spark
+    empty = spark.createDataFrame(
+        [], "qid string, doc_id long, score double, rank int")
+
+    root, _ = _parse_sqs(_tokenize_sqs(s, fl), 0, default_operator)
+    if root is None:
+        return empty
+
+    # resolve leaf tokens to atoms: (aid, terms, gate_df|None);
+    # a None return from _resolve drops the clause (analyzer-empty)
+    atoms: list[tuple[int, list[str], object]] = []
+
+    def _resolve(node):
+        if node[0] == "level":
+            pos = [r for r in (_resolve(c) for c in node[2])
+                   if r is not None]
+            nots = [r for r in (_resolve(c) for c in node[3])
+                    if r is not None]
+            if not pos and not nots:
+                return None
+            return ("level", node[1], pos, nots)
+        aid = len(atoms)
+        if node[0] == "phrase":
+            terms = _analyze_one(node[1], **opts)
+            if not terms:
+                return None
+            slop = node[2]
+            if slop and len(terms) > 1:
+                gate = proximity_match(
+                    index, [(f"a{aid}", terms)],
+                    window=slop + len(terms) - 1)
+            else:
+                gate = phrase_match(index, [(f"a{aid}", node[1])])
+            atoms.append((aid, sorted(set(terms)), gate))
+            return ("atom", aid)
+        w = node[1]
+        m = re.search(r"~(\d*)$", w)
+        edits = None
+        if m and "FUZZY" in fl and m.start() > 0:
+            edits = min(int(m.group(1) or 2), 2)
+            w = w[:m.start()]
+        if ("PREFIX" in fl and w.endswith("*") and len(w) > 1
+                and "*" not in w[:-1]):
+            base = _analyze_one(w[:-1], **opts)
+            if not base:
+                return None
+            terms = [t for _, t, _ in expand_prefix_terms(
+                index, [(f"a{aid}", base[0])])]
+        else:
+            terms = _analyze_one(w.replace("*", "").replace("?", ""),
+                                 **opts)
+            if not terms:
+                return None
+            if edits:
+                terms = [t for _, t, _ in expand_fuzzy_terms(
+                    index, [(f"a{aid}", terms[0])], max_edits=edits,
+                    transpositions=fuzzy_transpositions)]
+        # empty expansion: keep as an UNMATCHABLE atom (MatchNoDocs)
+        atoms.append((aid, sorted(set(terms)), None))
+        return ("atom", aid)
+
+    root = _resolve(root)
+    if root is None:
+        return empty
+    qt = [(f"a{aid}", t, 1.0) for aid, terms, _ in atoms for t in terms]
+    if not qt:
+        return empty
+    scored = score_exhaustive(index, qt, k=None) \
+        .select("qid", "doc_id", "score")
+    plain = [f"a{aid}" for aid, _, g in atoms if g is None]
+    parts = []
+    if plain:
+        parts.append(scored.where(F.col("qid").isin(plain)))
+    for aid, _, gate in atoms:
+        if gate is not None:
+            parts.append(scored.where(F.col("qid") == f"a{aid}").join(
+                gate.select("doc_id"), "doc_id", "left_semi"))
+    if not parts:
+        return empty
+    rows = reduce(lambda a, b: a.unionByName(b), parts)
+    agg = rows.groupBy("doc_id").agg(
+        *[F.max(F.when(F.col("qid") == f"a{aid}", F.col("score")))
+          .alias(f"s_{aid}") for aid, _, _ in atoms])
+
+    def _m(node):
+        if node[0] == "atom":
+            return F.col(f"s_{node[1]}").isNotNull()
+        _, op, pos, nots = node
+        if not pos:
+            e = F.lit(False)        # pure negation matches nothing
+        else:
+            ms = [_m(c) for c in pos]
+            e = reduce((lambda a, b: a & b) if op == "and"
+                       else (lambda a, b: a | b), ms)
+        for c in nots:
+            e = e & ~F.coalesce(_m(c), F.lit(False))
+        return e
+
+    def _sc(node):
+        if node[0] == "atom":
+            return F.coalesce(F.col(f"s_{node[1]}"), F.lit(0.0))
+        _, op, pos, _nots = node
+        if not pos:
+            return F.lit(0.0)
+        return reduce(lambda a, b: a + b,
+                      [F.when(F.coalesce(_m(c), F.lit(False)), _sc(c))
+                       .otherwise(0.0) for c in pos])
+
+    out = (agg.where(F.coalesce(_m(root), F.lit(False)))
+           .select(F.lit(qid).alias("qid"), "doc_id",
+                   round_half_up(_sc(root), 4).alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                          F.asc("doc_id"))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .orderBy("qid", "rank"))
+
+
 def expand_synonyms(queries, synonyms, syn_weight: float = 0.5):
     """Query-time synonym expansion (the ES ``synonym`` search-time
     token filter in its weighted-expansion reading): each query term

@@ -107,3 +107,130 @@ def test_value_count_missing_and_global(spark, tiny_index):
     per_q = value_count_missing_agg(tiny_index, queries, fields,
                                     "grp", include_global=False)
     assert sorted(r["qid"] for r in per_q.collect()) == ["q1", "q2"]
+
+
+# ------------------------------------------------------------------
+# simple_query_string
+# ------------------------------------------------------------------
+
+def _doc_tokens(tiny_index):
+    rows = tiny_index.docs.select("doc_id", "content").collect()
+    toks = tokenize_texts([r["content"] for r in rows])
+    return {r["doc_id"]: t for r, t in zip(rows, toks)}
+
+
+def _atom_scores(tiny_index, terms):
+    """Trusted per-atom (doc -> score) from the oracle-green scorer."""
+    from engine.search import score_exhaustive
+    if not terms:
+        return {}
+    qt = [("a", t, 1.0) for t in sorted(set(terms))]
+    return {r["doc_id"]: r["score"]
+            for r in score_exhaustive(tiny_index, qt, None).collect()}
+
+
+def _run_sqs(tiny_index, s, **kw):
+    from engine.queryparse import simple_query_string_topk
+    out = simple_query_string_topk(tiny_index, "q", s, 1000, **kw)
+    return [(r["doc_id"], r["score"]) for r in out.collect()]
+
+
+def test_sqs_boolean_tree_matches_replica(spark, tiny_index):
+    toks = _doc_tokens(tiny_index)
+    terms = [r["term"] for r in
+             tiny_index.termstats.orderBy(F.desc("df"), "term")
+             .limit(4).collect()]
+    a, b, c, d = terms
+
+    def replica(expr_match, scoring_atoms):
+        sc = {t: _atom_scores(tiny_index, [t]) for t in terms}
+        out = []
+        for doc, ts in toks.items():
+            ts = set(ts)
+            if expr_match(ts):
+                s = sum(sc[t].get(doc, 0.0) for t in scoring_atoms
+                        if t in ts)
+                out.append((doc, _r(s, 4)))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out
+
+    # a | -b  ==  a AND NOT b (MUST_NOT binds to the level, not the |)
+    got = _run_sqs(tiny_index, f"{a} | -{b}")
+    assert got == replica(lambda ts: a in ts and b not in ts, [a])
+    # AND binds tighter than OR: a | b + c
+    got = _run_sqs(tiny_index, f"{a} | {b} + {c}")
+    assert got == replica(
+        lambda ts: a in ts or (b in ts and c in ts), [a, b, c])
+    # parens flip it: (a | b) + c
+    got = _run_sqs(tiny_index, f"({a} | {b}) + {c}")
+    assert got == replica(
+        lambda ts: (a in ts or b in ts) and c in ts, [a, b, c])
+    # default_operator='and'
+    got = _run_sqs(tiny_index, f"{a} {b}", default_operator="and")
+    assert got == replica(lambda ts: a in ts and b in ts, [a, b])
+    # nested negated group: a -(b c)   [group joined by default OR]
+    got = _run_sqs(tiny_index, f"{a} -({b} {c})")
+    assert got == replica(
+        lambda ts: a in ts and not (b in ts or c in ts), [a])
+    # an unmatched OR arm still contributes nothing; d arm works
+    got = _run_sqs(tiny_index, f"{d} | zzzznosuchterm")
+    assert got == replica(lambda ts: d in ts, [d])
+
+
+def test_sqs_never_throws_and_degrades(spark, tiny_index):
+    junk = ["((", "))", "a) -", '"unterminated', "-", "+", "|",
+            "a | | b", "+ -", "~", "~2", "a~x", "(((b", '""',
+            "\\", "a\\"]
+    for s in junk:
+        rows = _run_sqs(tiny_index, s)   # must not raise
+        assert isinstance(rows, list)
+    # pure negation matches nothing (Lucene BooleanQuery contract)
+    t = tiny_index.termstats.orderBy(F.desc("df"), "term") \
+        .limit(1).collect()[0]["term"]
+    assert _run_sqs(tiny_index, f"-{t}") == []
+    # stopword positive + negation: positives vanish -> nothing
+    assert _run_sqs(tiny_index, f"the -{t}") == []
+    # escaped operator is literal text (analyzer sees 'a|b' -> tokens)
+    assert isinstance(_run_sqs(tiny_index, "a\\|b"), list)
+
+
+def test_sqs_prefix_fuzzy_phrase_and_flags(spark, tiny_index):
+    toks = _doc_tokens(tiny_index)
+    # pick a term and query its 4-char prefix
+    t = sorted({t for ts in toks.values() for t in ts
+                if len(t) >= 5})[0]
+    pre = t[:4]
+    from engine.search import expand_prefix_terms
+    exp = [x for _, x, _ in expand_prefix_terms(
+        tiny_index, [("q", pre)])]
+    got = dict(_run_sqs(tiny_index, f"{pre}*"))
+    sc = _atom_scores(tiny_index, exp)
+    assert got == {d: _r(s, 4) for d, s in sc.items()}
+    # PREFIX flag off: '*' becomes literal text -> plain term query
+    got_off = dict(_run_sqs(
+        tiny_index, f"{pre}*",
+        flags={"AND", "OR", "NOT", "PHRASE", "FUZZY", "SLOP",
+               "PRECEDENCE"}))
+    sc_plain = _atom_scores(tiny_index, [pre])
+    assert got_off == {d: _r(s, 4) for d, s in sc_plain.items()}
+    # fuzzy ~1 == the engine's fuzzy expansion (OSA default)
+    from engine.search import expand_fuzzy_terms
+    fexp = [x for _, x, _ in expand_fuzzy_terms(
+        tiny_index, [("q", t)], max_edits=1, transpositions=True)]
+    got = dict(_run_sqs(tiny_index, f"{t}~1"))
+    scf = _atom_scores(tiny_index, fexp)
+    assert got == {d: _r(s, 4) for d, s in scf.items()}
+    # phrase gates: pick a real bigram from some doc
+    from engine.positions import build_positions
+    build_positions(spark, tiny_index.index_dir)
+    doc, ts = next((d, ts) for d, ts in toks.items() if len(ts) >= 2)
+    bigram = f'"{ts[0]} {ts[1]}"'
+    got = dict(_run_sqs(tiny_index, bigram))
+    assert doc in got
+    matched = {d for d, tt in toks.items()
+               if any(tt[i:i + 2] == [ts[0], ts[1]]
+                      for i in range(len(tt) - 1))}
+    assert set(got) == matched
+    # sloppy phrase is a superset of the exact phrase match set
+    got_slop = dict(_run_sqs(tiny_index, bigram + "~2"))
+    assert set(got) <= set(got_slop)
