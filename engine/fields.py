@@ -272,6 +272,105 @@ def dismax_topk(field_indexes: Mapping[str, Index],
             .orderBy("qid", "rank"))
 
 
+def cross_fields_topk(field_indexes: Mapping[str, Index],
+                      queries: Sequence[tuple[str, str, float]], k: int,
+                      tie_breaker: float = 0.0) -> DataFrame:
+    """Elasticsearch ``multi_match`` *cross_fields* mode — the
+    TERM-centric reading: every term is looked for in ANY field (the
+    fields behave as one big field for matching), and per-field score
+    differences are neutralized by BLENDING document frequencies
+    (Lucene ``BlendedTermQuery``): a term common in one field and rare
+    in another must not get a huge idf from the rare field, the exact
+    failure best_fields has on person-name-over-first/last-name
+    schemas (the ES docs' canonical example).
+
+    Pinned semantics:
+    * ``df_blend(t) = max_f df_f(t)`` — BlendedTermQuery's
+      disjunction blend (its ttf bump doesn't enter BM25);
+    * N is shared — field indexes mirror ONE corpus by this module's
+      contract (asserted), so docCount needs no blending;
+    * dl/avgdl stay PER FIELD (BlendedTermQuery keeps each field's
+      own norms — only df is rewired);
+    * per term: ``score_t = max_f s_f + tie_breaker·Σ_{other f} s_f``
+      (matching fields only), then ``score(doc) = Σ_t score_t`` — the
+      per-term dismax composed under the bool sum, tie_breaker 0.0
+      default (ES's);
+    * ``queries``: [(qid, term, weight)] — terms apply to all fields.
+
+    Plan shape: the per-field bucket-pruned broadcast-join scans of
+    :func:`fielded_topk`, with the broadcast df join reading the
+    blended table (|query terms| rows — a groupBy over the unioned
+    per-field termstats slices, broadcast after); then one
+    (qid, term, doc) agg and one (qid, doc) agg — ONE more map-side-
+    combinable shuffle than best_fields, keyed by matched rows, never
+    by corpus. Returns (qid, doc_id, score, rank).
+    Reference: search delegated to the Lucene/ES stack that ships
+    this mode (GROUP_12 Searcher.java:37-43 is the boosted per-field
+    sibling)."""
+    from functools import reduce as _reduce
+
+    indexes = list(field_indexes.items())
+    assert indexes, "at least one field index required"
+    spark = indexes[0][1].spark
+    assert len({ix.n_docs for _, ix in indexes}) == 1, \
+        "cross_fields requires field indexes over one corpus (same N)"
+    tombs = [ix.tombstones for _, ix in indexes
+             if ix.tombstones is not None]
+    all_dead = (_reduce(lambda a, b: a.unionByName(b), tombs).distinct()
+                if tombs else None)
+    qterms = sorted({t for _, t, _ in queries})
+    blend = _reduce(
+        lambda a, b: a.unionByName(b),
+        [ix.termstats
+         .where(F.col("bucket").isin(ix.term_buckets(qterms)))
+         .where(F.col("term").isin(qterms))
+         .select("term", "df")
+         for _, ix in indexes]) \
+        .groupBy("term").agg(F.max("df").alias("df"))
+    parts = []
+    for fname, idx in indexes:
+        fq = [(q, t, w) for q, t, w in queries]
+        matched = idx.postings \
+            .where(F.col("bucket").isin(idx.term_buckets(qterms))) \
+            .join(F.broadcast(_query_df(idx.spark, fq)), "term")
+        dec = matched.withColumn("d", decode_udf("blob"))
+        rows = dec.select(
+            "qid", "term", "weight",
+            F.explode(F.arrays_zip("d.doc_ids", "d.tfs", "d.dls"))
+            .alias("e"),
+        ).select(
+            "qid", "term", "weight",
+            F.col("e.doc_ids").alias("doc_id"),
+            F.col("e.tfs").alias("tf"),
+            F.col("e.dls").alias("dl"),
+        )
+        if all_dead is not None:
+            rows = rows.join(F.broadcast(all_dead), "doc_id",
+                             "left_anti")
+        rows = rows.join(F.broadcast(blend), "term")
+        pscore = F.col("weight") * bm25_col(
+            F.col("tf"), F.col("df"), F.col("dl"),
+            idx.avgdl, float(idx.n_docs),
+            idx.stats["k1"], idx.stats["b"])
+        parts.append(rows.select("qid", "term", "doc_id",
+                                 pscore.alias("pscore")))
+    rows = reduce(lambda a, b: a.unionByName(b), parts)
+    per_term = (rows.groupBy("qid", "term", "doc_id")
+                .agg(F.max("pscore").alias("mx"),
+                     F.sum("pscore").alias("sm")))
+    tscore = (F.col("mx") + F.lit(float(tie_breaker))
+              * (F.col("sm") - F.col("mx")))
+    agg = (per_term.select("qid", "doc_id", tscore.alias("tscore"))
+           .groupBy("qid", "doc_id")
+           .agg(F.sum("tscore").alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                          F.asc("doc_id"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", "score", "rank")
+            .orderBy("qid", "rank"))
+
+
 def build_combined_field_index(spark, field_corpora: Mapping[str, DataFrame],
                                field_weights: Mapping[str, float],
                                out_dir: str, **build_kw) -> None:

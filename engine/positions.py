@@ -626,6 +626,96 @@ def phrase_topk(index: Index, phrases: Sequence[tuple[str, str]],
             .orderBy("qid", "rank"))
 
 
+def span_or_near_match(index: Index,
+                       queries: Sequence[tuple[str, Sequence[str],
+                                               str, int]],
+                       ordered: bool = True) -> DataFrame:
+    """Lucene SpanNearQuery with a SpanOrQuery clause — the canonical
+    composite use of SpanOr ("any of {a1..an} near b"): spans where
+    SOME or-group term occurs within ``slop`` of the other term.
+    queries: (qid, or_texts, other_text, slop); ``ordered`` pins
+    NearSpansOrdered (or-term first: q > p, q − p − 1 ≤ slop) vs the
+    unordered reading (p ≠ q, |q − p| − 1 ≤ slop) for the whole call.
+
+    Pinned span semantics: the OR span is the POSITION-SET UNION of
+    its terms' single-term spans (SpanOrQuery's disjunction iterator,
+    deduplicated — two or-terms at one position span once); pairs are
+    the ALL-PAIRS enumeration — a superset of Lucene's lazy
+    minimal-interval iterator, the same documented divergence class
+    as span_within/interval_match. An or-group none of whose terms
+    analyzes matches nothing, as does a missing other term (Lucene: a
+    missing subquery spans nothing); or-terms the ANALYZER drops just
+    leave the group (their clause vanishes). Gap-numbered positions
+    as the phrase plan (stopwords consume a position).
+
+    Plan: two bucket-pruned positional scans broadcast-joined to the
+    query rows; the or-group union is ONE (qid, doc)-keyed agg
+    (flatten + distinct + sort — arrays ride, never exploded); the
+    pair test is a per-row nested HOF with the qualifying spans
+    materialized in one projection and exploded in the NEXT (the
+    builder pattern). Returns (qid, doc_id, span_start, span_end)
+    ordered — end exclusive, one row per qualifying pair.
+    Reference: search delegated to the Lucene stack that ships
+    SpanOr/SpanNear (GROUP_12 SearchFiles.java:1)."""
+    opts = index.analyzer_opts()
+    spark = index.spark
+
+    def _an(t: str) -> str:
+        toks = tokenize_texts([t], **opts)[0]
+        return toks[0] if toks else ""
+
+    or_rows, oth_rows, slop_rows = [], [], []
+    for qid, or_texts, other, slop in queries:
+        ots = sorted({t for t in (_an(x) for x in or_texts) if t})
+        to = _an(other)
+        if not ots or not to:
+            continue                # missing subquery spans nothing
+        or_rows += [(qid, t) for t in ots]
+        oth_rows.append((qid, to))
+        slop_rows.append((qid, int(slop)))
+    empty = spark.createDataFrame(
+        [], "qid string, doc_id long, span_start long, span_end long")
+    if not or_rows:
+        return empty
+
+    pos_or = _positions_df(index, sorted({t for _, t in or_rows}))
+    odf = spark.createDataFrame(or_rows, "qid string, term string")
+    grp = (pos_or.join(F.broadcast(odf), "term")
+           .groupBy("qid", "doc_id")
+           .agg(F.array_sort(F.array_distinct(
+               F.flatten(F.collect_list("positions")))).alias("a")))
+    pos_oth = _positions_df(index, sorted({t for _, t in oth_rows}))
+    bdf = spark.createDataFrame(oth_rows, "qid string, term string")
+    oth = (pos_oth.join(F.broadcast(bdf.distinct()), "term")
+           .select("qid", "doc_id", F.col("positions").alias("b")))
+    slops = spark.createDataFrame(slop_rows, "qid string, slop int")
+    joined = (grp.join(oth, ["qid", "doc_id"])
+              .join(F.broadcast(slops.distinct()), "qid"))
+    slop = F.col("slop")
+
+    def _ok(p):
+        if ordered:
+            return lambda q: (q > p) & (q - p - 1 <= slop)
+        return lambda q: (q != p) & \
+            (F.greatest(p, q) - F.least(p, q) - 1 <= slop)
+
+    def _spans(p):
+        return lambda q: F.struct(
+            F.least(p, q).cast("long").alias("s"),
+            (F.greatest(p, q) + 1).cast("long").alias("e"))
+
+    cand = F.flatten(F.transform(
+        F.col("a"),
+        lambda p: F.transform(F.filter(F.col("b"), _ok(p)), _spans(p))))
+    built = joined.select("qid", "doc_id", cand.alias("spans"))
+    out = (built.select("qid", "doc_id", F.explode("spans").alias("sp"))
+           .select("qid", "doc_id",
+                   F.col("sp.s").alias("span_start"),
+                   F.col("sp.e").alias("span_end")))
+    return index.live(out).orderBy("qid", "doc_id", "span_start",
+                                   "span_end")
+
+
 def span_first_match(index: Index,
                      queries: Sequence[tuple[str, str, int]]) -> DataFrame:
     """Lucene SpanFirstQuery analog: docs whose first occurrence of the

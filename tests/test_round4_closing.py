@@ -234,3 +234,149 @@ def test_sqs_prefix_fuzzy_phrase_and_flags(spark, tiny_index):
     # sloppy phrase is a superset of the exact phrase match set
     got_slop = dict(_run_sqs(tiny_index, bigram + "~2"))
     assert set(got) <= set(got_slop)
+
+
+# ------------------------------------------------------------------
+# cross_fields multi_match
+# ------------------------------------------------------------------
+
+def _bm25(tf, df, dl, avgdl, n, k1=1.2, b=0.75):
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def _mk_field_indexes(spark, tmp_path):
+    from engine.index_build import build_index
+    from engine.search import Index
+    titles = ["apple pie", "banana split", "apple tart"]
+    bodies = ["apple apple banana filling baked", "banana cream only",
+              "cherry base with apple pieces inside"]
+
+    def corpus(texts):
+        return spark.createDataFrame(
+            [(f"org/r{i}", f"f{i}.py", "c" * 12, "python", t)
+             for i, t in enumerate(texts)],
+            "repo string, path string, commit string, lang string, "
+            "content string")
+
+    pt, pb = str(tmp_path / "xt"), str(tmp_path / "xb")
+    build_index(spark, corpus(titles), pt, n_buckets=2, n_doc_buckets=4)
+    build_index(spark, corpus(bodies), pb, n_buckets=3, n_doc_buckets=4)
+    it, ib = Index(spark, pt), Index(spark, pb)
+    id2 = {r["docno"]: r["doc_id"] for r in
+           it.docs.select("doc_id", "docno").collect()}
+    return it, ib, id2
+
+
+def test_cross_fields_blended_df_hand_computed(spark, tmp_path):
+    from engine.fields import cross_fields_topk, dismax_topk
+    it, ib, id2 = _mk_field_indexes(spark, tmp_path)
+    n = 3
+    # banana: title df 1, body df 2 -> blended df = max = 2; the term's
+    # idf is therefore LOWER in the title field than best_fields' own
+    # per-field idf — the blend genuinely bites
+    out = {r["doc_id"]: r["score"]
+           for r in cross_fields_topk({"title": it, "body": ib},
+                                      [("q", "banana", 1.0)],
+                                      10).collect()}
+    d0, d1 = id2["org/r0/f0.py"], id2["org/r1/f1.py"]
+    t = {d1: _bm25(1, 2, 2, it.avgdl, n)}           # df blended to 2
+    bdy = {d0: _bm25(1, 2, 5, ib.avgdl, n), d1: _bm25(1, 2, 3, ib.avgdl, n)}
+    import pytest
+    # doc1 matches both fields: per-term max (tie 0); doc0 body-only
+    assert out[d1] == pytest.approx(max(t[d1], bdy[d1]), abs=1e-12)
+    assert out[d0] == pytest.approx(bdy[d0], abs=1e-12)
+    # best_fields with per-field df scores the title hit HIGHER (df 1)
+    bf = {r["doc_id"]: r["score"]
+          for r in dismax_topk({"title": it, "body": ib},
+                               [("q", "title", "banana", 1.0),
+                                ("q", "body", "banana", 1.0)],
+                               10).collect()}
+    assert bf[d1] > out[d1]          # the blend genuinely lowered idf
+    # tie_breaker sums the non-max fields per TERM
+    out_t = {r["doc_id"]: r["score"]
+             for r in cross_fields_topk({"title": it, "body": ib},
+                                        [("q", "banana", 1.0)],
+                                        10, tie_breaker=0.4).collect()}
+    mx, sm = max(t[d1], bdy[d1]), t[d1] + bdy[d1]
+    assert out_t[d1] == pytest.approx(mx + 0.4 * (sm - mx), abs=1e-12)
+    # multi-term: per-term dismax composed under the bool sum
+    out2 = {r["doc_id"]: r["score"]
+            for r in cross_fields_topk({"title": it, "body": ib},
+                                       [("q", "apple", 1.0),
+                                        ("q", "banana", 1.0)],
+                                       10).collect()}
+    # apple: title df 2, body df 2 -> blend = 2 (no change)
+    ap_t = {id2["org/r0/f0.py"]: _bm25(1, 2, 2, it.avgdl, n),
+            id2["org/r2/f2.py"]: _bm25(1, 2, 2, it.avgdl, n)}
+    ap_b = {id2["org/r0/f0.py"]: _bm25(2, 2, 5, ib.avgdl, n),
+            id2["org/r2/f2.py"]: _bm25(1, 2, 5, ib.avgdl, n)}
+    want_d0 = max(ap_t[d0], ap_b[d0]) + max(t.get(d0, 0.0), bdy[d0])
+    assert out2[d0] == pytest.approx(want_d0, abs=1e-12)
+
+
+# ------------------------------------------------------------------
+# span_or near (SpanNearQuery with a SpanOrQuery clause)
+# ------------------------------------------------------------------
+
+def _pos_map(content):
+    from engine.analysis import _STOPSET
+    toks = tokenize_texts([content], keep_stopwords=True)[0]
+    out = {}
+    for i, t in enumerate(toks):
+        if t in _STOPSET:
+            continue
+        out.setdefault(t, set()).add(i)
+    return out
+
+
+def _brute_or_near(doc_contents, or_terms, other, slop, ordered):
+    an = [tokenize_texts([t])[0] for t in or_terms]
+    ots = sorted({t[0] for t in an if t})
+    to = tokenize_texts([other])[0][0]
+    spans = []
+    for doc_id, content in doc_contents.items():
+        pm = _pos_map(content)
+        union = sorted(set().union(*[pm.get(t, set()) for t in ots]))
+        for p in union:
+            for q in sorted(pm.get(to, set())):
+                if ordered:
+                    ok = q > p and q - p - 1 <= slop
+                else:
+                    ok = q != p and abs(q - p) - 1 <= slop
+                if ok:
+                    spans.append((doc_id, min(p, q), max(p, q) + 1))
+    return sorted(spans)
+
+
+def test_span_or_near_matches_brute(spark, tiny_index):
+    from engine.positions import build_positions, span_or_near_match
+    build_positions(spark, tiny_index.index_dir)
+    rows = tiny_index.docs.select("doc_id", "content").collect()
+    contents = {int(r["doc_id"]): r["content"] for r in rows}
+    # three frequent terms: OR over two, near the third
+    freq = [r["term"] for r in
+            tiny_index.termstats.orderBy(F.desc("df"), "term")
+            .limit(3).collect()]
+    a, b, c = freq
+    for ordered in (True, False):
+        got = [(r["doc_id"], r["span_start"], r["span_end"])
+               for r in span_or_near_match(
+                   tiny_index, [("q", [a, b], c, 3)],
+                   ordered=ordered).collect()]
+        want = _brute_or_near(contents, [a, b], c, 3, ordered)
+        assert sorted(got) == want and want  # genuinely non-empty
+    # position-set UNION dedups: duplicating an or-term changes nothing
+    g1 = span_or_near_match(tiny_index, [("q", [a, b, a], c, 3)]) \
+        .collect()
+    g2 = span_or_near_match(tiny_index, [("q", [a, b], c, 3)]).collect()
+    assert [tuple(r) for r in g1] == [tuple(r) for r in g2]
+    # missing subqueries span nothing; analyzer-dropped or-terms leave
+    # the group (stopword 'the' vanishes, group still works)
+    assert span_or_near_match(
+        tiny_index, [("q", ["zzznope"], c, 3)]).count() == 0
+    assert span_or_near_match(
+        tiny_index, [("q", [a], "zzznope", 3)]).count() == 0
+    g3 = span_or_near_match(tiny_index, [("q", ["the", a, b], c, 3)]) \
+        .collect()
+    assert [tuple(r) for r in g3] == [tuple(r) for r in g2]
