@@ -420,6 +420,29 @@ def main() -> None:
         "qid string, docno string, rank int")
     plans["rank_eval metrics (MRR / recall / ERR)"] = \
         rank_eval_metrics(run_df, qrels_df, k=10)
+    plans["percentiles_bucket (sibling percentile pipeline agg)"] = \
+        st_mod.windowed_percentiles_bucket(ev)
+    from pyspark.sql import functions as _F
+
+    from engine.search import value_count_missing_agg
+    _fields = em._docs(spark, sf_dir).select(
+        "doc_id", _F.nullif(_F.regexp_extract(
+            "text", r"\b(customer|vector|stream)\b", 1),
+            _F.lit("")).alias("marker"))
+    plans["value_count / missing / global aggs"] = \
+        value_count_missing_agg(idx, em.BM25_QUERIES, _fields, "marker")
+    from engine.queryparse import simple_query_string_topk
+    plans["simple_query_string (boolean tree via per-doc pivot)"] = \
+        simple_query_string_topk(idx, "q1",
+                                 'table + (scan | merge) -customer', 10)
+    from engine.positions import span_or_near_match
+    plans["span_or near (SpanNear with a SpanOr clause)"] = \
+        span_or_near_match(idx, [("q1", ["scan", "merge"], "table", 2)])
+    from engine.fields import cross_fields_topk
+    plans["cross_fields (blended-df term-centric multi_match)"] = \
+        cross_fields_topk(em._cached_field_indexes(spark, sf_dir),
+                          [(q, t, 1.0) for q, ts in em.BM25_QUERIES
+                           for t in ts], 10, tie_breaker=0.3)
 
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
            "",
