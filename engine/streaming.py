@@ -450,11 +450,15 @@ def windowed_percentiles_bucket(events: DataFrame,
 
     Pinned divergence from ES, stated honestly: ES's
     PercentilesBucketPipelineAggregator collects the bucket values
-    into a list and takes the NEAREST-RANK value (index
-    ``ceil(p/100·n)−1`` of the sorted list — no interpolation, unlike
-    the metric ``percentiles`` agg's t-digest); we emit BOTH readings
-    so neither is approximated: ``p{P}_nearest_n`` is the exact ES
-    formula, ``p{P}_n`` the type-7 linear interpolation the rest of
+    into a list and takes a NEAREST-RANK value with no interpolation
+    (unlike the metric ``percentiles`` agg's t-digest); we emit BOTH
+    readings so neither is approximated: ``p{P}_nearest_n`` is the
+    classical nearest-rank index ``ceil(p/100·n)−1`` of the sorted
+    list — it reproduces the ES reference-docs example exactly
+    (sales 550/60/375 → p25/50/75 = 60/375/550, tested), with the
+    caveat that AT an exactly-integer rank p·n/100 a half-boundary
+    rounding flavor could pick the next element in some ES versions
+    — ``p{P}_n`` the type-7 linear interpolation the rest of
     this engine's quantile surface uses (Spark ``percentile`` /
     DuckDB ``quantile_cont``, bitwise-equal on integer inputs —
     round-4 verified). Occupied-buckets divergence doc'd as the

@@ -380,3 +380,18 @@ def test_span_or_near_matches_brute(spark, tiny_index):
     g3 = span_or_near_match(tiny_index, [("q", ["the", a, b], c, 3)]) \
         .collect()
     assert [tuple(r) for r in g3] == [tuple(r) for r in g2]
+
+
+def test_percentiles_bucket_es_docs_example(spark):
+    # the ES percentiles_bucket reference-docs example: monthly sales
+    # 550 / 60 / 375 -> "25.0": 60, "50.0": 375, "75.0": 550
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for h, n in enumerate([550, 60, 375]):
+        rows += [(base + dt.timedelta(hours=h, seconds=i), "sales", 1.0)
+                 for i in range(n)]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double")
+    r = streaming.windowed_percentiles_bucket(ev).collect()[0]
+    assert (r["p25_nearest_n"], r["p50_nearest_n"],
+            r["p75_nearest_n"]) == (60, 375, 550)
