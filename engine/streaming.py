@@ -1206,6 +1206,92 @@ def streaming_percolate(spark: SparkSession, watch_dir: str,
         q = q.trigger(availableNow=True)
     return q.start()
 
+def variable_width_histogram(events: DataFrame, field: str = "value",
+                             buckets: int = 4,
+                             iters: int = 2) -> DataFrame:
+    """ES ``variable_width_histogram``: at most ``buckets`` DYNAMIC-
+    width buckets over a numeric field per event_type, each reported
+    as (min, key = centroid mean, max, doc_count) — the agg for
+    multi-modal value distributions where fixed-interval histogram
+    buckets straddle the modes.
+
+    Pinned divergence, stated honestly: ES's implementation is
+    explicitly APPROXIMATE and ORDER-DEPENDENT (a streaming
+    collect-then-merge over shard-local document order — its docs
+    warn the bounds are best-effort), which no deterministic oracle
+    can replicate; this is the deterministic distributed rendering of
+    the same contract: equal-WIDTH seeds min + (2i+1)/(2·b)·(max−min)
+    refined by ``iters`` Lloyd passes (1-D k-means), ties to the
+    lower centroid, empty clusters dropped (ES: bucket count is a
+    target maximum). Buckets partition the value axis (verified in
+    tests: max_i < min_{i+1}) exactly as ES's do.
+
+    Determinism recipe (cross-engine): seeds are ONE fixed float
+    expression over exact min/max (write the oracle with the
+    IDENTICAL operation order); assignment compares |x − c| with
+    k-asc tie-break; centroid means accumulate DECIMAL(38,9) — the
+    9dp-quantized x times an exact count, summed exactly — with ONE
+    double division at the end, rounded 9 dp (the weighted_avg
+    recipe). Scale shape: the working set is the DISTINCT (series,
+    value) table with multiplicities (assignment depends only on x,
+    so duplicates collapse before the loop — the real compression at
+    volume); each pass is one broadcast join against the
+    |series|·buckets centroid table + one map-side-combinable agg;
+    ``iters`` is a fixed constant, so the whole agg is iters+1
+    bounded scans of the distinct table, state never grows with
+    events. Returns (event_type, bucket, min_x, key, max_x,
+    doc_count) ordered, bucket re-numbered 0.. by position.
+    Reference: search delegated to the Lucene/ES stack that ships
+    this agg (GROUP_12 SearchFiles.java:1)."""
+    from .portable import round_half_up
+
+    assert buckets >= 1 and iters >= 0
+    vals = (events.select("event_type",
+                          F.col(field).cast("double").alias("x"))
+            .where(F.col("x").isNotNull())
+            .groupBy("event_type", "x")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    mm = vals.groupBy("event_type").agg(F.min("x").alias("lo"),
+                                        F.max("x").alias("hi"))
+    cents = None
+    for i in range(buckets):
+        frac = (2 * i + 1) / (2.0 * buckets)
+        c = mm.select(
+            "event_type", F.lit(i).alias("k"),
+            (F.col("lo") + F.lit(frac) * (F.col("hi") - F.col("lo")))
+            .alias("c"))
+        cents = c if cents is None else cents.unionByName(c)
+
+    def _assign(cdf: DataFrame) -> DataFrame:
+        j = vals.join(F.broadcast(cdf), "event_type")
+        return (j.groupBy("event_type", "x", "n")
+                .agg(F.min_by("k", F.struct(
+                    F.abs(F.col("x") - F.col("c")).alias("d"),
+                    F.col("k").alias("kk"))).alias("k")))
+
+    xdec = F.col("x").cast("decimal(28,9)")
+    wsum = F.sum(xdec * F.col("n").cast("decimal(10,0)"))
+    for _ in range(iters):
+        assigned = _assign(cents)
+        cents = (assigned.groupBy("event_type", "k")
+                 .agg(round_half_up(
+                     wsum.cast("double")
+                     / F.sum("n").cast("double"), 9).alias("c")))
+    final = _assign(cents)
+    agg = (final.groupBy("event_type", "k")
+           .agg(F.min("x").alias("min_x"),
+                round_half_up(wsum.cast("double")
+                              / F.sum("n").cast("double"), 9)
+                .alias("key"),
+                F.max("x").alias("max_x"),
+                F.sum("n").cast("long").alias("doc_count")))
+    w = Window.partitionBy("event_type").orderBy("min_x")
+    return (agg.withColumn("bucket", F.row_number().over(w) - 1)
+            .select("event_type", "bucket", "min_x", "key", "max_x",
+                    "doc_count")
+            .orderBy("event_type", "bucket"))
+
+
 def rate_agg(events: DataFrame, window: str = "1 hour",
              unit: str = "1 minute") -> DataFrame:
     """ES ``rate`` aggregation inside a ``date_histogram``: each

@@ -395,3 +395,83 @@ def test_percentiles_bucket_es_docs_example(spark):
     r = streaming.windowed_percentiles_bucket(ev).collect()[0]
     assert (r["p25_nearest_n"], r["p50_nearest_n"],
             r["p75_nearest_n"]) == (60, 375, 550)
+
+
+# ------------------------------------------------------------------
+# variable_width_histogram
+# ------------------------------------------------------------------
+
+def _vwh_replica(values, buckets, iters):
+    """Python mirror with the exact expression order of the engine."""
+    import collections
+    cnt = collections.Counter(values)
+    xs = sorted(cnt)
+    lo, hi = min(xs), max(xs)
+    cents = {i: lo + ((2 * i + 1) / (2.0 * buckets)) * (hi - lo)
+             for i in range(buckets)}
+
+    def assign(cs):
+        out = {}
+        for x in xs:
+            out[x] = min(cs, key=lambda k: (abs(x - cs[k]), k))
+        return out
+
+    def means(a):
+        groups = {}
+        for x, k in a.items():
+            groups.setdefault(k, []).append(x)
+        res = {}
+        for k, g in groups.items():
+            # DECIMAL(28,9) quantization of x, exact integer weights
+            num = sum(round(x * 10**9) * cnt[x] for x in g)
+            den = sum(cnt[x] for x in g)
+            res[k] = _r((num / 10**9) / den, 9)
+        return res
+
+    for _ in range(iters):
+        cents = means(assign(cents))
+    a = assign(cents)
+    rows = []
+    for k in sorted(set(a.values())):
+        g = [x for x, kk in a.items() if kk == k]
+        num = sum(round(x * 10**9) * cnt[x] for x in g)
+        den = sum(cnt[x] for x in g)
+        rows.append((min(g), _r((num / 10**9) / den, 9), max(g), den))
+    rows.sort()
+    return [(i, *r) for i, r in enumerate(rows)]
+
+
+def test_variable_width_histogram_replica_and_contracts(spark):
+    import random
+    rnd = random.Random(7)
+    # tri-modal: three well-separated clumps with duplicates
+    values = ([round(rnd.gauss(1.0, 0.05), 3) for _ in range(40)]
+              + [round(rnd.gauss(5.0, 0.1), 3) for _ in range(30)]
+              + [round(rnd.gauss(9.0, 0.2), 3) for _ in range(30)]
+              + [1.0, 1.0, 5.0, 9.0])
+    base = dt.datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [(base, "m", float(v)) for v in values],
+        "ts timestamp, event_type string, value double")
+    got = [(r["bucket"], r["min_x"], r["key"], r["max_x"],
+            r["doc_count"])
+           for r in streaming.variable_width_histogram(
+               ev, buckets=4, iters=2).collect()]
+    want = _vwh_replica(values, 4, 2)
+    assert got == want
+    # contracts: <= buckets, axis-partitioning, counts sum to n
+    assert len(got) <= 4
+    for (_, _, _, mx, _), (_, mn, _, _, _) in zip(got, got[1:]):
+        assert mx < mn
+    assert sum(r[4] for r in got) == len(values)
+    # per-series independence: a second series with its own range
+    ev2 = ev.union(spark.createDataFrame(
+        [(base, "w", float(100 + i)) for i in range(10)],
+        "ts timestamp, event_type string, value double"))
+    out2 = streaming.variable_width_histogram(ev2, buckets=4, iters=2)
+    series = {r["event_type"] for r in out2.collect()}
+    assert series == {"m", "w"}
+    m_rows = [(r["bucket"], r["min_x"], r["key"], r["max_x"],
+               r["doc_count"])
+              for r in out2.collect() if r["event_type"] == "m"]
+    assert m_rows == want   # untouched by the other series
