@@ -110,7 +110,9 @@ def main() -> None:
         head = corpus.withColumn(
             "content",
             F.concat_ws(" ", F.slice(F.split("content", r"\s+"), 1, 10)))
-        base = "/tmp/w4g_fields"
+        # path keyed by corpus size — a smoke run at another sf must
+        # never leak its tiny field indexes into the real measurement
+        base = f"/tmp/w4g_fields_{idx.n_docs}"
         t0 = time.time()
         for sub, df in (("head", head), ("body", corpus)):
             p = f"{base}/{sub}"
