@@ -3734,6 +3734,9 @@ def value_count_missing_agg(index: Index,
     """
     hits = _matched_hits(index, queries)
     if include_global:
+        if any(q == "_global" for q, _ in queries):
+            raise ValueError("qid '_global' is reserved for the "
+                             "global bucket row")
         everything = (index.live(index.docs.select("doc_id"))
                       .select(F.lit("_global").alias("qid"), "doc_id"))
         hits = hits.unionByName(everything)
