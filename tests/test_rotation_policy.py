@@ -46,16 +46,41 @@ def _driver_green() -> set[str]:
     return green
 
 
-def test_every_entry_is_driver_green_or_in_window():
+def _rotation_queue() -> list[str]:
+    """The tracked queue (VERDICT r3 item 5's allowance): tail entries
+    awaiting their window round, local-gate-checked meanwhile."""
+    import ast
+
+    src = (REPO / "__spark_entry__.py").read_text()
+    m = re.search(r"^ROTATION_QUEUE: list\[str\] = (\[[^\]]*\])", src,
+                  re.M | re.S)
+    assert m, "ROTATION_QUEUE literal missing from __spark_entry__.py"
+    q = ast.literal_eval(m.group(1))
+    assert isinstance(q, list) and all(isinstance(k, str) for k in q)
+    return q
+
+
+def test_every_entry_is_driver_green_in_window_or_queued():
     keys = _entry_keys()
     green = _driver_green()
     window = set(keys[:DRIVER_WINDOW])
-    orphans = [k for k in keys if k not in green and k not in window]
+    queued = set(_rotation_queue())
+    orphans = [k for k in keys
+               if k not in green and k not in window and k not in queued]
     assert not orphans, (
-        f"{len(orphans)} queries() entries have never been driver-checked "
-        f"AND sit outside the first-{DRIVER_WINDOW} window: {orphans} — "
-        "rotate them into the window (rotate out entries that are green "
-        "in a CORRECTNESS_r*.json)")
+        f"{len(orphans)} queries() entries have never been driver-checked, "
+        f"sit outside the first-{DRIVER_WINDOW} window, AND are not in "
+        f"ROTATION_QUEUE: {orphans} — rotate them into the window or add "
+        "them to the tracked queue with the local gate green")
+    # the queue must not be a dumping ground: queued keys must exist,
+    # must not shadow window slots, and must clear once driver-green
+    stale = [k for k in queued if k in green]
+    assert not stale, f"ROTATION_QUEUE entries already driver-green: {stale}"
+    missing = [k for k in queued if k not in keys]
+    assert not missing, f"ROTATION_QUEUE names unknown entries: {missing}"
+    shadowing = [k for k in queued if k in window]
+    assert not shadowing, (
+        f"ROTATION_QUEUE entries already sit in the window: {shadowing}")
 
 
 def test_no_duplicate_entry_keys():
