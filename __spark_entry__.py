@@ -46,6 +46,8 @@ ROTATION_QUEUE: list[str] = [
     "event_window_bucket_script", "event_window_normalize",
     "event_value_ranges", "event_window_rate",
     "event_window_moving_percentiles", "event_window_percentiles_bucket",
+    "constant_score_hits", "script_scored_topk", "distance_feature_hits",
+    "value_count_missing", "match_bool_prefix", "scripted_metric_dl",
 ]
 
 BM25_QUERIES: list[tuple[str, list[str]]] = [
@@ -214,6 +216,16 @@ SERIAL_LAG = 2         # serial_diff lag (lag-1 is derivative's column)
 BSC_MIN_N = 4          # bucket_selector gate: drops ~2/3 of sf0.01 buckets
 BSC_SIZE = 50          # bucket_sort page (213-234 surviving buckets -> 50)
 MOVP_WINDOW = 5        # moving_percentiles window (excl. current)
+CS_BOOST = 1.2         # constant_score boost literal
+SS_SCRIPT = "s + ln(1 + dl) / 10"   # script_score: the bound script
+SS_MIN = 0.8           # script_score min_score gate (on ROUNDED value)
+DF_ORIGIN = 400.0      # distance_feature origin over n_chars
+DF_PIVOT = 100.0       # distance at which the feature term halves
+DF_BOOST = 2.0
+MARKER_RE = r"\b(customer|vector|stream)\b"  # 480/20 split at sf0.01
+MBP_QUERIES = [("mb1", "merge sor"), ("mb2", "hash tab"), ("mb3", "val")]
+SM_MAP = "dl * nc"     # scripted_metric map script (decimal-quantized)
+SM_REDUCE = "state / n_docs"
 RANGE_BUCKETS = [      # ES range agg: from-incl/to-excl, overlap allowed
     ("lo", None, 25.0), ("mid", 25.0, 150.0), ("hi", 150.0, None),
     ("all", None, None)]
@@ -1834,6 +1846,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return windowed_percentiles_bucket(_hourly(spark, sf_dir))
 
+    def constant_score_hits(spark, sf_dir):
+        """ES constant_score / filter context: every match scores
+        exactly CS_BOOST, NO score agg in the plan, doc_id-asc
+        tie-break (engine/search.py:constant_score_topk)."""
+        from engine.search import constant_score_topk
+
+        idx = _cached_index(spark, sf_dir)
+        return constant_score_topk(idx, BM25_QUERIES, TOPK,
+                                   boost=CS_BOOST)
+
+    def script_scored_topk(spark, sf_dir):
+        """ES script_score: the Catalyst-SQL script REPLACES the
+        query score; the min_score gate reads the ROUNDED value
+        BEFORE the rank cut (engine/search.py:script_score_topk)."""
+        from engine.search import script_score_topk
+
+        idx = _cached_index(spark, sf_dir)
+        qt = [(q, t, 1.0) for q, ts in BM25_QUERIES for t in ts]
+        return script_score_topk(idx, qt, TOPK, SS_SCRIPT,
+                                 min_score=SS_MIN)
+
+    def distance_feature_hits(spark, sf_dir):
+        """ES distance_feature: boost·pivot/(pivot+|nc−origin|) ADDED
+        to the BM25 sum as a should clause, rank cut last
+        (engine/search.py:distance_feature_topk)."""
+        from engine.search import distance_feature_topk
+
+        idx = _cached_index(spark, sf_dir)
+        qt = [(q, t, 1.0) for q, ts in BM25_QUERIES for t in ts]
+        return distance_feature_topk(idx, qt, TOPK, origin=DF_ORIGIN,
+                                     pivot=DF_PIVOT, boost=DF_BOOST)
+
+    def value_count_missing(spark, sf_dir):
+        """ES value_count + missing + global bucket over the derived
+        marker-word field (480/20 split at sf0.01 — both branches
+        bite) (engine/search.py:value_count_missing_agg)."""
+        from engine.search import value_count_missing_agg
+
+        idx = _cached_index(spark, sf_dir)
+        fields = _docs(spark, sf_dir).select(
+            "doc_id", F.nullif(F.regexp_extract(
+                "text", MARKER_RE, 1), F.lit("")).alias("marker"))
+        return value_count_missing_agg(idx, BM25_QUERIES, fields,
+                                       "marker")
+
+    def match_bool_prefix(spark, sf_dir):
+        """ES match_bool_prefix (search_as_you_type): BM25 term
+        clauses + CONSTANT-score last-term prefix clause, full-outer
+        sum, cut last; mb3 is the single-token degenerate case
+        (engine/search.py:match_bool_prefix_topk)."""
+        from engine.search import match_bool_prefix_topk
+
+        idx = _cached_index(spark, sf_dir)
+        return match_bool_prefix_topk(idx, MBP_QUERIES, TOPK)
+
+    def scripted_metric_dl(spark, sf_dir):
+        """ES scripted_metric: map = dl·nc per matched doc
+        (DECIMAL(38,9)), combine = sum (the map-side partial IS the
+        shard combine), reduce = state/n_docs
+        (engine/search.py:scripted_metric_agg)."""
+        from engine.search import scripted_metric_agg
+
+        idx = _cached_index(spark, sf_dir)
+        return scripted_metric_agg(idx, BM25_QUERIES, map_sql=SM_MAP,
+                                   combine="sum", reduce_sql=SM_REDUCE)
+
     def facet_histogram(spark, sf_dir):
         """ES histogram agg over analyzed doc length (occupied
         buckets, width HIST_INTERVAL) per query's matched set."""
@@ -2874,6 +2952,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_rate": event_window_rate,
         "event_window_moving_percentiles": event_window_moving_percentiles,
         "event_window_percentiles_bucket": event_window_percentiles_bucket,
+        "constant_score_hits": constant_score_hits,
+        "script_scored_topk": script_scored_topk,
+        "distance_feature_hits": distance_feature_hits,
+        "value_count_missing": value_count_missing,
+        "match_bool_prefix": match_bool_prefix,
+        "scripted_metric_dl": scripted_metric_dl,
     }
 
 
@@ -3197,6 +3281,135 @@ SELECT qid, doc_id, score, rank FROM (
 WHERE rank <= {TOPK}
 """
 
+    sql["constant_score_hits"] = f"""
+WITH {fts},
+matched AS (
+  SELECT DISTINCT q.qid, tf.doc_id
+  FROM {_sql_values(BM25_QUERIES)} JOIN tf USING (term))
+SELECT qid, doc_id, {CS_BOOST!r}::DOUBLE AS score, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY doc_id)::INT
+           AS rank
+  FROM matched) t
+WHERE rank <= {TOPK}
+"""
+    _ss_fs = round_half_up_sql("m.s + ln(1 + dl.dl) / 10", 4)
+    sql["script_scored_topk"] = f"""
+WITH {fts},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({score}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id),
+gated AS (
+  SELECT m.qid, m.doc_id, {_ss_fs} AS fs
+  FROM matched m JOIN dl ON m.doc_id = dl.doc_id
+  WHERE {_ss_fs} >= {SS_MIN!r})
+SELECT qid, doc_id, fs AS score, rank FROM (
+  SELECT qid, doc_id, fs,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY fs DESC, doc_id)::INT AS rank
+  FROM gated) t
+WHERE rank <= {TOPK}
+"""
+    _df_term = round_half_up_sql(
+        f"{DF_BOOST!r} * {DF_PIVOT!r} / "
+        f"({DF_PIVOT!r} + abs(nc.nc - {DF_ORIGIN!r}))", 6)
+    _df_fs = round_half_up_sql(f"m.s + {_df_term}", 4)
+    sql["distance_feature_hits"] = f"""
+WITH {fts},
+nc AS (SELECT doc_id, length(text)::DOUBLE AS nc FROM documents),
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({score}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, doc_id, fs AS score, rank FROM (
+  SELECT m.qid, m.doc_id, {_df_fs} AS fs,
+         row_number() OVER (PARTITION BY m.qid
+             ORDER BY {_df_fs} DESC, m.doc_id)::INT AS rank
+  FROM matched m JOIN nc ON m.doc_id = nc.doc_id) t
+WHERE rank <= {TOPK}
+"""
+    sql["value_count_missing"] = f"""
+WITH {fts},
+matched AS (
+  SELECT DISTINCT q.qid, tf.doc_id
+  FROM {_sql_values(BM25_QUERIES)} JOIN tf USING (term)),
+allm AS (
+  SELECT qid, doc_id FROM matched
+  UNION ALL SELECT '_global' AS qid, doc_id FROM documents),
+fld AS (
+  SELECT doc_id,
+         nullif(regexp_extract(text,
+             '\\b(customer|vector|stream)\\b', 1), '') AS marker
+  FROM documents)
+SELECT a.qid, count(*)::BIGINT AS n_docs,
+       count(f.marker)::BIGINT AS value_count,
+       sum(CASE WHEN f.marker IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS missing
+FROM allm a LEFT JOIN fld f USING (doc_id)
+GROUP BY a.qid ORDER BY a.qid
+"""
+    from engine.analysis import tokenize_texts as _mbp_tok
+    _mbp_terms, _mbp_prefs = [], []
+    for _q, _text in MBP_QUERIES:
+        _toks = _mbp_tok([_text])[0]
+        if not _toks:
+            continue
+        _mbp_prefs.append((_q, _toks[-1]))
+        _w: dict = {}
+        for _t in _toks[:-1]:
+            _w[_t] = _w.get(_t, 0.0) + 1.0
+        _mbp_terms += [(_q, _t, _wt) for _t, _wt in sorted(_w.items())]
+    _tq_vals = ", ".join(f"('{q}', '{t}', {w!r})"
+                         for q, t, w in _mbp_terms)
+    _pq_vals = ", ".join(f"('{q}', '{p}')" for q, p in _mbp_prefs)
+    _mbp_r4 = round_half_up_sql(
+        "coalesce(ts.s_term, 0) + CASE WHEN ps.doc_id IS NOT NULL "
+        "THEN 1.0 ELSE 0 END", 4)
+    sql["match_bool_prefix"] = f"""
+WITH {fts},
+tq(qid, term, wt) AS (VALUES {_tq_vals}),
+pq(qid, prefix) AS (VALUES {_pq_vals}),
+ts AS (
+  SELECT tq.qid, tf.doc_id, sum(wt * {score}) AS s_term
+  FROM tq JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY tq.qid, tf.doc_id),
+ps AS (
+  SELECT DISTINCT pq.qid, tf.doc_id
+  FROM pq JOIN tf ON tf.term LIKE pq.prefix || '%')
+SELECT qid, doc_id, score, rank FROM (
+  SELECT coalesce(ts.qid, ps.qid) AS qid,
+         coalesce(ts.doc_id, ps.doc_id) AS doc_id,
+         {_mbp_r4} AS score,
+         row_number() OVER (PARTITION BY coalesce(ts.qid, ps.qid)
+             ORDER BY {_mbp_r4} DESC,
+                      coalesce(ts.doc_id, ps.doc_id))::INT AS rank
+  FROM ts FULL OUTER JOIN ps
+    ON ts.qid = ps.qid AND ts.doc_id = ps.doc_id) t
+WHERE rank <= {TOPK}
+"""
+    sql["scripted_metric_dl"] = f"""
+WITH {fts},
+ncl AS (SELECT doc_id, length(text)::BIGINT AS nc FROM documents),
+matched AS (
+  SELECT DISTINCT q.qid, tf.doc_id
+  FROM {_sql_values(BM25_QUERIES)} JOIN tf USING (term)),
+rows_m AS (
+  SELECT m.qid, (dl.dl * ncl.nc)::DECIMAL(38,9) AS mval
+  FROM matched m JOIN dl ON m.doc_id = dl.doc_id
+  JOIN ncl ON m.doc_id = ncl.doc_id),
+agg AS (
+  SELECT qid, count(*)::BIGINT AS n_docs, sum(mval) AS st
+  FROM rows_m GROUP BY qid)
+SELECT qid, n_docs,
+       {round_half_up_sql('st::DOUBLE / n_docs', 6)} AS value
+FROM agg ORDER BY qid
+"""
     sql["decontam_report"] = f"""
 WITH tokd AS (
   SELECT doc_id, {raw_tok} AS t FROM documents),
