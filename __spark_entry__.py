@@ -48,6 +48,9 @@ ROTATION_QUEUE: list[str] = [
     "event_window_moving_percentiles", "event_window_percentiles_bucket",
     "constant_score_hits", "script_scored_topk", "distance_feature_hits",
     "value_count_missing", "match_bool_prefix", "scripted_metric_dl",
+    "fuzzy_osa_topk", "pinned_hits", "t_test_dl", "filters_agg_counts",
+    "event_window_top_metrics", "event_window_auto_histogram",
+    "event_window_cum_cardinality",
 ]
 
 BM25_QUERIES: list[tuple[str, list[str]]] = [
@@ -226,6 +229,16 @@ MARKER_RE = r"\b(customer|vector|stream)\b"  # 480/20 split at sf0.01
 MBP_QUERIES = [("mb1", "merge sor"), ("mb2", "hash tab"), ("mb3", "val")]
 SM_MAP = "dl * nc"     # scripted_metric map script (decimal-quantized)
 SM_REDUCE = "state / n_docs"
+TT_PAIRS = [("t1", ["merge", "sort"], ["hash", "join"]),
+            ("t2", ["window"], ["stream"]),
+            ("t3", ["spark"], ["zzznomatch"])]  # NULL-stats side
+FILTERS_BUCKETS = [("merge_sort", ["merge", "sort"]),
+                   ("hashy", ["hash"]),
+                   ("nomatch", ["zzznomatch"])]  # empty bucket
+PIN_DOCS = [("q1", [7, 3, 7, 99999]),  # dup + unknown id
+            ("q3", [0])]
+TM_SIZE = 2            # top_metrics page per bucket
+AH_TARGET = 10         # auto_date_histogram bucket target
 RANGE_BUCKETS = [      # ES range agg: from-incl/to-excl, overlap allowed
     ("lo", None, 25.0), ("mid", 25.0, 150.0), ("hi", 150.0, None),
     ("all", None, None)]
@@ -1912,6 +1925,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return scripted_metric_agg(idx, BM25_QUERIES, map_sql=SM_MAP,
                                    combine="sum", reduce_sql=SM_REDUCE)
 
+    def fuzzy_osa_topk(spark, sf_dir):
+        """Lucene/ES FuzzyQuery DEFAULT metric (transpositions=true,
+        OSA): BM25 over vocabulary terms within 1 OSA edit — at
+        max_edits=1, osa<=1 ⟺ lev<=1 OR one adjacent swap (the
+        pinned DuckDB-expressible identity)
+        (engine/search.py:fuzzy_topk(transpositions=True))."""
+        from engine.search import fuzzy_topk as _ft
+
+        idx = _cached_index(spark, sf_dir)
+        return _rounded_rerank(
+            _ft(idx, FUZZY_QUERIES, TOPK + 50, transpositions=True),
+            TOPK)
+
+    def pinned_hits(spark, sf_dir):
+        """ES pinned query: curated ids promoted in given order
+        (dedup, unknown-id skip), organic = rounded-re-ranked page
+        with pins anti-joined out, pin rows NULL-scored
+        (engine/search.py:pinned_topk)."""
+        from engine.search import pinned_topk
+
+        idx = _cached_index(spark, sf_dir)
+        qt = [(q, t, 1.0) for q, ts in BM25_QUERIES for t in ts]
+        return pinned_topk(idx, qt, PIN_DOCS, TOPK)
+
+    def t_test_dl(spark, sf_dir):
+        """ES t_test agg: Welch + pooled t over the analyzed dl of
+        two term-filtered populations; exact integer moment sums, the
+        no-match side yields the documented NULL statistics
+        (engine/search.py:t_test_agg)."""
+        from engine.search import t_test_agg
+
+        idx = _cached_index(spark, sf_dir)
+        return t_test_agg(idx, TT_PAIRS)
+
+    def filters_agg_counts(spark, sf_dir):
+        """ES filters agg: named OVERLAPPING buckets + other_bucket
+        (live-corpus complement of the union), count + avg dl metric,
+        empty bucket -> NULL avg (engine/search.py:filters_agg)."""
+        from engine.search import filters_agg
+
+        idx = _cached_index(spark, sf_dir)
+        return filters_agg(idx, FILTERS_BUCKETS, other_bucket=True)
+
+    def event_window_top_metrics(spark, sf_dir):
+        """ES top_metrics per hourly bucket x event_type: the
+        TM_SIZE latest readings (sort ts desc, value desc)
+        (engine/streaming.py:windowed_top_metrics)."""
+        from engine.streaming import windowed_top_metrics
+
+        out = windowed_top_metrics(_hourly(spark, sf_dir),
+                                   size=TM_SIZE)
+        return (out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"), "event_type", "pos",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("ts"), "value")
+            .orderBy("event_type", "window_start", "pos"))
+
+    def event_window_auto_histogram(spark, sf_dir):
+        """ES auto_date_histogram: interval chosen from the rounding
+        ladder as the finest whose epoch-aligned bucket count fits
+        AH_TARGET (engine/streaming.py:windowed_auto_histogram)."""
+        from engine.streaming import windowed_auto_histogram
+
+        out = windowed_auto_histogram(_hourly(spark, sf_dir),
+                                      target_buckets=AH_TARGET)
+        return (out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"), "interval", "n")
+            .orderBy("window_start"))
+
+    def event_window_cum_cardinality(spark, sf_dir):
+        """ES cumulative_cardinality: register-wise HLL prefix max
+        over the hourly windows — est is monotone nondecreasing
+        (engine/streaming.py:windowed_cumulative_cardinality)."""
+        from engine.streaming import windowed_cumulative_cardinality
+
+        out = windowed_cumulative_cardinality(_hourly(spark, sf_dir))
+        return (out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"), "v_zero", "est")
+            .orderBy("window_start"))
+
     def facet_histogram(spark, sf_dir):
         """ES histogram agg over analyzed doc length (occupied
         buckets, width HIST_INTERVAL) per query's matched set."""
@@ -2958,6 +3054,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_count_missing": value_count_missing,
         "match_bool_prefix": match_bool_prefix,
         "scripted_metric_dl": scripted_metric_dl,
+        "fuzzy_osa_topk": fuzzy_osa_topk,
+        "pinned_hits": pinned_hits,
+        "t_test_dl": t_test_dl,
+        "filters_agg_counts": filters_agg_counts,
+        "event_window_top_metrics": event_window_top_metrics,
+        "event_window_auto_histogram": event_window_auto_histogram,
+        "event_window_cum_cardinality": event_window_cum_cardinality,
     }
 
 
@@ -3409,6 +3512,227 @@ agg AS (
 SELECT qid, n_docs,
        {round_half_up_sql('st::DOUBLE / n_docs', 6)} AS value
 FROM agg ORDER BY qid
+"""
+    _r4s = round_half_up_sql("s", 4)
+    _osa_fv = ", ".join(f"('{q}', '{t}')" for q, t in FUZZY_QUERIES)
+    _osa_swaps = ("[qf.qterm[1:i-1] || qf.qterm[i+1] || qf.qterm[i] "
+                  "|| qf.qterm[i+2:] "
+                  "for i in generate_series(1, length(qf.qterm) - 1)]")
+    sql["fuzzy_osa_topk"] = f"""
+WITH {fts},
+qf(qid, qterm) AS (VALUES {_osa_fv}),
+matched AS (
+  SELECT qf.qid, tf.doc_id, sum({score}) AS s
+  FROM qf JOIN tf ON abs(length(tf.term) - length(qf.qterm)) <= 1
+                 AND (levenshtein(tf.term, qf.qterm) <= 1
+                      OR (length(qf.qterm) >= 2
+                          AND length(qf.qterm) = length(tf.term)
+                          AND list_contains({_osa_swaps}, tf.term)))
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY qf.qid, tf.doc_id)
+SELECT qid, doc_id, {_r4s} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {_r4s} DESC, doc_id)::INT AS rank
+  FROM matched) t
+WHERE rank <= {TOPK}
+"""
+    _pin_rows = []
+    for _q, _ids in PIN_DOCS:
+        _seen = set()
+        for _d in _ids:
+            if _d not in _seen:
+                _seen.add(_d)
+                _pin_rows.append((_q, _d, len(_seen)))
+    _pin_vals = ", ".join(f"('{q}', {d}, {o})" for q, d, o in _pin_rows)
+    sql["pinned_hits"] = f"""
+WITH {fts},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({score}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id),
+pins AS (
+  SELECT p.qid, p.doc_id, p.pin_order
+  FROM (VALUES {_pin_vals}) AS p(qid, doc_id, pin_order)
+  JOIN documents d ON d.doc_id = p.doc_id),
+together AS (
+  SELECT qid, doc_id, NULL::DOUBLE AS score, pin_order, TRUE AS pinned
+  FROM pins
+  UNION ALL
+  SELECT m.qid, m.doc_id, {_r4s} AS score, NULL::INT, FALSE
+  FROM matched m
+  WHERE NOT EXISTS (SELECT 1 FROM pins p
+                    WHERE p.qid = m.qid AND p.doc_id = m.doc_id))
+SELECT qid, doc_id, score, pinned, rank FROM (
+  SELECT qid, doc_id, score, pinned,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY pin_order ASC NULLS LAST,
+                      score DESC NULLS LAST, doc_id)::INT AS rank
+  FROM together) t
+WHERE rank <= {TOPK}
+"""
+    _tt_qids = ", ".join(f"('{q}')" for q, _, _ in TT_PAIRS)
+    _tt_a = ", ".join(f"('{q}', '{t}')" for q, ta, _ in TT_PAIRS
+                      for t in ta)
+    _tt_b = ", ".join(f"('{q}', '{t}')" for q, _, tb in TT_PAIRS
+                      for t in tb)
+
+    def _tt_mom(tag, vals):
+        return f"""
+h_{tag} AS (
+  SELECT DISTINCT v.qid, tf.doc_id
+  FROM (VALUES {vals}) AS v(qid, term) JOIN tf USING (term)),
+m_{tag} AS (
+  SELECT h.qid, count(*)::BIGINT AS n_{tag},
+         sum(dl.dl)::BIGINT AS s_{tag},
+         sum(dl.dl * dl.dl)::BIGINT AS ss_{tag}
+  FROM h_{tag} h JOIN dl ON h.doc_id = dl.doc_id GROUP BY h.qid)"""
+
+    _va = ("((n_a * ss_a - s_a * s_a)::DOUBLE"
+           " / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)))")
+    _vb = ("((n_b * ss_b - s_b * s_b)::DOUBLE"
+           " / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)))")
+    _tt_exprs = f"""
+CASE WHEN n_a >= 2 THEN {_va} END AS va,
+CASE WHEN n_b >= 2 THEN {_vb} END AS vb,
+s_a::DOUBLE / n_a::DOUBLE AS ma, s_b::DOUBLE / n_b::DOUBLE AS mb,
+n_a::DOUBLE AS dna, n_b::DOUBLE AS dnb"""
+    sql["t_test_dl"] = f"""
+WITH {fts},
+{_tt_mom('a', _tt_a).strip()},
+{_tt_mom('b', _tt_b).strip()},
+j AS (
+  SELECT q.qid,
+         coalesce(m_a.n_a, 0) AS n_a, coalesce(m_b.n_b, 0) AS n_b,
+         m_a.s_a, m_a.ss_a, m_b.s_b, m_b.ss_b
+  FROM (VALUES {_tt_qids}) AS q(qid)
+  LEFT JOIN m_a ON m_a.qid = q.qid
+  LEFT JOIN m_b ON m_b.qid = q.qid),
+e AS (SELECT qid, n_a, n_b, {_tt_exprs} FROM j),
+f AS (
+  SELECT qid, n_a, n_b, ma, mb,
+         va / dna + vb / dnb AS se2,
+         (dna - 1.0) * va + (dnb - 1.0) * vb AS spnum,
+         dna, dnb, va, vb
+  FROM e)
+SELECT qid, n_a, n_b,
+       {round_half_up_sql('ma', 6)} AS mean_a,
+       {round_half_up_sql('mb', 6)} AS mean_b,
+       {round_half_up_sql(
+           'CASE WHEN se2 > 0 THEN (ma - mb) / sqrt(se2) END', 6)}
+         AS t_welch,
+       {round_half_up_sql(
+           'CASE WHEN se2 > 0 THEN (se2 * se2) / '
+           '((va / dna) * (va / dna) / (dna - 1.0) + '
+           '(vb / dnb) * (vb / dnb) / (dnb - 1.0)) END', 6)}
+         AS df_welch,
+       {round_half_up_sql(
+           'CASE WHEN spnum / (dna + dnb - 2.0) > 0 THEN (ma - mb) / '
+           'sqrt((spnum / (dna + dnb - 2.0)) * '
+           '(1.0 / dna + 1.0 / dnb)) END', 6)}
+         AS t_pooled
+FROM f ORDER BY qid
+"""
+    _flt_vals = ", ".join(f"('{k}', '{t}', {i})"
+                          for i, (k, ts) in enumerate(FILTERS_BUCKETS)
+                          for t in ts)
+    _flt_keys = ", ".join(f"('{k}', {i})"
+                          for i, (k, _) in enumerate(FILTERS_BUCKETS))
+    sql["filters_agg_counts"] = f"""
+WITH {fts},
+fv(key, term, i) AS (VALUES {_flt_vals}),
+hits AS (
+  SELECT DISTINCT fv.key, fv.i, tf.doc_id
+  FROM fv JOIN tf USING (term)),
+per AS (
+  SELECT key, i, count(*)::BIGINT AS n_docs,
+         sum(dl.dl)::BIGINT AS dl_sum
+  FROM hits JOIN dl USING (doc_id) GROUP BY key, i),
+named AS (
+  SELECT k.key, k.i, coalesce(per.n_docs, 0)::BIGINT AS n_docs,
+         coalesce(per.dl_sum, 0)::BIGINT AS dl_sum
+  FROM (VALUES {_flt_keys}) AS k(key, i)
+  LEFT JOIN per ON per.key = k.key),
+uni AS (SELECT DISTINCT doc_id FROM hits),
+oth AS (
+  SELECT '_other_' AS key, {len(FILTERS_BUCKETS)} AS i,
+         ((SELECT count(*) FROM documents)
+          - (SELECT count(*) FROM uni))::BIGINT AS n_docs,
+         ((SELECT sum(dl) FROM dl)
+          - coalesce((SELECT sum(dl.dl) FROM uni
+                      JOIN dl USING (doc_id)), 0))::BIGINT AS dl_sum),
+allb AS (SELECT * FROM named UNION ALL SELECT * FROM oth)
+SELECT key, n_docs,
+       {round_half_up_sql(
+           'CASE WHEN n_docs > 0 THEN dl_sum::DOUBLE / n_docs::DOUBLE '
+           'END', 6)} AS avg_dl
+FROM allb ORDER BY i
+"""
+    sql["event_window_top_metrics"] = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type, pos, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       value
+FROM (
+  SELECT ts, event_type, value,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts),
+                                         event_type
+             ORDER BY ts DESC, value DESC)::INT AS pos
+  FROM events) t
+WHERE pos <= {TM_SIZE}
+ORDER BY event_type, window_start, pos
+"""
+    from engine.streaming import AUTO_HISTOGRAM_LADDER as _LADDER
+    _ah_sec = "CASE " + " ".join(
+        f"WHEN mx // {s_} - mn // {s_} + 1 <= {AH_TARGET} THEN {s_}"
+        for _, s_ in _LADDER[:-1]) + f" ELSE {_LADDER[-1][1]} END"
+    _ah_lab = "CASE " + " ".join(
+        f"WHEN mx // {s_} - mn // {s_} + 1 <= {AH_TARGET} "
+        f"THEN '{lab}'" for lab, s_ in _LADDER[:-1]) \
+        + f" ELSE '{_LADDER[-1][0]}' END"
+    sql["event_window_auto_histogram"] = f"""
+WITH mm AS (
+  SELECT min(epoch_us(ts) // 1000000)::BIGINT AS mn,
+         max(epoch_us(ts) // 1000000)::BIGINT AS mx
+  FROM events),
+lad AS (SELECT ({_ah_sec}) AS sec, ({_ah_lab}) AS lab FROM mm)
+SELECT strftime(to_timestamp(((epoch_us(ts) // 1000000) // sec) * sec),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       lab AS interval, count(*)::BIGINT AS n
+FROM events, lad
+GROUP BY 1, 2 ORDER BY 1
+"""
+    sql["event_window_cum_cardinality"] = """
+WITH vals AS (
+  SELECT date_trunc('hour', ts) AS ws, user_id AS value FROM events),
+hx AS (SELECT ws, ('0x'||substr(md5(value::VARCHAR),1,8))::BIGINT AS h32
+       FROM vals WHERE value IS NOT NULL),
+reg AS (SELECT ws, h32 >> 20 AS register,
+         max(CASE WHEN (h32 & 1048575) = 0 THEN 21
+                  ELSE 21 - length(bin(h32 & 1048575)) END) AS rho
+        FROM hx GROUP BY ws, register),
+wins AS (SELECT DISTINCT ws FROM reg),
+cum AS (
+  SELECT w.ws, r.register, max(r.rho) AS rho
+  FROM wins w JOIN reg r ON r.ws <= w.ws
+  GROUP BY w.ws, r.register),
+agg AS (SELECT ws, count(*)::BIGINT AS occ,
+               sum(1::BIGINT << (21 - rho))::BIGINT AS s_occ
+        FROM cum GROUP BY ws),
+es AS (SELECT ws, (4096 - occ)::BIGINT AS v_zero,
+        ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * 2097152.0)
+         / (s_occ + (4096 - occ) * 2097152)::DOUBLE AS raw
+       FROM agg)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, v_zero,
+  (floor((CASE WHEN raw <= 10240.0 AND v_zero > 0
+               THEN 4096.0 * ln(4096.0 / v_zero::DOUBLE)
+               WHEN raw > 4294967296.0 / 30.0
+               THEN -4294967296.0 * ln(1.0 - raw / 4294967296.0)
+               ELSE raw END) * 1e4 + 0.5) / 1e4) AS est
+FROM es ORDER BY window_start
 """
     sql["decontam_report"] = f"""
 WITH tokd AS (
