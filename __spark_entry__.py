@@ -50,7 +50,9 @@ ROTATION_QUEUE: list[str] = [
     "value_count_missing", "match_bool_prefix", "scripted_metric_dl",
     "fuzzy_osa_topk", "pinned_hits", "t_test_dl", "filters_agg_counts",
     "event_window_top_metrics", "event_window_auto_histogram",
-    "event_window_cum_cardinality",
+    "event_window_cum_cardinality", "rank_eval", "span_within_hits",
+    "span_containing_hits", "span_or_hits", "sqs_topk",
+    "cross_fields_search", "event_value_width_histogram",
 ]
 
 BM25_QUERIES: list[tuple[str, list[str]]] = [
@@ -239,6 +241,13 @@ PIN_DOCS = [("q1", [7, 3, 7, 99999]),  # dup + unknown id
             ("q3", [0])]
 TM_SIZE = 2            # top_metrics page per bucket
 AH_TARGET = 10         # auto_date_histogram bucket target
+SPAN_WB_QUERIES = [("sw1", "fast", "merge", "sort", 3),
+                   ("sw2", "table", "hash", "join", 4)]
+SPAN_OR_QUERIES = [("so1", ["merge", "hash"], "table", 3),
+                   ("so2", ["window", "group"], "agg", 2)]
+SQS_QUERY = "merge + (sort | hash) -window tabl*"
+VWH_BUCKETS = 4        # variable_width_histogram target buckets
+VWH_ITERS = 2          # fixed Lloyd passes
 RANGE_BUCKETS = [      # ES range agg: from-incl/to-excl, overlap allowed
     ("lo", None, 25.0), ("mid", 25.0, 150.0), ("hi", 150.0, None),
     ("all", None, None)]
@@ -2008,6 +2017,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("window_start"), "v_zero", "est")
             .orderBy("window_start"))
 
+    def rank_eval(spark, sf_dir):
+        """ES _rank_eval's metric set beside the reference's four:
+        MRR@20 / recall@20 / ERR@20 (Chapelle 2009 binary grades,
+        nano-quantized term sums) on the derived run + derived qrels
+        of eval_metrics (engine/evaluate.py:rank_eval_metrics)."""
+        from engine.evaluate import rank_eval_metrics
+
+        scored = _bm25_scored(spark, sf_dir, BM25_QUERIES)
+        w = Window.partitionBy("qid").orderBy(
+            round_half_up(F.col("s"), 4).desc(), F.asc("doc_id"))
+        run = (scored.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= 20)
+               .select("qid",
+                       F.col("doc_id").cast("string").alias("docno"),
+                       "rank"))
+        tf = _tf(spark, sf_dir)
+        qt = spark.createDataFrame(
+            [(q, t) for q, ts in BM25_QUERIES for t in set(ts)],
+            "qid string, term string")
+        nt = spark.createDataFrame(
+            [(q, len(set(ts))) for q, ts in BM25_QUERIES],
+            "qid string, n_terms int")
+        qrels = (tf.join(F.broadcast(qt), "term")
+                 .groupBy("qid", "doc_id")
+                 .agg(F.count_distinct("term").alias("nm"))
+                 .join(F.broadcast(nt), "qid")
+                 .where(F.col("nm") == F.col("n_terms"))
+                 .select("qid",
+                         F.col("doc_id").cast("string").alias("docno"),
+                         F.lit(1).alias("rel")))
+        return rank_eval_metrics(run, qrels, k=20)
+
+    def span_within_hits(spark, sf_dir):
+        """Lucene SpanWithinQuery: little-term occurrences inside an
+        ordered (a ... b) near span, all-pairs enumeration
+        (engine/positions.py:span_within_match)."""
+        from engine.positions import build_positions, span_within_match
+
+        idx = _cached_index(spark, sf_dir)
+        build_positions(spark, idx.index_dir)
+        return span_within_match(idx, SPAN_WB_QUERIES)
+
+    def span_containing_hits(spark, sf_dir):
+        """Lucene SpanContainingQuery: ordered near pairs holding at
+        least one little occurrence, end exclusive
+        (engine/positions.py:span_containing_match)."""
+        from engine.positions import (build_positions,
+                                      span_containing_match)
+
+        idx = _cached_index(spark, sf_dir)
+        build_positions(spark, idx.index_dir)
+        return span_containing_match(idx, SPAN_WB_QUERIES)
+
+    def span_or_hits(spark, sf_dir):
+        """SpanNear with a SpanOrQuery clause: position-set UNION of
+        the or-group terms near the other term, ordered pairs
+        (engine/positions.py:span_or_near_match)."""
+        from engine.positions import build_positions, span_or_near_match
+
+        idx = _cached_index(spark, sf_dir)
+        build_positions(spark, idx.index_dir)
+        return span_or_near_match(idx, SPAN_OR_QUERIES)
+
+    def sqs_topk(spark, sf_dir):
+        """ES simple_query_string: the lenient user-facing language
+        over a mixed tree — AND + OR group + level-scoped NOT + a
+        trailing-* prefix atom, the whole boolean tree one Catalyst
+        pivot (engine/queryparse.py:simple_query_string_topk)."""
+        from engine.queryparse import simple_query_string_topk
+
+        idx = _cached_index(spark, sf_dir)
+        return simple_query_string_topk(idx, "sq1", SQS_QUERY, TOPK)
+
+    def cross_fields_search(spark, sf_dir):
+        """ES multi_match cross_fields over the title/body field
+        indexes: blended df = max_f df_f (BlendedTermQuery), per-term
+        dismax (tie 0.3) under the bool sum
+        (engine/fields.py:cross_fields_topk)."""
+        from engine.fields import cross_fields_topk
+
+        idxs = _cached_field_indexes(spark, sf_dir)
+        cq = [(q, t, 1.0) for q, ts in BM25_QUERIES for t in ts]
+        return _rounded_rerank(
+            cross_fields_topk(idxs, cq, TOPK + 50, tie_breaker=0.3),
+            TOPK)
+
+    def event_value_width_histogram(spark, sf_dir):
+        """ES variable_width_histogram: deterministic rendering —
+        equal-width seeds + 2 Lloyd passes over the distinct-value
+        table, DECIMAL centroid means
+        (engine/streaming.py:variable_width_histogram)."""
+        from engine.streaming import variable_width_histogram
+
+        return variable_width_histogram(_hourly(spark, sf_dir),
+                                        buckets=VWH_BUCKETS,
+                                        iters=VWH_ITERS)
+
     def facet_histogram(spark, sf_dir):
         """ES histogram agg over analyzed doc length (occupied
         buckets, width HIST_INTERVAL) per query's matched set."""
@@ -3061,6 +3167,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_top_metrics": event_window_top_metrics,
         "event_window_auto_histogram": event_window_auto_histogram,
         "event_window_cum_cardinality": event_window_cum_cardinality,
+        "rank_eval": rank_eval,
+        "span_within_hits": span_within_hits,
+        "span_containing_hits": span_containing_hits,
+        "span_or_hits": span_or_hits,
+        "sqs_topk": sqs_topk,
+        "cross_fields_search": cross_fields_search,
+        "event_value_width_histogram": event_value_width_histogram,
     }
 
 
@@ -6673,5 +6786,248 @@ SELECT qid, doc_id, {r4} AS score, rank FROM (
   FROM sc) t
 WHERE rank <= {TOPK}
 ORDER BY qid, rank
+"""
+
+    # --- r5 rotation-queue wave 4 ------------------------------------------
+    _re_qu = ", ".join(f"('{q}', '{t}')" for q, ts in BM25_QUERIES
+                       for t in sorted(set(ts)))
+    _re_nt = ", ".join(f"('{q}', {len(set(ts))})"
+                       for q, ts in BM25_QUERIES)
+    sql["rank_eval"] = f"""
+WITH {fts},
+matched AS (
+  SELECT q.qid, tf.doc_id, sum({score}) AS s
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN tf USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY q.qid, tf.doc_id),
+run AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY (floor(s * 1e4 + 0.5) / 1e4) DESC, doc_id)
+             AS rank
+    FROM matched) t WHERE rank <= 20),
+qu(qid, term) AS (VALUES {_re_qu}),
+nt(qid, n_terms) AS (VALUES {_re_nt}),
+rel AS (
+  SELECT qu.qid, tf.doc_id
+  FROM qu JOIN tf USING (term)
+  GROUP BY qu.qid, tf.doc_id
+  HAVING count(DISTINCT tf.term) =
+         (SELECT n_terms FROM nt WHERE nt.qid = qu.qid)),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM rel GROUP BY qid),
+rk AS (
+  SELECT r.qid, r.rank,
+         CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+  FROM run r LEFT JOIN rel ON rel.qid = r.qid
+                          AND rel.doc_id = r.doc_id),
+c AS (SELECT qid, rank, is_rel,
+             sum(is_rel) OVER (PARTITION BY qid ORDER BY rank)
+               AS cum
+      FROM rk),
+h AS (SELECT * FROM c WHERE is_rel = 1),
+mr AS (SELECT qid, 1.0 / min(rank) AS mrr_raw,
+              count(*)::BIGINT AS rel_in_k,
+              sum(floor((pow(0.5, cum) / rank) * 1e9 + 0.5)::BIGINT)
+                AS tsum
+       FROM h GROUP BY qid)
+SELECT n.qid,
+       {round_half_up_sql('coalesce(mr.mrr_raw, 0.0)', 6)} AS mrr,
+       {round_half_up_sql(
+           'coalesce(mr.rel_in_k, 0)::DOUBLE / n.n_rel::DOUBLE', 6)}
+         AS recall,
+       {round_half_up_sql(
+           'coalesce(mr.tsum, 0)::DOUBLE / 1e9', 6)} AS err
+FROM nrel n LEFT JOIN mr ON mr.qid = n.qid ORDER BY n.qid
+"""
+
+    from engine.analysis import tokenize_texts as _an_tok
+
+    def _an1(t):
+        toks = _an_tok([t])[0]
+        return toks[0] if toks else None
+
+    _sw_parts, _sc_parts = [], []
+    for _q, _tl, _ta, _tb, _slop in SPAN_WB_QUERIES:
+        tl, ta, tb = _an1(_tl), _an1(_ta), _an1(_tb)
+        if not (tl and ta and tb):
+            continue
+        base = f"""
+  SELECT doc_id,
+         list_sort(list(pos) FILTER (WHERE term = '{tl}')) AS li,
+         list_sort(list(pos) FILTER (WHERE term = '{ta}')) AS la,
+         list_sort(list(pos) FILTER (WHERE term = '{tb}')) AS lb
+  FROM pt WHERE term IN ('{tl}', '{ta}', '{tb}')
+  GROUP BY doc_id
+  HAVING li IS NOT NULL AND la IS NOT NULL AND lb IS NOT NULL"""
+        _sw_parts.append(f"""
+SELECT '{_q}' AS qid, doc_id, unnest(list_filter(li,
+    p -> len(list_filter(la, pa -> pa <= p AND len(list_filter(lb,
+         pb -> pb > pa AND pb - pa - 1 <= {_slop} AND pb >= p)) > 0))
+         > 0))::BIGINT AS little_pos
+FROM ({base})""")
+        _sc_parts.append(f"""
+SELECT '{_q}' AS qid, doc_id,
+       sp['s']::BIGINT AS big_start, sp['e']::BIGINT AS big_end
+FROM (
+  SELECT doc_id, unnest(flatten([[{{'s': pa, 'e': pb + 1}}
+      for pb in lb
+      if pb > pa AND pb - pa - 1 <= {_slop}
+         AND len([p for p in li if pa <= p AND p <= pb]) > 0]
+      for pa in la])) AS sp
+  FROM ({base})) t""")
+    sql["span_within_hits"] = (
+        f"WITH {_sql_positions_ctes()}\n"
+        + "\nUNION ALL".join(_sw_parts))
+    sql["span_containing_hits"] = (
+        f"WITH {_sql_positions_ctes()}\n"
+        + "\nUNION ALL".join(_sc_parts))
+
+    _so_parts = []
+    for _q, _ors, _oth, _slop in SPAN_OR_QUERIES:
+        ots = sorted({t for t in (_an1(x) for x in _ors) if t})
+        to = _an1(_oth)
+        if not ots or not to:
+            continue
+        in_list = ", ".join(f"'{t}'" for t in ots)
+        _so_parts.append(f"""
+SELECT '{_q}' AS qid, doc_id,
+       sp['s']::BIGINT AS span_start, sp['e']::BIGINT AS span_end
+FROM (
+  SELECT doc_id, unnest(flatten([[{{'s': p, 'e': q + 1}}
+      for q in lb if q > p AND q - p - 1 <= {_slop}] for p in lo]))
+    AS sp
+  FROM (
+    SELECT doc_id,
+           list_sort(list_distinct(list(pos)
+               FILTER (WHERE term IN ({in_list})))) AS lo,
+           list_sort(list(pos) FILTER (WHERE term = '{to}')) AS lb
+    FROM pt WHERE term IN ({in_list}, '{to}')
+    GROUP BY doc_id
+    HAVING lo IS NOT NULL AND lb IS NOT NULL) b) t""")
+    sql["span_or_hits"] = (
+        f"WITH {_sql_positions_ctes()}\n"
+        + "\nUNION ALL".join(_so_parts))
+
+    # sqs tree 'merge + (sort | hash) -window tabl*': per-atom
+    # conditional sums, match = (merge AND (sort OR hash)) OR tabl*,
+    # AND NOT window; score sums the MATCHED arms only (the engine's
+    # pivot semantics re-stated)
+    _sqs_r4 = round_half_up_sql("s", 4)
+    sql["sqs_topk"] = f"""
+WITH {fts},
+pa AS (
+  SELECT tf.doc_id,
+         sum(CASE WHEN tf.term = 'merge' THEN {score} END) AS s0,
+         sum(CASE WHEN tf.term = 'sort' THEN {score} END) AS s1,
+         sum(CASE WHEN tf.term = 'hash' THEN {score} END) AS s2,
+         sum(CASE WHEN tf.term LIKE 'tabl%' THEN {score} END) AS s3,
+         max(CASE WHEN tf.term = 'window' THEN 1 END) AS m4
+  FROM tf JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  WHERE tf.term IN ('merge', 'sort', 'hash', 'window')
+     OR tf.term LIKE 'tabl%'
+  GROUP BY tf.doc_id),
+g AS (
+  SELECT doc_id,
+         CASE WHEN s0 IS NOT NULL
+                   AND (s1 IS NOT NULL OR s2 IS NOT NULL)
+              THEN coalesce(s0, 0) + coalesce(s1, 0) + coalesce(s2, 0)
+              ELSE 0 END + coalesce(s3, 0) AS s,
+         ((s0 IS NOT NULL AND (s1 IS NOT NULL OR s2 IS NOT NULL))
+          OR s3 IS NOT NULL) AND m4 IS NULL AS m
+  FROM pa)
+SELECT 'sq1' AS qid, doc_id, {_sqs_r4} AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY {_sqs_r4} DESC, doc_id)::INT
+           AS rank
+  FROM g WHERE m) t
+WHERE rank <= {TOPK}
+"""
+
+    _xf_t = bm25_sql("t.tf", "blend.df", "tdl.dl", "tstats.avgdl",
+                     "tstats.n")
+    _xf_b = bm25_sql("t.tf", "blend.df", "bdl.dl", "bstats.avgdl",
+                     "bstats.n")
+    sql["cross_fields_search"] = f"""
+WITH tsrc AS (SELECT doc_id,
+    array_to_string((regexp_split_to_array(text, '\\s+'))[1:5], ' ')
+      AS text FROM documents),
+bsrc AS (SELECT doc_id,
+    array_to_string((regexp_split_to_array(text, '\\s+'))[6:], ' ')
+      AS text FROM documents),
+{_field_ctes('t', 'tsrc')},
+{_field_ctes('b', 'bsrc')},
+blend AS (
+  SELECT term, max(df) AS df FROM (
+    SELECT term, df FROM tdfs UNION ALL SELECT term, df FROM bdfs) u
+  GROUP BY term),
+xt AS (
+  SELECT q.qid, t.doc_id, q.term, {_xf_t} AS ps
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN ttf t USING (term) JOIN blend USING (term)
+  JOIN tdl ON t.doc_id = tdl.doc_id, tstats),
+xb AS (
+  SELECT q.qid, t.doc_id, q.term, {_xf_b} AS ps
+  FROM {_sql_values(BM25_QUERIES)}
+  JOIN btf t USING (term) JOIN blend USING (term)
+  JOIN bdl ON t.doc_id = bdl.doc_id, bstats),
+pt2 AS (
+  SELECT qid, term, doc_id, max(ps) AS mx, sum(ps) AS sm
+  FROM (SELECT * FROM xt UNION ALL SELECT * FROM xb) u
+  GROUP BY qid, term, doc_id),
+m AS (SELECT qid, doc_id, sum(mx + 0.3 * (sm - mx)) AS s
+      FROM pt2 GROUP BY qid, doc_id)
+SELECT qid, doc_id, {r4} AS score, rank FROM (
+  SELECT qid, doc_id, s,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY {r4} DESC, doc_id)::INT AS rank
+  FROM m) t
+WHERE rank <= {TOPK}
+"""
+
+    _vwh_seeds = ", ".join(
+        f"({i}, {(2 * i + 1) / (2.0 * VWH_BUCKETS)!r})"
+        for i in range(VWH_BUCKETS))
+    _vwh_mean = round_half_up_sql(
+        "sum(x::DECIMAL(28,9) * n::DECIMAL(10,0))::DOUBLE"
+        " / sum(n)::DOUBLE", 9)
+
+    def _vwh_assign(csrc: str) -> str:
+        # nearest centroid, ties -> lower k (the engine's min_by
+        # struct(d, k) order re-stated as a row_number window)
+        return (f"SELECT event_type, x, n, k FROM ("
+                f"SELECT v.event_type, v.x, v.n, c.k, "
+                f"row_number() OVER (PARTITION BY v.event_type, v.x "
+                f"ORDER BY abs(v.x - c.c), c.k) AS rn "
+                f"FROM vals v JOIN {csrc} c USING (event_type)) z "
+                f"WHERE rn = 1")
+
+    sql["event_value_width_histogram"] = f"""
+WITH vals AS (
+  SELECT event_type, value::DOUBLE AS x, count(*)::BIGINT AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+mm AS (SELECT event_type, min(x) AS lo, max(x) AS hi
+       FROM vals GROUP BY 1),
+seeds AS (
+  SELECT event_type, s.k, lo + s.f * (hi - lo) AS c
+  FROM mm, (VALUES {_vwh_seeds}) AS s(k, f)),
+a1 AS ({_vwh_assign('seeds')}),
+c1 AS (SELECT event_type, k, {_vwh_mean} AS c FROM a1
+       GROUP BY event_type, k),
+a2 AS ({_vwh_assign('c1')}),
+c2 AS (SELECT event_type, k, {_vwh_mean} AS c FROM a2
+       GROUP BY event_type, k),
+a3 AS ({_vwh_assign('c2')}),
+agg AS (
+  SELECT event_type, k, min(x) AS min_x, {_vwh_mean} AS key,
+         max(x) AS max_x, sum(n)::BIGINT AS doc_count
+  FROM a3 GROUP BY event_type, k)
+SELECT event_type,
+       (row_number() OVER (PARTITION BY event_type ORDER BY min_x)
+        - 1)::INT AS bucket,
+       min_x, key, max_x, doc_count
+FROM agg ORDER BY event_type, bucket
 """
     return sql
