@@ -25,6 +25,8 @@ Queries benched (each timed to completion, i.e. a full action):
   string_stats     char-distribution entropy agg over the match sets
   match_bool_prefix search_as_you_type query: BM25 terms + constant-
                    score last-term prefix, top-10
+  simple_query_string  the lenient user-facing boolean-tree query
+                   (terms + OR group + NOT + prefix, one pivot)
   scripted_metric  map/combine/reduce agg as Catalyst SQL (avg of
                    dl*nc per match set, one reduce expression)
 
@@ -194,6 +196,13 @@ def main() -> None:
     scripted_metric_agg(idx, entrymod.BM25_QUERIES, "dl * nc", "avg",
                         "state / 1000.0").collect()
     timings["scripted_metric"] = time.time() - t0
+
+    from engine.queryparse import simple_query_string_topk
+
+    t0 = time.time()
+    simple_query_string_topk(idx, "sq1", entrymod.SQS_QUERY, 10) \
+        .collect()
+    timings["simple_query_string"] = time.time() - t0
 
     from engine.streaming import sessionize
 
