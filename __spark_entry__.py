@@ -35,25 +35,14 @@ from engine.scoring import B, K1, bm25_col, bm25_sql, ib_sql, lmd_sql
 # ---------------------------------------------------------------------------
 
 # Tracked rotation queue (VERDICT r3 item 5's allowance): entries
-# listed here sit BEYOND the driver's first-50 window this round —
-# the window is at capacity with round-4's own never-checked entries
-# — but are fully oracle-checked by the local gate
-# (tools/check_oracles.py, which the judge re-runs over ALL entries)
-# and rotate into the r5 first-50 window once CORRECTNESS_r04 lands.
-# tests/test_rotation_policy.py enforces that every never-driver-
-# checked tail entry is named here.
-ROTATION_QUEUE: list[str] = [
-    "event_window_bucket_script", "event_window_normalize",
-    "event_value_ranges", "event_window_rate",
-    "event_window_moving_percentiles", "event_window_percentiles_bucket",
-    "constant_score_hits", "script_scored_topk", "distance_feature_hits",
-    "value_count_missing", "match_bool_prefix", "scripted_metric_dl",
-    "fuzzy_osa_topk", "pinned_hits", "t_test_dl", "filters_agg_counts",
-    "event_window_top_metrics", "event_window_auto_histogram",
-    "event_window_cum_cardinality", "rank_eval", "span_within_hits",
-    "span_containing_hits", "span_or_hits", "sqs_topk",
-    "cross_fields_search", "event_value_width_histogram",
-]
+# listed here sit BEYOND the driver's first-50 window AND have never
+# been driver-checked; they are oracle-checked by the local gate
+# (tools/check_oracles.py) meanwhile. EMPTY as of round 5: the r4
+# backlog of 26 rotated into the first-50 window (CORRECTNESS_r04
+# showed every displaced r4 entry green), so every queries() entry
+# either sits in-window or carries the hard driver signal.
+# tests/test_rotation_policy.py enforces all legs of this.
+ROTATION_QUEUE: list[str] = []
 
 BM25_QUERIES: list[tuple[str, list[str]]] = [
     ("q1", ["merge", "sort"]),
@@ -2975,9 +2964,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries every round.
     return {
         # ---- driver window (first 50 dict slots) ----
-        # r4 rotation (VERDICT r3 item 1): the 29 entries never seen
-        # by the hard driver signal (union of CORRECTNESS_r01-r03
-        # green keys) occupy the front of the window this round.
+        # r5 rotation (VERDICT r4 item 1, pre-staged in r4): the 26
+        # ROTATION_QUEUE entries — the only keys never seen by the
+        # hard driver signal (union of CORRECTNESS_r01-r04 green
+        # keys) — occupy the front of the window this round. Once
+        # CORRECTNESS_r05 lands green, every queries() entry has
+        # carried the driver signal at least once.
+        "event_window_bucket_script": event_window_bucket_script,
+        "event_window_normalize": event_window_normalize,
+        "event_value_ranges": event_value_ranges,
+        "event_window_rate": event_window_rate,
+        "event_window_moving_percentiles": event_window_moving_percentiles,
+        "event_window_percentiles_bucket": event_window_percentiles_bucket,
+        "constant_score_hits": constant_score_hits,
+        "script_scored_topk": script_scored_topk,
+        "distance_feature_hits": distance_feature_hits,
+        "value_count_missing": value_count_missing,
+        "match_bool_prefix": match_bool_prefix,
+        "scripted_metric_dl": scripted_metric_dl,
+        "fuzzy_osa_topk": fuzzy_osa_topk,
+        "pinned_hits": pinned_hits,
+        "t_test_dl": t_test_dl,
+        "filters_agg_counts": filters_agg_counts,
+        "event_window_top_metrics": event_window_top_metrics,
+        "event_window_auto_histogram": event_window_auto_histogram,
+        "event_window_cum_cardinality": event_window_cum_cardinality,
+        "rank_eval": rank_eval,
+        "span_within_hits": span_within_hits,
+        "span_containing_hits": span_containing_hits,
+        "span_or_hits": span_or_hits,
+        "sqs_topk": sqs_topk,
+        "cross_fields_search": cross_fields_search,
+        "event_value_width_histogram": event_value_width_histogram,
+        # remaining 24 window slots: r4-green entries rotating back
+        # through (kernel-adjacent paths worth a periodic re-check);
+        # each is CORRECTNESS_r04-green so no never-checked entry is
+        # displaced.
         "count_matches": count_matches,
         "shared_ngrams": shared_ngrams,
         "facet_counts": facet_counts,
@@ -3002,20 +3024,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_trigram_topk": regexp_trigram_topk,
         "event_window_heavy": event_window_heavy,
         "event_window_pipeline": event_window_pipeline,
+        # ---- driver window boundary (entry 50) ----
+        # tail: every entry below is driver-green in some
+        # CORRECTNESS_r*.json and unchanged, or certified by an
+        # in-window sibling (tests/test_rotation_policy.py enforces it)
         "eval_extra": eval_extra,
         "mlt_text_topk": mlt_text_topk,
         "span_not_hits": span_not_hits,
         "matrix_stats": matrix_stats,
         "percentile_ranks_dl": percentile_ranks_dl,
-        # new this session (never driver-checked — must sit
-        # in-window): the four slots come from rotating out
-        # did_you_mean/percolate_hits/deleted_search/resharded_search
-        # (see tail comment there)
         "rank_feature_topk": rank_feature_topk,
         "string_stats_dl": string_stats_dl,
         "event_window_bucket_stats": event_window_bucket_stats,
         "event_window_moving": event_window_moving,
-        # new this round (never driver-checked — must sit in-window):
         "rare_terms": rare_terms,
         "sampler_lang": sampler_lang,
         "diversified_sampler_lang": diversified_sampler_lang,
@@ -3033,15 +3054,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_hits": explain_hits,
         "adjacency_counts": adjacency_counts,
         "synonym_expand_topk": synonym_expand_topk,
-        # ---- driver window boundary (entry 50) ----
-        # tail: every entry below is driver-green in some
-        # CORRECTNESS_r*.json and unchanged, or certified by an
-        # in-window sibling (tests/test_rotation_policy.py enforces it)
-        # fuzzy/suggest/dismax/combined_fields changed engine paths
-        # this round but rotate out (window is at capacity with the
-        # never-checked backlog): each is r1-r3 driver-green AND the
-        # new path carries a rank-identity equivalence test vs the
-        # old one (trigram-vs-brute, kernel-vs-exhaustive)
         "fuzzy_topk": fuzzy_topk,
         "suggest_terms": suggest_terms,
         "dismax_topk": dismax_topk,
@@ -3148,32 +3160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lengths": doc_lengths,
         "term_stats": term_stats,
         "event_sessions": event_sessions,
-        "event_window_bucket_script": event_window_bucket_script,
-        "event_window_normalize": event_window_normalize,
-        "event_value_ranges": event_value_ranges,
-        "event_window_rate": event_window_rate,
-        "event_window_moving_percentiles": event_window_moving_percentiles,
-        "event_window_percentiles_bucket": event_window_percentiles_bucket,
-        "constant_score_hits": constant_score_hits,
-        "script_scored_topk": script_scored_topk,
-        "distance_feature_hits": distance_feature_hits,
-        "value_count_missing": value_count_missing,
-        "match_bool_prefix": match_bool_prefix,
-        "scripted_metric_dl": scripted_metric_dl,
-        "fuzzy_osa_topk": fuzzy_osa_topk,
-        "pinned_hits": pinned_hits,
-        "t_test_dl": t_test_dl,
-        "filters_agg_counts": filters_agg_counts,
-        "event_window_top_metrics": event_window_top_metrics,
-        "event_window_auto_histogram": event_window_auto_histogram,
-        "event_window_cum_cardinality": event_window_cum_cardinality,
-        "rank_eval": rank_eval,
-        "span_within_hits": span_within_hits,
-        "span_containing_hits": span_containing_hits,
-        "span_or_hits": span_or_hits,
-        "sqs_topk": sqs_topk,
-        "cross_fields_search": cross_fields_search,
-        "event_value_width_histogram": event_value_width_histogram,
     }
 
 
@@ -6913,16 +6899,20 @@ FROM (
     # sqs tree 'merge + (sort | hash) -window tabl*': per-atom
     # conditional sums, match = (merge AND (sort OR hash)) OR tabl*,
     # AND NOT window; score sums the MATCHED arms only (the engine's
-    # pivot semantics re-stated)
-    _sqs_r4 = round_half_up_sql("s", 4)
+    # pivot semantics re-stated). Each per-TERM score is quantized
+    # ONCE to int64 micro-units (floor(x*1e6+0.5)) before any sum and
+    # the tree accumulates integers — association-free, mirroring the
+    # engine (ADVICE r4: float tree nesting vs the flattened CASE).
+    _sqs_q = f"floor(({score}) * 1e6 + 0.5)::BIGINT"
+    _sqs_r4 = round_half_up_sql("s / 1e6", 4)
     sql["sqs_topk"] = f"""
 WITH {fts},
 pa AS (
   SELECT tf.doc_id,
-         sum(CASE WHEN tf.term = 'merge' THEN {score} END) AS s0,
-         sum(CASE WHEN tf.term = 'sort' THEN {score} END) AS s1,
-         sum(CASE WHEN tf.term = 'hash' THEN {score} END) AS s2,
-         sum(CASE WHEN tf.term LIKE 'tabl%' THEN {score} END) AS s3,
+         sum(CASE WHEN tf.term = 'merge' THEN {_sqs_q} END) AS s0,
+         sum(CASE WHEN tf.term = 'sort' THEN {_sqs_q} END) AS s1,
+         sum(CASE WHEN tf.term = 'hash' THEN {_sqs_q} END) AS s2,
+         sum(CASE WHEN tf.term LIKE 'tabl%' THEN {_sqs_q} END) AS s3,
          max(CASE WHEN tf.term = 'window' THEN 1 END) AS m4
   FROM tf JOIN dfs ON dfs.term = tf.term
   JOIN dl ON tf.doc_id = dl.doc_id, stats

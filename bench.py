@@ -4,10 +4,18 @@
 line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
+Every timed section runs BEST-OF-N inside this one invocation
+($SPARK_GRAFT_BENCH_REPS, default 3; the heavy build/pipeline rows
+default to 2) — the r4 adjudication showed single-shot numbers on this
+shared VM drift 1.4-1.9x with noisy neighbors, so a single driver run
+must be drift-resistant by construction (the same lesson
+tools/bench_scaling.py already encodes). The reported total is the sum
+of per-query minima.
+
 Queries benched (each timed to completion, i.e. a full action):
 
   index_build      tokenize → tf/df/dl → salted encode → postings+manifest
-                   (fresh build each run; the headline metric)
+                   (fresh build each rep; the headline metric)
   wand_topk        block-max WAND BM25 top-10, 5 queries, via the index
   exhaustive_topk  full-scoring BM25 top-10 (no index reuse of decode)
   boolean_and      posting-intersection AND over 4 queries
@@ -30,7 +38,7 @@ Queries benched (each timed to completion, i.e. a full action):
   scripted_metric  map/combine/reduce agg as Catalyst SQL (avg of
                    dl*nc per match set, one reduce expression)
 
-Extra keys: docs_per_sec (index build throughput), n_docs.
+Extra keys: docs_per_sec (index build throughput), n_docs, reps.
 """
 
 from __future__ import annotations
@@ -46,6 +54,8 @@ from pyspark.sql import functions as F
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    heavy_reps = max(2, reps - 1)
 
     from engine.session import get_spark
 
@@ -61,6 +71,16 @@ def main() -> None:
     n_docs = docs.count()
     timings: dict[str, float] = {}
 
+    def bench(name: str, fn, n: int = reps) -> None:
+        """Best-of-n wall time for fn() — min over reps filters the
+        VM's noisy-neighbor inflation out of a single invocation."""
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = best
+
     # small corpora don't amortize 32-way reduce tasks: fewer shuffle
     # partitions measurably speed every stage at sf<=0.1 (A/B in
     # BENCH.md); a real run at cluster scale keeps partitions ∝ cores
@@ -71,33 +91,34 @@ def main() -> None:
     # sections measure the engine, not JVM JIT + whole-stage-codegen
     # compilation (standard benchmark practice; the first build in a
     # fresh JVM is ~3x slower than every later one, see BENCH.md) ---
-    from engine.search import score_wand as _sw
     warm_dir = f"/tmp/bench_warm_{os.getpid()}"
     shutil.rmtree(warm_dir, ignore_errors=True)
     build_index(spark, entrymod._documents_as_corpus(docs.limit(256)),
                 warm_dir, n_buckets=2, n_doc_buckets=1)
-    _sw(Index(spark, warm_dir),
-        [(q, t, 1.0) for q, ts in entrymod.BM25_QUERIES for t in ts],
-        5).collect()
+    score_wand(Index(spark, warm_dir),
+               [(q, t, 1.0) for q, ts in entrymod.BM25_QUERIES for t in ts],
+               5).collect()
     shutil.rmtree(warm_dir, ignore_errors=True)
 
-    # --- index build (fresh) ---
+    # --- index build (fresh each rep; metrics kept from the last) ---
     idx_dir = f"/tmp/bench_idx_{os.getpid()}"
-    shutil.rmtree(idx_dir, ignore_errors=True)
     corpus = entrymod._documents_as_corpus(docs)
-    t0 = time.time()
-    # 8 term buckets: at this corpus size more buckets only multiply
-    # dynamic-partition write overhead (files = buckets × tasks)
-    metrics = build_index(spark, corpus, idx_dir, n_buckets=8,
-                          n_doc_buckets=1)
-    timings["index_build"] = time.time() - t0
+    metrics: dict = {}
+
+    def _build():
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        # 8 term buckets: at this corpus size more buckets only
+        # multiply dynamic-partition write overhead (files = buckets
+        # × tasks)
+        metrics.update(build_index(spark, corpus, idx_dir, n_buckets=8,
+                                   n_doc_buckets=1))
+
+    bench("index_build", _build, heavy_reps)
     idx = Index(spark, idx_dir)
 
     qt = [(q, t, 1.0) for q, terms in entrymod.BM25_QUERIES for t in terms]
 
-    t0 = time.time()
-    score_wand(idx, qt, 10).collect()
-    timings["wand_topk"] = time.time() - t0
+    bench("wand_topk", lambda: score_wand(idx, qt, 10).collect())
 
     # decode-skip evidence (not timed into the headline): fraction of
     # postings the BMW kernel actually scored for the same queries
@@ -110,112 +131,86 @@ def main() -> None:
         "postings_scored_pct": round(100.0 * ws[3] / max(ws[2], 1), 1),
     }
 
-    t0 = time.time()
-    score_exhaustive(idx, qt, 10).collect()
-    timings["exhaustive_topk"] = time.time() - t0
-
-    t0 = time.time()
-    boolean_and(idx, entrymod.AND_QUERIES).count()
-    timings["boolean_and"] = time.time() - t0
+    bench("exhaustive_topk", lambda: score_exhaustive(idx, qt, 10).collect())
+    bench("boolean_and",
+          lambda: boolean_and(idx, entrymod.AND_QUERIES).count())
 
     from engine.pipeline import dedup, similarity, textstats
 
-    t0 = time.time()
-    mnd = dedup.minhash_near_dups(docs, threshold=0.3)
-    mnd.count()
-    timings["minhash_dedup"] = time.time() - t0
-    mnd._minhash_sigs.unpersist()  # release cached signature blocks
+    def _minhash():
+        mnd = dedup.minhash_near_dups(docs, threshold=0.3)
+        mnd.count()
+        mnd._minhash_sigs.unpersist()  # release cached signature blocks
+
+    bench("minhash_dedup", _minhash, heavy_reps)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    t0 = time.time()
-    similarity.cosine_topk(emb, entrymod.ANN_QUERY_IDS, 10).count()
-    timings["cosine_topk"] = time.time() - t0
+    bench("cosine_topk", lambda: similarity.cosine_topk(
+        emb, entrymod.ANN_QUERY_IDS, 10).count())
+    bench("simhash", lambda: dedup.simhash(docs).count())
 
-    t0 = time.time()
-    dedup.simhash(docs).count()
-    timings["simhash"] = time.time() - t0
+    def _quality_lang():
+        q = textstats.quality_scores(docs)
+        li = textstats.lang_id(docs)
+        q.join(li, "doc_id").count()
 
-    t0 = time.time()
-    q = textstats.quality_scores(docs)
-    li = textstats.lang_id(docs)
-    q.join(li, "doc_id").count()
-    timings["quality_lang"] = time.time() - t0
+    bench("quality_lang", _quality_lang)
 
     from engine.pipeline import curation
 
-    t0 = time.time()
-    curation.exact_substring_dedup(docs, n=10).count()
-    timings["substring_dedup"] = time.time() - t0
-
-    t0 = time.time()
-    textstats.nb_classifier(
-        docs.withColumn("pos", F.col("lang") == "en"), "pos").count()
-    timings["nb_classifier"] = time.time() - t0
-
-    t0 = time.time()
-    textstats.lm_cross_entropy(
-        docs.withColumn("r", F.col("lang") == "en"), "r").count()
-    timings["lm_perplexity"] = time.time() - t0
+    bench("substring_dedup", lambda: curation.exact_substring_dedup(
+        docs, n=10).count(), heavy_reps)
+    bench("nb_classifier", lambda: textstats.nb_classifier(
+        docs.withColumn("pos", F.col("lang") == "en"), "pos").count())
+    bench("lm_perplexity", lambda: textstats.lm_cross_entropy(
+        docs.withColumn("r", F.col("lang") == "en"), "r").count())
 
     from engine.pipeline import bpe
 
-    t0 = time.time()
-    merges = bpe.bpe_train(docs, 200, min_count=2, mode="driver")
-    bpe.bpe_encode(docs, merges).select(
-        F.sum(F.size("tokens"))).collect()
-    timings["bpe_train_encode"] = time.time() - t0
+    def _bpe():
+        merges = bpe.bpe_train(docs, 200, min_count=2, mode="driver")
+        bpe.bpe_encode(docs, merges).select(
+            F.sum(F.size("tokens"))).collect()
+
+    bench("bpe_train_encode", _bpe, heavy_reps)
 
     from engine.highlight import highlight
 
-    t0 = time.time()
-    hits = score_wand(idx, qt, 10)
-    highlight(hits, docs.select("doc_id", "text"),
-              entrymod.BM25_QUERIES, window=12).count()
-    timings["highlight"] = time.time() - t0
+    bench("highlight", lambda: highlight(
+        score_wand(idx, qt, 10), docs.select("doc_id", "text"),
+        entrymod.BM25_QUERIES, window=12).count())
 
     from engine.search import rank_feature_topk, string_stats_agg
 
-    t0 = time.time()
-    rank_feature_topk(idx, qt, 10, pivot=entrymod.RF_PIVOT,
-                      boost=entrymod.RF_BOOST).collect()
-    timings["rank_feature"] = time.time() - t0
-
-    t0 = time.time()
-    string_stats_agg(idx, entrymod.BM25_QUERIES).collect()
-    timings["string_stats"] = time.time() - t0
+    bench("rank_feature", lambda: rank_feature_topk(
+        idx, qt, 10, pivot=entrymod.RF_PIVOT,
+        boost=entrymod.RF_BOOST).collect())
+    bench("string_stats", lambda: string_stats_agg(
+        idx, entrymod.BM25_QUERIES).collect(), heavy_reps)
 
     from engine.search import match_bool_prefix_topk, scripted_metric_agg
 
     mbp = [(q, " ".join(ts[:-1] + [ts[-1][:4]]))
            for q, ts in entrymod.BM25_QUERIES]
-    t0 = time.time()
-    match_bool_prefix_topk(idx, mbp, 10).collect()
-    timings["match_bool_prefix"] = time.time() - t0
-
-    t0 = time.time()
-    scripted_metric_agg(idx, entrymod.BM25_QUERIES, "dl * nc", "avg",
-                        "state / 1000.0").collect()
-    timings["scripted_metric"] = time.time() - t0
+    bench("match_bool_prefix",
+          lambda: match_bool_prefix_topk(idx, mbp, 10).collect())
+    bench("scripted_metric", lambda: scripted_metric_agg(
+        idx, entrymod.BM25_QUERIES, "dl * nc", "avg",
+        "state / 1000.0").collect())
 
     from engine.queryparse import simple_query_string_topk
 
-    t0 = time.time()
-    simple_query_string_topk(idx, "sq1", entrymod.SQS_QUERY, 10) \
-        .collect()
-    timings["simple_query_string"] = time.time() - t0
+    bench("simple_query_string", lambda: simple_query_string_topk(
+        idx, "sq1", entrymod.SQS_QUERY, 10).collect())
 
     from engine.streaming import sessionize
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    t0 = time.time()
-    sessionize(events, gap="30 minutes").count()
-    timings["sessionize"] = time.time() - t0
-
-    t0 = time.time()
-    similarity.cosine_topk_multiprobe(
+    bench("sessionize",
+          lambda: sessionize(events, gap="30 minutes").count())
+    bench("ann_multiprobe", lambda: similarity.cosine_topk_multiprobe(
         emb, entrymod.ANN_QUERY_IDS, 10,
-        dims=[0, 8, 16, 24, 32, 40, 48, 56]).count()
-    timings["ann_multiprobe"] = time.time() - t0
+        dims=[0, 8, 16, 24, 32, 40, 48, 56]).count())
 
     shutil.rmtree(idx_dir, ignore_errors=True)
     total = sum(timings.values())
@@ -230,6 +225,7 @@ def main() -> None:
         "index_bytes": metrics["index_bytes"],
         "n_postings": metrics["n_postings"],
         "wand_skip": wand_skip,
+        "reps": {"default": reps, "heavy": heavy_reps},
     }
     spark.stop()
     print(json.dumps(out))

@@ -664,8 +664,16 @@ def span_or_near_match(index: Index,
         toks = tokenize_texts([t], **opts)[0]
         return toks[0] if toks else ""
 
+    seen_qids: set[str] = set()
     or_rows, oth_rows, slop_rows = [], [], []
     for qid, or_texts, other, slop in queries:
+        # the per-qid joins below (or-group agg, other-term join,
+        # slop join) all assume ONE query per qid — a repeated qid
+        # would silently cross-pair the duplicates (ADVICE r4)
+        if qid in seen_qids:
+            raise ValueError(f"span_or_near_match: duplicate qid "
+                             f"{qid!r} — one query per qid")
+        seen_qids.add(qid)
         ots = sorted({t for t in (_an(x) for x in or_texts) if t})
         to = _an(other)
         if not ots or not to:

@@ -482,11 +482,27 @@ def simple_query_string_topk(index, qid: str, s: str, k: int,
     root = _resolve(root)
     if root is None:
         return empty
-    qt = [(f"a{aid}", t, 1.0) for aid, terms, _ in atoms for t in terms]
+    # Per-(atom, term) pseudo-qids so each TERM's scalar BM25 score is
+    # quantized ONCE to int64 micro-units before ANY summation (the
+    # round-3 cross-engine determinism recipe): per-row scalar BM25 is
+    # IEEE-identical across engines, so the quantized per-term values
+    # match exactly, and integer accumulation makes both the
+    # within-atom prefix-expansion sum and the cross-atom boolean-tree
+    # sum association-free — no addition-order ulp can flip the 4 dp
+    # rank boundary (ADVICE r4: engine nested s0+(s1+s2), oracle
+    # flattened (s0+s1)+s2). Terms never contain '|' (analyzer strips
+    # punctuation), so the separator is unambiguous.
+    qt = [(f"a{aid}|{t}", t, 1.0)
+          for aid, terms, _ in atoms for t in terms]
     if not qt:
         return empty
-    scored = score_exhaustive(index, qt, k=None) \
-        .select("qid", "doc_id", "score")
+    scored = (score_exhaustive(index, qt, k=None)
+              .select(F.substring_index("qid", "|", 1).alias("qid"),
+                      "doc_id",
+                      F.floor(F.col("score") * 1e6 + 0.5)
+                      .cast("long").alias("score"))
+              .groupBy("qid", "doc_id")
+              .agg(F.sum("score").alias("score")))
     plain = [f"a{aid}" for aid, _, g in atoms if g is None]
     parts = []
     if plain:
@@ -517,18 +533,21 @@ def simple_query_string_topk(index, qid: str, s: str, k: int,
         return e
 
     def _sc(node):
+        # integer micro-unit accumulation end-to-end (see qt comment)
         if node[0] == "atom":
-            return F.coalesce(F.col(f"s_{node[1]}"), F.lit(0.0))
+            return F.coalesce(F.col(f"s_{node[1]}"),
+                              F.lit(0).cast("long"))
         _, op, pos, _nots = node
         if not pos:
-            return F.lit(0.0)
+            return F.lit(0).cast("long")
         return reduce(lambda a, b: a + b,
                       [F.when(F.coalesce(_m(c), F.lit(False)), _sc(c))
-                       .otherwise(0.0) for c in pos])
+                       .otherwise(F.lit(0).cast("long")) for c in pos])
 
     out = (agg.where(F.coalesce(_m(root), F.lit(False)))
            .select(F.lit(qid).alias("qid"), "doc_id",
-                   round_half_up(_sc(root), 4).alias("score")))
+                   round_half_up(_sc(root).cast("double") / F.lit(1e6),
+                                 4).alias("score")))
     w = Window.partitionBy("qid").orderBy(F.desc("score"),
                                           F.asc("doc_id"))
     return (out.withColumn("rank", F.row_number().over(w))

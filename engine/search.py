@@ -3722,6 +3722,10 @@ def value_count_missing_agg(index: Index,
     Pinned divergence: ES value_count counts VALUES (a multi-valued
     field counts each element); ``fields`` here is a scalar column,
     so value_count == docs-with-a-value — the scalar-field reading.
+    That contract makes duplicate doc_id rows in ``fields`` malformed
+    input; they are dropped (one arbitrary row wins, ADVICE r4) so a
+    dirty fields table cannot fan out the match set and silently
+    break the n_docs = value_count + missing = |match set| invariant.
 
     Scale: the match set equi-joins ``fields`` on doc_id (LEFT join —
     absent rows are the missing bucket, never silently dropped), the
@@ -3740,7 +3744,9 @@ def value_count_missing_agg(index: Index,
         everything = (index.live(index.docs.select("doc_id"))
                       .select(F.lit("_global").alias("qid"), "doc_id"))
         hits = hits.unionByName(everything)
-    joined = hits.join(fields.select("doc_id", field), "doc_id", "left")
+    joined = hits.join(
+        fields.select("doc_id", field).dropDuplicates(["doc_id"]),
+        "doc_id", "left")
     return (joined.groupBy("qid")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.count(field).cast("long").alias("value_count"),

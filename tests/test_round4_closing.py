@@ -120,13 +120,20 @@ def _doc_tokens(tiny_index):
 
 
 def _atom_scores(tiny_index, terms):
-    """Trusted per-atom (doc -> score) from the oracle-green scorer."""
+    """Trusted per-atom (doc -> int64 micro-unit score) from the
+    oracle-green scorer: each TERM's scalar score quantized once to
+    floor(x*1e6+0.5), then integer-summed — the engine's pinned
+    association-free accumulation (ADVICE r4 fix)."""
     from engine.search import score_exhaustive
     if not terms:
         return {}
-    qt = [("a", t, 1.0) for t in sorted(set(terms))]
-    return {r["doc_id"]: r["score"]
-            for r in score_exhaustive(tiny_index, qt, None).collect()}
+    qt = [(f"t{i}", t, 1.0)
+          for i, t in enumerate(sorted(set(terms)))]
+    out = {}
+    for r in score_exhaustive(tiny_index, qt, None).collect():
+        out[r["doc_id"]] = (out.get(r["doc_id"], 0)
+                            + math.floor(r["score"] * 1e6 + 0.5))
+    return out
 
 
 def _run_sqs(tiny_index, s, **kw):
@@ -148,9 +155,9 @@ def test_sqs_boolean_tree_matches_replica(spark, tiny_index):
         for doc, ts in toks.items():
             ts = set(ts)
             if expr_match(ts):
-                s = sum(sc[t].get(doc, 0.0) for t in scoring_atoms
+                s = sum(sc[t].get(doc, 0) for t in scoring_atoms
                         if t in ts)
-                out.append((doc, _r(s, 4)))
+                out.append((doc, _r(s / 1e6, 4)))
         out.sort(key=lambda r: (-r[1], r[0]))
         return out
 
@@ -205,21 +212,21 @@ def test_sqs_prefix_fuzzy_phrase_and_flags(spark, tiny_index):
         tiny_index, [("q", pre)])]
     got = dict(_run_sqs(tiny_index, f"{pre}*"))
     sc = _atom_scores(tiny_index, exp)
-    assert got == {d: _r(s, 4) for d, s in sc.items()}
+    assert got == {d: _r(s / 1e6, 4) for d, s in sc.items()}
     # PREFIX flag off: '*' becomes literal text -> plain term query
     got_off = dict(_run_sqs(
         tiny_index, f"{pre}*",
         flags={"AND", "OR", "NOT", "PHRASE", "FUZZY", "SLOP",
                "PRECEDENCE"}))
     sc_plain = _atom_scores(tiny_index, [pre])
-    assert got_off == {d: _r(s, 4) for d, s in sc_plain.items()}
+    assert got_off == {d: _r(s / 1e6, 4) for d, s in sc_plain.items()}
     # fuzzy ~1 == the engine's fuzzy expansion (OSA default)
     from engine.search import expand_fuzzy_terms
     fexp = [x for _, x, _ in expand_fuzzy_terms(
         tiny_index, [("q", t)], max_edits=1, transpositions=True)]
     got = dict(_run_sqs(tiny_index, f"{t}~1"))
     scf = _atom_scores(tiny_index, fexp)
-    assert got == {d: _r(s, 4) for d, s in scf.items()}
+    assert got == {d: _r(s / 1e6, 4) for d, s in scf.items()}
     # phrase gates: pick a real bigram from some doc
     from engine.positions import build_positions
     build_positions(spark, tiny_index.index_dir)
