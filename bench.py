@@ -130,6 +130,19 @@ def main() -> None:
         "blocks_decoded_pct": round(100.0 * ws[1] / max(ws[0], 1), 1),
         "postings_scored_pct": round(100.0 * ws[3] / max(ws[2], 1), 1),
     }
+    # the bounded-additive-feature kernel path (rank_feature below runs
+    # it): same counters under the θ relaxation it actually uses
+    from engine.search import WAND_FEATURE_EPS
+    fs = wand_stats(idx, qt, 10,
+                    ub_shift=entrymod.RF_BOOST + WAND_FEATURE_EPS
+                    ).groupBy().sum(
+        "blocks_total", "blocks_decoded",
+        "postings_total", "postings_scored").collect()[0]
+    feature_wand_skip = {
+        "ub_shift": entrymod.RF_BOOST,
+        "blocks_decoded_pct": round(100.0 * fs[1] / max(fs[0], 1), 1),
+        "postings_scored_pct": round(100.0 * fs[3] / max(fs[2], 1), 1),
+    }
 
     bench("exhaustive_topk", lambda: score_exhaustive(idx, qt, 10).collect())
     bench("boolean_and",
@@ -225,6 +238,7 @@ def main() -> None:
         "index_bytes": metrics["index_bytes"],
         "n_postings": metrics["n_postings"],
         "wand_skip": wand_skip,
+        "feature_wand_skip": feature_wand_skip,
         "reps": {"default": reps, "heavy": heavy_reps},
     }
     spark.stop()

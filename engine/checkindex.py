@@ -10,7 +10,17 @@ scales like one exhaustive read of the index, no driver-side loops:
 * dictionary: termstats df == Σ df_part over the term's sub-postings;
 * referential: every posting doc_id exists in the docs table;
 * stored rows: sha2(content) equality (the input_hint invariant);
-* stats: total_tokens == Σ tf over the forward table.
+* stats: total_tokens == Σ tf over the forward table;
+* derived sidecars, whenever present (VERDICT r4 item 4): positions
+  and term_trigrams are VIEWS of docs/tf/termstats that lifecycle ops
+  must invalidate (engine/index_build.invalidate_sidecars) — a stale
+  or corrupted positions table silently misses phrase/interval
+  matches, a stale trigram table misses new dictionary terms in
+  wildcard/fuzzy rewrites. Checks: per-(term, doc_id) positions count
+  == forward tf (both directions — a missing pair is as bad as a
+  wrong one), gap-numbering invariants (non-empty, strictly
+  ascending, non-negative), the bucket layout the phrase scans prune
+  on, and exact two-way trigram coverage of the ≥3-char dictionary.
 
 Returns a dict of violation counts — all zero means healthy. Run it
 after compaction / purge / resume, the way Lucene users run CheckIndex
@@ -77,6 +87,51 @@ def verify_index(spark: SparkSession, index_dir: str) -> dict:
     dict_range_overlaps = sum(
         1 for (l1, h1), (l2, h2) in zip(spans, spans[1:]) if h1 > l2)
 
+    # --- derived sidecars (present only if built; see module doc) ---
+    from .index_build import _exists
+    from .positions import _positions_path
+    from .trigram import _trigrams_path
+
+    pos_tf_mismatch = pos_order_bad = pos_bucket_bad = 0
+    positions_checked = _exists(spark, _positions_path(index_dir))
+    if positions_checked:
+        pos = spark.read.parquet(_positions_path(index_dir))
+        tfagg = (spark.read.parquet(p["tf"])
+                 .groupBy("term", "doc_id")
+                 .agg(F.sum("tf").cast("long").alias("tf")))
+        pos_tf_mismatch = (
+            pos.select("term", "doc_id",
+                       F.size("positions").cast("long").alias("np"))
+            .join(tfagg, ["term", "doc_id"], "full")
+            .where(F.coalesce(F.col("np"), F.lit(-1))
+                   != F.coalesce(F.col("tf"), F.lit(-2)))
+            .count())
+        pos_order_bad = pos.where(
+            (F.size("positions") == 0)
+            | (F.col("positions")
+               != F.array_sort(F.array_distinct("positions")))
+            | (F.element_at("positions", 1) < 0)).count()
+        nb = int(idx.stats["n_buckets"])
+        pos_bucket_bad = pos.where(
+            F.col("bucket") != F.pmod(F.xxhash64("term"),
+                                      F.lit(nb)).cast("int")).count()
+
+    trigram_missing = trigram_extra = 0
+    trigrams_checked = _exists(spark, _trigrams_path(index_dir))
+    if trigrams_checked:
+        want = (idx.termstats.select("term")
+                .where(F.length("term") >= 3).distinct()
+                .select("term", F.explode(F.expr(
+                    "transform(sequence(1, length(term) - 2),"
+                    " i -> substring(term, i, 3))")).alias("tg"))
+                .distinct())
+        have = (spark.read.parquet(_trigrams_path(index_dir))
+                .select("tg", "term").distinct())
+        trigram_missing = want.join(have, ["tg", "term"],
+                                    "left_anti").count()
+        trigram_extra = have.join(want, ["tg", "term"],
+                                  "left_anti").count()
+
     report = {
         "bad_posting_len": bad_len,
         "bad_doc_order": bad_sorted,
@@ -86,8 +141,16 @@ def verify_index(spark: SparkSession, index_dir: str) -> dict:
         "sha_mismatch_docs": sha_bad,
         "stats_tokens_bad": stats_tokens_bad,
         "dict_range_overlaps": dict_range_overlaps,
+        "pos_tf_mismatch": pos_tf_mismatch,
+        "pos_order_bad": pos_order_bad,
+        "pos_bucket_bad": pos_bucket_bad,
+        "trigram_missing": trigram_missing,
+        "trigram_extra": trigram_extra,
     }
     report["ok"] = not any(report.values())
+    # info only (never part of the ok predicate): which sidecars exist
+    report["sidecars_checked"] = {"positions": positions_checked,
+                                  "term_trigrams": trigrams_checked}
     return report
 
 

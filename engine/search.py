@@ -641,7 +641,8 @@ def _runs(sorted_ids: np.ndarray) -> list[tuple[int, int]]:
 
 def _bmw_kernel(pdf: pd.DataFrame, k: int, thetas: dict[str, float],
                 emit: str = "topk",
-                dead: np.ndarray | None = None) -> pd.DataFrame:
+                dead: np.ndarray | None = None,
+                ub_shift: float = 0.0) -> pd.DataFrame:
     """Block-max top-k over ONE (query, doc-shard) group — a
     MaxScore/block-max-WAND hybrid that provably skips decode:
 
@@ -666,6 +667,17 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, thetas: dict[str, float],
     are dropped AT DECODE, so the kernel's k stays k under any delete
     volume (VERDICT r2: the previous k + |tombstones| overfetch built
     degenerate heaps when deletes were large).
+
+    ``ub_shift`` ≥ 0 makes the kernel sound under a BOUNDED ADDITIVE
+    per-doc feature term (ES rank_feature saturation/sigmoid,
+    distance_feature): total(d) = bm25(d) + f(d) with 0 ≤ f(d) ≤ shift,
+    so UB_total = UB_bm25 + shift and every θ-comparison relaxes by
+    ``shift``. θ itself still tightens from exact bm25 partials — a
+    valid lower bound on the k-th TOTAL since f ≥ 0. With a shift the
+    caller must use ``emit='cands'``: return ALL candidates whose
+    exact bm25 ≥ θ − shift (a low-bm25/high-feature doc can still win
+    the total ranking, so a bm25 top-k cut here would be unsound); the
+    caller joins the feature and ranks the totals outside.
     """
     from .postings import decode_run
 
@@ -754,11 +766,12 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, thetas: dict[str, float],
         theta = max(theta,
                     kth + (neg_floor_total - neg_floor_each[seed_i]))
 
-    # 2. MaxScore essential / non-essential split
+    # 2. MaxScore essential / non-essential split (a doc absent from
+    # every essential list totals < cum + ub_shift, hence the relax)
     order = np.argsort(list_ub, kind="stable")
     cum = np.cumsum(list_ub[order])
     ness_mask = np.zeros(nrows, dtype=bool)
-    ness_mask[order[cum < theta]] = True
+    ness_mask[order[cum < theta - ub_shift]] = True
     ness_mask[seed_i] = False  # already decoded — keep it essential
     essential = [i for i in range(nrows) if not ness_mask[i]]
     non_essential = [i for i in range(nrows) if ness_mask[i]]
@@ -813,7 +826,7 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, thetas: dict[str, float],
         if acc_docs.size:
             dseg = np.searchsorted(boundaries, acc_docs, side="left")
             np.maximum.at(seg_max, dseg, acc_part)
-        alive &= (seg_max + rem_ub) >= theta
+        alive &= (seg_max + rem_ub) >= theta - ub_shift
         idx, valid = seg_map[i]
         if wgts[i] > 0:
             need = np.unique(idx[alive & valid])
@@ -849,7 +862,7 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, thetas: dict[str, float],
             idx = np.searchsorted(bls[i], uniq, side="left")
             valid = idx < bls[i].size
             potential[valid] += ubs[i][idx[valid]]
-        keep = seg_ok & (potential >= theta)
+        keep = seg_ok & (potential >= theta - ub_shift)
         cand_docs = uniq[keep]
         cand_part = part[keep]
 
@@ -882,6 +895,15 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, thetas: dict[str, float],
         return pd.DataFrame({"qid": pd.Series([], dtype=str),
                              "doc_id": pd.Series([], dtype=np.int64),
                              "score": pd.Series([], dtype=np.float64)})
+    if emit == "cands":
+        # no top-k cut: every doc with exact bm25 ≥ θ − shift could
+        # still reach the TOTAL top-k once its feature term is added
+        # (excluded docs: total ≤ sc + shift < θ ≤ true k-th total)
+        keep = sc >= theta - ub_shift
+        return pd.DataFrame({
+            "qid": qid, "doc_id": cand_docs[keep].astype(np.int64),
+            "score": sc[keep],
+        })
     sel = np.lexsort((cand_docs, -sc))[:k]
     return pd.DataFrame({
         "qid": qid, "doc_id": cand_docs[sel].astype(np.int64),
@@ -1310,6 +1332,14 @@ WAND_TARGET_POSTINGS_PER_TASK = 2_000_000
 # ones that produce useful thresholds)
 SEED_MAX_DF = 500_000
 
+# extra θ relaxation on the bounded-additive-feature kernel path
+# (rank_feature saturation/sigmoid, distance_feature): the final rank
+# reads 4 dp-ROUNDED totals with doc_id tiebreaks, so a doc whose exact
+# total sits within one rounding grid step (1e-4) of the k-th could
+# still flip in — 1e-3 keeps every such doc in the candidate set at the
+# cost of a few extra exact-scored candidates
+WAND_FEATURE_EPS = 1e-3
+
 
 def _seed_thetas(index: Index, rows: list, dfm: dict[str, int],
                  k: int, dead_b=None) -> dict[str, float]:
@@ -1423,7 +1453,8 @@ def _scorer_rows(index: Index, query_terms: QueryTerms,
 
 
 def _run_bmw(spark, matched: DataFrame, k: int, thetas: dict,
-             dead_b, emit: str, schema) -> DataFrame:
+             dead_b, emit: str, schema,
+             ub_shift: float = 0.0) -> DataFrame:
     """Shared slice → per-(qid, shard) kernel tail of every WAND-class
     plan. ``matched`` needs columns (qid, wgt, kind, p1, p2, n_shards,
     shard_rows, blob, block_last, block_max_w, block_max_tf,
@@ -1437,7 +1468,8 @@ def _run_bmw(spark, matched: DataFrame, k: int, thetas: dict,
             # plain-scoring diagnostic and never routes here
             assert emit == "topk"
             return _boolean_kernel(pdf, k, dead=dead)
-        return _bmw_kernel(pdf, k, thetas, emit, dead=dead)
+        return _bmw_kernel(pdf, k, thetas, emit, dead=dead,
+                           ub_shift=ub_shift)
 
     return sliced.groupBy("qid", "shard").applyInPandas(
         run_group, schema=schema)
@@ -1451,13 +1483,14 @@ _MATCH_COLS = ["qid", "wgt", "kind", "p1", "p2", "n_shards", "shard_rows",
 def _wand_sharded(index: Index, query_terms: QueryTerms, k: int,
                   n_shards: int | None, emit: str,
                   scorer: str = "bm25", mu: float = MU,
-                  ib_c: float | None = None) -> DataFrame:
+                  ib_c: float | None = None,
+                  ub_shift: float = 0.0) -> DataFrame:
     from .scoring import IB_C
     terms = [t for _, t, _ in query_terms]
     dfm = index.df_map(terms)
     rows = _scorer_rows(index, query_terms, dfm, scorer, mu,
                         ib_c if ib_c is not None else IB_C)
-    schema = _WAND_SCHEMA if emit == "topk" else _WAND_STATS_SCHEMA
+    schema = _WAND_STATS_SCHEMA if emit == "stats" else _WAND_SCHEMA
     if not rows:
         return index.spark.createDataFrame([], schema)
     # PER-QUERY shard count: a query fans out only as wide as ITS
@@ -1498,7 +1531,8 @@ def _wand_sharded(index: Index, query_terms: QueryTerms, k: int,
                .withColumn("gid", F.lit(-1))
                .withColumn("n_must", F.lit(0))
                .select(*_MATCH_COLS))
-    return _run_bmw(index.spark, matched, k, thetas, dead_b, emit, schema)
+    return _run_bmw(index.spark, matched, k, thetas, dead_b, emit, schema,
+                    ub_shift=ub_shift)
 
 
 def score_wand(index: Index, query_terms: QueryTerms, k: int,
@@ -1680,12 +1714,16 @@ def search_after(index: Index, query_terms: QueryTerms, k: int,
 
 def wand_stats(index: Index, query_terms: QueryTerms, k: int,
                n_shards: int | None = None,
-               scorer: str = "bm25") -> DataFrame:
+               scorer: str = "bm25",
+               ub_shift: float = 0.0) -> DataFrame:
     """Decode/skip counters per (qid, shard) for the same BMW plan:
     (qid, shard, blocks_total, blocks_decoded, postings_total,
-    postings_scored). Evidence that block-max pruning skips work."""
+    postings_scored). Evidence that block-max pruning skips work.
+    ``ub_shift`` reports the bounded-additive-feature path's counters
+    (pass the feature query's boost + WAND_FEATURE_EPS — the exact
+    shift rank_feature/distance_feature run with)."""
     return _wand_sharded(index, query_terms, k, n_shards, "stats",
-                         scorer=scorer)
+                         scorer=scorer, ub_shift=ub_shift)
 
 
 # ---------------------------------------------------------------------------
@@ -3896,7 +3934,8 @@ def synonym_topk(index: Index,
 def rank_feature_topk(index: Index, query_terms: QueryTerms, k: int,
                       pivot: float = 1000.0, boost: float = 1.0,
                       function: str = "saturation",
-                      exponent: int = 2) -> DataFrame:
+                      exponent: int = 2,
+                      use_wand: bool = True) -> DataFrame:
     """ES ``rank_feature`` query over the index's raw char-length
     feature (the canonical "pagerank/url_length"-class numeric field):
     the feature contributes ADDITIVELY to the BM25 sum — the ES
@@ -3907,13 +3946,24 @@ def rank_feature_topk(index: Index, query_terms: QueryTerms, k: int,
     * ``log``:        boost · ln(scaling + x), scaling = pivot
     * ``sigmoid``:    boost · x^e/(x^e + pivot^e)
 
-    The boost term REORDERS the ranking relative to plain BM25, so —
-    like :func:`field_value_factor_topk` — scoring is exhaustive over
-    the match set and the rank cut comes last (gate before cut; a
-    feature-rich doc can enter the top-k from arbitrarily deep).
-    Scale path (doc'd, not needed at the oracle scale): saturation and
-    sigmoid are bounded by ``boost``, so UB_total = UB_bm25 + boost is
-    a sound WAND bound and the block-max kernel applies unchanged.
+    The boost term REORDERS the ranking relative to plain BM25, so the
+    rank cut must come after the feature add — but saturation and
+    sigmoid are BOUNDED by ``boost`` (x/(x+p) < 1, xᵉ/(xᵉ+pᵉ) < 1), so
+    UB_total = UB_bm25 + boost is a sound WAND bound and the block-max
+    kernel applies with every θ-comparison relaxed by boost
+    (``ub_shift``; VERDICT r4 item 3). Default path (``use_wand``):
+    the kernel emits ALL candidates whose exact bm25 ≥ θ − boost − ε
+    (``emit='cands'`` — a bm25 top-k cut would be unsound, a
+    feature-rich doc can win from below it), the feature joins onto
+    that small candidate set, and the rounded total ranks last.
+    ε = WAND_FEATURE_EPS absorbs the 4 dp rounded re-rank boundary.
+    Rank-identical to the exhaustive path by construction
+    (equivalence-tested, tests/test_round5_kernel.py). ``log`` is
+    unbounded by boost (ln grows with x) — its sound bound needs a
+    stored corpus feature-max statistic (what Lucene's FeatureField
+    gets from maxFreq), so it stays exhaustive here, as does a
+    negative boost (the term is then a penalty with floor −boost;
+    ES rejects negative boosts outright).
 
     Cross-engine determinism: x and pivot are integers-as-doubles, so
     saturation/sigmoid are one exact ratio (x^e ≤ (10^5)^2 « 2^53);
@@ -3927,7 +3977,13 @@ def rank_feature_topk(index: Index, query_terms: QueryTerms, k: int,
 
     if function not in ("saturation", "log", "sigmoid"):
         raise ValueError(f"unknown rank_feature function {function!r}")
-    scored = score_exhaustive(index, query_terms, None)
+    if use_wand and function in ("saturation", "sigmoid") \
+            and float(boost) >= 0.0:
+        scored = index.live(_wand_sharded(
+            index, query_terms, k, None, "cands",
+            ub_shift=float(boost) + WAND_FEATURE_EPS))
+    else:
+        scored = score_exhaustive(index, query_terms, None)
     feat = index.docs.select(
         "doc_id", F.length("content").cast("double").alias("x"))
     p = float(pivot)
@@ -4066,7 +4122,8 @@ def script_score_topk(index: Index, query_terms: QueryTerms, k: int,
 
 def distance_feature_topk(index: Index, query_terms: QueryTerms, k: int,
                           origin: float, pivot: float,
-                          boost: float = 1.0) -> DataFrame:
+                          boost: float = 1.0,
+                          use_wand: bool = True) -> DataFrame:
     """ES ``distance_feature`` query over the index's raw char-length
     feature (the numeric-field convention shared with
     :func:`rank_feature_topk`): the feature term
@@ -4080,10 +4137,15 @@ def distance_feature_topk(index: Index, query_terms: QueryTerms, k: int,
     (engine/fusion.py decayed_topk): decay MULTIPLIES the query score
     and offers gauss/exp/linear shapes; distance_feature is additive,
     reciprocal-shaped, and — because the term is bounded by ``boost``
-    — WAND-safe: UB_total = UB_bm25 + boost is a sound upper bound,
-    so the block-max kernel applies unchanged when this is the hot
-    path (the same bound argument as rank_feature's saturation; doc'd,
-    exhaustive at oracle scale since the feature reorders).
+    (pivot/(pivot+dist) ≤ 1 at dist=0) — WAND-safe: UB_total =
+    UB_bm25 + boost, so the default path (``use_wand``, boost ≥ 0)
+    runs the block-max kernel with θ-comparisons relaxed by
+    boost + WAND_FEATURE_EPS and ``emit='cands'`` (all docs with exact
+    bm25 ≥ θ − shift — no bm25 top-k cut, a near-origin doc can win
+    from below it), then joins the feature onto the candidate set and
+    ranks the rounded totals (VERDICT r4 item 3; rank-identical to the
+    exhaustive path by construction, equivalence-tested in
+    tests/test_round5_kernel.py).
 
     Cross-engine determinism: x, origin and pivot are exact doubles;
     the single division quantizes to 6 dp before the add, the
@@ -4095,7 +4157,12 @@ def distance_feature_topk(index: Index, query_terms: QueryTerms, k: int,
 
     if float(pivot) <= 0:
         raise ValueError("distance_feature pivot must be > 0")
-    scored = score_exhaustive(index, query_terms, None)
+    if use_wand and float(boost) >= 0.0:
+        scored = index.live(_wand_sharded(
+            index, query_terms, k, None, "cands",
+            ub_shift=float(boost) + WAND_FEATURE_EPS))
+    else:
+        scored = score_exhaustive(index, query_terms, None)
     feat = index.docs.select(
         "doc_id", F.length("content").cast("double").alias("x"))
     dist = F.abs(F.col("x") - F.lit(float(origin)))
