@@ -226,9 +226,14 @@ DEEP_SCHEMA = T.StructType([
 def extract_deep_features(media: DataFrame) -> DataFrame:
     """Deep decode over mapInPandas: REAL for the raw containers
     (24-bit BMP pixels, 16-bit PCM WAV samples — no codec libs
-    needed), ``kind='stub'`` rows for compressed formats whose codecs
-    this environment doesn't ship (the documented decode gap). Same
-    Arrow-batch plumbing as :func:`extract_features`."""
+    needed) and for baseline JPEG via the pure-Python DC-image decoder
+    (``kind='jpeg_dc'`` — exact per-block means from the full entropy
+    walk, engine/pipeline/jpegdc.py); ``kind='stub'`` rows for the
+    remaining compressed formats whose codecs this environment doesn't
+    ship (progressive JPEG, PNG deflate, lossy audio, video — the
+    documented decode gap). Same Arrow-batch plumbing as
+    :func:`extract_features`."""
+    from .jpegdc import decode_jpeg_dc
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -241,6 +246,13 @@ def extract_deep_features(media: DataFrame) -> DataFrame:
                                  bmp["height"], bmp["n_pixels"],
                                  bmp["mean_r"], bmp["mean_g"],
                                  bmp["mean_b"], None, None, None))
+                    continue
+                jpg = decode_jpeg_dc(p)
+                if jpg is not None:
+                    rows.append((mid, "jpeg_dc", jpg["width"],
+                                 jpg["height"], jpg["n_pixels"],
+                                 jpg["mean_r"], jpg["mean_g"],
+                                 jpg["mean_b"], None, None, None))
                     continue
                 wav = decode_wav_samples(p)
                 if wav is not None:
