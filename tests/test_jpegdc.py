@@ -102,6 +102,39 @@ def test_ac_runs_to_63_without_eob():
     assert d is not None and d["mean_r"] == 131.0
 
 
+def test_single_component_scan_is_non_interleaved():
+    """Spec F.2.1: a one-component scan has one data unit per MCU —
+    sampling factors declared in SOF must NOT group blocks. A 16×8
+    grayscale frame declaring 2×2 sampling still carries exactly two
+    blocks (regression: the interleaved MCU walk read 4 blocks/MCU
+    and fell off the entropy stream)."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) \
+        + bytes([8] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x22, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = (bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
+           + bytes(range(12))
+           + bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    bw = _BitWriter()
+    pred = 0
+    for dc in (10, 20):
+        diff = dc - pred
+        pred = dc
+        s = abs(diff).bit_length()
+        bw.write(s, 4)
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        bw.write(0, 1)                     # EOB
+    bw.pad_to_byte()
+    out += bw.out + b"\xff\xd9"
+    d = decode_jpeg_dc(bytes(out))
+    assert d is not None
+    assert (d["n_blocks"], d["mean_r"]) == (2, 143.0)   # mean DC 15
+
+
 def test_rejections():
     img = np.full((8, 8), 50, dtype=np.uint8)
     good = encode_jpeg_baseline(img)
