@@ -235,6 +235,8 @@ SPAN_WB_QUERIES = [("sw1", "fast", "merge", "sort", 3),
 SPAN_OR_QUERIES = [("so1", ["merge", "hash"], "table", 3),
                    ("so2", ["window", "group"], "agg", 2)]
 SQS_QUERY = "merge + (sort | hash) -window tabl*"
+SQS_FLAT_QUERY = "merge | sort | hash"  # flat pure-positive OR — the
+# r5 quantized-kernel fast path (engine/queryparse.py use_wand)
 VWH_BUCKETS = 4        # variable_width_histogram target buckets
 VWH_ITERS = 2          # fixed Lloyd passes
 RANGE_BUCKETS = [      # ES range agg: from-incl/to-excl, overlap allowed
@@ -2084,6 +2086,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _cached_index(spark, sf_dir)
         return simple_query_string_topk(idx, "sq1", SQS_QUERY, TOPK)
 
+    def sqs_flat_or_topk(spark, sf_dir):
+        """ES simple_query_string, flat pure-positive OR — the r5
+        QUANTIZED block-max kernel fast path (score_wand with
+        in-kernel int64-µu quantization; the mixed-tree sibling
+        sqs_topk keeps the one-pass tree plan)
+        (engine/queryparse.py:simple_query_string_topk)."""
+        from engine.queryparse import simple_query_string_topk
+
+        idx = _cached_index(spark, sf_dir)
+        return simple_query_string_topk(idx, "sqf1", SQS_FLAT_QUERY,
+                                        TOPK)
+
     def cross_fields_search(spark, sf_dir):
         """ES multi_match cross_fields over the title/body field
         indexes: blended df = max_f df_f (BlendedTermQuery), per-term
@@ -2999,6 +3013,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_containing_hits": span_containing_hits,
         "span_or_hits": span_or_hits,
         "sqs_topk": sqs_topk,
+        # sqs_flat_or_topk: NEW r5 — the quantized-kernel fast path
+        # itself under the driver signal (sqs_topk's mixed tree keeps
+        # the tree plan, so it alone would never exercise the kernel
+        # path); takes the window slot event_window_pipeline held for
+        # an r4-green periodic re-check (now in the tail, unchanged).
+        "sqs_flat_or_topk": sqs_flat_or_topk,
         "cross_fields_search": cross_fields_search,
         "event_value_width_histogram": event_value_width_histogram,
         # remaining 24 window slots: r4-green entries rotating back
@@ -3028,8 +3048,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_trigram_topk": wildcard_trigram_topk,
         "regexp_trigram_topk": regexp_trigram_topk,
         "event_window_heavy": event_window_heavy,
-        "event_window_pipeline": event_window_pipeline,
         # ---- driver window boundary (entry 50) ----
+        # event_window_pipeline: r4-green and unchanged — rotated to
+        # the tail to make room for sqs_flat_or_topk above.
+        "event_window_pipeline": event_window_pipeline,
         # tail: every entry below is driver-green in some
         # CORRECTNESS_r*.json and unchanged, or certified by an
         # in-window sibling (tests/test_rotation_policy.py enforces it)
@@ -6945,6 +6967,27 @@ SELECT 'sq1' AS qid, doc_id, {_sqs_r4} AS score, rank FROM (
          row_number() OVER (ORDER BY {_sqs_r4} DESC, doc_id)::INT
            AS rank
   FROM g WHERE m) t
+WHERE rank <= {TOPK}
+"""
+
+    # sqs flat OR 'merge | sort | hash' — the r5 quantized-kernel
+    # fast path: under a flat pure-positive OR the tree total is
+    # exactly the per-term µu-quantized sum, so the oracle is the
+    # plain integer accumulation over the union match set (identical
+    # quantization recipe to sqs_topk's, no tree CASE needed).
+    sql["sqs_flat_or_topk"] = f"""
+WITH {fts},
+pa AS (
+  SELECT tf.doc_id, sum({_sqs_q}) AS s
+  FROM tf JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  WHERE tf.term IN ('merge', 'sort', 'hash')
+  GROUP BY tf.doc_id)
+SELECT 'sqf1' AS qid, doc_id, {_sqs_r4} AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY {_sqs_r4} DESC, doc_id)::INT
+           AS rank
+  FROM pa) t
 WHERE rank <= {TOPK}
 """
 

@@ -354,10 +354,17 @@ def _parse_sqs(toks: list[tuple], i: int, default_op: str,
     return ("level", "or", [_wrap(g) for g in groups], nots), i
 
 
+SQS_WAND_MARGIN = 50    # overfetch before the quantized re-rank (the
+# house recipe: the kernel pages by exact float sums, the final rank
+# reads 4 dp-rounded micro-unit sums — the margin absorbs boundary
+# rounding/quantization flips, same constant as the other WAND pages)
+
+
 def simple_query_string_topk(index, qid: str, s: str, k: int,
                              default_operator: str = "or",
                              flags: frozenset | set | None = None,
-                             fuzzy_transpositions: bool = True):
+                             fuzzy_transpositions: bool = True,
+                             use_wand: bool = True):
     """ES ``simple_query_string`` (Lucene SimpleQueryParser): the
     LENIENT user-facing query language — ``+`` AND, ``|`` OR, ``-``
     NOT, ``"..."`` phrase (``~N`` slop), trailing-``*`` prefix,
@@ -395,7 +402,16 @@ def simple_query_string_topk(index, qid: str, s: str, k: int,
     doc_id asc and cuts AFTER the root-match filter (gate-before-
     cut). Scale: cost is one decode of the atom term set + one
     (doc_id) agg bounded by the matched-docs union; the tree is
-    column math. Returns (qid, doc_id, score, rank).
+    column math. Kernel fast path (r5, ``use_wand``): a FLAT
+    pure-positive OR of plain term atoms — the common user query —
+    is exactly weighted-OR BM25, so ONE pass through the sharded
+    block-max kernel with IN-KERNEL int64-µu quantization
+    (``score_wand(..., quantize=True)``) pages k + SQS_WAND_MARGIN
+    candidates whose exact integer sums are bit-identical to the
+    tree plan's micro-unit accumulation; a rounded re-rank cuts to
+    k — rank-identical to the general plan (equivalence-tested,
+    incl. forced multi-shard); any NOT / phrase / nesting keeps the
+    one-pass tree plan. Returns (qid, doc_id, score, rank).
     Reference: the ES/Lucene stack the reference delegates search to
     ships this parser (GROUP_12 Searcher.java:38-42 uses the classic
     parser only to escape text — this is the user-facing sibling).
@@ -496,6 +512,40 @@ def simple_query_string_topk(index, qid: str, s: str, k: int,
           for aid, terms, _ in atoms for t in terms]
     if not qt:
         return empty
+
+    def _flat_or_plain(node) -> bool:
+        if node[0] == "atom":
+            return atoms[node[1]][2] is None        # plain, ungated
+        _, op, pos, nots = node
+        return (not nots and bool(pos)
+                and (op == "or" or len(pos) == 1)
+                and all(c[0] == "atom" and atoms[c[1]][2] is None
+                        for c in pos))
+
+    if use_wand and _flat_or_plain(root):
+        # ONE pass through the quantized block-max kernel: under a
+        # flat positive OR the tree total is exactly the sum of every
+        # (atom, term) µu-quantized score — which is what the kernel
+        # computes with quantize=True (a term in j atoms appears as j
+        # weight-1 rows, j·floor(c·1e6+0.5), matching the tree plan
+        # bit-for-bit). Page k+margin by the exact quantized sum,
+        # rounded re-rank last (house recipe). An early driver-side
+        # measurement of the naive two-pass form (WAND page →
+        # doc_filter re-score) was 0.77× — the re-score still decodes
+        # every matched posting — hence the in-kernel quantization.
+        from .search import score_wand
+        page = score_wand(index,
+                          [(qid, t, 1.0)
+                           for _aid, terms, _g in atoms for t in terms],
+                          int(k) + SQS_WAND_MARGIN, quantize=True)
+        r = round_half_up(F.col("score"), 4)
+        w = Window.partitionBy("qid").orderBy(r.desc(), F.asc("doc_id"))
+        return (page.select("qid", "doc_id", "score")
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= int(k))
+                .select("qid", "doc_id", r.alias("score"), "rank")
+                .orderBy("qid", "rank"))
+
     scored = (score_exhaustive(index, qt, k=None)
               .select(F.substring_index("qid", "|", 1).alias("qid"),
                       "doc_id",

@@ -642,7 +642,8 @@ def _runs(sorted_ids: np.ndarray) -> list[tuple[int, int]]:
 def _bmw_kernel(pdf: pd.DataFrame, k: int, thetas: dict[str, float],
                 emit: str = "topk",
                 dead: np.ndarray | None = None,
-                ub_shift: float = 0.0) -> pd.DataFrame:
+                ub_shift: float = 0.0,
+                quantize: bool = False) -> pd.DataFrame:
     """Block-max top-k over ONE (query, doc-shard) group — a
     MaxScore/block-max-WAND hybrid that provably skips decode:
 
@@ -678,6 +679,19 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, thetas: dict[str, float],
     exact bm25 ≥ θ − shift (a low-bm25/high-feature doc can still win
     the total ranking, so a bm25 top-k cut here would be unsound); the
     caller joins the feature and ranks the totals outside.
+
+    ``quantize`` (r5, the simple_query_string fast path): every
+    decoded contribution is quantized ONCE to int64 micro-units
+    (floor(c·1e6 + 0.5) kept as integer-valued float64 — sums of
+    which are EXACT below 2^53), making the per-doc total
+    association-free and bit-identical to the tree plan's / DuckDB
+    oracle's integer accumulation (the repo's cross-engine float
+    recipe). All bounds, seeds and θ values scale ×1e6 to match;
+    emitted scores divide back once. Quantization can EXCEED the true
+    contribution by ≤0.5 µu per list, so callers must pass
+    ``ub_shift ≥ 1e-3`` (= 1000 µu ≫ 0.5·n_lists) — the same relaxed
+    comparisons as the feature path keep pruning sound, and the float
+    bounds themselves stay un-quantized upper bounds.
     """
     from .postings import decode_run
 
@@ -690,6 +704,7 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, thetas: dict[str, float],
         np.int64).max  # last shard unbounded (see slice fn)
 
     nrows = len(pdf)
+    scale = 1e6 if quantize else 1.0
     wgts = pdf["wgt"].to_numpy(dtype=np.float64)
     kinds = pdf["kind"].to_numpy(dtype=np.int64)
     p1s = pdf["p1"].to_numpy(dtype=np.float64)
@@ -705,13 +720,13 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, thetas: dict[str, float],
     ubs_raw = [np.asarray(pdf["block_ub"].iloc[i], dtype=np.float64)
                for i in range(nrows)]
     neg_floor_each = np.array([
-        wgts[i] * float(ubs_raw[i].max() if ubs_raw[i].size else 0.0)
+        scale * wgts[i] * float(ubs_raw[i].max() if ubs_raw[i].size else 0.0)
         if wgts[i] < 0 else 0.0
         for i in range(nrows)])
     neg_floor_total = float(neg_floor_each.sum())
     bls = [np.asarray(pdf["block_last"].iloc[i], dtype=np.int64)
            for i in range(nrows)]
-    ubs = [wgts[i] * ubs_raw[i] if wgts[i] > 0 else
+    ubs = [scale * wgts[i] * ubs_raw[i] if wgts[i] > 0 else
            np.zeros(ubs_raw[i].size)
            for i in range(nrows)]
     offs = [np.asarray(pdf["block_off"].iloc[i], dtype=np.int64)
@@ -744,8 +759,11 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, thetas: dict[str, float],
                 d, tf, dl = d[keep], tf[keep], dl[keep]
             if d.size:
                 w = _contrib_np(int(kinds[i]), tf, dl, p1s[i], p2s[i])
+                c = wgts[i] * w
+                if quantize:    # int64-µu recipe: exact float64 sums
+                    c = np.floor(c * 1e6 + 0.5)
                 dparts.append(d)
-                cparts.append(wgts[i] * w)
+                cparts.append(c)
                 postings_scored += int(d.size)
         if not dparts:
             return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -754,8 +772,11 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, thetas: dict[str, float],
     # 1. θ: shared global seed (threshold sharing) + local strongest list.
     # A doc's total ≥ its seed contribution + Σ other lists' negative
     # floors, so the seed θ is shifted by that floor (exact 0 shift in
-    # the normal all-positive case).
-    theta = float(thetas.get(qid, -np.inf))
+    # the normal all-positive case). Under quantize, the float seed
+    # scales into µu — it may overshoot the quantized k-th total by
+    # ≤0.5 µu per list, which the (scaled) ub_shift relaxation covers.
+    theta = float(thetas.get(qid, -np.inf)) * scale
+    ub_shift = ub_shift * scale
     list_ub = np.array([u.max() if u.size else -np.inf for u in ubs])
     seed_i = int(np.argmax(list_ub))
     decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -902,12 +923,12 @@ def _bmw_kernel(pdf: pd.DataFrame, k: int, thetas: dict[str, float],
         keep = sc >= theta - ub_shift
         return pd.DataFrame({
             "qid": qid, "doc_id": cand_docs[keep].astype(np.int64),
-            "score": sc[keep],
+            "score": sc[keep] / scale,   # ONE division at the end
         })
     sel = np.lexsort((cand_docs, -sc))[:k]
     return pd.DataFrame({
         "qid": qid, "doc_id": cand_docs[sel].astype(np.int64),
-        "score": sc[sel],
+        "score": sc[sel] / scale,
     })
 
 
@@ -1454,7 +1475,8 @@ def _scorer_rows(index: Index, query_terms: QueryTerms,
 
 def _run_bmw(spark, matched: DataFrame, k: int, thetas: dict,
              dead_b, emit: str, schema,
-             ub_shift: float = 0.0) -> DataFrame:
+             ub_shift: float = 0.0,
+             quantize: bool = False) -> DataFrame:
     """Shared slice → per-(qid, shard) kernel tail of every WAND-class
     plan. ``matched`` needs columns (qid, wgt, kind, p1, p2, n_shards,
     shard_rows, blob, block_last, block_max_w, block_max_tf,
@@ -1469,7 +1491,7 @@ def _run_bmw(spark, matched: DataFrame, k: int, thetas: dict,
             assert emit == "topk"
             return _boolean_kernel(pdf, k, dead=dead)
         return _bmw_kernel(pdf, k, thetas, emit, dead=dead,
-                           ub_shift=ub_shift)
+                           ub_shift=ub_shift, quantize=quantize)
 
     return sliced.groupBy("qid", "shard").applyInPandas(
         run_group, schema=schema)
@@ -1484,7 +1506,8 @@ def _wand_sharded(index: Index, query_terms: QueryTerms, k: int,
                   n_shards: int | None, emit: str,
                   scorer: str = "bm25", mu: float = MU,
                   ib_c: float | None = None,
-                  ub_shift: float = 0.0) -> DataFrame:
+                  ub_shift: float = 0.0,
+                  quantize: bool = False) -> DataFrame:
     from .scoring import IB_C
     terms = [t for _, t, _ in query_terms]
     dfm = index.df_map(terms)
@@ -1532,12 +1555,13 @@ def _wand_sharded(index: Index, query_terms: QueryTerms, k: int,
                .withColumn("n_must", F.lit(0))
                .select(*_MATCH_COLS))
     return _run_bmw(index.spark, matched, k, thetas, dead_b, emit, schema,
-                    ub_shift=ub_shift)
+                    ub_shift=ub_shift, quantize=quantize)
 
 
 def score_wand(index: Index, query_terms: QueryTerms, k: int,
                n_shards: int | None = None,
-               scorer: str = "bm25") -> DataFrame:
+               scorer: str = "bm25",
+               quantize: bool = False) -> DataFrame:
     """Distributed block-max WAND top-k (north-rule Q14).
 
     ``n_shards``: doc shards per query (None = derived from Σ df so
@@ -1554,9 +1578,18 @@ def score_wand(index: Index, query_terms: QueryTerms, k: int,
     engine/deletes.py), so the kernel computes a plain top-k whatever
     the tombstone volume; the redundant post-side live() is kept as a
     zero-cost invariant guard.
+
+    ``quantize``: per-contribution int64-µu quantization inside the
+    kernel (association-free sums, bit-identical to the integer-
+    accumulating tree plans / DuckDB oracles; see _bmw_kernel) —
+    pruning runs with the WAND_FEATURE_EPS relaxation that keeps it
+    sound under the ≤0.5 µu/list quantization divergence. Callers
+    ranking on the ROUNDED score should page k+margin as usual.
     """
-    out = index.live(_wand_sharded(index, query_terms, k,
-                                   n_shards, "topk", scorer=scorer))
+    out = index.live(_wand_sharded(
+        index, query_terms, k, n_shards, "topk", scorer=scorer,
+        ub_shift=WAND_FEATURE_EPS if quantize else 0.0,
+        quantize=quantize))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (out.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

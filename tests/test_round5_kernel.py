@@ -94,6 +94,14 @@ def test_feature_kernel_multi_shard(tiny_index, monkeypatch):
     exp = _rows(distance_feature_topk(tiny_index, qt, 4, 300.0, 50.0,
                                       3.0, use_wand=False))
     assert got == exp
+    # the QUANTIZED kernel under forced sharding: flat-OR sqs rank-
+    # identical to the tree plan with θ-seed sharing + slicing live
+    terms = [r["term"] for r in
+             tiny_index.termstats.orderBy(F.desc("df"), "term")
+             .limit(3).collect()]
+    flat = " | ".join(terms)
+    assert _sqs_rows(tiny_index, flat, use_wand=True) == \
+        _sqs_rows(tiny_index, flat, use_wand=False)
 
 
 def test_log_and_negative_boost_stay_exhaustive(tiny_index):
@@ -115,6 +123,59 @@ def test_log_and_negative_boost_stay_exhaustive(tiny_index):
     exp = _rows(distance_feature_topk(tiny_index, qt, 5, 300.0, 50.0,
                                       -1.0, use_wand=False))
     assert got == exp
+
+
+def _sqs_rows(tiny_index, s, **kw):
+    from engine.queryparse import simple_query_string_topk
+    return [(r["qid"], r["doc_id"], r["score"], r["rank"])
+            for r in simple_query_string_topk(tiny_index, "q", s, 5,
+                                              **kw)
+            .orderBy("qid", "rank").collect()]
+
+
+def test_sqs_flat_or_kernel_rank_identical(tiny_index, monkeypatch):
+    """simple_query_string's r5 fast path: a flat pure-positive OR of
+    plain term atoms pages candidates through the WAND kernel and
+    re-scores them through the identical micro-unit pipeline — must
+    be rank-identical to the general one-pass tree plan, and must
+    ENGAGE for flat trees / NOT engage when the tree carries NOT,
+    phrase, or AND structure."""
+    import engine.search as S
+    from engine.positions import build_positions
+
+    build_positions(tiny_index.spark, tiny_index.index_dir)
+    terms = [r["term"] for r in
+             tiny_index.termstats.orderBy(F.desc("df"), "term")
+             .limit(3).collect()]
+    calls = {"n": 0}
+    real = S.score_wand
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(S, "score_wand", counting)
+    flat = " | ".join(terms)
+    fast = _sqs_rows(tiny_index, flat, use_wand=True)
+    assert calls["n"] == 1                       # fast path engaged
+    slow = _sqs_rows(tiny_index, flat, use_wand=False)
+    assert calls["n"] == 1
+    assert fast == slow and len(slow) > 0
+    # bare whitespace under default OR is also a flat OR tree
+    fast2 = _sqs_rows(tiny_index, " ".join(terms[:2]), use_wand=True)
+    assert calls["n"] == 2
+    assert fast2 == _sqs_rows(tiny_index, " ".join(terms[:2]),
+                              use_wand=False)
+    # NOT / AND / phrase trees keep the one-pass tree plan — and the
+    # answers still match with use_wand on (gate: no engagement)
+    before = calls["n"]
+    for q in (f"{terms[0]} + {terms[1]}",
+              f"{terms[0]} | -{terms[1]}",
+              f'"{terms[0]} {terms[1]}" | {terms[2]}'):
+        a = _sqs_rows(tiny_index, q, use_wand=True)
+        b = _sqs_rows(tiny_index, q, use_wand=False)
+        assert a == b, q
+    assert calls["n"] == before                  # never engaged
 
 
 def test_wand_stats_with_shift(tiny_index):
