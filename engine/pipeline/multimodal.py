@@ -210,7 +210,8 @@ def decode_wav_samples(payload: bytes) -> dict | None:
 
 DEEP_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
-    T.StructField("kind", T.StringType()),   # bmp_pixels | wav_pcm | stub
+    T.StructField("kind", T.StringType()),
+    # ^ bmp_pixels | png_pixels | jpeg_dc | wav_pcm | stub
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
     T.StructField("n_pixels", T.LongType()),
@@ -226,14 +227,18 @@ DEEP_SCHEMA = T.StructType([
 def extract_deep_features(media: DataFrame) -> DataFrame:
     """Deep decode over mapInPandas: REAL for the raw containers
     (24-bit BMP pixels, 16-bit PCM WAV samples — no codec libs
-    needed) and for baseline JPEG via the pure-Python DC-image decoder
-    (``kind='jpeg_dc'`` — exact per-block means from the full entropy
-    walk, engine/pipeline/jpegdc.py); ``kind='stub'`` rows for the
-    remaining compressed formats whose codecs this environment doesn't
-    ship (progressive JPEG, PNG deflate, lossy audio, video — the
-    documented decode gap). Same Arrow-batch plumbing as
-    :func:`extract_features`."""
+    needed), for PNG via the pure-Python full pixel decoder
+    (``kind='png_pixels'`` — stdlib zlib inflate + all five scanline
+    filters, engine/pipeline/pngpix.py), and for baseline JPEG via
+    the pure-Python DC-image decoder (``kind='jpeg_dc'`` — exact
+    per-block means from the full entropy walk,
+    engine/pipeline/jpegdc.py); ``kind='stub'`` rows for the
+    remaining compressed formats whose codecs this environment
+    doesn't ship (progressive JPEG, Adam7-interlaced PNG, lossy
+    audio, video — the documented decode gap). Same Arrow-batch
+    plumbing as :func:`extract_features`."""
     from .jpegdc import decode_jpeg_dc
+    from .pngpix import decode_png_pixels
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -246,6 +251,13 @@ def extract_deep_features(media: DataFrame) -> DataFrame:
                                  bmp["height"], bmp["n_pixels"],
                                  bmp["mean_r"], bmp["mean_g"],
                                  bmp["mean_b"], None, None, None))
+                    continue
+                png = decode_png_pixels(p)
+                if png is not None:
+                    rows.append((mid, "png_pixels", png["width"],
+                                 png["height"], png["n_pixels"],
+                                 png["mean_r"], png["mean_g"],
+                                 png["mean_b"], None, None, None))
                     continue
                 jpg = decode_jpeg_dc(p)
                 if jpg is not None:

@@ -1,5 +1,6 @@
-"""Real deep decode for raw containers: 24-bit BMP pixels and 16-bit
-PCM WAV samples (engine/pipeline/multimodal.py)."""
+"""Real deep decode for raw containers — 24-bit BMP pixels and
+16-bit PCM WAV samples — plus the mixed-batch dispatch incl. the
+pure-Python PNG path (engine/pipeline/multimodal.py)."""
 
 import math
 import struct
@@ -81,10 +82,16 @@ def test_wav_rejects_non_pcm():
 
 
 def test_extract_deep_features_mixed_batch(spark):
+    import numpy as np
+
+    from engine.pipeline.pngpix import encode_png
+
+    png_arr = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
     rows = [
         (1, "image", make_bmp(PIXELS), "image/bmp"),
         (2, "audio", make_wav(SAMPLES), "audio/wav"),
-        (3, "image", b"\x89PNG\r\n\x1a\n" + b"\x00" * 30, "image/png"),
+        (3, "image", encode_png(png_arr, 2, interlace=1), "image/png"),
+        (4, "image", encode_png(png_arr, 2), "image/png"),
     ]
     media = spark.createDataFrame(
         rows, "media_id long, modality string, payload binary, "
@@ -97,5 +104,11 @@ def test_extract_deep_features_mixed_batch(spark):
         sum(p[0] for row in PIXELS for p in row) / 6.0, abs=1e-12)
     assert got[2]["kind"] == "wav_pcm"
     assert got[2]["n_samples"] == len(SAMPLES)
-    assert got[3]["kind"] == "stub"            # compressed: codec gap
+    # Adam7 interlace stays the documented stub gap...
+    assert got[3]["kind"] == "stub"
     assert got[3]["rms"] is None
+    # ...but a plain PNG now decodes for real (r5, pngpix.py)
+    assert got[4]["kind"] == "png_pixels"
+    assert got[4]["n_pixels"] == 12
+    assert got[4]["mean_r"] == pytest.approx(
+        float(png_arr[:, :, 0].astype(float).mean()), abs=1e-9)
