@@ -211,7 +211,7 @@ def decode_wav_samples(payload: bytes) -> dict | None:
 DEEP_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("kind", T.StringType()),
-    # ^ bmp_pixels | png_pixels | jpeg_dc | wav_pcm | stub
+    # ^ bmp_pixels | png_pixels | gif_pixels | jpeg_dc | wav_pcm | stub
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
     T.StructField("n_pixels", T.LongType()),
@@ -229,7 +229,9 @@ def extract_deep_features(media: DataFrame) -> DataFrame:
     (24-bit BMP pixels, 16-bit PCM WAV samples — no codec libs
     needed), for PNG via the pure-Python full pixel decoder
     (``kind='png_pixels'`` — stdlib zlib inflate + all five scanline
-    filters, engine/pipeline/pngpix.py), and for baseline JPEG via
+    filters, engine/pipeline/pngpix.py), for GIF via the pure-Python
+    LZW decoder (``kind='gif_pixels'`` — first frame, interlace
+    honored, engine/pipeline/giflzw.py), and for baseline JPEG via
     the pure-Python DC-image decoder (``kind='jpeg_dc'`` — exact
     per-block means from the full entropy walk,
     engine/pipeline/jpegdc.py); ``kind='stub'`` rows for the
@@ -237,6 +239,7 @@ def extract_deep_features(media: DataFrame) -> DataFrame:
     doesn't ship (progressive JPEG, Adam7-interlaced PNG, lossy
     audio, video — the documented decode gap). Same Arrow-batch
     plumbing as :func:`extract_features`."""
+    from .giflzw import decode_gif_pixels
     from .jpegdc import decode_jpeg_dc
     from .pngpix import decode_png_pixels
 
@@ -258,6 +261,13 @@ def extract_deep_features(media: DataFrame) -> DataFrame:
                                  png["height"], png["n_pixels"],
                                  png["mean_r"], png["mean_g"],
                                  png["mean_b"], None, None, None))
+                    continue
+                gif = decode_gif_pixels(p)
+                if gif is not None:
+                    rows.append((mid, "gif_pixels", gif["width"],
+                                 gif["height"], gif["n_pixels"],
+                                 gif["mean_r"], gif["mean_g"],
+                                 gif["mean_b"], None, None, None))
                     continue
                 jpg = decode_jpeg_dc(p)
                 if jpg is not None:

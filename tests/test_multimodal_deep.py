@@ -84,14 +84,18 @@ def test_wav_rejects_non_pcm():
 def test_extract_deep_features_mixed_batch(spark):
     import numpy as np
 
+    from engine.pipeline.giflzw import encode_gif
     from engine.pipeline.pngpix import encode_png
 
     png_arr = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    gif_pal = np.array([[10, 20, 30], [200, 100, 0]], dtype=np.uint8)
+    gif_idx = np.array([[0, 1], [1, 1]], dtype=np.uint8)
     rows = [
         (1, "image", make_bmp(PIXELS), "image/bmp"),
         (2, "audio", make_wav(SAMPLES), "audio/wav"),
         (3, "image", encode_png(png_arr, 2, interlace=1), "image/png"),
         (4, "image", encode_png(png_arr, 2), "image/png"),
+        (5, "image", encode_gif(gif_idx, gif_pal), "image/gif"),
     ]
     media = spark.createDataFrame(
         rows, "media_id long, modality string, payload binary, "
@@ -112,3 +116,7 @@ def test_extract_deep_features_mixed_batch(spark):
     assert got[4]["n_pixels"] == 12
     assert got[4]["mean_r"] == pytest.approx(
         float(png_arr[:, :, 0].astype(float).mean()), abs=1e-9)
+    # ...and so does GIF (r5, giflzw.py: pure-Python LZW)
+    assert got[5]["kind"] == "gif_pixels"
+    assert got[5]["mean_r"] == pytest.approx(
+        (10 + 200 * 3) / 4.0, abs=1e-9)
