@@ -236,8 +236,8 @@ def extract_deep_features(media: DataFrame) -> DataFrame:
     per-block means from the full entropy walk,
     engine/pipeline/jpegdc.py); ``kind='stub'`` rows for the
     remaining compressed formats whose codecs this environment
-    doesn't ship (progressive JPEG, Adam7-interlaced PNG, lossy
-    audio, video — the documented decode gap). Same Arrow-batch
+    doesn't ship (progressive JPEG, lossy audio, video — the
+    documented decode gap). Same Arrow-batch
     plumbing as :func:`extract_features`."""
     from .giflzw import decode_gif_pixels
     from .jpegdc import decode_jpeg_dc

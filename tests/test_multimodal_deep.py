@@ -93,8 +93,9 @@ def test_extract_deep_features_mixed_batch(spark):
     rows = [
         (1, "image", make_bmp(PIXELS), "image/bmp"),
         (2, "audio", make_wav(SAMPLES), "audio/wav"),
-        (3, "image", encode_png(png_arr, 2, interlace=1), "image/png"),
-        (4, "image", encode_png(png_arr, 2), "image/png"),
+        (3, "video", b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64,
+         "video/mp4"),
+        (4, "image", encode_png(png_arr, 2, interlace=1), "image/png"),
         (5, "image", encode_gif(gif_idx, gif_pal), "image/gif"),
     ]
     media = spark.createDataFrame(
@@ -108,10 +109,10 @@ def test_extract_deep_features_mixed_batch(spark):
         sum(p[0] for row in PIXELS for p in row) / 6.0, abs=1e-12)
     assert got[2]["kind"] == "wav_pcm"
     assert got[2]["n_samples"] == len(SAMPLES)
-    # Adam7 interlace stays the documented stub gap...
+    # video stays the documented stub gap...
     assert got[3]["kind"] == "stub"
     assert got[3]["rms"] is None
-    # ...but a plain PNG now decodes for real (r5, pngpix.py)
+    # ...but PNG now decodes for real — incl. Adam7 (r5, pngpix.py)
     assert got[4]["kind"] == "png_pixels"
     assert got[4]["n_pixels"] == 12
     assert got[4]["mean_r"] == pytest.approx(

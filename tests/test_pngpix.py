@@ -74,6 +74,25 @@ def test_palette8_roundtrip():
     assert decode_png_pixels(bad) is None
 
 
+def test_adam7_interlace_roundtrip():
+    """Adam7: every pass an independently filtered sub-image; sizes
+    chosen so some passes are empty (w or h < pass start) and others
+    ragged — the spec's edge cases."""
+    for shape in ((1, 1, 3), (2, 3, 3), (7, 5, 3), (16, 16, 3),
+                  (9, 2, 3)):
+        arr = RNG.integers(0, 256, size=shape, dtype=np.uint8)
+        plain = _check(arr, 2)
+        inter = decode_png_pixels(encode_png(arr, 2, interlace=1))
+        assert inter is not None, shape
+        for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+            assert inter[k] == plain[k], (shape, k)
+    # gray 16-bit interlaced too (bpp=2 lanes through the scatter)
+    a16 = RNG.integers(0, 65536, size=(6, 7), dtype=np.uint16)
+    got = decode_png_pixels(encode_png(a16, 0, depth=16, interlace=1))
+    assert got["mean_r"] == pytest.approx(
+        float(a16.astype(np.float64).mean() / 257.0), abs=1e-9)
+
+
 def test_rgb16_scale():
     arr = RNG.integers(0, 65536, size=(4, 6, 3), dtype=np.uint16)
     _check(arr, 2, depth=16)
@@ -87,8 +106,16 @@ def test_rejection_envelope():
     arr = RNG.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
     good = encode_png(arr, 2)
     assert decode_png_pixels(good) is not None
-    # Adam7 interlace: documented gap
-    assert decode_png_pixels(encode_png(arr, 2, interlace=1)) is None
+    # sub-byte palette depth: documented gap (forge depth=4)
+    pal = RNG.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    p8 = encode_png(RNG.integers(0, 8, size=(3, 3), dtype=np.uint8),
+                    3, palette=pal)
+    ihdr4 = struct.pack(">IIBBBBB", 3, 3, 4, 3, 0, 0, 0)
+    forged4 = bytearray(p8)
+    forged4[16:16 + 13] = ihdr4
+    forged4[29:33] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr4) & 0xFFFFFFFF)
+    assert decode_png_pixels(bytes(forged4)) is None
     # corrupt IDAT CRC
     bad = bytearray(good)
     bad[-20] ^= 0xFF
