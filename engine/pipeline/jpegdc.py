@@ -13,13 +13,20 @@ exact per-block means and hence exact image-level channel means for
 full blocks, at a fraction of a full IDCT decode. This is the
 classic "decode the DC image" trick thumbnail/stats pipelines use.
 
-Supported: baseline sequential DCT (SOF0), 8-bit samples, 1 or 3
-components, arbitrary h×v sampling factors (4:4:4/4:2:2/4:2:0 …),
-single interleaved scan, 8- and 16-bit DQT precision, restart
-markers (DRI/RSTn). Returns None — the multimodal dispatch contract
-(engine/pipeline/multimodal.py) — for anything else (progressive
-SOF2, arithmetic coding, 12-bit, multi-scan), which stays the
-documented stub.
+Supported: baseline sequential DCT (SOF0) with a single interleaved
+scan, AND progressive DCT (SOF2, r5): progressive streams deliver
+the DC term as one Huffman first scan (successive approximation)
+plus raw-bit refinement scans, while AC scans never carry DC bits —
+so the DC image decodes from the DC scans alone and AC scans are
+skipped WITHOUT entropy decoding (inside scan data every true 0xFF
+is stuffed, so the next unstuffed non-RST 0xFF ends the scan). Both
+paths: 8-bit samples, 1 or 3 components, arbitrary h×v sampling
+factors (4:4:4/4:2:2/4:2:0 …), 8- and 16-bit DQT precision, restart
+markers (DRI/RSTn), progressive interleaved or single-component DC
+scans and mid-stream DHT/DQT/DRI. Returns None — the multimodal
+dispatch contract (engine/pipeline/multimodal.py) — for anything
+else (arithmetic coding, 12-bit, lossless/hierarchical), which
+stays the documented stub.
 
 Throughput, honestly: the entropy walk is a per-bit Python loop —
 ~270 KB of compressed stream/sec/core measured (a large photo costs
@@ -162,6 +169,43 @@ def decode_jpeg_dc(payload: bytes) -> dict | None:
         return None
 
 
+def _parse_dqt(body: bytes, qt: dict) -> None:
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0x0F
+        i += 1
+        if pq == 0:
+            tab = np.frombuffer(body[i:i + 64], dtype=np.uint8)
+            i += 64
+        else:
+            tab = np.frombuffer(body[i:i + 128], dtype=">u2")
+            i += 128
+        qt[tq] = tab.astype(np.int64)
+
+
+def _parse_dht(body: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0x0F
+        bits = list(body[i + 1:i + 17])
+        n = sum(bits)
+        vals = bytes(body[i + 17:i + 17 + n])
+        (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, vals)
+        i += 17 + n
+
+
+def _parse_sof(body: bytes) -> dict | None:
+    prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+    if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
+        return None
+    comps = []
+    for c in range(nc):
+        cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+        comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F,
+                      "tq": tq})
+    return {"w": w, "h": h, "comps": comps}
+
+
 def _decode(payload: bytes) -> dict | None:
     pos = 2
     qt: dict[int, np.ndarray] = {}
@@ -182,45 +226,31 @@ def _decode(payload: bytes) -> dict | None:
         (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
         body = payload[pos + 2:pos + seglen]
         if marker == 0xDB:          # DQT
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                i += 1
-                if pq == 0:
-                    tab = np.frombuffer(body[i:i + 64], dtype=np.uint8)
-                    i += 64
-                else:
-                    tab = np.frombuffer(body[i:i + 128],
-                                        dtype=">u2")
-                    i += 128
-                qt[tq] = tab.astype(np.int64)
+            _parse_dqt(body, qt)
         elif marker == 0xC4:        # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = list(body[i + 1:i + 17])
-                n = sum(bits)
-                vals = bytes(body[i + 17:i + 17 + n])
-                (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, vals)
-                i += 17 + n
+            _parse_dht(body, huff_dc, huff_ac)
         elif marker == 0xC0:        # SOF0 baseline
-            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
+            frame = _parse_sof(body)
+            if frame is None:
                 return None
-            comps = []
-            for c in range(nc):
-                cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
-                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F,
-                              "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:        # SOF2 progressive: DC-image path
+            frame = _parse_sof(body)
+            if frame is None:
+                return None
+            frame["progressive"] = True
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None             # extended/progressive/arithmetic
+            return None             # extended/lossless/arithmetic
         elif marker == 0xDD:        # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:        # SOS
             if frame is None:
                 return None
+            if frame.get("progressive"):
+                # multi-scan walk owns the stream from here on
+                return _decode_progressive(payload, pos - 2, frame, qt,
+                                           huff_dc, huff_ac,
+                                           restart_interval)
             ns = body[0]
             scan = []
             for c in range(ns):
@@ -232,7 +262,7 @@ def _decode(payload: bytes) -> dict | None:
                 scan.append({**comp, "td": tables >> 4,
                              "ta": tables & 0x0F})
             if len(scan) != len(frame["comps"]):
-                return None         # multi-scan: unsupported
+                return None         # baseline multi-scan: unsupported
             return _decode_scan(payload, pos + seglen, frame, scan, qt,
                                 huff_dc, huff_ac, restart_interval)
         pos += seglen
@@ -296,6 +326,12 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
             return None
         mean_dc = dc_sum[ci] / dc_n[ci] * float(q[ZIGZAG_DC])
         means.append(mean_dc / 8.0 + 128.0)
+    return _finish(w, h, int(sum(dc_n)), means)
+
+
+def _finish(w: int, h: int, n_blocks: int, means: list) -> dict:
+    """Per-component DC means (pixel scale) → channel means via the
+    JFIF YCbCr matrix, clamped to [0, 255]."""
     if len(means) == 1:
         y = min(max(means[0], 0.0), 255.0)
         r = g = b = y
@@ -306,8 +342,167 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
         b = y + 1.772 * (cb - 128.0)
         r, g, b = (min(max(v, 0.0), 255.0) for v in (r, g, b))
     return {"width": w, "height": h, "n_pixels": w * h,
-            "n_blocks": int(sum(dc_n)),
+            "n_blocks": n_blocks,
             "mean_r": float(r), "mean_g": float(g), "mean_b": float(b)}
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) DC-image path
+# ---------------------------------------------------------------------------
+#
+# Progressive streams split coefficients across scans: the DC term
+# arrives as ONE Huffman-coded first scan (values divided by 2^Al,
+# successive approximation) plus Al raw-bit refinement scans; AC
+# terms arrive in separate per-component scans that NEVER carry DC
+# bits. The DC image therefore needs only the DC scans — AC scans
+# can be skipped WITHOUT entropy decoding (inside scan data every
+# true 0xFF is stuffed with 0x00, so the next unstuffed non-RST
+# 0xFF is the scan's end marker). Per-block coefficient storage (not
+# running sums) is required because refinements OR bits into blocks
+# decoded earlier.
+
+
+def _skip_entropy(payload: bytes, pos: int) -> int:
+    """Position of the first marker after an entropy-coded segment
+    (skips stuffed 0xFF00 and RSTn)."""
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return len(payload)
+
+
+def _decode_progressive(payload, pos, frame, qt, huff_dc, huff_ac,
+                        restart_interval):
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    grids, true_dims = [], []
+    for c in comps:
+        grids.append(np.zeros((mcuy * c["v"], mcux * c["h"]),
+                              dtype=np.int64))
+        cw = -(-(w * c["h"]) // hmax)       # component sample dims
+        ch_ = -(-(h * c["v"]) // vmax)
+        true_dims.append((-(-ch_ // 8), -(-cw // 8)))   # (rows, cols)
+    seen_dc = False
+
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:                  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        body = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            _parse_dqt(body, qt)
+        elif marker == 0xC4:
+            _parse_dht(body, huff_dc, huff_ac)
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tables = body[1 + 2 * c], body[2 + 2 * c]
+                ci = next((i for i, x in enumerate(comps)
+                           if x["id"] == cs), None)
+                if ci is None:
+                    return None
+                scan.append({"ci": ci, "td": tables >> 4})
+            ss = body[1 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            data = pos + seglen
+            if ss == 0:                     # DC scan (first or refine)
+                end = _dc_scan(payload, data, comps, scan, grids,
+                               true_dims, mcux, mcuy, ah, al,
+                               huff_dc, restart_interval)
+                if end is None:
+                    return None
+                pos = end
+                seen_dc = True
+            else:                           # AC scan: marker-skip
+                pos = _skip_entropy(payload, data)
+            continue
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None                     # second frame: malformed
+        pos += seglen
+    if not seen_dc:
+        return None
+    means, n_blocks = [], 0
+    for ci, comp in enumerate(comps):
+        q = qt.get(comp["tq"])
+        if q is None:
+            return None
+        th, tw = true_dims[ci]
+        crop = grids[ci][:th, :tw]          # padding blocks excluded
+        n_blocks += crop.size
+        means.append(float(crop.mean()) * float(q[ZIGZAG_DC]) / 8.0
+                     + 128.0)
+    return _finish(w, h, n_blocks, means)
+
+
+def _dc_scan(payload, pos, comps, scan, grids, true_dims, mcux, mcuy,
+             ah, al, huff_dc, restart_interval):
+    """One progressive DC scan: ``ah == 0`` is the Huffman-coded
+    first pass (diffs of DC >> al, stored << al); ``ah > 0`` is a
+    refinement (one raw bit per block, OR'd in at position al —
+    two's-complement OR matches the reference decoders). Interleaved
+    (ns > 1, MCU order) or single-component (raster over the
+    component's true block dims). Returns the position of the next
+    marker, or None on corruption."""
+    br = _BitReader(payload, pos)
+    pred = [0] * len(scan)
+    if len(scan) > 1:                       # interleaved MCU order
+        units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+
+        def blocks(my, mx):
+            for si, sc in enumerate(scan):
+                c = comps[sc["ci"]]
+                for bv in range(c["v"]):
+                    for bh in range(c["h"]):
+                        yield (si, my * c["v"] + bv, mx * c["h"] + bh)
+    else:
+        th, tw = true_dims[scan[0]["ci"]]
+        units = [(by, bx) for by in range(th) for bx in range(tw)]
+
+        def blocks(by, bx):
+            yield (0, by, bx)
+    mcu_count = 0
+    for uy, ux in units:
+        if restart_interval and mcu_count and \
+                mcu_count % restart_interval == 0:
+            br.align_past_rst()
+            pred = [0] * len(scan)
+        for si, gy, gx in blocks(uy, ux):
+            grid = grids[scan[si]["ci"]]
+            if ah == 0:
+                dct = huff_dc.get(scan[si]["td"])
+                if dct is None:
+                    return None
+                s = dct.decode(br)
+                if s > 11:
+                    return None
+                pred[si] += _extend(br.read_bits(s), s)
+                grid[gy, gx] = pred[si] << al
+            elif br.read_bit():
+                grid[gy, gx] |= 1 << al
+        mcu_count += 1
+    return _skip_entropy(payload, br.pos)
 
 
 # ---------------------------------------------------------------------------
@@ -429,4 +624,142 @@ def encode_jpeg_baseline(img: np.ndarray,
     bw.pad_to_byte()
     out += bw.out
     out += b"\xff\xd9"                              # EOI
+    return bytes(out)
+
+
+# progressive AC table: the 15 EOBn symbols (n<<4, n=0..14) at code
+# length 4 (codes 0000..1110 — prefix-free, all-ones unused)
+_ACP_BITS = [0, 0, 0, 15] + [0] * 12
+_ACP_VALS = bytes([n << 4 for n in range(15)])
+
+
+def encode_jpeg_progressive(img: np.ndarray, al: int = 1,
+                            restart_interval: int = 0) -> bytes:
+    """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array as a
+    spec-valid PROGRESSIVE JPEG (SOF2) whose blocks carry only their
+    DC term — the fixture generator for the progressive path of
+    :func:`decode_jpeg_dc`. Scan sequence: one interleaved DC first
+    scan at successive-approximation ``Al=al``, then ``al``
+    one-bit-per-block DC refinement scans down to Al=0, then one
+    all-zero AC scan per component coded as EOB runs (which the
+    decoder must marker-skip). 4:4:4 sampling, flat quant tables,
+    optional DRI/RSTn in every scan."""
+    img = np.asarray(img, dtype=np.float64)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    assert h > 0 and w > 0 and 0 <= al <= 13
+    if gray:
+        planes = [img]
+    else:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    nc = len(planes)
+    bx, by = -(-w // 8), -(-h // 8)
+    # per-component quantized DC grid (flat Q, DC quantizer 8)
+    dcs = []
+    for plane in planes:
+        grid = np.zeros((by, bx), dtype=np.int64)
+        for j in range(by):
+            for i in range(bx):
+                blk = plane[j * 8:(j + 1) * 8, i * 8:(i + 1) * 8]
+                if blk.shape != (8, 8):
+                    blk = np.pad(blk, ((0, 8 - blk.shape[0]),
+                                       (0, 8 - blk.shape[1])),
+                                 mode="edge")
+                grid[j, i] = int(round(blk.mean())) - 128
+        dcs.append(grid)
+
+    out = bytearray(b"\xff\xd8")
+    qtab = bytes([0x00]) + bytes([_FIXTURE_Q] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(qtab)) + qtab
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS \
+        + bytes([0x10]) + bytes(_ACP_BITS) + _ACP_VALS
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    rst = [0]
+
+    def flush(bw):
+        bw.pad_to_byte()
+        out.extend(bw.out)
+
+    def emit_rst():
+        out.extend(bytes([0xFF, 0xD0 + rst[0]]))
+        rst[0] = (rst[0] + 1) % 8
+
+    def sos(comp_ids, tds, ss, se, ah, al_):
+        s = bytes([len(comp_ids)])
+        for cid, td in zip(comp_ids, tds):
+            s += bytes([cid, td])
+        s += bytes([ss, se, (ah << 4) | al_])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(s)) + s)
+
+    # --- DC first scan (interleaved, Al=al) ---
+    sos(list(range(1, nc + 1)), [0x00] * nc, 0, 0, 0, al)
+    bw = _BitWriter()
+    pred = [0] * nc
+    mcu = 0
+    for j in range(by):
+        for i in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                flush(bw)
+                bw = _BitWriter()
+                emit_rst()
+                pred = [0] * nc
+            for ci in range(nc):
+                v = int(dcs[ci][j, i]) >> al
+                _dc_code(bw, v - pred[ci])
+                pred[ci] = v
+            mcu += 1
+    flush(bw)
+
+    # --- DC refinement scans (one raw bit per block per scan) ---
+    for bit in range(al - 1, -1, -1):
+        sos(list(range(1, nc + 1)), [0x00] * nc, 0, 0, bit + 1, bit)
+        bw = _BitWriter()
+        mcu = 0
+        for j in range(by):
+            for i in range(bx):
+                if restart_interval and mcu and \
+                        mcu % restart_interval == 0:
+                    flush(bw)
+                    bw = _BitWriter()
+                    emit_rst()
+                for ci in range(nc):
+                    bw.write((int(dcs[ci][j, i]) >> bit) & 1, 1)
+                mcu += 1
+        flush(bw)
+
+    # --- AC scans: all-zero spectra as EOB runs (per component) ---
+    for ci in range(nc):
+        sos([ci + 1], [0x00], 1, 63, 0, 0)
+        bw = _BitWriter()
+        remaining = bx * by
+        seg = restart_interval or remaining
+        while remaining:
+            run = min(remaining, seg)
+            remaining -= run
+            while run:
+                n = min(14, run.bit_length() - 1)
+                chunk = min(run, (1 << (n + 1)) - 1)
+                # canonical code for symbol n<<4 is n at length 4
+                # (_ACP_VALS order), NOT the raw symbol byte
+                bw.write(n, 4)
+                if n:
+                    bw.write(chunk - (1 << n), n)
+                run -= chunk
+            if remaining:
+                flush(bw)
+                bw = _BitWriter()
+                emit_rst()
+        flush(bw)
+
+    out += b"\xff\xd9"
     return bytes(out)

@@ -231,13 +231,14 @@ def extract_deep_features(media: DataFrame) -> DataFrame:
     (``kind='png_pixels'`` — stdlib zlib inflate + all five scanline
     filters, engine/pipeline/pngpix.py), for GIF via the pure-Python
     LZW decoder (``kind='gif_pixels'`` — first frame, interlace
-    honored, engine/pipeline/giflzw.py), and for baseline JPEG via
-    the pure-Python DC-image decoder (``kind='jpeg_dc'`` — exact
-    per-block means from the full entropy walk,
-    engine/pipeline/jpegdc.py); ``kind='stub'`` rows for the
-    remaining compressed formats whose codecs this environment
-    doesn't ship (progressive JPEG, lossy audio, video — the
-    documented decode gap). Same Arrow-batch
+    honored, engine/pipeline/giflzw.py), and for JPEG — baseline
+    AND progressive — via the pure-Python DC-image decoder
+    (``kind='jpeg_dc'`` — exact per-block means from the full
+    entropy walk; progressive DC scans decoded, AC scans
+    marker-skipped, engine/pipeline/jpegdc.py); ``kind='stub'``
+    rows for the remaining compressed formats whose codecs this
+    environment doesn't ship (lossy audio, video — the documented
+    decode gap). Same Arrow-batch
     plumbing as :func:`extract_features`."""
     from .giflzw import decode_gif_pixels
     from .jpegdc import decode_jpeg_dc

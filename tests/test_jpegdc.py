@@ -12,7 +12,8 @@ import numpy as np
 import pytest
 
 from engine.pipeline.jpegdc import (_BitWriter, decode_jpeg_dc,
-                                    encode_jpeg_baseline)
+                                    encode_jpeg_baseline,
+                                    encode_jpeg_progressive)
 
 
 def test_solid_gray_roundtrip_exact():
@@ -133,6 +134,54 @@ def test_single_component_scan_is_non_interleaved():
     d = decode_jpeg_dc(bytes(out))
     assert d is not None
     assert (d["n_blocks"], d["mean_r"]) == (2, 143.0)   # mean DC 15
+
+
+def test_progressive_equals_baseline():
+    """SOF2 DC-image path (r5): same image through the progressive
+    fixture encoder (DC first scan + Al refinement scans + skipped
+    AC EOB-run scans) must decode to exactly the baseline answer —
+    both carry identical quantized DC grids."""
+    rng = np.random.default_rng(23)
+    blocks = rng.integers(0, 256, (4, 5, 3))
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1) \
+        .astype(np.uint8)
+    base = decode_jpeg_dc(encode_jpeg_baseline(img))
+    for al in (0, 1, 2, 3):
+        prog = decode_jpeg_dc(encode_jpeg_progressive(img, al=al))
+        assert prog == base, al
+    # grayscale + edge padding + restart markers
+    g = rng.integers(0, 256, (17, 21)).astype(np.uint8)
+    gb = decode_jpeg_dc(encode_jpeg_baseline(g))
+    assert decode_jpeg_dc(encode_jpeg_progressive(g, al=1)) == gb
+    assert decode_jpeg_dc(
+        encode_jpeg_progressive(g, al=2, restart_interval=2)) == gb
+    rgb = rng.integers(0, 256, (9, 25, 3)).astype(np.uint8)
+    assert decode_jpeg_dc(
+        encode_jpeg_progressive(rgb, al=1, restart_interval=3)) == \
+        decode_jpeg_dc(encode_jpeg_baseline(rgb))
+
+
+def test_progressive_refinement_bits_matter():
+    # negative and odd DC values exercise the two's-complement OR of
+    # refinement bits: a solid level whose DC is odd flips the last
+    # refinement bit in every block
+    img = np.full((8, 8), 137, dtype=np.uint8)   # DC = +9 (odd)
+    base = decode_jpeg_dc(encode_jpeg_baseline(img))
+    prog = decode_jpeg_dc(encode_jpeg_progressive(img, al=1))
+    assert prog == base and base["mean_r"] == 137.0
+    dark = np.full((8, 8), 117, dtype=np.uint8)  # DC = −11 (negative odd)
+    assert decode_jpeg_dc(encode_jpeg_progressive(dark, al=2)) == \
+        decode_jpeg_dc(encode_jpeg_baseline(dark))
+
+
+def test_progressive_truncation_rejected():
+    img = np.full((16, 16), 80, dtype=np.uint8)
+    prog = encode_jpeg_progressive(img, al=1)
+    assert decode_jpeg_dc(prog) is not None
+    assert decode_jpeg_dc(prog[:40]) is None     # inside the headers
+    # cut inside the first DC scan's entropy data
+    sos = prog.index(b"\xff\xda")
+    assert decode_jpeg_dc(prog[:sos + 12]) is None
 
 
 def test_rejections():
