@@ -74,6 +74,7 @@ def parse_media_header(payload: bytes) -> dict | None:
     * GIF  — logical screen width/height (little-endian u16 at 6/8)
     * BMP  — BITMAPINFOHEADER width/height (LE i32 at 18/22)
     * WAV  — RIFF chunk walk: fmt→byte_rate, data→size ⇒ duration_ms
+    * FLAC — STREAMINFO sample_rate + total_samples ⇒ duration_ms
     * JPEG — segment walk to the first SOFn frame header (height/width
       big-endian u16 at frame offsets 3/5) — baseline (SOF0) and
       progressive (SOF2) alike; the most common web image format
@@ -117,6 +118,17 @@ def parse_media_header(payload: bytes) -> dict | None:
     if len(payload) >= 26 and payload[:2] == b"BM":
         w, h = struct.unpack("<ii", payload[18:26])
         return {"width": abs(w), "height": abs(h), "duration_ms": None}
+    if len(payload) >= 26 and payload[:4] == b"fLaC":
+        # STREAMINFO (first metadata block, spec-mandated): sample rate
+        # is the 20 bits at bit offset 80 of the 34-byte body, total
+        # samples the 36 bits at offset 108 (body starts at byte 8).
+        hi = int.from_bytes(payload[8 + 10:8 + 18], "big")
+        rate = hi >> 44
+        total = hi & ((1 << 36) - 1)
+        if rate:
+            return {"width": None, "height": None,
+                    "duration_ms": int(total * 1000 // rate)}
+        return {"width": None, "height": None, "duration_ms": None}
     if len(payload) >= 12 and payload[:4] == b"RIFF" \
             and payload[8:12] == b"WAVE":
         pos, byte_rate, data_size = 12, None, None
@@ -211,7 +223,8 @@ def decode_wav_samples(payload: bytes) -> dict | None:
 DEEP_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("kind", T.StringType()),
-    # ^ bmp_pixels | png_pixels | gif_pixels | jpeg_dc | wav_pcm | stub
+    # ^ bmp_pixels | png_pixels | gif_pixels | jpeg_dc | wav_pcm
+    #   | flac_pcm | stub
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
     T.StructField("n_pixels", T.LongType()),
@@ -235,11 +248,15 @@ def extract_deep_features(media: DataFrame) -> DataFrame:
     AND progressive — via the pure-Python DC-image decoder
     (``kind='jpeg_dc'`` — exact per-block means from the full
     entropy walk; progressive DC scans decoded, AC scans
-    marker-skipped, engine/pipeline/jpegdc.py); ``kind='stub'``
+    marker-skipped, engine/pipeline/jpegdc.py), and for FLAC via the
+    pure-Python lossless decoder (``kind='flac_pcm'`` — fixed/LPC
+    prediction + Rice residuals, CRC/MD5-verified,
+    engine/pipeline/flacpcm.py); ``kind='stub'``
     rows for the remaining compressed formats whose codecs this
     environment doesn't ship (lossy audio, video — the documented
     decode gap). Same Arrow-batch
     plumbing as :func:`extract_features`."""
+    from .flacpcm import decode_flac_samples
     from .giflzw import decode_gif_pixels
     from .jpegdc import decode_jpeg_dc
     from .pngpix import decode_png_pixels
@@ -282,6 +299,12 @@ def extract_deep_features(media: DataFrame) -> DataFrame:
                     rows.append((mid, "wav_pcm", None, None, None,
                                  None, None, None, wav["sample_rate"],
                                  wav["n_samples"], wav["rms"]))
+                    continue
+                flac = decode_flac_samples(p)
+                if flac is not None:
+                    rows.append((mid, "flac_pcm", None, None, None,
+                                 None, None, None, flac["sample_rate"],
+                                 flac["n_samples"], flac["rms"]))
                     continue
                 rows.append((mid, "stub", None, None, None, None,
                              None, None, None, None, None))
