@@ -75,6 +75,7 @@ def parse_media_header(payload: bytes) -> dict | None:
     * BMP  — BITMAPINFOHEADER width/height (LE i32 at 18/22)
     * WAV  — RIFF chunk walk: fmt→byte_rate, data→size ⇒ duration_ms
     * FLAC — STREAMINFO sample_rate + total_samples ⇒ duration_ms
+    * AVI  — avih MainAVIHeader ⇒ width/height + duration_ms
     * JPEG — segment walk to the first SOFn frame header (height/width
       big-endian u16 at frame offsets 3/5) — baseline (SOF0) and
       progressive (SOF2) alike; the most common web image format
@@ -128,6 +129,26 @@ def parse_media_header(payload: bytes) -> dict | None:
         if rate:
             return {"width": None, "height": None,
                     "duration_ms": int(total * 1000 // rate)}
+        return {"width": None, "height": None, "duration_ms": None}
+    if len(payload) >= 12 and payload[:4] == b"RIFF" \
+            and payload[8:12] == b"AVI ":
+        # LIST hdrl → avih: dwMicroSecPerFrame at body+0, dwTotalFrames
+        # at +16, dwWidth/dwHeight at +32/+36 (all LE u32)
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            if cid == b"LIST" and payload[pos + 8:pos + 12] == b"hdrl":
+                pos += 12                  # descend into the list body
+                continue
+            if cid == b"avih" and pos + 48 <= len(payload):
+                usec, = struct.unpack("<I", payload[pos + 8:pos + 12])
+                total, = struct.unpack("<I", payload[pos + 24:pos + 28])
+                w, h = struct.unpack("<II", payload[pos + 40:pos + 48])
+                dur = int(total * usec // 1000) if usec else None
+                return {"width": w or None, "height": h or None,
+                        "duration_ms": dur}
+            pos += 8 + size + (size & 1)
         return {"width": None, "height": None, "duration_ms": None}
     if len(payload) >= 12 and payload[:4] == b"RIFF" \
             and payload[8:12] == b"WAVE":
@@ -224,7 +245,7 @@ DEEP_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("kind", T.StringType()),
     # ^ bmp_pixels | png_pixels | gif_pixels | jpeg_dc | wav_pcm
-    #   | flac_pcm | stub
+    #   | flac_pcm | avi_mjpeg | stub
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
     T.StructField("n_pixels", T.LongType()),
@@ -251,11 +272,15 @@ def extract_deep_features(media: DataFrame) -> DataFrame:
     marker-skipped, engine/pipeline/jpegdc.py), and for FLAC via the
     pure-Python lossless decoder (``kind='flac_pcm'`` — fixed/LPC
     prediction + Rice residuals, CRC/MD5-verified,
-    engine/pipeline/flacpcm.py); ``kind='stub'``
-    rows for the remaining compressed formats whose codecs this
-    environment doesn't ship (lossy audio, video — the documented
-    decode gap). Same Arrow-batch
+    engine/pipeline/flacpcm.py), and for AVI/MJPEG video via the RIFF
+    frame walk feeding every frame through the JPEG DC decoder
+    (``kind='avi_mjpeg'`` — pixel-weighted means across ALL frames,
+    n_pixels the decoded total, engine/pipeline/avimjpeg.py);
+    ``kind='stub'`` rows for the remaining compressed formats whose
+    codecs this environment doesn't ship (lossy audio, non-MJPEG
+    video — the documented decode gap). Same Arrow-batch
     plumbing as :func:`extract_features`."""
+    from .avimjpeg import decode_avi_mjpeg
     from .flacpcm import decode_flac_samples
     from .giflzw import decode_gif_pixels
     from .jpegdc import decode_jpeg_dc
@@ -305,6 +330,13 @@ def extract_deep_features(media: DataFrame) -> DataFrame:
                     rows.append((mid, "flac_pcm", None, None, None,
                                  None, None, None, flac["sample_rate"],
                                  flac["n_samples"], flac["rms"]))
+                    continue
+                avi = decode_avi_mjpeg(p)
+                if avi is not None:
+                    rows.append((mid, "avi_mjpeg", avi["width"],
+                                 avi["height"], avi["n_pixels"],
+                                 avi["mean_r"], avi["mean_g"],
+                                 avi["mean_b"], None, None, None))
                     continue
                 rows.append((mid, "stub", None, None, None, None,
                              None, None, None, None, None))
