@@ -245,7 +245,7 @@ DEEP_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("kind", T.StringType()),
     # ^ bmp_pixels | png_pixels | gif_pixels | jpeg_dc | wav_pcm
-    #   | flac_pcm | avi_mjpeg | stub
+    #   | flac_pcm | wav_ulaw | wav_alaw | wav_adpcm | avi_mjpeg | stub
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
     T.StructField("n_pixels", T.LongType()),
@@ -276,12 +276,16 @@ def extract_deep_features(media: DataFrame) -> DataFrame:
     frame walk feeding every frame through the JPEG DC decoder
     (``kind='avi_mjpeg'`` — pixel-weighted means across ALL frames,
     n_pixels the decoded total, engine/pipeline/avimjpeg.py);
+    compressed-WAV audio via the G.711/IMA integer codecs
+    (``kind='wav_ulaw' | 'wav_alaw' | 'wav_adpcm'`` — IMA ADPCM being
+    genuinely lossy 4-bit coding, engine/pipeline/wavcodecs.py);
     ``kind='stub'`` rows for the remaining compressed formats whose
-    codecs this environment doesn't ship (lossy audio, non-MJPEG
-    video — the documented decode gap). Same Arrow-batch
-    plumbing as :func:`extract_features`."""
+    codecs this environment doesn't ship (perceptual audio — MP3/AAC/
+    Vorbis — and non-MJPEG video, the documented decode gap). Same
+    Arrow-batch plumbing as :func:`extract_features`."""
     from .avimjpeg import decode_avi_mjpeg
     from .flacpcm import decode_flac_samples
+    from .wavcodecs import decode_wav_codec
     from .giflzw import decode_gif_pixels
     from .jpegdc import decode_jpeg_dc
     from .pngpix import decode_png_pixels
@@ -330,6 +334,13 @@ def extract_deep_features(media: DataFrame) -> DataFrame:
                     rows.append((mid, "flac_pcm", None, None, None,
                                  None, None, None, flac["sample_rate"],
                                  flac["n_samples"], flac["rms"]))
+                    continue
+                cod = decode_wav_codec(p)
+                if cod is not None:
+                    rows.append((mid, "wav_" + cod["codec"], None,
+                                 None, None, None, None, None,
+                                 cod["sample_rate"],
+                                 cod["n_samples"], cod["rms"]))
                     continue
                 avi = decode_avi_mjpeg(p)
                 if avi is not None:
