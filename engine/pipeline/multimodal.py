@@ -442,9 +442,10 @@ def sample_frames(features: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling layout (video/audio prep): one row per sampled
     timestamp — (media_id, frame_idx, t_ms) for t in [0, duration] at
     ``every_ms`` steps. The timeline is real (decode-stage duration);
-    extracting the frame PAYLOAD at each t is the deep-decode step
-    that stays stubbed. The explode is the scale-correct layout: rows
-    fan out executor-side, never through the driver."""
+    extracting the frame CONTENT at each t is the deep-decode step —
+    real for MJPEG via :func:`decode_video_frames`, stubbed for other
+    video codecs. The explode is the scale-correct layout: rows fan
+    out executor-side, never through the driver."""
     n = F.floor(F.col("duration_ms") / every_ms).cast("int")
     return (features.where(F.col("duration_ms").isNotNull())
             .select("media_id",
@@ -452,3 +453,43 @@ def sample_frames(features: DataFrame, every_ms: int = 1000) -> DataFrame:
             .withColumn("t_ms", (F.col("frame_idx") * every_ms)
                         .cast("long"))
             .orderBy("media_id", "frame_idx"))
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("t_ms", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+])
+
+
+def decode_video_frames(media: DataFrame) -> DataFrame:
+    """REAL per-frame video decode over mapInPandas: one row per frame
+    of every decodable AVI/MJPEG payload (frame_idx, t_ms, per-frame
+    channel means from the JPEG DC decoder — the content step
+    :func:`sample_frames` lays out). Non-MJPEG payloads yield no rows
+    (their codecs are the documented decode gap). The fan-out happens
+    executor-side per Arrow batch — same plumbing contract as
+    :func:`extract_deep_features`, and the per-payload decode cost is
+    the only serial part, so the pass scales with partitions."""
+    from .avimjpeg import decode_avi_frame_stats
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_avi_frame_stats(bytes(p))
+                if frames is None:
+                    continue
+                for f in frames:
+                    rows.append((mid, f["frame_idx"], f["t_ms"],
+                                 f["width"], f["height"], f["mean_r"],
+                                 f["mean_g"], f["mean_b"]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -89,6 +89,20 @@ def test_rejects_undecodable_frame():
     assert decode_avi_mjpeg(bad) is None
 
 
+def test_decode_video_frames_spark(spark):
+    from engine.pipeline.multimodal import decode_video_frames
+    df = spark.createDataFrame(
+        [(7, bytearray(AVI)), (8, bytearray(b"not video"))],
+        "media_id long, payload binary")
+    rows = decode_video_frames(df).orderBy("frame_idx").collect()
+    assert len(rows) == 6                   # non-video yields no rows
+    assert [r["t_ms"] for r in rows] == [0, 100, 200, 300, 400, 500]
+    assert all(r["media_id"] == 7 and (r["width"], r["height"])
+               == (32, 24) for r in rows)
+    true0 = FRAMES[0].reshape(-1, 3).mean(axis=0)
+    assert abs(rows[0]["mean_r"] - true0[0]) < 1.0
+
+
 def test_deep_feature_dispatch_avi(spark):
     from engine.pipeline.multimodal import extract_deep_features
     df = spark.createDataFrame([(7, bytearray(AVI))],
