@@ -121,3 +121,35 @@ def test_extract_deep_features_mixed_batch(spark):
     assert got[5]["kind"] == "gif_pixels"
     assert got[5]["mean_r"] == pytest.approx(
         (10 + 200 * 3) / 4.0, abs=1e-9)
+
+
+def test_riff_family_dispatch_disambiguation(spark):
+    """WAV-PCM, ADPCM-WAV and AVI all share the RIFF magic; FLAC adds
+    a fourth audio container — one mixed Arrow batch must route each
+    to its own decoder (the dispatch-chain ordering guard)."""
+    import numpy as np
+
+    from engine.pipeline.avimjpeg import encode_avi_mjpeg
+    from engine.pipeline.flacpcm import encode_flac
+    from engine.pipeline.wavcodecs import encode_wav_adpcm
+
+    sig = np.cumsum(np.arange(600) % 17 - 8).astype(np.int64) * 50
+    frame = np.full((16, 16), 77, dtype=np.uint8)
+    rows = [
+        (1, "audio", make_wav(sig[:100].tolist()), "audio/wav"),
+        (2, "audio", bytes(encode_wav_adpcm(sig)), "audio/wav"),
+        (3, "video", encode_avi_mjpeg([frame] * 2, fps=4), "video/avi"),
+        (4, "audio", encode_flac(sig), "audio/flac"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, payload binary, "
+              "mime string")
+    got = {r["media_id"]: r
+           for r in extract_deep_features(media).collect()}
+    assert got[1]["kind"] == "wav_pcm" and got[1]["n_samples"] == 100
+    assert got[2]["kind"] == "wav_adpcm"
+    assert got[2]["n_samples"] == sig.size
+    assert got[3]["kind"] == "avi_mjpeg"
+    assert got[3]["mean_r"] == 77.0 and got[3]["n_pixels"] == 512
+    assert got[4]["kind"] == "flac_pcm"
+    assert got[4]["n_samples"] == sig.size
