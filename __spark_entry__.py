@@ -111,6 +111,20 @@ SPAN_NOT_WINDOW = 3
 # percentile_ranks probe values (analyzed-dl thresholds)
 PCT_RANK_VALUES = [50, 120, 400]
 
+# ES geo family (engine/geo.py): points derive deterministically from
+# event_id; the distance query centre/radius keep ~1/8 of the sphere
+# in range so the radius gate genuinely bites, and the ring edges
+# split the in-range mass across every bucket at sf0.01.
+GEO_CENTER_A = (48.8566, 2.3522)     # geo_distance query centre
+GEO_CENTER_B = (40.7128, -74.0060)   # ring aggregation centre
+GEO_RADIUS_KM = 2500.0
+GEO_TOPK = 50
+GEO_RING_EDGES = [0.0, 2500.0, 6000.0, 11000.0]
+GEO_BBOX = {"top": 55.0, "bottom": 20.0, "left": -30.0, "right": 60.0}
+GEOHASH_GRID_PRECISION = 2           # 1,024 cells — counts vary at sf0.01
+GEOHASH_GRID_TOPN = 25
+GEOTILE_ZOOM = 5
+
 # ES terms agg + top_hits sub-agg (buckets by stored lang field)
 TOP_HITS_BUCKETS = 3
 TOP_HITS_PER_BUCKET = 4
@@ -2981,6 +2995,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rerank variants, per-row textstats, media geometry) to the tail.
     # The local gate (tools/check_oracles.py) still verifies ALL
     # entries every round.
+    # ---- ES geo family (engine/geo.py, NEW r5) -----------------------
+
+    def _events_geo(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def geo_bbox_hits(spark, sf_dir):
+        """ES geo_bounding_box query: pure-comparison filter on the
+        deterministic point columns (exact arithmetic, no libm)."""
+        from engine import geo
+
+        out = geo.geo_bounding_box(_events_geo(spark, sf_dir), **GEO_BBOX)
+        return (out.select("event_id", "event_type",
+                           round_half_up(F.col("lat"), 6).alias("lat"),
+                           round_half_up(F.col("lon"), 6).alias("lon"))
+                .orderBy("event_id"))
+
+    def geo_distance_topk(spark, sf_dir):
+        """ES geo_distance query + _geo_distance sort: k nearest
+        events within the radius, ranked by the 3 dp-rounded
+        haversine distance (libm guard), event_id asc."""
+        from engine import geo
+
+        out = geo.geo_distance_query(_events_geo(spark, sf_dir),
+                                     *GEO_CENTER_A, GEO_RADIUS_KM,
+                                     GEO_TOPK)
+        return out.select("event_id", "dist_km", "rank").orderBy("rank")
+
+    def geo_distance_rings(spark, sf_dir):
+        """ES geo_distance aggregation: ring buckets over the rounded
+        distance with count + micro-unit-exact mean(value)."""
+        from engine import geo
+
+        out = geo.geo_distance_rings(_events_geo(spark, sf_dir),
+                                     *GEO_CENTER_B, GEO_RING_EDGES)
+        return out.orderBy("ring")
+
+    def geohash_grid_cells(spark, sf_dir):
+        """ES geohash_grid aggregation: top-N base-32 cells by doc
+        count — all-integer bit interleave, exact in both engines."""
+        from engine import geo
+
+        out = geo.geohash_grid(_events_geo(spark, sf_dir),
+                               GEOHASH_GRID_TOPN,
+                               precision=GEOHASH_GRID_PRECISION)
+        return out.select("cell", "n", "rank").orderBy("rank")
+
+    def geotile_grid_cells(spark, sf_dir):
+        """ES geotile_grid aggregation: doc count per z/x/y
+        web-mercator cell (mercator fraction rounded to 9 dp before
+        the tile floor — ln/tan libm guard)."""
+        from engine import geo
+
+        out = geo.geotile_grid(_events_geo(spark, sf_dir), GEOTILE_ZOOM)
+        return out.select("cell", "n").orderBy("cell")
+
+    def geo_bounds_centroid(spark, sf_dir):
+        """ES geo_bounds + geo_centroid metric aggs per event_type:
+        exact min/max corners + micro-unit-exact centroid."""
+        from engine import geo
+
+        out = geo.geo_bounds_centroid(_events_geo(spark, sf_dir))
+        return out.orderBy("event_type")
+
     return {
         # ---- driver window (first 50 dict slots) ----
         # r5 rotation (VERDICT r4 item 1, pre-staged in r4): the 26
@@ -3021,7 +3098,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sqs_flat_or_topk": sqs_flat_or_topk,
         "cross_fields_search": cross_fields_search,
         "event_value_width_histogram": event_value_width_histogram,
-        # remaining 24 window slots: r4-green entries rotating back
+        # ---- ES geo family (NEW r5): never driver-checked, so they
+        # take window slots per the rotation rule; six r4-green
+        # entries (phrase_prefix_hits, extended_stats_dl, fvf_topk,
+        # wildcard_trigram_topk, regexp_trigram_topk,
+        # event_window_heavy) rotate to the tail to make room.
+        "geo_bbox_hits": geo_bbox_hits,
+        "geo_distance_topk": geo_distance_topk,
+        "geo_distance_rings": geo_distance_rings,
+        "geohash_grid_cells": geohash_grid_cells,
+        "geotile_grid_cells": geotile_grid_cells,
+        "geo_bounds_centroid": geo_bounds_centroid,
+        # remaining 18 window slots: r4-green entries rotating back
         # through (kernel-adjacent paths worth a periodic re-check);
         # each is CORRECTNESS_r04-green so no never-checked entry is
         # displaced.
@@ -3042,16 +3130,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_dl": percentiles_dl,
         "composite_page2": composite_page2,
         "rescored_topk": rescored_topk,
+        # ---- driver window boundary (entry 50) ----
+        # event_window_pipeline + the six entries below it: r4-green
+        # and unchanged — rotated to the tail to make room for
+        # sqs_flat_or_topk and the geo family above.
+        "event_window_pipeline": event_window_pipeline,
         "phrase_prefix_hits": phrase_prefix_hits,
         "extended_stats_dl": extended_stats_dl,
         "fvf_topk": fvf_topk,
         "wildcard_trigram_topk": wildcard_trigram_topk,
         "regexp_trigram_topk": regexp_trigram_topk,
         "event_window_heavy": event_window_heavy,
-        # ---- driver window boundary (entry 50) ----
-        # event_window_pipeline: r4-green and unchanged — rotated to
-        # the tail to make room for sqs_flat_or_topk above.
-        "event_window_pipeline": event_window_pipeline,
         # tail: every entry below is driver-green in some
         # CORRECTNESS_r*.json and unchanged, or certified by an
         # in-window sibling (tests/test_rotation_policy.py enforces it)
@@ -7074,5 +7163,85 @@ SELECT event_type,
         - 1)::INT AS bucket,
        min_x, key, max_x, doc_count
 FROM agg ORDER BY event_type, bucket
+"""
+
+    # ---- ES geo family (engine/geo.py twins — identical op order) ----
+    from engine import geo as _geo
+
+    _geo_cte = _geo.geo_sql_cte("events")
+    sql["geo_bbox_hits"] = f"""
+WITH g AS ({_geo_cte})
+SELECT event_id, event_type,
+       {round_half_up_sql('lat', 6)} AS lat,
+       {round_half_up_sql('lon', 6)} AS lon
+FROM g
+WHERE lat <= {GEO_BBOX['top']!r} AND lat >= {GEO_BBOX['bottom']!r}
+  AND lon >= {GEO_BBOX['left']!r} AND lon <= {GEO_BBOX['right']!r}
+"""
+
+    _hav_a = _geo.haversine_km_sql("lat", "lon", *GEO_CENTER_A)
+    sql["geo_distance_topk"] = f"""
+WITH g AS ({_geo_cte}),
+d AS (SELECT event_id, {round_half_up_sql(_hav_a, 3)} AS dist_km FROM g),
+r AS (SELECT event_id, dist_km,
+             row_number() OVER (ORDER BY dist_km ASC, event_id ASC)
+               AS rank
+      FROM d WHERE dist_km <= {GEO_RADIUS_KM!r})
+SELECT event_id, dist_km, rank FROM r WHERE rank <= {GEO_TOPK}
+"""
+
+    _hav_b = _geo.haversine_km_sql("lat", "lon", *GEO_CENTER_B)
+    _e = GEO_RING_EDGES
+    _ring_case = " ".join(
+        f"WHEN dist_km < {hi!r} THEN '{lo:g}-{hi:g}'"
+        for lo, hi in zip(_e, _e[1:]))
+    sql["geo_distance_rings"] = f"""
+WITH g AS ({_geo_cte}),
+d AS (SELECT value, {round_half_up_sql(_hav_b, 3)} AS dist_km FROM g),
+r AS (SELECT CASE WHEN dist_km < {_e[0]!r} THEN NULL {_ring_case}
+                  ELSE '{_e[-1]:g}-*' END AS ring,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_mu
+      FROM d)
+SELECT ring, count(*)::BIGINT AS n,
+       {round_half_up_sql('sum(v_mu)::DOUBLE / count(*) / 1e6', 4)}
+         AS avg_value
+FROM r WHERE ring IS NOT NULL GROUP BY ring
+"""
+
+    _gh = _geo.geohash_sql("lat", "lon", GEOHASH_GRID_PRECISION)
+    sql["geohash_grid_cells"] = f"""
+WITH g AS ({_geo_cte}),
+c AS (SELECT {_gh} AS cell FROM g),
+a AS (SELECT cell, count(*)::BIGINT AS n FROM c GROUP BY cell),
+r AS (SELECT cell, n,
+             row_number() OVER (ORDER BY n DESC, cell ASC) AS rank
+      FROM a)
+SELECT cell, n, rank FROM r WHERE rank <= {GEOHASH_GRID_TOPN}
+"""
+
+    _gt = _geo.geotile_sql("lat", "lon", GEOTILE_ZOOM)
+    sql["geotile_grid_cells"] = f"""
+WITH g AS ({_geo_cte}),
+c AS (SELECT {_gt} AS cell FROM g)
+SELECT cell, count(*)::BIGINT AS n FROM c GROUP BY cell
+"""
+
+    sql["geo_bounds_centroid"] = f"""
+WITH g AS ({_geo_cte}),
+q AS (SELECT event_type, lat, lon,
+             CAST(floor(lat * 1e6 + 0.5) AS BIGINT) AS lat_mu,
+             CAST(floor(lon * 1e6 + 0.5) AS BIGINT) AS lon_mu
+      FROM g)
+SELECT event_type,
+       {round_half_up_sql('min(lat)', 6)} AS min_lat,
+       {round_half_up_sql('max(lat)', 6)} AS max_lat,
+       {round_half_up_sql('min(lon)', 6)} AS min_lon,
+       {round_half_up_sql('max(lon)', 6)} AS max_lon,
+       {round_half_up_sql('sum(lat_mu)::DOUBLE / count(*) / 1e6', 6)}
+         AS centroid_lat,
+       {round_half_up_sql('sum(lon_mu)::DOUBLE / count(*) / 1e6', 6)}
+         AS centroid_lon,
+       count(*)::BIGINT AS n
+FROM q GROUP BY event_type
 """
     return sql

@@ -1,0 +1,290 @@
+"""ES geo query/agg family over point columns.
+
+Implements the Elasticsearch geo surface the engine was missing —
+``geo_bounding_box`` / ``geo_distance`` queries, the ``geo_distance``
+(ring) aggregation, ``geohash_grid`` / ``geotile_grid`` bucket
+aggregations and the ``geo_bounds`` / ``geo_centroid`` metric
+aggregations (reference scope: the Lucene searcher the reference repo
+wraps delegates these to Lucene's LatLonPoint queries; the agg
+definitions follow the public ES docs).
+
+The synthetic ``events`` table carries no coordinates, so points
+derive deterministically from ``event_id`` via integer modular
+arithmetic — bit-identical in any engine, no randomness:
+
+    lat = ((event_id * 7919)   % 180000) / 1000.0 -  90.0
+    lon = ((event_id * 104729) % 360000) / 1000.0 - 180.0
+
+Cross-engine determinism rules (CLAUDE.md float recipe):
+
+* geohash / bounding box are pure IEEE arithmetic + integer bit ops —
+  exact on both engines, no rounding needed;
+* haversine uses libm (sin/cos/asin) whose last ulp may differ between
+  the JVM and DuckDB — every distance is rounded HALF_UP to 3 dp
+  (meter grain) before any filter, bucket edge, or rank;
+* geotile's mercator y uses ln/tan — the mercator fraction is rounded
+  HALF_UP to 9 dp before the tile floor;
+* ring/centroid averages quantize each addend to int64 micro-units and
+  accumulate integers (sum-order ulps cannot flip a rounding boundary).
+
+Every builder here has a twin SQL-string form so the DuckDB oracles
+share the exact operation order with the Spark plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from engine.portable import round_half_up, round_half_up_sql
+
+# pinned literals shared by both engines (never call pi() / radians())
+PI = 3.141592653589793
+DEG = 0.017453292519943295          # pi / 180
+EARTH_RADIUS_KM = 6371.0088         # IUGG mean Earth radius
+MERCATOR_MAX_LAT = 85.05112878      # web-mercator clamp
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+_LAT_EXPR = "(((event_id * 7919) % 180000) / 1000.0 - 90.0)"
+_LON_EXPR = "(((event_id * 104729) % 360000) / 1000.0 - 180.0)"
+
+
+# ---------------------------------------------------------------------------
+# Derived point columns
+# ---------------------------------------------------------------------------
+
+def with_geo(events: DataFrame) -> DataFrame:
+    """Attach the deterministic (lat, lon) point to each event."""
+    lat = (F.col("event_id") * F.lit(7919)) % F.lit(180000) / F.lit(1000.0) - F.lit(90.0)
+    lon = (F.col("event_id") * F.lit(104729)) % F.lit(360000) / F.lit(1000.0) - F.lit(180.0)
+    return events.withColumn("lat", lat).withColumn("lon", lon)
+
+
+def geo_sql_cte(table: str = "events") -> str:
+    """DuckDB CTE body mirroring :func:`with_geo`'s expressions."""
+    return (f"SELECT *, {_LAT_EXPR} AS lat, {_LON_EXPR} AS lon "
+            f"FROM {table}")
+
+
+# ---------------------------------------------------------------------------
+# Haversine distance (km)
+# ---------------------------------------------------------------------------
+
+def haversine_km(lat: Column, lon: Column, lat0: float, lon0: float) -> Column:
+    """Great-circle distance to a fixed point, UNROUNDED km."""
+    phi1 = lat * F.lit(DEG)
+    phi0 = F.lit(lat0 * DEG)
+    dphi = (lat - F.lit(lat0)) * F.lit(DEG)
+    dlam = (lon - F.lit(lon0)) * F.lit(DEG)
+    a = (F.sin(dphi / F.lit(2.0)) * F.sin(dphi / F.lit(2.0))
+         + F.cos(phi1) * F.cos(phi0)
+         * F.sin(dlam / F.lit(2.0)) * F.sin(dlam / F.lit(2.0)))
+    a = F.least(a, F.lit(1.0))
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def haversine_km_sql(lat: str, lon: str, lat0: float, lon0: float) -> str:
+    """DuckDB twin of :func:`haversine_km` — same op order."""
+    phi1 = f"(({lat}) * {DEG!r})"
+    phi0 = f"{lat0 * DEG!r}"
+    dphi = f"((({lat}) - {lat0!r}) * {DEG!r})"
+    dlam = f"((({lon}) - {lon0!r}) * {DEG!r})"
+    a = (f"(sin({dphi} / 2.0) * sin({dphi} / 2.0) "
+         f"+ cos({phi1}) * cos({phi0}) "
+         f"* sin({dlam} / 2.0) * sin({dlam} / 2.0))")
+    return f"(2.0 * {EARTH_RADIUS_KM!r} * asin(sqrt(least({a}, 1.0))))"
+
+
+# ---------------------------------------------------------------------------
+# Geohash (5·p bits: ceil(5p/2) lon + floor(5p/2) lat, interleaved
+# lon-first from the MSB — the standard public encoding)
+# ---------------------------------------------------------------------------
+
+def _geohash_dims(precision: int) -> tuple[int, int, int]:
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    return total, lon_bits, total - lon_bits
+
+
+def geohash(lat: Column, lon: Column, precision: int = 5) -> Column:
+    """Standard base-32 geohash — pure integer bit interleave on the
+    quantized cell indices, exact in any engine (32-bit-safe shifts:
+    precision ≤ 12 keeps every shift < 60, CLAUDE.md bitwise rule)."""
+    total, lon_bits, lat_bits = _geohash_dims(precision)
+    lon_q = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0)
+                * F.lit(float(1 << lon_bits)))
+        .cast("long"), F.lit((1 << lon_bits) - 1).cast("long"))
+    lat_q = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0)
+                * F.lit(float(1 << lat_bits)))
+        .cast("long"), F.lit((1 << lat_bits) - 1).cast("long"))
+    combined = F.lit(0).cast("long")
+    for j in range(total):   # bit j from the MSB: even→lon, odd→lat
+        src, src_bits = (lon_q, lon_bits) if j % 2 == 0 else (lat_q, lat_bits)
+        combined = combined + F.shiftleft(
+            F.shiftright(src, src_bits - 1 - j // 2).bitwiseAND(F.lit(1)),
+            total - 1 - j)
+    chars = []
+    for c in range(precision):
+        idx = F.shiftright(combined, total - 5 * (c + 1)).bitwiseAND(F.lit(31))
+        chars.append(F.substring(F.lit(GEOHASH_ALPHABET),
+                                 (idx + F.lit(1)).cast("int"), F.lit(1)))
+    return F.concat(*chars)
+
+
+def geohash_sql(lat: str, lon: str, precision: int = 5) -> str:
+    """DuckDB twin of :func:`geohash`."""
+    total, lon_bits, lat_bits = _geohash_dims(precision)
+    lon_q = (f"least(CAST(floor((({lon}) + 180.0) / 360.0 * "
+             f"{float(1 << lon_bits)!r}) AS BIGINT), {(1 << lon_bits) - 1})")
+    lat_q = (f"least(CAST(floor((({lat}) + 90.0) / 180.0 * "
+             f"{float(1 << lat_bits)!r}) AS BIGINT), {(1 << lat_bits) - 1})")
+    terms = []
+    for j in range(total):
+        src, src_bits = (lon_q, lon_bits) if j % 2 == 0 else (lat_q, lat_bits)
+        terms.append(f"((({src} >> {src_bits - 1 - j // 2}) & 1) "
+                     f"<< {total - 1 - j})")
+    combined = "(" + " + ".join(terms) + ")"
+    chars = [(f"substring('{GEOHASH_ALPHABET}', "
+              f"CAST((({combined} >> {total - 5 * (c + 1)}) & 31) + 1 "
+              f"AS INT), 1)")
+             for c in range(precision)]
+    return "(" + " || ".join(chars) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Geotile (web-mercator z/x/y, ES geotile_grid key format)
+# ---------------------------------------------------------------------------
+
+def geotile(lat: Column, lon: Column, zoom: int) -> Column:
+    """ES geotile_grid cell key ``"z/x/y"``; mercator fraction rounded
+    to 9 dp before the tile floor (libm ln/tan cross-engine guard)."""
+    n = float(1 << zoom)
+    x = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long"),
+        F.lit(int(n) - 1).cast("long"))
+    latc = F.greatest(F.least(lat, F.lit(MERCATOR_MAX_LAT)),
+                      F.lit(-MERCATOR_MAX_LAT))
+    phi = latc * F.lit(DEG)
+    merc = (F.lit(1.0)
+            - F.log(F.tan(phi) + F.lit(1.0) / F.cos(phi)) / F.lit(PI)) / F.lit(2.0)
+    y = F.greatest(
+        F.least(F.floor(round_half_up(merc, 9) * F.lit(n)).cast("long"),
+                F.lit(int(n) - 1).cast("long")),
+        F.lit(0).cast("long"))
+    return F.concat_ws("/", F.lit(str(zoom)), x.cast("string"),
+                       y.cast("string"))
+
+
+def geotile_sql(lat: str, lon: str, zoom: int) -> str:
+    """DuckDB twin of :func:`geotile`."""
+    n = float(1 << zoom)
+    x = (f"least(CAST(floor((({lon}) + 180.0) / 360.0 * {n!r}) AS BIGINT), "
+         f"{int(n) - 1})")
+    latc = f"greatest(least(({lat}), {MERCATOR_MAX_LAT!r}), {-MERCATOR_MAX_LAT!r})"
+    phi = f"({latc} * {DEG!r})"
+    merc = f"((1.0 - ln(tan({phi}) + 1.0 / cos({phi})) / {PI!r}) / 2.0)"
+    y = (f"greatest(least(CAST(floor({round_half_up_sql(merc, 9)} * {n!r}) "
+         f"AS BIGINT), {int(n) - 1}), 0)")
+    return (f"('{zoom}' || '/' || CAST({x} AS VARCHAR) || '/' || "
+            f"CAST({y} AS VARCHAR))")
+
+
+# ---------------------------------------------------------------------------
+# Query / agg surfaces (DataFrame side)
+# ---------------------------------------------------------------------------
+
+def geo_bounding_box(events: DataFrame, *, top: float, bottom: float,
+                     left: float, right: float) -> DataFrame:
+    """ES geo_bounding_box query: pure comparison filter (exact)."""
+    g = with_geo(events)
+    return g.where((F.col("lat") <= F.lit(top))
+                   & (F.col("lat") >= F.lit(bottom))
+                   & (F.col("lon") >= F.lit(left))
+                   & (F.col("lon") <= F.lit(right)))
+
+
+def geo_distance_query(events: DataFrame, lat0: float, lon0: float,
+                       radius_km: float, k: int) -> DataFrame:
+    """ES geo_distance query + _geo_distance sort: k nearest events
+    inside the radius, ranked by the ROUNDED distance (3 dp), id asc."""
+    from pyspark.sql import Window
+
+    g = with_geo(events)
+    dist = round_half_up(
+        haversine_km(F.col("lat"), F.col("lon"), lat0, lon0), 3)
+    g = g.withColumn("dist_km", dist).where(F.col("dist_km") <= F.lit(radius_km))
+    # top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+    # heap + driver merge of k rows — no single-partition shuffle of
+    # the whole matched set); the rank window then runs over k rows.
+    top = g.orderBy(F.asc("dist_km"), F.asc("event_id")).limit(k)
+    w = Window.orderBy(F.asc("dist_km"), F.asc("event_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def geo_distance_rings(events: DataFrame, lat0: float, lon0: float,
+                       edges: list[float]) -> DataFrame:
+    """ES geo_distance aggregation: ring buckets [e0,e1), [e1,e2), …,
+    [en,inf) over the rounded distance; count + micro-unit-exact mean
+    of ``value`` per ring."""
+    g = with_geo(events)
+    dist = round_half_up(
+        haversine_km(F.col("lat"), F.col("lon"), lat0, lon0), 3)
+    g = g.withColumn("dist_km", dist)
+    ring = F.lit(f"{edges[-1]:g}-*")
+    for lo, hi in zip(edges[-2::-1], edges[:0:-1]):
+        ring = F.when((F.col("dist_km") >= F.lit(lo))
+                      & (F.col("dist_km") < F.lit(hi)),
+                      F.lit(f"{lo:g}-{hi:g}")).otherwise(ring)
+    ring = F.when(F.col("dist_km") < F.lit(edges[0]), None).otherwise(ring)
+    v_mu = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (g.withColumn("ring", ring).where(F.col("ring").isNotNull())
+            .groupBy("ring")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 round_half_up(F.sum(v_mu) / F.count(F.lit(1)) / F.lit(1e6),
+                               4).alias("avg_value")))
+
+
+def geohash_grid(events: DataFrame, top_n: int,
+                 precision: int = 5) -> DataFrame:
+    """ES geohash_grid aggregation: doc count per cell, top-N cells by
+    (count desc, cell asc) — all-integer, exact."""
+    from pyspark.sql import Window
+
+    g = with_geo(events)
+    cells = (g.withColumn("cell", geohash(F.col("lat"), F.col("lon"),
+                                          precision))
+             .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
+    # occupied cells can rival the corpus at high precision — take the
+    # top-N with TakeOrderedAndProject, then rank the N survivors.
+    top = cells.orderBy(F.desc("n"), F.asc("cell")).limit(top_n)
+    w = Window.orderBy(F.desc("n"), F.asc("cell"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def geotile_grid(events: DataFrame, zoom: int) -> DataFrame:
+    """ES geotile_grid aggregation: doc count per z/x/y cell."""
+    g = with_geo(events)
+    return (g.withColumn("cell", geotile(F.col("lat"), F.col("lon"), zoom))
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
+
+
+def geo_bounds_centroid(events: DataFrame) -> DataFrame:
+    """ES geo_bounds + geo_centroid per event_type: bounding box
+    corners (exact min/max) and the micro-unit-exact centroid."""
+    g = with_geo(events)
+    lat_mu = F.floor(F.col("lat") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    lon_mu = F.floor(F.col("lon") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    cnt = F.count(F.lit(1))
+    return (g.groupBy("event_type")
+            .agg(round_half_up(F.min("lat"), 6).alias("min_lat"),
+                 round_half_up(F.max("lat"), 6).alias("max_lat"),
+                 round_half_up(F.min("lon"), 6).alias("min_lon"),
+                 round_half_up(F.max("lon"), 6).alias("max_lon"),
+                 round_half_up(F.sum(lat_mu) / cnt / F.lit(1e6), 6)
+                 .alias("centroid_lat"),
+                 round_half_up(F.sum(lon_mu) / cnt / F.lit(1e6), 6)
+                 .alias("centroid_lon"),
+                 cnt.alias("n")))
