@@ -265,11 +265,14 @@ def extract_deep_features(media: DataFrame) -> DataFrame:
     (``kind='png_pixels'`` — stdlib zlib inflate + all five scanline
     filters, engine/pipeline/pngpix.py), for GIF via the pure-Python
     LZW decoder (``kind='gif_pixels'`` — first frame, interlace
-    honored, engine/pipeline/giflzw.py), and for JPEG — baseline
-    AND progressive — via the pure-Python DC-image decoder
-    (``kind='jpeg_dc'`` — exact per-block means from the full
-    entropy walk; progressive DC scans decoded, AC scans
-    marker-skipped, engine/pipeline/jpegdc.py), and for FLAC via the
+    honored, engine/pipeline/giflzw.py), and for JPEG: baseline
+    (SOF0) streams get a FULL pixel decode — AC entropy decode +
+    dequant + batched IDCT + chroma upsample + edge crop
+    (``kind='jpeg_pixels'``, engine/pipeline/jpegfull.py, r5) —
+    while progressive (SOF2) falls back to the pure-Python DC-image
+    decoder (``kind='jpeg_dc'`` — exact per-block means from the
+    full entropy walk; DC scans decoded, AC scans marker-skipped,
+    engine/pipeline/jpegdc.py), and for FLAC via the
     pure-Python lossless decoder (``kind='flac_pcm'`` — fixed/LPC
     prediction + Rice residuals, CRC/MD5-verified,
     engine/pipeline/flacpcm.py), and for AVI/MJPEG video via the RIFF
@@ -288,6 +291,7 @@ def extract_deep_features(media: DataFrame) -> DataFrame:
     from .wavcodecs import decode_wav_codec
     from .giflzw import decode_gif_pixels
     from .jpegdc import decode_jpeg_dc
+    from .jpegfull import decode_jpeg_pixels
     from .pngpix import decode_png_pixels
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -316,8 +320,18 @@ def extract_deep_features(media: DataFrame) -> DataFrame:
                                  gif["mean_r"], gif["mean_g"],
                                  gif["mean_b"], None, None, None))
                     continue
+                jpf = decode_jpeg_pixels(p)
+                if jpf is not None:
+                    # baseline SOF0: FULL pixel decode (AC + IDCT +
+                    # chroma upsample + edge crop — jpegfull.py, r5)
+                    rows.append((mid, "jpeg_pixels", jpf["width"],
+                                 jpf["height"], jpf["n_pixels"],
+                                 jpf["mean_r"], jpf["mean_g"],
+                                 jpf["mean_b"], None, None, None))
+                    continue
                 jpg = decode_jpeg_dc(p)
                 if jpg is not None:
+                    # progressive / multi-scan: DC-image stats path
                     rows.append((mid, "jpeg_dc", jpg["width"],
                                  jpg["height"], jpg["n_pixels"],
                                  jpg["mean_r"], jpg["mean_g"],

@@ -200,12 +200,18 @@ def test_deep_features_dispatch_jpeg(spark):
 
     img = np.full((8, 16, 3), 90, dtype=np.uint8)
     rows = [(1, bytearray(encode_jpeg_baseline(img))),
-            (2, bytearray(b"\x00" * 32))]
+            (2, bytearray(b"\x00" * 32)),
+            (3, bytearray(encode_jpeg_progressive(img, al=1)))]
     media = spark.createDataFrame(rows,
                                   "media_id long, payload binary")
     got = {r["media_id"]: r for r in
            extract_deep_features(media).collect()}
-    assert got[1]["kind"] == "jpeg_dc"
+    # baseline rides the FULL pixel decoder now (jpegfull.py, r5) —
+    # a DC-only stream is legal baseline JPEG, so it qualifies
+    assert got[1]["kind"] == "jpeg_pixels"
     assert (got[1]["width"], got[1]["height"]) == (16, 8)
     assert got[1]["mean_g"] == pytest.approx(90.0, abs=1.0)
     assert got[2]["kind"] == "stub"
+    # progressive stays on the DC-image stats path
+    assert got[3]["kind"] == "jpeg_dc"
+    assert got[3]["mean_g"] == pytest.approx(90.0, abs=1.0)
