@@ -15,10 +15,13 @@ and a ``LIST strl`` per stream (``strh`` fccType ``vids`` handler
 ``idx1`` index (skipped — the sequential walk needs no seek table).
 Word-aligned chunks throughout.
 
-:func:`decode_avi_mjpeg` walks every video frame chunk through
-:func:`~engine.pipeline.jpegdc.decode_jpeg_dc` and aggregates
-pixel-weighted channel means — a real decode of every frame, not a
-header skim. Any undecodable frame, malformed chunk nesting, missing
+:func:`decode_avi_mjpeg` walks every video frame chunk through the
+FULL baseline pixel decoder
+(:func:`~engine.pipeline.jpegfull.decode_jpeg_pixels`, r5 late —
+exact edge-cropped means), falling back per-frame to
+:func:`~engine.pipeline.jpegdc.decode_jpeg_dc` for streams the full
+path declines, and aggregates pixel-weighted channel means — a real
+decode of every frame, not a header skim. Any undecodable frame, malformed chunk nesting, missing
 MJPEG video stream, or bomb-sized frame count returns ``None`` (the
 multimodal dispatch contract). :func:`decode_avi_frame_stats`
 returns the per-frame timeline (frame_idx, t_ms, per-frame means) —
@@ -134,8 +137,15 @@ def decode_avi_frame_stats(payload: bytes) -> list[dict] | None:
             return None
         fps = (1e6 / usec_per_frame) if usec_per_frame else None
         out = []
+        from .jpegfull import decode_jpeg_pixels
+
         for i, (b, s) in enumerate(frame_chunks):
-            d = decode_jpeg_dc(payload[b:b + s])
+            # baseline frames get the FULL pixel decode (exact means,
+            # edge-cropped — jpegfull.py, r5 late); anything the full
+            # path declines (progressive MJPEG is nonstandard but
+            # legal) falls back to the DC-image stats walk
+            frame = payload[b:b + s]
+            d = decode_jpeg_pixels(frame) or decode_jpeg_dc(frame)
             if d is None:
                 return None                 # an undecodable frame
             t_ms = int(i * usec_per_frame // 1000) \
