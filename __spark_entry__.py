@@ -125,6 +125,13 @@ GEOHASH_GRID_PRECISION = 2           # 1,024 cells — counts vary at sf0.01
 GEOHASH_GRID_TOPN = 25
 GEOTILE_ZOOM = 5
 
+# ES categorize_text / ip_prefix aggs (engine/pipeline/textstats.py,
+# curation.py): template buckets over event_type+props messages (every
+# props carries a digit token, so the <num> normalization bites on
+# every row); /8 client-IP prefixes over the Knuth-mixed user space.
+CATEGORIZE_TOPN = 20
+IP_PREFIX_LEN = 8
+
 # ES terms agg + top_hits sub-agg (buckets by stored lang field)
 TOP_HITS_BUCKETS = 3
 TOP_HITS_PER_BUCKET = 4
@@ -3058,6 +3065,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = geo.geo_bounds_centroid(_events_geo(spark, sf_dir))
         return out.orderBy("event_type")
 
+    def categorized_messages(spark, sf_dir):
+        """ES categorize_text agg over the log-like event messages
+        (event_type + props): digit-token normalization collapses the
+        ~10k distinct messages into a handful of template buckets —
+        the branch that IS the operator (engine/pipeline/textstats.py
+        categorize_text)."""
+        from engine.pipeline.textstats import categorize_text
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        msgs = ev.select(F.concat_ws(" ", "event_type", "props")
+                         .alias("msg"))
+        out = categorize_text(msgs, text_col="msg", max_tokens=4,
+                              top_n=CATEGORIZE_TOPN)
+        return out.orderBy("rank")
+
+    def ip_prefix_counts(spark, sf_dir):
+        """ES ip_prefix bucket agg over the deterministic per-user
+        client IPs (engine/pipeline/curation.py ip_prefix_agg)."""
+        from engine.pipeline.curation import ip_prefix_agg
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = ip_prefix_agg(ev, prefix_len=IP_PREFIX_LEN)
+        return out.orderBy("prefix")
+
     return {
         # ---- driver window (first 50 dict slots) ----
         # r5 rotation (VERDICT r4 item 1, pre-staged in r4): the 26
@@ -3109,7 +3140,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_grid_cells": geohash_grid_cells,
         "geotile_grid_cells": geotile_grid_cells,
         "geo_bounds_centroid": geo_bounds_centroid,
-        # remaining 18 window slots: r4-green entries rotating back
+        # ---- ES categorize_text + ip_prefix aggs (NEW r5): same
+        # rule — never driver-checked, so in-window; two more
+        # r4-green entries (composite_page2, rescored_topk) slide
+        # past the window boundary into the tail.
+        "categorized_messages": categorized_messages,
+        "ip_prefix_counts": ip_prefix_counts,
+        # remaining 15 window slots: r4-green entries rotating back
         # through (kernel-adjacent paths worth a periodic re-check);
         # each is CORRECTNESS_r04-green so no never-checked entry is
         # displaced.
@@ -7244,4 +7281,14 @@ SELECT event_type,
        count(*)::BIGINT AS n
 FROM q GROUP BY event_type
 """
+
+    # ---- categorize_text / ip_prefix (module twins) ----
+    from engine.pipeline.curation import ip_prefix_sql
+    from engine.pipeline.textstats import categorize_text_sql
+
+    sql["categorized_messages"] = categorize_text_sql(
+        "(SELECT event_type || ' ' || props AS msg FROM events)",
+        text_col="msg", max_tokens=4, top_n=CATEGORIZE_TOPN)
+    sql["ip_prefix_counts"] = ip_prefix_sql(
+        "events", prefix_len=IP_PREFIX_LEN)
     return sql

@@ -612,3 +612,64 @@ def bloom_decontaminate(docs: DataFrame, eval_docs: DataFrame,
         "doc_id", "n_grams", "n_maybe",
         round_half_up(mf, 6).alias("maybe_frac"),
         F.coalesce(mf >= threshold, F.lit(False)).alias("contaminated"))
+
+
+# ---------------------------------------------------------------------------
+# ES ip_prefix aggregation (over deterministically derived client IPs)
+# ---------------------------------------------------------------------------
+
+IP_MIX = 2654435761          # Knuth multiplicative hash (golden ratio 2^32)
+
+
+def with_ip32(events: DataFrame, id_col: str = "user_id") -> DataFrame:
+    """Attach a deterministic synthetic client IPv4 (as uint32 in an
+    int64 column) per user: the Knuth multiplicative mix spreads the
+    dense user_id space across the address space — pure integer
+    arithmetic, bit-identical in any engine."""
+    ip = (F.col(id_col) * F.lit(IP_MIX)) % F.lit(4294967296)
+    return events.withColumn("ip32", ip.cast("long"))
+
+
+def ip32_sql(id_col: str = "user_id") -> str:
+    """DuckDB twin of :func:`with_ip32`'s expression."""
+    return f"((({id_col}) * {IP_MIX}) % 4294967296)"
+
+
+def ip_prefix_agg(events: DataFrame, prefix_len: int = 8,
+                  id_col: str = "user_id") -> DataFrame:
+    """ES ``ip_prefix`` bucket aggregation: events bucketed by the
+    /``prefix_len`` network of the client IP, with event and distinct-
+    user counts per bucket. All-integer shifts and masks → exact in
+    both engines; output bounded by 2^prefix_len buckets (the agg's
+    own contract — ES caps prefix_len at 32 the same way).
+    Reference scope: the Lucene stack the reference wraps ships this
+    agg family (GROUP_12 SearchFiles.java:1)."""
+    assert 1 <= prefix_len <= 32
+    g = with_ip32(events, id_col)
+    net = F.shiftleft(F.shiftright(F.col("ip32"), 32 - prefix_len),
+                      32 - prefix_len)
+    prefix = F.concat_ws(
+        ".",
+        F.shiftright(net, 24).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(net, 16).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(net, 8).bitwiseAND(F.lit(255)).cast("string"),
+        net.bitwiseAND(F.lit(255)).cast("string"))
+    return (g.withColumn("prefix",
+                         F.concat(prefix, F.lit(f"/{prefix_len}")))
+            .groupBy("prefix")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_distinct(F.col(id_col)).alias("n_users")))
+
+
+def ip_prefix_sql(table_expr: str, prefix_len: int = 8,
+                  id_col: str = "user_id") -> str:
+    """DuckDB twin of :func:`ip_prefix_agg`."""
+    net = (f"(({ip32_sql(id_col)} >> {32 - prefix_len}) "
+           f"<< {32 - prefix_len})")
+    prefix = (f"(CAST(({net} >> 24) & 255 AS VARCHAR) || '.' || "
+              f"CAST(({net} >> 16) & 255 AS VARCHAR) || '.' || "
+              f"CAST(({net} >> 8) & 255 AS VARCHAR) || '.' || "
+              f"CAST({net} & 255 AS VARCHAR) || '/{prefix_len}')")
+    return (f"SELECT {prefix} AS prefix, count(*)::BIGINT AS n, "
+            f"count(DISTINCT {id_col})::BIGINT AS n_users "
+            f"FROM {table_expr} GROUP BY 1")

@@ -651,3 +651,61 @@ def lm_cross_entropy(docs: DataFrame, ref_col: str,
                     .alias("n_bigrams"),
                     round_half_up(h, ndigits).alias("cross_entropy"))
             .withColumn("keep", F.col("cross_entropy") <= threshold))
+
+
+def categorize_text(docs: DataFrame, text_col: str = "text",
+                    max_tokens: int = 4, top_n: int = 20) -> DataFrame:
+    """ES ``categorize_text`` aggregation, as a DETERMINISTIC template
+    grouper: semi-structured log-like messages collapse into pattern
+    buckets by (1) lowercase alnum tokenization, (2) normalizing every
+    digit-bearing token to the ``<num>`` placeholder — the step that
+    folds "k 69" / "k 7" into one category — and (3) keying on the
+    first ``max_tokens`` normalized tokens. ES's own implementation is
+    a heuristic token-weight tree whose buckets are version-dependent
+    (the docs say so); this pins the reproducible core — number
+    neutralization + leading-token template — so the result is exact,
+    engine-portable and oracle-checkable. Buckets rank by (doc count
+    desc, category asc), top-N via TakeOrderedAndProject.
+
+    Scale: one per-row Catalyst projection (no UDF) + one map-side-
+    combinable count agg on the category key + a heap-merged top-N —
+    bounded output, no corpus-sized shuffle beyond the key agg.
+    Reference scope: the Lucene stack the reference wraps ships this
+    agg family (GROUP_12 SearchFiles.java:1).
+    """
+    from pyspark.sql import Window
+
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x <> '')")
+    norm = F.transform(
+        F.slice(toks, 1, int(max_tokens)),
+        lambda t: F.when(t.rlike("[0-9]"), F.lit("<num>")).otherwise(t))
+    cat = F.array_join(norm, " ")
+    cells = (docs.select(cat.alias("category"))
+             .where(F.col("category") != "")
+             .groupBy("category").agg(F.count(F.lit(1)).alias("n_docs")))
+    top = cells.orderBy(F.desc("n_docs"), F.asc("category")).limit(top_n)
+    w = Window.orderBy(F.desc("n_docs"), F.asc("category"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def categorize_text_sql(table_expr: str, text_col: str = "text",
+                        max_tokens: int = 4, top_n: int = 20) -> str:
+    """DuckDB twin of :func:`categorize_text` (same token pipeline)."""
+    return f"""
+WITH toks AS (
+  SELECT [CASE WHEN regexp_matches(x, '[0-9]') THEN '<num>' ELSE x END
+          for x in list_slice(
+            [x for x in regexp_split_to_array(lower({text_col}),
+                                              '[^a-z0-9]+')
+             if x <> ''], 1, {int(max_tokens)})] AS t
+  FROM {table_expr}),
+c AS (SELECT array_to_string(t, ' ') AS category FROM toks
+      WHERE len(t) > 0),
+a AS (SELECT category, count(*)::BIGINT AS n_docs FROM c GROUP BY 1),
+r AS (SELECT category, n_docs,
+             row_number() OVER (ORDER BY n_docs DESC, category ASC)
+               AS rank
+      FROM a)
+SELECT category, n_docs, rank FROM r WHERE rank <= {int(top_n)}
+"""

@@ -1,0 +1,79 @@
+"""ES categorize_text + ip_prefix aggs (engine/pipeline/textstats.py,
+curation.py): template collapse semantics and prefix bit math, each
+against a pure-Python reference."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.pipeline.curation import (IP_MIX, ip_prefix_agg, with_ip32)
+from engine.pipeline.textstats import categorize_text
+
+
+def test_categorize_collapses_numeric_variants(spark):
+    msgs = ([f"login ok user {i} session {i * 7}" for i in range(40)]
+            + [f"login failed user {i}" for i in range(25)]
+            + [f"disk usage {i}% warning" for i in range(10)]
+            + ["heartbeat"] * 5)
+    df = spark.createDataFrame([(m,) for m in msgs], "text string")
+    out = {r["category"]: (r["n_docs"], r["rank"])
+           for r in categorize_text(df, max_tokens=4).collect()}
+    # 80 distinct raw messages -> 4 templates, counts preserved
+    assert out == {
+        "login ok user <num>": (40, 1),
+        "login failed user <num>": (25, 2),
+        "disk usage <num> warning": (10, 3),
+        "heartbeat": (5, 4),
+    }
+
+
+def test_categorize_top_n_and_key_length(spark):
+    kinds = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    msgs = [f"{kinds[i % 6]} event code {i}" for i in range(60)]
+    df = spark.createDataFrame([(m,) for m in msgs], "text string")
+    out = categorize_text(df, max_tokens=2, top_n=3).collect()
+    assert len(out) == 3
+    # max_tokens=2 keys on the first two normalized tokens only
+    assert all(len(r["category"].split(" ")) == 2 for r in out)
+    counts = [r["n_docs"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    # empty messages drop rather than forming an '' bucket
+    df2 = spark.createDataFrame([("",), ("  ",), ("x 1",)],
+                                "text string")
+    got = categorize_text(df2).collect()
+    assert [(r["category"], r["n_docs"]) for r in got] == [("x <num>", 1)]
+
+
+def _ref_prefix(uid: int, plen: int) -> str:
+    ip = (uid * IP_MIX) % (1 << 32)
+    net = (ip >> (32 - plen)) << (32 - plen)
+    return (f"{(net >> 24) & 255}.{(net >> 16) & 255}."
+            f"{(net >> 8) & 255}.{net & 255}/{plen}")
+
+
+def test_ip_prefix_matches_python_reference(spark):
+    rows = [(i, i % 37) for i in range(200)]        # 37 users, repeats
+    ev = spark.createDataFrame(rows, "event_id long, user_id long")
+    for plen in (8, 16, 24, 32):
+        got = {r["prefix"]: (r["n"], r["n_users"])
+               for r in ip_prefix_agg(ev, prefix_len=plen).collect()}
+        exp: dict = {}
+        for _eid, uid in rows:
+            p = _ref_prefix(uid, plen)
+            n, users = exp.get(p, (0, set()))
+            users = users if isinstance(users, set) else set(users)
+            users.add(uid)
+            exp[p] = (n + 1, users)
+        exp = {p: (n, len(u)) for p, (n, u) in exp.items()}
+        assert got == exp
+    # /32 has one bucket per user; coarser prefixes genuinely merge
+    assert len(ip_prefix_agg(ev, prefix_len=32).collect()) == 37
+    assert len(ip_prefix_agg(ev, prefix_len=4).collect()) < 37
+
+
+def test_ip32_is_a_permutation_slice(spark):
+    # Knuth multiplier is odd -> the map is injective mod 2^32
+    ev = spark.createDataFrame([(i, i) for i in range(500)],
+                               "event_id long, user_id long")
+    ips = [r["ip32"] for r in with_ip32(ev).collect()]
+    assert len(set(ips)) == 500
+    assert all(0 <= v < (1 << 32) for v in ips)
