@@ -132,6 +132,17 @@ GEOTILE_ZOOM = 5
 CATEGORIZE_TOPN = 20
 IP_PREFIX_LEN = 8
 
+# ES frequent_item_sets (engine/pipeline/itemsets.py): 0.57 ⇒ abs
+# support 285 at sf0.01 — sits between the triple ceiling (290) and
+# the pair floor (292), so the L1 prune (the df=25 tail term), the
+# size-3 support filter (40 of 4,060 mined triples survive) and the
+# rank cut (450 < 475 sets) all genuinely bite; the closedness
+# anti-join runs (no equal-support superset exists in this data — the
+# closedness branch itself is regression-tested on synthetic sets in
+# tests/test_itemsets.py).
+FIS_MIN_SUPPORT = 0.57
+FIS_TOPN = 450
+
 # ES terms agg + top_hits sub-agg (buckets by stored lang field)
 TOP_HITS_BUCKETS = 3
 TOP_HITS_PER_BUCKET = 4
@@ -3089,6 +3100,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ip_prefix_agg(ev, prefix_len=IP_PREFIX_LEN)
         return out.orderBy("prefix")
 
+    def frequent_item_sets(spark, sf_dir):
+        """ES frequent_item_sets agg: closed frequent itemsets over
+        per-doc distinct token sets, Apriori-mined
+        (engine/pipeline/itemsets.py; thresholds chosen so every
+        lattice stage bites — see FIS_MIN_SUPPORT)."""
+        from engine.pipeline import itemsets
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = itemsets.frequent_item_sets(
+            docs, min_support=FIS_MIN_SUPPORT, top_n=FIS_TOPN)
+        return out.orderBy("rank")
+
     return {
         # ---- driver window (first 50 dict slots) ----
         # r5 rotation (VERDICT r4 item 1, pre-staged in r4): the 26
@@ -3146,6 +3169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # past the window boundary into the tail.
         "categorized_messages": categorized_messages,
         "ip_prefix_counts": ip_prefix_counts,
+        "frequent_item_sets": frequent_item_sets,
         # remaining 15 window slots: r4-green entries rotating back
         # through (kernel-adjacent paths worth a periodic re-check);
         # each is CORRECTNESS_r04-green so no never-checked entry is
@@ -7291,4 +7315,8 @@ FROM q GROUP BY event_type
         text_col="msg", max_tokens=4, top_n=CATEGORIZE_TOPN)
     sql["ip_prefix_counts"] = ip_prefix_sql(
         "events", prefix_len=IP_PREFIX_LEN)
+
+    from engine.pipeline.itemsets import frequent_item_sets_sql
+    sql["frequent_item_sets"] = frequent_item_sets_sql(
+        "documents", min_support=FIS_MIN_SUPPORT, top_n=FIS_TOPN)
     return sql
