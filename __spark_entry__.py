@@ -143,6 +143,17 @@ IP_PREFIX_LEN = 8
 FIS_MIN_SUPPORT = 0.57
 FIS_TOPN = 450
 
+# ES join-field family (engine/joinfield.py) over the TPC-H
+# customer⋈orders 1-N relation: the 430k price floor keeps 2,089 of
+# 15,000 orders, min_children=2 then drops 539 of 1,142 matching
+# parents and the k=50 cut bites on the surviving 603 (all probed at
+# sf0.01); the BUILDING+positive-balance parent filter keeps 276 of
+# 302 segment customers.
+HAS_CHILD_PRICE_FLOOR = 430000.0
+HAS_CHILD_MIN_CHILDREN = 2
+HAS_CHILD_K = 50
+HAS_PARENT_SEGMENT = "BUILDING"
+
 # ES terms agg + top_hits sub-agg (buckets by stored lang field)
 TOP_HITS_BUCKETS = 3
 TOP_HITS_PER_BUCKET = 4
@@ -3112,6 +3123,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, min_support=FIS_MIN_SUPPORT, top_n=FIS_TOPN)
         return out.orderBy("rank")
 
+    def _cust_orders(spark, sf_dir):
+        return (spark.read.parquet(f"{sf_dir}/customer.parquet"),
+                spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+    def has_child_topk(spark, sf_dir):
+        """ES has_child query (join field): customers ranked by the
+        µu-exact SUM of their ≥price-floor orders, min_children
+        gated (engine/joinfield.py has_child)."""
+        from engine.joinfield import has_child
+
+        cust, orders = _cust_orders(spark, sf_dir)
+        out = has_child(
+            cust, orders, "c_custkey", "o_custkey",
+            F.col("o_totalprice") >= F.lit(HAS_CHILD_PRICE_FLOOR),
+            F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5)),
+            score_mode="sum", min_children=HAS_CHILD_MIN_CHILDREN,
+            k=HAS_CHILD_K)
+        return out.orderBy("rank")
+
+    def has_parent_hits(spark, sf_dir):
+        """ES has_parent query: orders whose customer is a positive-
+        balance HAS_PARENT_SEGMENT account, parent score propagated
+        (engine/joinfield.py has_parent)."""
+        from engine.joinfield import has_parent
+
+        cust, orders = _cust_orders(spark, sf_dir)
+        out = has_parent(
+            orders, cust, "c_custkey", "o_custkey",
+            (F.col("c_mktsegment") == F.lit(HAS_PARENT_SEGMENT))
+            & (F.col("c_acctbal") > F.lit(0.0)),
+            F.col("c_acctbal"))
+        return (out.select("o_orderkey", "o_custkey", "parent_score")
+                .orderBy("o_orderkey"))
+
+    def children_by_segment(spark, sf_dir):
+        """ES children aggregation: market-segment parent buckets
+        switched to order context — child count + µu-exact order
+        value sum/avg (engine/joinfield.py children_agg)."""
+        from engine.joinfield import children_agg
+
+        cust, orders = _cust_orders(spark, sf_dir)
+        out = children_agg(
+            cust, orders, "c_custkey", "o_custkey", "c_mktsegment",
+            F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5)))
+        return out.orderBy("c_mktsegment")
+
     return {
         # ---- driver window (first 50 dict slots) ----
         # r5 rotation (VERDICT r4 item 1, pre-staged in r4): the 26
@@ -3170,6 +3227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorized_messages": categorized_messages,
         "ip_prefix_counts": ip_prefix_counts,
         "frequent_item_sets": frequent_item_sets,
+        "has_child_topk": has_child_topk,
+        "has_parent_hits": has_parent_hits,
+        "children_by_segment": children_by_segment,
         # remaining 15 window slots: r4-green entries rotating back
         # through (kernel-adjacent paths worth a periodic re-check);
         # each is CORRECTNESS_r04-green so no never-checked entry is
@@ -7319,4 +7379,46 @@ FROM q GROUP BY event_type
     from engine.pipeline.itemsets import frequent_item_sets_sql
     sql["frequent_item_sets"] = frequent_item_sets_sql(
         "documents", min_support=FIS_MIN_SUPPORT, top_n=FIS_TOPN)
+
+    # ---- ES join-field family (engine/joinfield.py twins) ----
+    sql["has_child_topk"] = f"""
+WITH m AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS s_mu
+  FROM orders WHERE o_totalprice >= {HAS_CHILD_PRICE_FLOOR!r}),
+f AS (SELECT c_custkey, count(*)::BIGINT AS n_children,
+             sum(s_mu) AS sum_mu
+      FROM m GROUP BY 1
+      HAVING count(*) >= {HAS_CHILD_MIN_CHILDREN}),
+g AS (SELECT c.c_custkey, f.n_children,
+             {round_half_up_sql('f.sum_mu::DOUBLE / 1e6', 2)} AS score
+      FROM customer c JOIN f USING (c_custkey)),
+r AS (SELECT c_custkey, n_children, score,
+             row_number() OVER (ORDER BY score DESC, c_custkey ASC)
+               AS rank
+      FROM g)
+SELECT c_custkey, n_children, score, rank
+FROM r WHERE rank <= {HAS_CHILD_K}
+"""
+    sql["has_parent_hits"] = f"""
+WITH p AS (
+  SELECT c_custkey AS o_custkey,
+         {round_half_up_sql('c_acctbal', 2)} AS parent_score
+  FROM customer
+  WHERE c_mktsegment = '{HAS_PARENT_SEGMENT}' AND c_acctbal > 0.0)
+SELECT o.o_orderkey, o.o_custkey, p.parent_score
+FROM orders o JOIN p USING (o_custkey)
+"""
+    sql["children_by_segment"] = f"""
+WITH f AS (
+  SELECT o_custkey AS c_custkey, count(*)::BIGINT AS n,
+         sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS mu
+  FROM orders GROUP BY 1)
+SELECT c.c_mktsegment, sum(f.n)::BIGINT AS n_children,
+       {round_half_up_sql('sum(f.mu)::DOUBLE / 1e6', 2)} AS sum_value,
+       {round_half_up_sql('sum(f.mu)::DOUBLE / sum(f.n) / 1e6', 2)}
+         AS avg_value
+FROM customer c JOIN f USING (c_custkey)
+GROUP BY 1
+"""
     return sql
