@@ -84,16 +84,25 @@ def haversine_km(lat: Column, lon: Column, lat0: float, lon0: float) -> Column:
     return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
 
 
+def _d(x: float) -> str:
+    """A float constant as an explicitly-DOUBLE SQL literal: DuckDB
+    parses long decimal expansions as DECIMAL, whose fixed-point
+    arithmetic overflows on expressions like tiny + 180.0 — every
+    embedded constant (and any literal a caller passes) must be a
+    DOUBLE for the twin to mirror Spark's float math."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
 def haversine_km_sql(lat: str, lon: str, lat0: float, lon0: float) -> str:
     """DuckDB twin of :func:`haversine_km` — same op order."""
-    phi1 = f"(({lat}) * {DEG!r})"
-    phi0 = f"{lat0 * DEG!r}"
-    dphi = f"((({lat}) - {lat0!r}) * {DEG!r})"
-    dlam = f"((({lon}) - {lon0!r}) * {DEG!r})"
+    phi1 = f"(({lat}) * {_d(DEG)})"
+    phi0 = _d(lat0 * DEG)
+    dphi = f"((({lat}) - {_d(lat0)}) * {_d(DEG)})"
+    dlam = f"((({lon}) - {_d(lon0)}) * {_d(DEG)})"
     a = (f"(sin({dphi} / 2.0) * sin({dphi} / 2.0) "
          f"+ cos({phi1}) * cos({phi0}) "
          f"* sin({dlam} / 2.0) * sin({dlam} / 2.0))")
-    return f"(2.0 * {EARTH_RADIUS_KM!r} * asin(sqrt(least({a}, 1.0))))"
+    return f"(2.0 * {_d(EARTH_RADIUS_KM)} * asin(sqrt(least({a}, 1.0))))"
 
 
 # ---------------------------------------------------------------------------
@@ -138,9 +147,11 @@ def geohash_sql(lat: str, lon: str, precision: int = 5) -> str:
     """DuckDB twin of :func:`geohash`."""
     total, lon_bits, lat_bits = _geohash_dims(precision)
     lon_q = (f"least(CAST(floor((({lon}) + 180.0) / 360.0 * "
-             f"{float(1 << lon_bits)!r}) AS BIGINT), {(1 << lon_bits) - 1})")
+             f"{_d(float(1 << lon_bits))}) AS BIGINT), "
+             f"{(1 << lon_bits) - 1})")
     lat_q = (f"least(CAST(floor((({lat}) + 90.0) / 180.0 * "
-             f"{float(1 << lat_bits)!r}) AS BIGINT), {(1 << lat_bits) - 1})")
+             f"{_d(float(1 << lat_bits))}) AS BIGINT), "
+             f"{(1 << lat_bits) - 1})")
     terms = []
     for j in range(total):
         src, src_bits = (lon_q, lon_bits) if j % 2 == 0 else (lat_q, lat_bits)
@@ -181,12 +192,13 @@ def geotile(lat: Column, lon: Column, zoom: int) -> Column:
 def geotile_sql(lat: str, lon: str, zoom: int) -> str:
     """DuckDB twin of :func:`geotile`."""
     n = float(1 << zoom)
-    x = (f"least(CAST(floor((({lon}) + 180.0) / 360.0 * {n!r}) AS BIGINT), "
-         f"{int(n) - 1})")
-    latc = f"greatest(least(({lat}), {MERCATOR_MAX_LAT!r}), {-MERCATOR_MAX_LAT!r})"
-    phi = f"({latc} * {DEG!r})"
-    merc = f"((1.0 - ln(tan({phi}) + 1.0 / cos({phi})) / {PI!r}) / 2.0)"
-    y = (f"greatest(least(CAST(floor({round_half_up_sql(merc, 9)} * {n!r}) "
+    x = (f"least(CAST(floor((({lon}) + 180.0) / 360.0 * {_d(n)}) "
+         f"AS BIGINT), {int(n) - 1})")
+    latc = (f"greatest(least(({lat}), {_d(MERCATOR_MAX_LAT)}), "
+            f"{_d(-MERCATOR_MAX_LAT)})")
+    phi = f"({latc} * {_d(DEG)})"
+    merc = f"((1.0 - ln(tan({phi}) + 1.0 / cos({phi})) / {_d(PI)}) / 2.0)"
+    y = (f"greatest(least(CAST(floor({round_half_up_sql(merc, 9)} * {_d(n)}) "
          f"AS BIGINT), {int(n) - 1}), 0)")
     return (f"('{zoom}' || '/' || CAST({x} AS VARCHAR) || '/' || "
             f"CAST({y} AS VARCHAR))")
