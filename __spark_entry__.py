@@ -125,6 +125,28 @@ GEOHASH_GRID_PRECISION = 2           # 1,024 cells — counts vary at sf0.01
 GEOHASH_GRID_TOPN = 25
 GEOTILE_ZOOM = 5
 
+# geo_polygon: a NON-CONVEX dart ((lon_m, lat_m) integer millidegree
+# vertices) so the even-odd parity rule is load-bearing — at sf0.01
+# the polygon's bbox holds 741 events but only 245 are inside, and 78
+# of the excluded sit in the concave notch below (40000, 20000): the
+# parity branch genuinely bites, not just the bbox.
+GEO_POLYGON_M = [(0, 0), (40000, 60000), (80000, 0), (40000, 20000)]
+
+# geo_line: size placed INSIDE the sf0.01 group-size band
+# (1981..2017 events per event_type) so BOTH output branches bite at
+# the driver scale: purchase/view (≤1982) come back complete=true,
+# click/error/signup are truncated to exactly 2000 points
+# (threshold-picking lesson: probe the distribution first).
+GEO_LINE_SIZE = 2000
+
+# ip_range: uint32 quartile edges + one deliberately OVERLAPPING
+# middle range — overlap is the reason the agg is a conditional-agg
+# pass rather than a group-by, so the fixture must exercise it; every
+# bucket is non-empty at sf0.01 (2.4-2.6k events each quartile).
+IP_RANGES = [(None, 1 << 30), (1 << 30, 1 << 31),
+             (1 << 31, 3 << 30), (3 << 30, None),
+             (1 << 29, 3 << 30)]
+
 # ES categorize_text / ip_prefix aggs (engine/pipeline/textstats.py,
 # curation.py): template buckets over event_type+props messages (every
 # props carries a digit token, so the <num> normalization bites on
@@ -3087,6 +3109,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = geo.geo_bounds_centroid(_events_geo(spark, sf_dir))
         return out.orderBy("event_type")
 
+    def geo_polygon_hits(spark, sf_dir):
+        """ES geo_polygon query: even-odd integer ray cast against the
+        non-convex dart (engine/geo.py point_in_polygon_m) — the
+        parity rule bites (78 bbox events sit in the notch and are
+        excluded), all-int64, bitwise-equal cross-engine."""
+        from engine import geo
+
+        out = geo.geo_polygon(_events_geo(spark, sf_dir), GEO_POLYGON_M)
+        return (out.select("event_id", "event_type", "lat_m", "lon_m")
+                .orderBy("event_id"))
+
+    def geo_lines(spark, sf_dir):
+        """ES geo_line agg: per event_type the (ts, event_id)-ordered
+        millidegree track truncated to GEO_LINE_SIZE + the ES
+        complete flag; size sits inside the sf0.01 group-size band so
+        both the truncated and the complete branch bite
+        (engine/geo.py geo_line)."""
+        from engine import geo
+
+        out = geo.geo_line(_events_geo(spark, sf_dir), GEO_LINE_SIZE)
+        return out.orderBy("event_type")
+
+    def ip_range_counts(spark, sf_dir):
+        """ES ip_range bucket agg over the Knuth-mixed client IPs:
+        possibly-OVERLAPPING [from, to) ranges as one conditional-agg
+        pass + stack unpivot (engine/pipeline/curation.py
+        ip_range_agg); the overlap fixture range is why this is not a
+        group-by."""
+        from engine.pipeline.curation import ip_range_agg
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = ip_range_agg(ev, IP_RANGES)
+        return out.orderBy("key")
+
     def categorized_messages(spark, sf_dir):
         """ES categorize_text agg over the log-like event messages
         (event_type + props): digit-token normalization collapses the
@@ -3220,6 +3276,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_grid_cells": geohash_grid_cells,
         "geotile_grid_cells": geotile_grid_cells,
         "geo_bounds_centroid": geo_bounds_centroid,
+        # ---- r5 closing wave (NEW): geo_polygon / geo_line /
+        # ip_range — never driver-checked, so in-window per the
+        # rotation rule; three more r4-green entries (semdedup_keep,
+        # winnow_fps, dsir_sample) slide past the window boundary
+        # into the tail.
+        "geo_polygon_hits": geo_polygon_hits,
+        "geo_lines": geo_lines,
+        "ip_range_counts": ip_range_counts,
         # ---- ES categorize_text + ip_prefix aggs (NEW r5): same
         # rule — never driver-checked, so in-window; two more
         # r4-green entries (composite_page2, rescored_topk) slide
@@ -7366,9 +7430,32 @@ SELECT event_type,
 FROM q GROUP BY event_type
 """
 
-    # ---- categorize_text / ip_prefix (module twins) ----
-    from engine.pipeline.curation import ip_prefix_sql
+    _geom_cte = _geo.geo_m_sql_cte("events")
+    _pip = _geo.point_in_polygon_m_sql("lat_m", "lon_m", GEO_POLYGON_M)
+    sql["geo_polygon_hits"] = f"""
+WITH g AS ({_geom_cte})
+SELECT event_id, event_type, lat_m, lon_m
+FROM g WHERE {_pip}
+"""
+
+    sql["geo_lines"] = f"""
+WITH g AS ({_geom_cte})
+SELECT event_type,
+       (list(lon_m ORDER BY ts ASC, event_id ASC))[1:{GEO_LINE_SIZE}]
+         AS lons_m,
+       (list(lat_m ORDER BY ts ASC, event_id ASC))[1:{GEO_LINE_SIZE}]
+         AS lats_m,
+       least(count(*), {GEO_LINE_SIZE})::BIGINT AS n_points,
+       count(*)::BIGINT AS n_total,
+       (count(*) <= {GEO_LINE_SIZE}) AS complete
+FROM g GROUP BY event_type
+"""
+
+    # ---- categorize_text / ip_prefix / ip_range (module twins) ----
+    from engine.pipeline.curation import ip_prefix_sql, ip_range_sql
     from engine.pipeline.textstats import categorize_text_sql
+
+    sql["ip_range_counts"] = ip_range_sql("events", IP_RANGES)
 
     sql["categorized_messages"] = categorize_text_sql(
         "(SELECT event_type || ' ' || props AS msg FROM events)",

@@ -67,6 +67,29 @@ def geo_sql_cte(table: str = "events") -> str:
             f"FROM {table}")
 
 
+# integer MILLIDEGREE twins of the point columns: lat_m = 1000*lat,
+# lon_m = 1000*lon, but derived directly from the modular arithmetic
+# so they are int64 end-to-end (the polygon ray cast and the geo_line
+# point lists below never touch a float at all)
+_LAT_M_EXPR = "(((event_id * 7919) % 180000) - 90000)"
+_LON_M_EXPR = "(((event_id * 104729) % 360000) - 180000)"
+
+
+def with_geo_m(events: DataFrame) -> DataFrame:
+    """Attach the deterministic point in integer millidegrees."""
+    lat_m = ((F.col("event_id") * F.lit(7919)) % F.lit(180000)
+             - F.lit(90000)).cast("long")
+    lon_m = ((F.col("event_id") * F.lit(104729)) % F.lit(360000)
+             - F.lit(180000)).cast("long")
+    return events.withColumn("lat_m", lat_m).withColumn("lon_m", lon_m)
+
+
+def geo_m_sql_cte(table: str = "events") -> str:
+    """DuckDB CTE body mirroring :func:`with_geo_m`'s expressions."""
+    return (f"SELECT *, {_LAT_M_EXPR} AS lat_m, {_LON_M_EXPR} AS lon_m "
+            f"FROM {table}")
+
+
 # ---------------------------------------------------------------------------
 # Haversine distance (km)
 # ---------------------------------------------------------------------------
@@ -281,6 +304,121 @@ def geotile_grid(events: DataFrame, zoom: int) -> DataFrame:
     g = with_geo(events)
     return (g.withColumn("cell", geotile(F.col("lat"), F.col("lon"), zoom))
             .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _polygon_edges(vertices_m: list[tuple[int, int]]):
+    """Non-horizontal edges of a closed integer-millidegree polygon
+    as ((x1, y1), (x2, y2)) pairs; horizontal edges never straddle
+    the ray-cast scanline so they contribute no crossing."""
+    n = len(vertices_m)
+    assert n >= 3, "polygon needs at least 3 vertices"
+    out = []
+    for i in range(n):
+        x1, y1 = vertices_m[i]
+        x2, y2 = vertices_m[(i + 1) % n]
+        if y1 != y2:
+            out.append(((x1, y1), (x2, y2)))
+    return out
+
+
+def point_in_polygon_m(lat_m: Column, lon_m: Column,
+                       vertices_m: list[tuple[int, int]]) -> Column:
+    """Even-odd ray cast entirely in int64: a rightward horizontal ray
+    from (lon_m, lat_m) crosses edge (x1,y1)-(x2,y2) iff the edge
+    straddles the scanline (y1>y != y2>y — half-open, so a shared
+    vertex counts once) and the point sits strictly left of the edge,
+    tested via the integer cross product (x2-x1)(y-y1)-(x-x1)(y2-y1)
+    whose required sign is the sign of y2-y1 — a CODEGEN-TIME constant
+    per edge. Coordinates are millidegrees (<4e5), so every product is
+    < 2^40: exact int64, bit-identical cross-engine (no division, no
+    floats — the CLAUDE.md bitwise rule). Non-convex polygons are the
+    point of the parity rule and are exercised by the dart fixture."""
+    crossings = F.lit(0)
+    for (x1, y1), (x2, y2) in _polygon_edges(vertices_m):
+        straddle = (F.lit(y1) > lat_m) != (F.lit(y2) > lat_m)
+        cross = (F.lit(x2 - x1) * (lat_m - F.lit(y1))
+                 - (lon_m - F.lit(x1)) * F.lit(y2 - y1))
+        left = cross > F.lit(0) if y2 > y1 else cross < F.lit(0)
+        crossings = crossings + F.when(straddle & left, 1).otherwise(0)
+    return crossings % F.lit(2) == F.lit(1)
+
+
+def point_in_polygon_m_sql(lat_m: str, lon_m: str,
+                           vertices_m: list[tuple[int, int]]) -> str:
+    """DuckDB twin of :func:`point_in_polygon_m` — generated from the
+    same edge list, same per-edge sign constants. Every constant is
+    emitted as an explicit BIGINT: bare integer literals parse as
+    INT32 and the cross products overflow them (property-test find,
+    same class as the DOUBLE-literal rule in :func:`_d`). A polygon
+    with no non-horizontal edge has no interior under the parity
+    rule — emitted as FALSE (an empty sum would not parse)."""
+    def _b(v: int) -> str:
+        return f"CAST({v} AS BIGINT)"
+
+    terms = []
+    for (x1, y1), (x2, y2) in _polygon_edges(vertices_m):
+        straddle = f"(({y1} > ({lat_m})) != ({y2} > ({lat_m})))"
+        cross = (f"({_b(x2 - x1)} * (({lat_m}) - {_b(y1)}) "
+                 f"- (({lon_m}) - {_b(x1)}) * {_b(y2 - y1)})")
+        left = f"({cross} > 0)" if y2 > y1 else f"({cross} < 0)"
+        terms.append(f"(CASE WHEN {straddle} AND {left} "
+                     f"THEN 1 ELSE 0 END)")
+    if not terms:
+        return "FALSE"
+    return f"((({' + '.join(terms)}) % 2) = 1)"
+
+
+def geo_polygon(events: DataFrame,
+                vertices_m: list[tuple[int, int]]) -> DataFrame:
+    """ES ``geo_polygon`` query: events whose point falls inside the
+    (possibly non-convex) polygon, even-odd rule, all-integer — a
+    pure narrow filter Catalyst pushes straight onto the scan, no
+    shuffle at any scale. ``vertices_m`` are (lon_m, lat_m) integer
+    millidegree pairs. Reference scope: Lucene's LatLonPoint
+    newPolygonQuery behind the reference searcher (GROUP_12
+    SearchFiles.java:1)."""
+    g = with_geo_m(events)
+    return g.where(point_in_polygon_m(F.col("lat_m"), F.col("lon_m"),
+                                      vertices_m))
+
+
+def geo_line(events: DataFrame, size: int,
+             group_col: str = "event_type") -> DataFrame:
+    """ES ``geo_line`` aggregation: per group, the track of points
+    ordered by (ts, event_id) truncated to the first ``size``, plus
+    the ES ``complete`` flag (true iff nothing was truncated).
+    Points stay integer millidegrees end-to-end (array<long> output,
+    exact cross-engine).
+
+    Scale shape: the row_number window partitions BY GROUP (never a
+    global single-partition window); rows beyond ``size`` are dropped
+    BEFORE the collect, so each group ships at most ``size`` points
+    through the agg shuffle — ES enforces the same cap (size ≤ 10k)
+    for the same reason. At 100 TB the sort-per-group is the honest
+    cost of the operator's ordered-track contract; a ts-bucketed
+    pre-partitioning would bound each sort run."""
+    from pyspark.sql import Window
+
+    g = with_geo_m(events)
+    w = Window.partitionBy(group_col).orderBy(F.asc("ts"),
+                                              F.asc("event_id"))
+    pts = (g.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= F.lit(size))
+           .groupBy(group_col)
+           .agg(F.array_sort(
+               F.collect_list(F.struct("rn", "lon_m", "lat_m")))
+               .alias("pts")))
+    totals = (events.groupBy(group_col)
+              .agg(F.count(F.lit(1)).alias("n_total")))
+    return (pts.join(totals, group_col)
+            .select(F.col(group_col),
+                    F.transform("pts", lambda s: s["lon_m"])
+                    .alias("lons_m"),
+                    F.transform("pts", lambda s: s["lat_m"])
+                    .alias("lats_m"),
+                    F.size("pts").cast("long").alias("n_points"),
+                    F.col("n_total"),
+                    (F.col("n_total") <= F.lit(size)).alias("complete")))
 
 
 def geo_bounds_centroid(events: DataFrame) -> DataFrame:

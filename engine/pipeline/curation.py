@@ -673,3 +673,71 @@ def ip_prefix_sql(table_expr: str, prefix_len: int = 8,
     return (f"SELECT {prefix} AS prefix, count(*)::BIGINT AS n, "
             f"count(DISTINCT {id_col})::BIGINT AS n_users "
             f"FROM {table_expr} GROUP BY 1")
+
+
+def _ip_dotted(ip: int) -> str:
+    return ".".join(str((ip >> s) & 255) for s in (24, 16, 8, 0))
+
+
+def _ip_range_key(lo: int | None, hi: int | None) -> str:
+    """ES ip_range bucket key: ``from-to`` with ``*`` for open ends."""
+    return (f"{_ip_dotted(lo) if lo is not None else '*'}-"
+            f"{_ip_dotted(hi) if hi is not None else '*'}")
+
+
+def ip_range_agg(events: DataFrame,
+                 ranges: list[tuple[int | None, int | None]],
+                 id_col: str = "user_id") -> DataFrame:
+    """ES ``ip_range`` bucket aggregation: per range [from, to) —
+    ``from`` inclusive, ``to`` exclusive, either end open — the event
+    count and distinct-user count. Ranges MAY OVERLAP (each bucket is
+    an independent filter, the ES contract), so this is deliberately
+    NOT a group-by: one conditional-aggregation pass computes every
+    bucket's pair in a single scan (map-side combinable counts; the
+    per-range distincts are the agg's own cost, same as ES's
+    per-bucket cardinality), then a ``stack`` unpivots the 1-row
+    wide result — output is |ranges| rows, corpus-independent.
+    All-integer uint32 comparisons: bit-identical cross-engine.
+    Reference scope: the ES agg family shipped by the Lucene stack
+    the reference wraps (GROUP_12 SearchFiles.java:1)."""
+    g = with_ip32(events, id_col)
+    aggs, stack_args = [], []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("ip32") >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col("ip32") < F.lit(hi))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .cast("long").alias(f"n_{i}"))
+        aggs.append(F.count_distinct(F.when(cond, F.col(id_col)))
+                    .alias(f"u_{i}"))
+        key = _ip_range_key(lo, hi)
+        stack_args.append(f"'{key}', n_{i}, u_{i}")
+    wide = g.agg(*aggs)
+    return wide.selectExpr(
+        f"stack({len(ranges)}, {', '.join(stack_args)}) "
+        f"AS (key, n, n_users)")
+
+
+def ip_range_sql(table_expr: str,
+                 ranges: list[tuple[int | None, int | None]],
+                 id_col: str = "user_id") -> str:
+    """DuckDB twin of :func:`ip_range_agg` — one SELECT per range
+    UNION ALLed (the oracle may rescan; the engine side is the
+    single-pass plan)."""
+    parts = []
+    for lo, hi in ranges:
+        conds = []
+        if lo is not None:
+            conds.append(f"{ip32_sql(id_col)} >= {lo}")
+        if hi is not None:
+            conds.append(f"{ip32_sql(id_col)} < {hi}")
+        cond = " AND ".join(conds) if conds else "TRUE"
+        key = _ip_range_key(lo, hi)
+        parts.append(
+            f"SELECT '{key}' AS key, "
+            f"count(CASE WHEN {cond} THEN 1 END)::BIGINT AS n, "
+            f"count(DISTINCT CASE WHEN {cond} THEN {id_col} END)::BIGINT "
+            f"AS n_users FROM {table_expr}")
+    return " UNION ALL ".join(parts)

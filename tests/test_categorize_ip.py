@@ -77,3 +77,35 @@ def test_ip32_is_a_permutation_slice(spark):
     ips = [r["ip32"] for r in with_ip32(ev).collect()]
     assert len(set(ips)) == 500
     assert all(0 <= v < (1 << 32) for v in ips)
+
+
+# ---------------------------------------------------------------------------
+# r5 closing wave: ip_range agg
+# ---------------------------------------------------------------------------
+
+def test_ip_range_overlap_and_open_ends(spark):
+    from engine.pipeline.curation import ip_range_agg
+
+    rows = [(i, i % 23) for i in range(150)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long")
+    ranges = [(None, 1 << 30), (1 << 30, 1 << 31),
+              (1 << 31, None),
+              (1 << 29, 3 << 30)]          # overlaps its neighbours
+    got = {r["key"]: (r["n"], r["n_users"])
+           for r in ip_range_agg(ev, ranges).collect()}
+    assert len(got) == 4
+    for lo, hi in ranges:
+        n, users = 0, set()
+        for _eid, uid in rows:
+            ip = (uid * IP_MIX) % (1 << 32)
+            if (lo is None or ip >= lo) and (hi is None or ip < hi):
+                n += 1
+                users.add(uid)
+        def dot(v):
+            return ".".join(str((v >> s) & 255) for s in (24, 16, 8, 0))
+        key = (f"{dot(lo) if lo is not None else '*'}-"
+               f"{dot(hi) if hi is not None else '*'}")
+        assert got[key] == (n, len(users)), key
+    # the overlapping range double-counts by design: bucket sums
+    # exceed the event count (the reason this is NOT a group-by)
+    assert sum(n for n, _u in got.values()) > len(rows)

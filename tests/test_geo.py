@@ -242,3 +242,83 @@ def test_bounds_centroid_matches_python(spark):
         mu = [math.floor(r["lat"] * 1e6 + 0.5) for r in sub]
         want = math.floor((sum(mu) / len(mu) / 1e6) * 1e6 + 0.5) / 1e6
         assert got["centroid_lat"] == pytest.approx(want, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# r5 closing wave: geo_polygon / geo_line
+# ---------------------------------------------------------------------------
+
+def _ref_pip(x: int, y: int, verts: list[tuple[int, int]]) -> bool:
+    """Pure-Python even-odd integer ray cast (the public algorithm,
+    written independently of the column codegen)."""
+    cnt, n = 0, len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        if y1 == y2:
+            continue
+        if (y1 > y) != (y2 > y):
+            cross = (x2 - x1) * (y - y1) - (x - x1) * (y2 - y1)
+            if (cross > 0) if y2 > y1 else (cross < 0):
+                cnt += 1
+    return cnt % 2 == 1
+
+
+DART = [(0, 0), (40000, 60000), (80000, 0), (40000, 20000)]
+
+
+def test_polygon_matches_python_raycast(spark):
+    pts = _points(spark, 400).select("event_id", "event_type")
+    got = {r["event_id"]
+           for r in geo.geo_polygon(pts, DART).collect()}
+    rows = geo.with_geo_m(pts).collect()
+    want = {r["event_id"] for r in rows
+            if _ref_pip(r["lon_m"], r["lat_m"], DART)}
+    assert got == want
+    assert 0 < len(want) < 400
+
+
+def test_polygon_concavity_bites(spark):
+    # hand-pinned probes: wing points are inside the dart, the notch
+    # point sits inside the bbox but OUTSIDE the polygon
+    probes = [(20000, 25000, True),    # left wing
+              (60000, 25000, True),    # right wing
+              (40000, 5000, False),    # concave notch, inside bbox
+              (40000, 40000, True),    # above the notch apex
+              (-1000, 0, False)]       # left of everything
+    df = spark.createDataFrame(
+        [(i, lon, lat) for i, (lon, lat, _) in enumerate(probes)],
+        "event_id long, lon_m long, lat_m long")
+    got = df.select("event_id", geo.point_in_polygon_m(
+        F.col("lat_m"), F.col("lon_m"), DART).alias("inside")).collect()
+    for r in got:
+        assert r["inside"] == probes[r["event_id"]][2], probes[r["event_id"]]
+        assert _ref_pip(probes[r["event_id"]][0],
+                        probes[r["event_id"]][1],
+                        DART) == probes[r["event_id"]][2]
+
+
+def test_geo_line_truncation_and_complete(spark):
+    # two groups straddling the size: "big" (7 events) truncates at 5,
+    # "small" (3 events) is complete; ts descends with event_id so the
+    # (ts, event_id) ordering genuinely reorders vs insertion order
+    rows = ([(i, "big", 100 - i) for i in range(7)]
+            + [(100 + i, "small", 50 + i) for i in range(3)])
+    ev = (spark.createDataFrame(rows, "event_id long, event_type string,"
+                                " sec long")
+          .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+          .drop("sec"))
+    out = {r["event_type"]: r
+           for r in geo.geo_line(ev, size=5).collect()}
+    big, small = out["big"], out["small"]
+    assert big["n_total"] == 7 and not big["complete"]
+    assert big["n_points"] == 5 and len(big["lons_m"]) == 5
+    assert small["n_total"] == 3 and small["complete"]
+    assert small["n_points"] == 3
+    # ts ascends for event_id 6..0, so the first 5 points are the
+    # ids 6,5,4,3,2 in that order
+    want_ids = [6, 5, 4, 3, 2]
+    m = {r["event_id"]: (r["lon_m"], r["lat_m"])
+         for r in geo.with_geo_m(ev).collect()}
+    assert big["lons_m"] == [m[i][0] for i in want_ids]
+    assert big["lats_m"] == [m[i][1] for i in want_ids]

@@ -119,3 +119,35 @@ def test_categorize_sql_matches_python(con, msg, max_tokens):
         assert rows == []
     else:
         assert rows == [(" ".join(norm), 1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# r5 closing wave: point-in-polygon SQL twin (all-integer ray cast)
+# ---------------------------------------------------------------------------
+
+COORD = st.integers(min_value=-180000, max_value=180000)
+
+
+def _ref_pip(x, y, verts):
+    cnt, n = 0, len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        if y1 == y2:
+            continue
+        if (y1 > y) != (y2 > y):
+            cross = (x2 - x1) * (y - y1) - (x - x1) * (y2 - y1)
+            if (cross > 0) if y2 > y1 else (cross < 0):
+                cnt += 1
+    return cnt % 2 == 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(verts=st.lists(st.tuples(COORD, COORD), min_size=3, max_size=8),
+       x=COORD, y=COORD)
+def test_point_in_polygon_sql_matches_python(con, verts, x, y):
+    # even-odd parity is well-defined for ANY vertex list (including
+    # self-intersecting) — random polygons are a fair property space
+    pred = geo.point_in_polygon_m_sql(str(y), str(x), verts)
+    got = con.sql(f"SELECT {pred}").fetchone()[0]
+    assert got == _ref_pip(x, y, verts)
