@@ -165,6 +165,11 @@ IP_PREFIX_LEN = 8
 FIS_MIN_SUPPORT = 0.57
 FIS_TOPN = 450
 
+# ES random_sampler (engine/pipeline/curation.py): p=0.35 keeps the
+# gate inside the ES-pinned (0, 0.5] band and passes ~3.5k of 10k
+# events at sf0.01 — both the include and the exclude branch bite.
+RANDOM_SAMPLER_P = 0.35
+
 # ES join-field family (engine/joinfield.py) over the TPC-H
 # customer⋈orders 1-N relation: the 430k price floor keeps 2,089 of
 # 15,000 orders, min_children=2 then drops 539 of 1,142 matching
@@ -3143,6 +3148,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ip_range_agg(ev, IP_RANGES)
         return out.orderBy("key")
 
+    def random_sampler_counts(spark, sf_dir):
+        """ES random_sampler agg (8.2+): hash-gated deterministic
+        sample (p=0.35), per-type sampled count, 1/p-scaled estimate
+        and µu-exact sampled mean
+        (engine/pipeline/curation.py random_sampler_agg)."""
+        from engine.pipeline.curation import random_sampler_agg
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = random_sampler_agg(ev, RANDOM_SAMPLER_P)
+        return out.orderBy("event_type")
+
+    def bucket_trend_corr(spark, sf_dir):
+        """ES bucket_correlation pipeline agg (count_correlation vs
+        the bucket-index ramp): per-type Pearson r of the hourly
+        count series, exact integer moments + one final float
+        expression (engine/streaming.py bucket_correlation)."""
+        from engine.streaming import bucket_correlation
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return bucket_correlation(ev, window="1 hour")
+
+    def change_points(spark, sf_dir):
+        """ES change_point agg (deterministic step_change core): the
+        argmax between-group-SS split of each hourly count series,
+        integer prefix sums, score rounded before the argmax
+        (engine/streaming.py change_point_agg)."""
+        from engine.streaming import change_point_agg
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = change_point_agg(ev, window="1 hour")
+        return (out.select(
+            "event_type", "split_after",
+            F.date_format("change_at", "yyyy-MM-dd HH:mm:ss")
+            .alias("change_at"), "score", "mean_before",
+            "mean_after", "type")
+            .orderBy("event_type"))
+
     def categorized_messages(spark, sf_dir):
         """ES categorize_text agg over the log-like event messages
         (event_type + props): digit-token normalization collapses the
@@ -3284,6 +3326,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polygon_hits": geo_polygon_hits,
         "geo_lines": geo_lines,
         "ip_range_counts": ip_range_counts,
+        # ---- r5 closing wave 2 (NEW): the ES 8 ML-agg family —
+        # random_sampler / bucket_correlation / change_point — same
+        # rotation rule, three more r4-green entries slide to the
+        # tail.
+        "random_sampler_counts": random_sampler_counts,
+        "bucket_trend_corr": bucket_trend_corr,
+        "change_points": change_points,
         # ---- ES categorize_text + ip_prefix aggs (NEW r5): same
         # rule — never driver-checked, so in-window; two more
         # r4-green entries (composite_page2, rescored_topk) slide
@@ -7452,10 +7501,74 @@ FROM g GROUP BY event_type
 """
 
     # ---- categorize_text / ip_prefix / ip_range (module twins) ----
-    from engine.pipeline.curation import ip_prefix_sql, ip_range_sql
+    from engine.pipeline.curation import (ip_prefix_sql, ip_range_sql,
+                                          random_sampler_sql)
     from engine.pipeline.textstats import categorize_text_sql
 
     sql["ip_range_counts"] = ip_range_sql("events", IP_RANGES)
+    sql["random_sampler_counts"] = random_sampler_sql(
+        "events", RANDOM_SAMPLER_P)
+
+    sql["bucket_trend_corr"] = f"""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS w, event_type,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+b AS (SELECT event_type, n,
+        (row_number() OVER (PARTITION BY event_type ORDER BY w)
+         - 1)::BIGINT AS t
+      FROM c),
+a AS (SELECT event_type, count(*)::BIGINT AS k,
+        sum(n)::BIGINT AS sn, sum(t)::BIGINT AS st,
+        sum(n * t)::BIGINT AS snt, sum(n * n)::BIGINT AS snn,
+        sum(t * t)::BIGINT AS stt
+      FROM b GROUP BY 1)
+SELECT event_type, k,
+  CASE WHEN (k * snn - sn * sn) > 0 AND (k * stt - st * st) > 0
+       THEN {round_half_up_sql(
+           '(k * snt - sn * st)::DOUBLE '
+           '/ sqrt((k * snn - sn * sn)::DOUBLE '
+           '* (k * stt - st * st)::DOUBLE)', 6)}
+  END AS r
+FROM a ORDER BY event_type
+"""
+
+    sql["change_points"] = f"""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS w, event_type,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+b AS (SELECT event_type, w, n,
+        row_number() OVER (PARTITION BY event_type ORDER BY w)
+          ::BIGINT AS k,
+        sum(n) OVER (PARTITION BY event_type ORDER BY w)
+          ::BIGINT AS sk,
+        count(*) OVER (PARTITION BY event_type)::BIGINT AS B,
+        sum(n) OVER (PARTITION BY event_type)::BIGINT AS S
+      FROM c),
+cand AS (
+  SELECT event_type, w, k, sk, B, S,
+         (sk * (B - k) - (S - sk) * k)::BIGINT AS num
+  FROM b WHERE k < B),
+scored AS (
+  SELECT event_type, w, k, sk, B, S,
+         {round_half_up_sql(
+             'num::DOUBLE * num::DOUBLE / (B * k * (B - k))::DOUBLE',
+             6)} AS score
+  FROM cand),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY score DESC, k ASC) AS rn
+  FROM scored)
+SELECT event_type, k AS split_after,
+       strftime(w, '%Y-%m-%d %H:%M:%S') AS change_at, score,
+       {round_half_up_sql('sk::DOUBLE / k::DOUBLE', 6)}
+         AS mean_before,
+       {round_half_up_sql('(S - sk)::DOUBLE / (B - k)::DOUBLE', 6)}
+         AS mean_after,
+       'step_change' AS type
+FROM pick WHERE rn = 1 ORDER BY event_type
+"""
 
     sql["categorized_messages"] = categorize_text_sql(
         "(SELECT event_type || ' ' || props AS msg FROM events)",

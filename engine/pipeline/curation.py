@@ -741,3 +741,63 @@ def ip_range_sql(table_expr: str,
             f"count(DISTINCT CASE WHEN {cond} THEN {id_col} END)::BIGINT "
             f"AS n_users FROM {table_expr}")
     return " UNION ALL ".join(parts)
+
+
+SAMPLER_MIX = 2246822519     # xxhash64 prime2 — distinct from IP_MIX
+                             # so the sample gate never correlates
+                             # with the synthetic IP buckets
+
+
+def random_sampler_agg(events: DataFrame, probability: float,
+                       id_col: str = "event_id",
+                       group_col: str = "event_type") -> DataFrame:
+    """ES ``random_sampler`` aggregation (8.2+): sub-aggregations run
+    on a random subset of documents and doc counts are scaled back up
+    by 1/probability — the agg that makes exploratory aggs O(p·N).
+    ES gates each doc on a hash of its id given a seed; the
+    deterministic twin here gates on the Knuth-style multiplicative
+    mix ``(id·SAMPLER_MIX) mod 2^32 < floor(p·2^32)`` — the same
+    inclusion law, reproducible bit-for-bit in any engine (the seed
+    is the constant). ES pins probability ∈ (0, 0.5] ∪ {1}; same
+    check here.
+
+    Per group the sampled count, the ES-scaled estimate
+    ``floor(n/p + 0.5)`` (ONE float division of an exact integer —
+    deterministic), and the µu-exact sampled mean of ``value``.
+    Scale shape: the gate is a pure narrow filter on the scan (p·N
+    rows survive into ONE map-side-combinable agg) — exactly why ES
+    built the agg."""
+    from engine.portable import round_half_up
+
+    if not (0.0 < probability <= 0.5 or probability == 1.0):
+        raise ValueError("random_sampler probability must be in "
+                         "(0, 0.5] or exactly 1 (the ES contract)")
+    lim = int(probability * 4294967296)
+    h = (F.col(id_col) * F.lit(SAMPLER_MIX)) % F.lit(4294967296)
+    s = events.where(h < F.lit(lim))
+    v_mu = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    n = F.count(F.lit(1)).cast("long")
+    return (s.groupBy(group_col)
+            .agg(n.alias("n_sampled"),
+                 F.floor(n.cast("double") / F.lit(float(probability))
+                         + F.lit(0.5)).cast("long").alias("n_est"),
+                 round_half_up(F.sum(v_mu) / n / F.lit(1e6), 4)
+                 .alias("avg_value")))
+
+
+def random_sampler_sql(table_expr: str, probability: float,
+                       id_col: str = "event_id",
+                       group_col: str = "event_type") -> str:
+    """DuckDB twin of :func:`random_sampler_agg`."""
+    from engine.portable import round_half_up_sql
+
+    lim = int(probability * 4294967296)
+    gate = f"((({id_col}) * {SAMPLER_MIX}) % 4294967296) < {lim}"
+    avg = round_half_up_sql(
+        "sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))::DOUBLE "
+        "/ count(*) / 1e6", 4)
+    return (f"SELECT {group_col}, count(*)::BIGINT AS n_sampled, "
+            f"CAST(floor(count(*)::DOUBLE / CAST({probability!r} AS "
+            f"DOUBLE) + 0.5) AS BIGINT) AS n_est, "
+            f"{avg} AS avg_value "
+            f"FROM {table_expr} WHERE {gate} GROUP BY 1")

@@ -1374,3 +1374,117 @@ def rate_agg(events: DataFrame, window: str = "1 hour",
         round_half_up(F.col("total_value") * ratio, 6)
         .alias("value_rate"))
         .orderBy("window_start", "event_type"))
+
+
+def bucket_correlation(events: DataFrame,
+                       window: str = "1 hour") -> DataFrame:
+    """ES ``bucket_correlation`` pipeline aggregation (the
+    ``count_correlation`` function) over the hourly date_histogram:
+    per event_type, the Pearson correlation between the bucket-count
+    series and an indicator series. The deterministic reading pinned
+    here uses the bucket INDEX ramp (0, 1, 2, …) as the indicator —
+    i.e. the time-trend correlation of the count series, the agg's
+    canonical use (ES docs correlate counts against a supplied
+    indicator array; a ramp is that array).
+
+    Determinism (the integer recipe): counts and ramp indices are
+    exact int64, so every Pearson moment (Σn, Σt, Σnt, Σn², Σt², k)
+    accumulates EXACTLY in whole-stage codegen — sum order cannot
+    matter; r = (kΣnt − ΣnΣt) / sqrt((kΣn²−(Σn)²)(kΣt²−(Σt)²)) is
+    then ONE float expression over exact integers (identical IEEE
+    ops in both engines), rounded 6 dp. Bounds: with B buckets and
+    N events per series, Σnt ≤ N·B and the variance products stay
+    < 2^53 up to N·B ≈ 9e15 — petabyte-safe for hourly buckets.
+    Zero-variance series (constant counts or a single bucket) emit
+    NULL r, the ES "undefined correlation" contract.
+
+    Scale shape: a SECOND pass over bucket results (|buckets| window
+    rows, event-volume-independent), like every sibling pipeline agg
+    here. Reference scope: the ES agg family shipped by the Lucene
+    stack the reference wraps (GROUP_12 SearchFiles.java:1)."""
+    from .portable import round_half_up
+
+    base = windowed_event_counts(events, window)
+    w = Window.partitionBy("event_type").orderBy("window_start")
+    t = (F.row_number().over(w) - F.lit(1)).cast("long")
+    b = base.select("event_type", F.col("n").cast("long").alias("n"),
+                    t.alias("t"))
+    agg = (b.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("k"),
+                F.sum("n").alias("sn"), F.sum("t").alias("st"),
+                F.sum(F.col("n") * F.col("t")).alias("snt"),
+                F.sum(F.col("n") * F.col("n")).alias("snn"),
+                F.sum(F.col("t") * F.col("t")).alias("stt")))
+    cov = (F.col("k") * F.col("snt") - F.col("sn") * F.col("st"))
+    vn = (F.col("k") * F.col("snn") - F.col("sn") * F.col("sn"))
+    vt = (F.col("k") * F.col("stt") - F.col("st") * F.col("st"))
+    r = F.when((vn > 0) & (vt > 0),
+               round_half_up(
+                   cov.cast("double")
+                   / F.sqrt(vn.cast("double") * vt.cast("double")), 6))
+    return (agg.select("event_type", "k", r.alias("r"))
+            .orderBy("event_type"))
+
+
+def change_point_agg(events: DataFrame,
+                     window: str = "1 hour") -> DataFrame:
+    """ES ``change_point`` sibling pipeline aggregation over the
+    hourly count series: per event_type, the bucket where the mean
+    level shifts most — the deterministic subset pinned here is the
+    step_change detector, scored by the between-group sum of squares
+    at every candidate split k of the B buckets:
+
+        score(k) = (S_k·(B−k) − (S−S_k)·k)² / (B · k · (B−k))
+
+    which is algebraically k(B−k)/B · (mean_left − mean_right)² with
+    S_k the prefix count sum — the classic CUSUM/ANOVA statistic.
+    (ES's full agg adds p-values and spike/dip/trend classes from an
+    ML model; the argmax location + score is the deterministic core,
+    the same honest-subset reading as categorize_text.)
+
+    Determinism: S_k and the score's NUMERATOR root are exact int64
+    window/prefix sums (|num| ≤ S·B — petabyte-safe to ~9e18); the
+    score is ONE multiply + ONE divide of exactly-representable
+    integers (identical IEEE rounding both engines), rounded 6 dp
+    BEFORE the argmax, ties broken on the earliest bucket. A
+    single-bucket series emits no row (no split exists); two buckets
+    admit exactly the k=1 split.
+
+    Scale shape: second pass over bucket results — the prefix sums
+    are one window pass over |buckets| rows and the argmax is a
+    TakeOrderedAndProject-class per-series rank, all independent of
+    event volume."""
+    from .portable import round_half_up
+
+    base = windowed_event_counts(events, window)
+    w = Window.partitionBy("event_type").orderBy("window_start")
+    tot = Window.partitionBy("event_type")
+    b = (base.select("event_type", "window_start",
+                     F.col("n").cast("long").alias("n"))
+         .withColumn("k", F.row_number().over(w).cast("long"))
+         .withColumn("sk", F.sum("n").over(w))
+         .withColumn("B", F.count(F.lit(1)).over(tot))
+         .withColumn("S", F.sum("n").over(tot)))
+    # split BEFORE bucket k+1: candidates k = 1 .. B-1
+    cand = b.where(F.col("k") < F.col("B"))
+    num = (F.col("sk") * (F.col("B") - F.col("k"))
+           - (F.col("S") - F.col("sk")) * F.col("k"))
+    den = (F.col("B") * F.col("k") * (F.col("B") - F.col("k")))
+    score = round_half_up(
+        num.cast("double") * num.cast("double") / den.cast("double"), 6)
+    scored = cand.withColumn("score", score)
+    pick = Window.partitionBy("event_type").orderBy(
+        F.desc("score"), F.asc("k"))
+    m1 = F.col("sk").cast("double") / F.col("k").cast("double")
+    m2 = ((F.col("S") - F.col("sk")).cast("double")
+          / (F.col("B") - F.col("k")).cast("double"))
+    return (scored.withColumn("rn", F.row_number().over(pick))
+            .where(F.col("rn") == 1)
+            .select("event_type",
+                    F.col("k").alias("split_after"),
+                    F.col("window_start").alias("change_at"),
+                    "score",
+                    round_half_up(m1, 6).alias("mean_before"),
+                    round_half_up(m2, 6).alias("mean_after"),
+                    F.lit("step_change").alias("type"))
+            .orderBy("event_type"))
