@@ -132,6 +132,16 @@ GEOTILE_ZOOM = 5
 # parity branch genuinely bites, not just the bbox.
 GEO_POLYGON_M = [(0, 0), (40000, 60000), (80000, 0), (40000, 20000)]
 
+# geo_shape (envelope relations): per-event rectangles with WIDELY
+# varying half-extents (200..36199 × 200..20199 millideg) so every
+# relation has satisfying docs against the fixed query envelope at
+# sf0.01 — intersects 510, within 20, contains 13, disjoint 9,490
+# (distribution probed per the threshold-picking lesson; within needs
+# small doc boxes inside Q, contains needs huge ones around it).
+GEO_ENV_Q = (0, 36000, 0, 24000)         # (qx1, qx2, qy1, qy2)
+GEO_ENV_DW_MOD = 36000
+GEO_ENV_DH_MOD = 20000
+
 # geo_line: size placed INSIDE the sf0.01 group-size band
 # (1981..2017 events per event_type) so BOTH output branches bite at
 # the driver scale: purchase/view (≤1982) come back complete=true,
@@ -3148,6 +3158,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ip_range_agg(ev, IP_RANGES)
         return out.orderBy("key")
 
+    def geo_shape_relations(spark, sf_dir):
+        """ES geo_shape query (envelope vs envelope), all four
+        spatial relations in ONE conditional-agg pass: count + min
+        matching event_id per relation; every relation genuinely
+        bites at sf0.01 (engine/geo.py geo_shape_counts)."""
+        from engine import geo
+
+        out = geo.geo_shape_counts(_events_geo(spark, sf_dir),
+                                   GEO_ENV_Q, GEO_ENV_DW_MOD,
+                                   GEO_ENV_DH_MOD)
+        return out.orderBy("relation")
+
     def random_sampler_counts(spark, sf_dir):
         """ES random_sampler agg (8.2+): hash-gated deterministic
         sample (p=0.35), per-type sampled count, 1/p-scaled estimate
@@ -3330,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # random_sampler / bucket_correlation / change_point — same
         # rotation rule, three more r4-green entries slide to the
         # tail.
+        "geo_shape_relations": geo_shape_relations,
         "random_sampler_counts": random_sampler_counts,
         "bucket_trend_corr": bucket_trend_corr,
         "change_points": change_points,
@@ -7478,6 +7501,9 @@ SELECT event_type,
        count(*)::BIGINT AS n
 FROM q GROUP BY event_type
 """
+
+    sql["geo_shape_relations"] = _geo.geo_shape_counts_sql(
+        GEO_ENV_Q, GEO_ENV_DW_MOD, GEO_ENV_DH_MOD)
 
     _geom_cte = _geo.geo_m_sql_cte("events")
     _pip = _geo.point_in_polygon_m_sql("lat_m", "lon_m", GEO_POLYGON_M)

@@ -421,6 +421,128 @@ def geo_line(events: DataFrame, size: int,
                     (F.col("n_total") <= F.lit(size)).alias("complete")))
 
 
+ENVELOPE_RELATIONS = ("intersects", "within", "contains", "disjoint")
+
+
+def with_envelope(events: DataFrame, dw_mod: int,
+                  dh_mod: int) -> DataFrame:
+    """Attach a deterministic per-event RECTANGLE (ES ``envelope``
+    shape) in integer millidegrees: centered on the event point with
+    half-extents 200 + (event_id·31) mod dw_mod / 200 + (event_id·17)
+    mod dh_mod — widely varying sizes so every spatial relation has
+    satisfying docs. Columns (x1, x2, y1, y2), all int64."""
+    g = with_geo_m(events)
+    dw = (F.lit(200) + (F.col("event_id") * F.lit(31)) % F.lit(dw_mod))
+    dh = (F.lit(200) + (F.col("event_id") * F.lit(17)) % F.lit(dh_mod))
+    return (g.withColumn("x1", (F.col("lon_m") - dw).cast("long"))
+            .withColumn("x2", (F.col("lon_m") + dw).cast("long"))
+            .withColumn("y1", (F.col("lat_m") - dh).cast("long"))
+            .withColumn("y2", (F.col("lat_m") + dh).cast("long")))
+
+
+def envelope_sql_cte(dw_mod: int, dh_mod: int,
+                     table: str = "events") -> str:
+    """DuckDB CTE body mirroring :func:`with_envelope`."""
+    return (f"SELECT *, "
+            f"({_LON_M_EXPR} - (200 + (event_id * 31) % {dw_mod})) AS x1, "
+            f"({_LON_M_EXPR} + (200 + (event_id * 31) % {dw_mod})) AS x2, "
+            f"({_LAT_M_EXPR} - (200 + (event_id * 17) % {dh_mod})) AS y1, "
+            f"({_LAT_M_EXPR} + (200 + (event_id * 17) % {dh_mod})) AS y2 "
+            f"FROM {table}")
+
+
+def _envelope_relation(q: tuple[int, int, int, int],
+                       relation: str) -> Column:
+    """ES geo_shape spatial relation between the doc envelope
+    (x1..y2 columns) and the query envelope q = (qx1, qx2, qy1, qy2)
+    — pure int64 interval comparisons, the DE-9IM cases an envelope
+    pair can express. ES semantics: intersects = any shared point
+    (closed boxes, so touching edges intersect), within = doc ⊆ q,
+    contains = doc ⊇ q, disjoint = ¬intersects."""
+    qx1, qx2, qy1, qy2 = q
+    x1, x2 = F.col("x1"), F.col("x2")
+    y1, y2 = F.col("y1"), F.col("y2")
+    inter = ((x1 <= F.lit(qx2)) & (x2 >= F.lit(qx1))
+             & (y1 <= F.lit(qy2)) & (y2 >= F.lit(qy1)))
+    if relation == "intersects":
+        return inter
+    if relation == "disjoint":
+        return ~inter
+    if relation == "within":
+        return ((x1 >= F.lit(qx1)) & (x2 <= F.lit(qx2))
+                & (y1 >= F.lit(qy1)) & (y2 <= F.lit(qy2)))
+    if relation == "contains":
+        return ((x1 <= F.lit(qx1)) & (x2 >= F.lit(qx2))
+                & (y1 <= F.lit(qy1)) & (y2 >= F.lit(qy2)))
+    raise ValueError(f"unknown geo_shape relation {relation!r}")
+
+
+def _envelope_relation_sql(q: tuple[int, int, int, int],
+                           relation: str) -> str:
+    qx1, qx2, qy1, qy2 = q
+    inter = (f"(x1 <= {qx2} AND x2 >= {qx1} "
+             f"AND y1 <= {qy2} AND y2 >= {qy1})")
+    if relation == "intersects":
+        return inter
+    if relation == "disjoint":
+        return f"(NOT {inter})"
+    if relation == "within":
+        return (f"(x1 >= {qx1} AND x2 <= {qx2} "
+                f"AND y1 >= {qy1} AND y2 <= {qy2})")
+    if relation == "contains":
+        return (f"(x1 <= {qx1} AND x2 >= {qx2} "
+                f"AND y1 <= {qy1} AND y2 >= {qy2})")
+    raise ValueError(f"unknown geo_shape relation {relation!r}")
+
+
+def geo_shape_query(events: DataFrame, q: tuple[int, int, int, int],
+                    relation: str, dw_mod: int, dh_mod: int) -> DataFrame:
+    """ES ``geo_shape`` query (envelope vs envelope): the documents
+    whose shape stands in ``relation`` to the query envelope — a pure
+    narrow int64 filter, no shuffle. Reference scope: Lucene's
+    LatLonShape queries behind the reference's searcher stack
+    (GROUP_12 SearchFiles.java:1)."""
+    e = with_envelope(events, dw_mod, dh_mod)
+    return e.where(_envelope_relation(q, relation))
+
+
+def geo_shape_counts(events: DataFrame, q: tuple[int, int, int, int],
+                     dw_mod: int, dh_mod: int) -> DataFrame:
+    """All four geo_shape relations in ONE conditional-agg pass
+    (relations overlap by definition — within ⊆ intersects — so this
+    is the ip_range shape, not a group-by): per relation the doc
+    count and min matching event_id (a value probe beyond the bare
+    count)."""
+    e = with_envelope(events, dw_mod, dh_mod)
+    aggs, stack_args = [], []
+    for i, rel in enumerate(ENVELOPE_RELATIONS):
+        cond = _envelope_relation(q, rel)
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .cast("long").alias(f"n_{i}"))
+        aggs.append(F.min(F.when(cond, F.col("event_id")))
+                    .alias(f"f_{i}"))
+        stack_args.append(f"'{rel}', n_{i}, f_{i}")
+    wide = e.agg(*aggs)
+    return wide.selectExpr(
+        f"stack({len(ENVELOPE_RELATIONS)}, {', '.join(stack_args)}) "
+        f"AS (relation, n, first_id)")
+
+
+def geo_shape_counts_sql(q: tuple[int, int, int, int], dw_mod: int,
+                         dh_mod: int, table: str = "events") -> str:
+    """DuckDB twin of :func:`geo_shape_counts`."""
+    cte = envelope_sql_cte(dw_mod, dh_mod, table)
+    parts = []
+    for rel in ENVELOPE_RELATIONS:
+        cond = _envelope_relation_sql(q, rel)
+        parts.append(
+            f"SELECT '{rel}' AS relation, "
+            f"count(CASE WHEN {cond} THEN 1 END)::BIGINT AS n, "
+            f"min(CASE WHEN {cond} THEN event_id END)::BIGINT "
+            f"AS first_id FROM e")
+    return f"WITH e AS ({cte}) " + " UNION ALL ".join(parts)
+
+
 def geo_bounds_centroid(events: DataFrame) -> DataFrame:
     """ES geo_bounds + geo_centroid per event_type: bounding box
     corners (exact min/max) and the micro-unit-exact centroid."""

@@ -322,3 +322,73 @@ def test_geo_line_truncation_and_complete(spark):
          for r in geo.with_geo_m(ev).collect()}
     assert big["lons_m"] == [m[i][0] for i in want_ids]
     assert big["lats_m"] == [m[i][1] for i in want_ids]
+
+
+# ---------------------------------------------------------------------------
+# r5 closing wave: geo_shape envelope relations
+# ---------------------------------------------------------------------------
+
+Q_ENV = (2000, 30000, -10000, 14000)
+
+
+def test_geo_shape_relations_algebra(spark):
+    pts = _points(spark, 500).select("event_id", "event_type")
+    env = geo.with_envelope(pts, 36000, 20000)
+    rows = env.collect()
+    got = {}
+    for rel in geo.ENVELOPE_RELATIONS:
+        got[rel] = {r["event_id"] for r in geo.geo_shape_query(
+            pts, Q_ENV, rel, 36000, 20000).collect()}
+    # independent python reference
+    qx1, qx2, qy1, qy2 = Q_ENV
+    for r in rows:
+        x1, x2, y1, y2 = r["x1"], r["x2"], r["y1"], r["y2"]
+        inter = x1 <= qx2 and x2 >= qx1 and y1 <= qy2 and y2 >= qy1
+        assert (r["event_id"] in got["intersects"]) == inter
+        assert (r["event_id"] in got["disjoint"]) == (not inter)
+        assert (r["event_id"] in got["within"]) == (
+            x1 >= qx1 and x2 <= qx2 and y1 >= qy1 and y2 <= qy2)
+        assert (r["event_id"] in got["contains"]) == (
+            x1 <= qx1 and x2 >= qx2 and y1 <= qy1 and y2 >= qy2)
+    # relation algebra: within/contains imply intersects; disjoint is
+    # the exact complement; every relation non-empty on this fixture
+    assert got["within"] <= got["intersects"]
+    assert got["contains"] <= got["intersects"]
+    assert got["disjoint"] == {r["event_id"] for r in rows} - got["intersects"]
+    # 500 sparse global points rarely nest boxes — intersects/disjoint
+    # must bite here; the within/contains bite is pinned on hand-made
+    # envelopes below and on the sf0.01 entry fixture (20/13 docs)
+    assert got["intersects"] and got["disjoint"]
+
+
+def test_geo_shape_every_relation_bites_on_pinned_envelopes(spark):
+    # query envelope (0, 100, 0, 100); one doc box per relation class
+    docs = [(0, -50, 150, -50, 150),     # contains (superset)
+            (1, 20, 80, 20, 80),         # within (subset)
+            (2, 90, 200, 50, 60),        # intersects only (overlap)
+            (3, 300, 400, 300, 400),     # disjoint
+            (4, 100, 200, 100, 200)]     # touches corner: intersects
+    df = spark.createDataFrame(
+        docs, "event_id long, x1 long, x2 long, y1 long, y2 long")
+    q = (0, 100, 0, 100)
+    want = {"intersects": {0, 1, 2, 4}, "within": {1},
+            "contains": {0}, "disjoint": {3}}
+    for rel, ids in want.items():
+        got = {r["event_id"] for r in df.where(
+            geo._envelope_relation(q, rel)).collect()}
+        assert got == ids, rel
+
+
+def test_geo_shape_counts_one_pass(spark):
+    pts = _points(spark, 300).select("event_id", "event_type")
+    out = {r["relation"]: r for r in geo.geo_shape_counts(
+        pts, Q_ENV, 36000, 20000).collect()}
+    assert set(out) == set(geo.ENVELOPE_RELATIONS)
+    n = out["intersects"]["n"] + out["disjoint"]["n"]
+    assert n == 300                       # exact complement split
+    ids = {r["event_id"] for r in geo.geo_shape_query(
+        pts, Q_ENV, "within", 36000, 20000).collect()}
+    assert out["within"]["n"] == len(ids)
+    assert out["within"]["first_id"] == (min(ids) if ids else None)
+    with pytest.raises(ValueError):
+        geo.geo_shape_query(pts, Q_ENV, "crosses", 36000, 20000)

@@ -40,7 +40,8 @@ RED_FLAGS = ["CartesianProduct"]
 # single-table aggs/filters have NO join anywhere in the plan — a
 # missing Broadcast marker is the plan being right, not a gap; same
 # for full-corpus aggs whose scan has no filter to push
-JOINLESS_OK = {"geo_distance top-k (rounded haversine gate)",
+JOINLESS_OK = {"geo_shape relations (one conditional-agg pass)",
+               "geo_distance top-k (rounded haversine gate)",
                "geohash_grid (top-N cells, integer interleave)",
                "geo_polygon (int64 even-odd ray cast filter)",
                "ip_range agg (one conditional-agg pass + stack)",
@@ -501,6 +502,9 @@ def main() -> None:
     from engine.streaming import bucket_correlation, change_point_agg
     plans["random_sampler agg (hash-gated sample, scaled)"] = \
         random_sampler_agg(ev, em.RANDOM_SAMPLER_P)
+    plans["geo_shape relations (one conditional-agg pass)"] = \
+        geo_mod.geo_shape_counts(ev, em.GEO_ENV_Q, em.GEO_ENV_DW_MOD,
+                                 em.GEO_ENV_DH_MOD)
     plans["bucket_correlation (Pearson vs bucket-index ramp)"] = \
         bucket_correlation(ev)
     plans["change_point (max between-group SS split)"] = \
