@@ -71,6 +71,23 @@ def main() -> None:
         score_mode="sum", min_children=em.HAS_CHILD_MIN_CHILDREN,
         k=em.HAS_CHILD_K).count())
 
+    # ---- closing wave: polygon / line / shape / ip_range / ML aggs
+    from engine.pipeline.curation import ip_range_agg, random_sampler_agg
+    from engine.streaming import bucket_correlation, change_point_agg
+
+    bench("geo_polygon", lambda: geo.geo_polygon(
+        events, em.GEO_POLYGON_M).count())
+    bench("geo_line", lambda: geo.geo_line(
+        events, em.GEO_LINE_SIZE).count())
+    bench("geo_shape_counts", lambda: geo.geo_shape_counts(
+        events, em.GEO_ENV_Q, em.GEO_ENV_DW_MOD,
+        em.GEO_ENV_DH_MOD).count())
+    bench("ip_range", lambda: ip_range_agg(events, em.IP_RANGES).count())
+    bench("random_sampler", lambda: random_sampler_agg(
+        events, em.RANDOM_SAMPLER_P).count())
+    bench("bucket_correlation", lambda: bucket_correlation(events).count())
+    bench("change_point", lambda: change_point_agg(events).count())
+
     print(json.dumps({"metric": "r5late_total",
                       "value": round(sum(timings.values()), 3),
                       "unit": "sec", "queries": timings,
