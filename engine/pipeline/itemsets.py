@@ -57,6 +57,12 @@ def frequent_item_sets(docs: DataFrame, text_col: str = "text",
         f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x <> '')")
     d = docs.select(F.array_sort(F.array_distinct(toks)).alias("items"))
     d = d.where(F.size("items") > 0)
+    # every heavy frame here is consumed by driver-side collect()s and
+    # the returned DataFrame is rebuilt from driver rows (_rank), so
+    # cache + unpersist inside the call is safe and saves the 3-4
+    # re-tokenizations of the corpus the collect boundaries otherwise
+    # force (measured ~2 s of the sf0.1 path)
+    d = d.cache()
     n_docs = d.count()
     minsup = max(int(math.ceil(min_support * n_docs)), 1)
 
@@ -71,6 +77,7 @@ def frequent_item_sets(docs: DataFrame, text_col: str = "text",
     if min_set_size <= 1:
         out_rows += [(i, 1, l1[i]) for i in freq1]
     if not freq1 or max_set_size < 2:
+        d.unpersist()
         return _rank(docs.sparkSession, out_rows, _close1(out_rows, []),
                      top_n)
 
@@ -85,7 +92,8 @@ def frequent_item_sets(docs: DataFrame, text_col: str = "text",
     farr = F.array(*[F.lit(x) for x in freq1])
     fd = (d.select(F.array_intersect("items", farr).alias("fitems"))
           .where(F.size("fitems") >= 2)
-          .groupBy("fitems").agg(F.count(F.lit(1)).alias("w")))
+          .groupBy("fitems").agg(F.count(F.lit(1)).alias("w"))
+          .cache())
     pairs = fd.select(F.col("w"), F.explode(F.expr(
         "flatten(transform(fitems, (x, i) -> "
         "transform(slice(fitems, i + 2, size(fitems)), "
@@ -123,6 +131,8 @@ def frequent_item_sets(docs: DataFrame, text_col: str = "text",
               for r in l3_rows}
         out_rows += [(" ".join(t), 3, s) for t, s in l3.items()]
 
+    d.unpersist()
+    fd.unpersist()
     closed = _closed_keys(l1, l2, l3, min_set_size, max_set_size)
     out_rows = [r for r in out_rows if r[0] in closed]
     return _rank(docs.sparkSession, out_rows, closed, top_n)
