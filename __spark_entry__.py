@@ -175,6 +175,12 @@ IP_PREFIX_LEN = 8
 FIS_MIN_SUPPORT = 0.57
 FIS_TOPN = 450
 
+# ES terms agg missing/other (engine/pipeline/textstats.py): size=2
+# over the marker field's 4 buckets (customer 176 / stream 153 /
+# vector 151 / missing 20 at sf0.01) — missing bucket, size cut and
+# other-sum all bite.
+TERMS_OTHER_SIZE = 2
+
 # ES random_sampler (engine/pipeline/curation.py): p=0.35 keeps the
 # gate inside the ES-pinned (0, 0.5] band and passes ~3.5k of 10k
 # events at sf0.01 — both the include and the exclude branch bite.
@@ -3158,6 +3164,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ip_range_agg(ev, IP_RANGES)
         return out.orderBy("key")
 
+    def terms_with_other(spark, sf_dir):
+        """ES terms agg with the missing parameter + the
+        sum_other_doc_count response piece (sentinel '_other_' row):
+        size=2 over the 4-bucket marker field, so the missing bucket
+        materializes (20 docs), the size cut bites and the other sum
+        folds two buckets (171)
+        (engine/pipeline/textstats.py terms_agg_with_other)."""
+        from engine.pipeline.textstats import terms_agg_with_other
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.nullif(F.regexp_extract(
+                "text", MARKER_RE, 1), F.lit("")).alias("marker"))
+        out = terms_agg_with_other(docs, "marker",
+                                   size=TERMS_OTHER_SIZE)
+        return out.orderBy(F.asc_nulls_last("rank"), "key")
+
     def geo_shape_relations(spark, sf_dir):
         """ES geo_shape query (envelope vs envelope), all four
         spatial relations in ONE conditional-agg pass: count + min
@@ -3352,6 +3374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # random_sampler / bucket_correlation / change_point — same
         # rotation rule, three more r4-green entries slide to the
         # tail.
+        "terms_with_other": terms_with_other,
         "geo_shape_relations": geo_shape_relations,
         "random_sampler_counts": random_sampler_counts,
         "bucket_trend_corr": bucket_trend_corr,
@@ -7501,6 +7524,13 @@ SELECT event_type,
        count(*)::BIGINT AS n
 FROM q GROUP BY event_type
 """
+
+    from engine.pipeline.textstats import terms_agg_with_other_sql
+    sql["terms_with_other"] = terms_agg_with_other_sql(
+        "documents",
+        r"nullif(regexp_extract(text, '\b(customer|vector|stream)\b',"
+        r" 1), '')",
+        size=TERMS_OTHER_SIZE)
 
     sql["geo_shape_relations"] = _geo.geo_shape_counts_sql(
         GEO_ENV_Q, GEO_ENV_DW_MOD, GEO_ENV_DH_MOD)

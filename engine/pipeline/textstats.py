@@ -709,3 +709,59 @@ r AS (SELECT category, n_docs,
       FROM a)
 SELECT category, n_docs, rank FROM r WHERE rank <= {int(top_n)}
 """
+
+
+def terms_agg_with_other(df: DataFrame, field_col: str, size: int,
+                         missing: str = "(none)") -> DataFrame:
+    """ES ``terms`` aggregation with the two response pieces the
+    simpler facet entries skip: the ``missing`` parameter (NULL field
+    values become a named bucket competing like any other) and
+    ``sum_other_doc_count`` (docs in buckets beyond the ``size`` cut
+    — emitted here as a ``_other_`` sentinel row with NULL rank, the
+    value_count_missing _global-row convention). Single-engine exact,
+    so doc_count_error_upper_bound ≡ 0 and is omitted.
+
+    Plan: one map-side-combinable (key → count) agg; the size cut is
+    orderBy+limit = TakeOrderedAndProject (per-partition heap, never
+    a global window over all buckets — the top-k lesson), rank via
+    row_number over the ``size`` survivors, and the other-sum is
+    total − top-sum from two 1-row frames. Ties break (count desc,
+    key asc) — deterministic cross-engine. Reference scope: the ES
+    agg family of the Lucene stack the reference wraps (GROUP_12
+    SearchFiles.java:1)."""
+    g = df.select(F.coalesce(F.col(field_col), F.lit(missing))
+                  .alias("key"))
+    counts = g.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("key")).limit(size)
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    top = top.withColumn("rank", F.row_number().over(w))
+    total = g.agg(F.count(F.lit(1)).alias("t"))
+    topsum = top.agg(F.sum("n").alias("s"))
+    other = (total.crossJoin(topsum)
+             .select(F.lit("_other_").alias("key"),
+                     (F.col("t") - F.col("s")).cast("long").alias("n"),
+                     F.lit(None).cast("int").alias("rank")))
+    return (top.select("key", F.col("n").cast("long").alias("n"), "rank")
+            .unionAll(other))
+
+
+def terms_agg_with_other_sql(table_expr: str, field_expr: str,
+                             size: int,
+                             missing: str = "(none)") -> str:
+    """DuckDB twin of :func:`terms_agg_with_other`."""
+    return f"""
+WITH g AS (
+  SELECT coalesce(({field_expr}), '{missing}') AS key
+  FROM {table_expr}),
+c AS (SELECT key, count(*)::BIGINT AS n FROM g GROUP BY key),
+r AS (SELECT key, n,
+             row_number() OVER (ORDER BY n DESC, key ASC)::INT AS rank
+      FROM c),
+top AS (SELECT * FROM r WHERE rank <= {size})
+SELECT key, n, rank FROM top
+UNION ALL
+SELECT '_other_' AS key,
+       ((SELECT count(*) FROM g) - (SELECT sum(n) FROM top))::BIGINT
+         AS n,
+       NULL::INT AS rank
+"""

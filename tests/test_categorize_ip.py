@@ -109,3 +109,27 @@ def test_ip_range_overlap_and_open_ends(spark):
     # the overlapping range double-counts by design: bucket sums
     # exceed the event count (the reason this is NOT a group-by)
     assert sum(n for n, _u in got.values()) > len(rows)
+
+
+# ---------------------------------------------------------------------------
+# r5 closing wave: terms agg missing/other
+# ---------------------------------------------------------------------------
+
+def test_terms_agg_missing_and_other(spark):
+    from engine.pipeline.textstats import terms_agg_with_other
+
+    rows = [(1, "a"), (2, "a"), (3, "b"), (4, None), (5, None),
+            (6, None), (7, "c"), (8, "b"), (9, "a")]
+    df = spark.createDataFrame(rows, "id long, f string")
+    out = {r["key"]: r for r in
+           terms_agg_with_other(df, "f", size=2, missing="(none)")
+           .collect()}
+    # buckets: a=3, (none)=3, b=2, c=1 — tie a/(none) broken key asc
+    assert out["(none)"]["rank"] == 1 and out["(none)"]["n"] == 3
+    assert out["a"]["rank"] == 2 and out["a"]["n"] == 3
+    assert out["_other_"]["n"] == 3 and out["_other_"]["rank"] is None
+    assert set(out) == {"(none)", "a", "_other_"}
+    # size beyond cardinality: other bucket is exactly 0
+    out2 = {r["key"]: r for r in
+            terms_agg_with_other(df, "f", size=10).collect()}
+    assert out2["_other_"]["n"] == 0 and len(out2) == 5
