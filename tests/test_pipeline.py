@@ -782,3 +782,26 @@ def test_semdedup_pairs_and_keep(spark):
     got2 = {(r["vec_a"], r["vec_b"]) for r in
             similarity.semantic_near_dups(emb, tau, n_centroids=2).collect()}
     assert got2 <= want and (0, 12) in got2
+
+
+def test_minhash_transient_mode_equivalent_and_leak_free(docs):
+    """persist='transient' must return the identical pair set while
+    leaving NO persisted signature blocks behind (the gate entries'
+    mode: localCheckpoint the pair-sized result, unpersist the big
+    signature cache before returning)."""
+    base = {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+            for r in dedup.minhash_near_dups(
+                docs, threshold=0.5).collect()}
+    out = dedup.minhash_near_dups(docs, threshold=0.5,
+                                  persist="transient")
+    got = {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+           for r in out.collect()}
+    assert got == base
+    # the signature cache must already be unpersisted
+    assert not out._minhash_sigs.storageLevel.useMemory
+    assert not out._minhash_sigs.storageLevel.useDisk
+    kept = dedup.drop_near_dups(docs, threshold=0.5,
+                                persist="transient")
+    base_kept = dedup.drop_near_dups(docs, threshold=0.5)
+    assert ({r["doc_id"] for r in kept.collect()}
+            == {r["doc_id"] for r in base_kept.collect()})
