@@ -214,6 +214,102 @@ def _make_encode_fn(avgdl: float, k1: float, b: float, block_size: int,
     return encode_group
 
 
+def _encode_tf_arrow(tf: DataFrame, avgdl: float, k1: float, b: float,
+                     block_size: int, codec: str = "vb") -> DataFrame:
+    """Posting encode as ``mapInArrow`` over (term, salt)-clustered,
+    doc_id-sorted partitions — the batch-build replacement for the
+    per-group ``applyInPandas`` encode.
+
+    Why: the build's groups are tiny (≈18 postings each at bench
+    scale), so ``applyInPandas`` pays its per-group machinery (a key
+    tuple + a pandas DataFrame built and returned per group) tens of
+    thousands of times per bucket — the dominant cost of the postings
+    stage, not the encoding itself (guide §4.1: reach for mapInArrow
+    when volume is high). Here one Arrow batch covers thousands of
+    groups; group boundaries are found vectorized, and
+    :func:`encode_postings` is called on slices of the already-sorted
+    columns, so the blobs are bit-identical to the applyInPandas path
+    (regression-tested). Groups straddling Arrow batch boundaries are
+    carried forward; memory per task is bounded by one batch plus the
+    largest single group (≤ split_threshold postings by the head-term
+    salting).
+
+    The incremental paths (streaming delta writer, purge rewrite) keep
+    the applyInPandas form — their group counts are small.
+    """
+    clustered = (tf.select("bucket", "term", "salt", "doc_id", "tf", "dl")
+                 .repartition("term", "salt")
+                 .sortWithinPartitions("term", "salt", "doc_id"))
+
+    def enc_iter(batches):
+        import pyarrow as pa
+
+        schema = pa.schema([
+            ("term", pa.string()), ("salt", pa.int32()),
+            ("df_part", pa.int64()), ("blob", pa.binary()),
+            ("block_last", pa.list_(pa.int64())),
+            ("block_max_tf", pa.list_(pa.int32())),
+            ("block_max_w", pa.list_(pa.float64())),
+            ("block_off", pa.list_(pa.int64())),
+            ("bucket", pa.int32()),
+        ])
+        carry: dict | None = None
+
+        def cols_of(batch):
+            return {
+                "term": batch.column("term").to_numpy(zero_copy_only=False),
+                "salt": batch.column("salt").to_numpy(zero_copy_only=False),
+                "doc_id": batch.column("doc_id").to_numpy(
+                    zero_copy_only=False),
+                "tf": batch.column("tf").to_numpy(zero_copy_only=False),
+                "dl": batch.column("dl").to_numpy(zero_copy_only=False),
+                "bucket": batch.column("bucket").to_numpy(
+                    zero_copy_only=False),
+            }
+
+        def encode_groups(c, starts, ends):
+            out = {k: [] for k in ("term", "salt", "df_part", "blob",
+                                   "block_last", "block_max_tf",
+                                   "block_max_w", "block_off", "bucket")}
+            for s, e in zip(starts, ends):
+                blob, last, mtf, mw, off = encode_postings(
+                    c["doc_id"][s:e], c["tf"][s:e], c["dl"][s:e],
+                    avgdl, k1, b, block_size, codec)
+                out["term"].append(c["term"][s])
+                out["salt"].append(int(c["salt"][s]))
+                out["df_part"].append(int(e - s))
+                out["blob"].append(blob)
+                out["block_last"].append(last.tolist())
+                out["block_max_tf"].append(mtf.tolist())
+                out["block_max_w"].append(mw.tolist())
+                out["block_off"].append(off.tolist())
+                out["bucket"].append(int(c["bucket"][s]))
+            return pa.RecordBatch.from_pydict(out, schema=schema)
+
+        for batch in batches:
+            c = cols_of(batch)
+            if carry is not None:
+                c = {k: np.concatenate([carry[k], c[k]]) for k in c}
+            n = len(c["term"])
+            if n == 0:
+                continue
+            chg = np.flatnonzero(
+                (c["term"][1:] != c["term"][:-1])
+                | (c["salt"][1:] != c["salt"][:-1])) + 1
+            starts = np.concatenate(([0], chg))
+            # the final group may continue in the next batch — carry it
+            carry = {k: v[starts[-1]:] for k, v in c.items()}
+            starts = starts[:-1]
+            if starts.size:
+                ends = np.concatenate((starts[1:], [int(
+                    len(c["term"]) - len(carry["term"]))]))
+                yield encode_groups(c, starts, ends)
+        if carry is not None and len(carry["term"]):
+            yield encode_groups(carry, [0], [len(carry["term"])])
+
+    return clustered.mapInArrow(enc_iter, schema=_ENC_SCHEMA)
+
+
 def plan_missing_buckets(spark: SparkSession, index_dir: str,
                          n_buckets: int) -> list[int]:
     """Lineage anti-join: buckets with no 'done' manifest row."""
@@ -266,6 +362,17 @@ def build_index(
     # ---- stage 1: docs table (doc_id + sha) -------------------------------
     if not _exists(spark, p["docs"]):
         docs = assign_doc_ids(corpus, n_doc_buckets)
+        # un-collapse the doc-id window's partitioning before the sha2
+        # pass + write (few doc buckets ⇒ few partitions — the round-3
+        # single-partition-window pitfall); also spreads docs/ across
+        # enough files that later scans of it parallelize without help.
+        # Gated on the bucket-count hint, not fan_out's partition probe:
+        # probing (.rdd) a post-exchange AQE plan materializes its
+        # upstream stages eagerly. A derived bucket count is ≥ 32 and
+        # grows with the corpus, so at scale this is a no-op.
+        par = spark.sparkContext.defaultParallelism
+        if (n_doc_buckets if n_doc_buckets is not None else 32) < par:
+            docs = docs.repartition(par)
         docs = (
             docs.withColumn("sha", F.sha2(F.col("content"), 256))
             .select("doc_id", "docno", "repo", "path", "commit", "lang",
@@ -295,7 +402,12 @@ def build_index(
             tokens = tok(F.col("content"))
         else:
             tokens = tokens_col(F.col("content"), ascii_fold=ascii_fold)
-        toks = (docs
+        from .session import fan_out
+
+        # the tokenize+explode map side dominates the stage (r6: 6-8 s
+        # of a ~10 s build at sf1.0) — never let it serialize on a
+        # handful of input splits
+        toks = (fan_out(docs)
                 .select("doc_id", tokens.alias("tokens"))
                 .select("doc_id",
                         F.size("tokens").cast("long").alias("dl"),
@@ -367,14 +479,12 @@ def build_index(
     metrics["buckets_resumed"] = n_buckets - len(missing)
     if missing:
         step = chunk_size or len(missing)
-        enc_fn = _make_encode_fn(stats["avgdl"], k1, b, block_size,
-                                 stats.get("codec", "vb"))
         tf_all = spark.read.parquet(p["tf"])
         for ci in range(0, len(missing), step):
             chunk = missing[ci:ci + step]
             part = tf_all.where(F.col("bucket").isin(chunk))
-            enc = part.groupBy("bucket", "term", "salt").applyInPandas(
-                enc_fn, schema=_ENC_SCHEMA)
+            enc = _encode_tf_arrow(part, stats["avgdl"], k1, b,
+                                   block_size, stats.get("codec", "vb"))
             (enc.write.partitionBy("bucket").mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .parquet(p["postings"]))

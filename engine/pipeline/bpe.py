@@ -152,7 +152,9 @@ def merge_pair_col(syms_col: Column, left: str, right: str) -> Column:
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over the corpus with the raw (stopword-keeping,
     unstemmed) analyzer — the single O(corpus) stage."""
-    return (docs
+    from engine.session import fan_out
+
+    return (fan_out(docs)
             .select(F.explode(
                 tokens_col(F.col(text_col), keep_stopwords=True))
                 .alias("word"))
@@ -338,7 +340,9 @@ def bpe_encode(docs: DataFrame, merges, *, text_col: str = "text",
 
         return word_lists.map(enc_doc)
 
-    return docs.withColumn(
+    from engine.session import fan_out
+
+    return fan_out(docs).withColumn(
         "tokens",
         _enc(tokens_col(F.col(text_col), keep_stopwords=True)))
 

@@ -100,9 +100,23 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
         F.array_min(F.transform(F.col("hs"), _family(i)))
         for i in range(n_hashes)
     ])
-    return (docs.select(F.col(id_col).alias("doc_id"),
-                        sh.alias("shingles"))
-            .where(F.size("shingles") > 0)
+    from engine.session import fan_out
+
+    # the shingle+md5+16-min map side is the pipeline's dominant cost
+    # and must not serialize on a one-row-group input (r6 measurement:
+    # 11.6 s single-task at sf1.0). Two parts to that:
+    # * fan_out parallelizes the projection;
+    # * the non-empty filter must NOT mention the shingle column — the
+    #   optimizer pushes the filter below the exchange, duplicating
+    #   the entire shingle expression onto the single scan task (r6
+    #   plan audit: the pushed Filter node carried the full
+    #   zip_with/array_distinct tree). size(tokens) >= k is exactly
+    #   equivalent (a k-shingle exists iff the doc has >= k tokens)
+    #   and cheap enough to evaluate scan-side.
+    return (fan_out(docs)
+            .where(F.size(_tokens(F.col(text_col))) >= shingle_k)
+            .select(F.col(id_col).alias("doc_id"),
+                    sh.alias("shingles"))
             .withColumn("hs", base)
             .withColumn("sig", sig)
             .drop("hs"))
@@ -213,9 +227,12 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     One aggregation with ``bits`` conditional sums per (doc, term) row —
     NOT an explode of bit positions: the explode variant multiplied the
     shuffle by ``bits`` (32×) for identical results (VERDICT r01)."""
+    from engine.session import fan_out
+
     toks = _tokens(F.col(text_col))
-    tf = (docs.select(F.col(id_col).alias("doc_id"),
-                      F.explode(toks).alias("term"))
+    tf = (fan_out(docs)
+          .select(F.col(id_col).alias("doc_id"),
+                  F.explode(toks).alias("term"))
           .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
           .withColumn("h", _hash32(F.col("term"))))
     bit_sums = [
@@ -253,8 +270,11 @@ def ngram_jaccard_consecutive(docs: DataFrame, text_col: str = "text",
     """Exact n-gram Jaccard for the deterministic pair set
     (doc_id, doc_id+1) — a bounded, oracle-checkable slice of exact
     pairwise similarity. Returns (doc_a, doc_b, jaccard)."""
-    sh = docs.select(F.col(id_col).alias("doc_id"),
-                     shingles_col(F.col(text_col), shingle_k).alias("shingles"))
+    from engine.session import fan_out
+
+    sh = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(F.col(text_col), shingle_k).alias("shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"),
                   F.col("shingles").alias("sh_a"))
     b = sh.select((F.col("doc_id") - 1).alias("doc_a"),
@@ -357,7 +377,9 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
 
     from .curation import ngrams_col
 
-    toks = docs.select(id_col, _tokens(F.col(text_col)).alias("t"))
+    from engine.session import fan_out
+
+    toks = fan_out(docs).select(id_col, _tokens(F.col(text_col)).alias("t"))
     # materialize the gram array BEFORE size/posexplode (builder
     # pattern: a combined select re-plants the construction above the
     # Generate — CLAUDE.md round-3 pitfall)

@@ -50,10 +50,17 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     post-filtered (and possibly short) page of the unfiltered top-k.
     Queries need not pass the filter themselves.
     """
+    from engine.session import fan_out
+
+    # query side reads the raw scan (5-ish rows to broadcast — paying
+    # the fan-out shuffle to extract them would be pure overhead); the
+    # scored big side fans out so the dot-product pass parallelizes
     base = emb.select(F.col(id_col).alias("vec_id"),
                       _as_double(F.col(vec_col)).alias("v"))
     q = (base.where(F.col("vec_id").isin(query_ids))
          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    base = fan_out(emb).select(F.col(id_col).alias("vec_id"),
+                               _as_double(F.col(vec_col)).alias("v"))
     if allowed is not None:
         base = base.join(allowed.select(F.col(id_col).alias("vec_id")),
                          "vec_id", "left_semi")

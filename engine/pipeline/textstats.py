@@ -96,9 +96,11 @@ def quality_scores(docs: DataFrame, text_col: str = "text",
     quality = 0.4·clamp(stopword_ratio/0.4) + 0.3·(1−clamp(punct_ratio/0.3))
             + 0.3·clamp(mean_token_len/8)
     """
+    from engine.session import fan_out
+
     c = F.col(text_col)
     sw, pr, mean_len, q = _quality_cols(c)
-    return docs.select(
+    return fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         round_half_up(sw, 6).alias("stopword_ratio"),
         round_half_up(pr, 6).alias("punct_ratio"),
@@ -111,8 +113,10 @@ def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Stopword-overlap language ID: (doc_id, lang_guess, lang_score).
     Ties broken by language code ascending (deterministic)."""
+    from engine.session import fan_out
+
     guess, best_score = _lang_cols(F.col(text_col))
-    return docs.select(F.col(id_col).alias("doc_id"),
+    return fan_out(docs).select(F.col(id_col).alias("doc_id"),
                        guess.alias("lang_guess"),
                        round_half_up(best_score, 6).alias("lang_score"))
 
@@ -509,6 +513,9 @@ def nb_classifier(docs: DataFrame, positive_col: str,
 
     Returns (doc_id, n_tokens, score, pred).
     """
+    from engine.session import fan_out
+
+    docs = fan_out(docs)   # the tokenize passes below must not serialize
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        F.col(positive_col).cast("boolean").alias("y"),
                        F.explode_outer(_alnum_tokens(F.col(text_col)))
@@ -609,9 +616,12 @@ def lm_cross_entropy(docs: DataFrame, ref_col: str,
         F.slice(F.col("toks"), 1, size - 1),
         F.slice(F.col("toks"), 2, size - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
-    toked = docs.select(F.col(id_col).alias("doc_id"),
-                        F.col(ref_col).cast("boolean").alias("is_ref"),
-                        _alnum_tokens(F.col(text_col)).alias("toks"))
+    from engine.session import fan_out
+
+    toked = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ref_col).cast("boolean").alias("is_ref"),
+        _alnum_tokens(F.col(text_col)).alias("toks"))
     base = toked.select("doc_id", "is_ref", big.alias("bigrams"))
     ref_bi = (base.where("is_ref")
               .select(F.explode("bigrams").alias("b"))

@@ -4040,6 +4040,16 @@ def rank_feature_topk(index: Index, query_terms: QueryTerms, k: int,
             .orderBy("qid", "rank"))
 
 
+@F.pandas_udf(T.MapType(T.StringType(), T.LongType()))
+def _char_hist_udf(texts: pd.Series) -> pd.Series:
+    """Per-value character histogram (codepoint counts) — the Arrow
+    replacement for explode(split(content, '')): one map per value
+    instead of one row per character."""
+    from collections import Counter
+
+    return texts.map(lambda s: dict(Counter(s)) if s is not None else {})
+
+
 def string_stats_agg(index: Index,
                      queries: Sequence[tuple[str, Sequence[str]]]
                      ) -> DataFrame:
@@ -4070,22 +4080,36 @@ def string_stats_agg(index: Index,
     SearchFiles.java:1).
     """
     from .portable import round_half_up
+    from .session import fan_out
 
     hits = _matched_hits(index, queries)
     docs = index.docs.select(
-        "doc_id", F.col("content"),
-        F.length("content").cast("long").alias("nc"))
+        "doc_id", F.length("content").cast("long").alias("nc"))
     rows = hits.join(docs, "doc_id")
     lens = (rows.groupBy("qid")
             .agg(F.count(F.lit(1)).cast("long").alias("count"),
                  F.min("nc").alias("min_length"),
                  F.max("nc").alias("max_length"),
                  F.sum("nc").alias("tot")))
-    chars = (rows.select("qid", F.explode(F.split("content", ""))
-                         .alias("ch"))
-             .where(F.length("ch") > 0)
+    # character counts via a per-doc Arrow-batched histogram rather
+    # than exploding one row per character of every (qid, doc) pair:
+    # the explode was O(Σ_q matched chars) rows through a shuffle —
+    # the round-6 profile's 5.8 s of a 6.6 s query at sf1.0, with docs
+    # matching ~4.6 queries each re-counted per query. Counting each
+    # matched doc ONCE and summing the narrow (doc_id, ch, c) rows per
+    # query is count-identical (integer counts), so entropy/avg are
+    # bitwise unchanged. Counter iterates codepoints exactly like the
+    # JVM's regex-based split("").
+    md = hits.select("doc_id").distinct()
+    src = (fan_out(index.docs.select("doc_id", "content"))
+           .join(md, "doc_id", "left_semi"))
+    # builder pattern: materialize the UDF column in its own select,
+    # explode in the next (CLAUDE.md round-3 Generate pitfall)
+    h = src.select("doc_id", _char_hist_udf("content").alias("h"))
+    hist = h.select("doc_id", F.explode("h").alias("ch", "c"))
+    chars = (hits.join(hist, "doc_id")
              .groupBy("qid", "ch")
-             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+             .agg(F.sum("c").alias("c")))
     tot = chars.groupBy("qid").agg(F.sum("c").alias("totc"))
     p = F.col("c").cast("double") / F.col("totc").cast("double")
     term = -(p * F.log2(p))
