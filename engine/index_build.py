@@ -89,7 +89,16 @@ def assign_doc_ids(corpus: DataFrame,
         n = corpus.count()
         n_doc_buckets = max(32, -(-n // DOCS_PER_ID_BUCKET))
     b = F.pmod(F.xxhash64("repo", "path"), F.lit(n_doc_buckets)).alias("_b")
-    df = corpus.withColumn("_b", b)
+    # the id-assigning window runs over the NARROW (bucket, repo, path)
+    # projection only — the window's exchange + per-bucket sort then
+    # move a few dozen bytes per row instead of the document payload
+    # (guide §8: decide with small rows, move big rows once; r6 — the
+    # old form sorted full content rows inside the window task). The
+    # content is re-attached by an equi-join on the natural key, which
+    # AQE broadcasts whenever the id table fits (always at bench
+    # scale) and otherwise costs the one content shuffle the window
+    # itself used to pay, minus the content sort.
+    keys = corpus.select("repo", "path").withColumn("_b", b)
     if n_doc_buckets == 1:
         # single-bucket fast path (tiny corpora / oracle-comparable
         # bench indexes): every row lands in bucket 0 with offset 0, so
@@ -100,28 +109,27 @@ def assign_doc_ids(corpus: DataFrame,
         # single physical type whatever the bucket count, or appends
         # from one path poison a table built by the other (mixed
         # parquet physical types fail at scan time)
-        return (df.withColumn("doc_id",
-                              (F.row_number().over(w1) - 1).cast("long"))
-                .drop("_b")
-                .withColumn("docno", F.concat_ws("/", "repo", "path")))
-    counts = df.groupBy("_b").count().collect()
-    by_bucket = {int(r["_b"]): int(r["count"]) for r in counts}
-    offsets, acc = {}, 0
-    for k in sorted(by_bucket):
-        offsets[k] = acc
-        acc += by_bucket[k]
-    spark = corpus.sparkSession
-    off_df = F.broadcast(spark.createDataFrame(
-        [(k, v) for k, v in offsets.items()], "_b long, _off long"))
-    w = Window.partitionBy("_b").orderBy("repo", "path")
-    return (
-        df.join(off_df, "_b")
-        .withColumn("doc_id",
-                    (F.col("_off") + F.row_number().over(w) - 1)
-                    .cast("long"))
-        .drop("_b", "_off")
-        .withColumn("docno", F.concat_ws("/", "repo", "path"))
-    )
+        ids = (keys.withColumn("doc_id",
+                               (F.row_number().over(w1) - 1).cast("long"))
+               .drop("_b"))
+    else:
+        counts = keys.groupBy("_b").count().collect()
+        by_bucket = {int(r["_b"]): int(r["count"]) for r in counts}
+        offsets, acc = {}, 0
+        for k in sorted(by_bucket):
+            offsets[k] = acc
+            acc += by_bucket[k]
+        spark = corpus.sparkSession
+        off_df = F.broadcast(spark.createDataFrame(
+            [(k, v) for k, v in offsets.items()], "_b long, _off long"))
+        w = Window.partitionBy("_b").orderBy("repo", "path")
+        ids = (keys.join(off_df, "_b")
+               .withColumn("doc_id",
+                           (F.col("_off") + F.row_number().over(w) - 1)
+                           .cast("long"))
+               .drop("_b", "_off"))
+    return (corpus.join(ids, ["repo", "path"])
+            .withColumn("docno", F.concat_ws("/", "repo", "path")))
 
 
 # ---------------------------------------------------------------------------

@@ -4082,7 +4082,15 @@ def string_stats_agg(index: Index,
     from .portable import round_half_up
     from .session import fan_out
 
-    hits = _matched_hits(index, queries)
+    # hits feeds THREE branches (lens, the distinct-doc histogram
+    # pruning, the per-query char sum); after column pruning the three
+    # subtrees no longer canonicalize equal, so nothing is reused and
+    # the decode+explode+distinct ran once per branch (r6 plan audit:
+    # 4 copies of the subtree, ReusedExchange: 0). One eager
+    # localCheckpoint of the narrow (qid, doc_id) set bounds it to one
+    # execution; blocks are pair-set sized and die with the RDD (the
+    # dedup persist='transient' precedent).
+    hits = _matched_hits(index, queries).localCheckpoint(eager=True)
     docs = index.docs.select(
         "doc_id", F.length("content").cast("long").alias("nc"))
     rows = hits.join(docs, "doc_id")
