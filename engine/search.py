@@ -105,15 +105,30 @@ class Index:
                 "ascii_fold": bool(self.stats.get("ascii_fold"))}
 
     def df_map(self, terms: Sequence[str]) -> dict[str, int]:
-        """Driver-side df lookup for a small term set (bucket-pruned)."""
+        """Driver-side df lookup for a small term set (bucket-pruned),
+        memoized per Index handle — the Lucene term-dictionary-in-heap
+        analog (r6). Negative lookups are cached too, so repeated
+        queries over the same vocabulary never re-scan the dictionary.
+        Consistent with the handle's snapshot semantics: ``stats``,
+        ``termstats``'s file listing and ``n_tombstones`` are equally
+        frozen at construction; lifecycle ops hand out a fresh Index."""
         if not terms:
             return {}
-        buckets = self.term_buckets(terms)
-        rows = (self.termstats
-                .where(F.col("bucket").isin(buckets))
-                .where(F.col("term").isin(list(set(terms))))
-                .select("term", "df").collect())
-        return {r["term"]: int(r["df"]) for r in rows}
+        if not hasattr(self, "_df_memo"):
+            self._df_memo: dict[str, int | None] = {}
+        want = set(terms)
+        missing = [t for t in want if t not in self._df_memo]
+        if missing:
+            buckets = self.term_buckets(missing)
+            rows = (self.termstats
+                    .where(F.col("bucket").isin(buckets))
+                    .where(F.col("term").isin(missing))
+                    .select("term", "df").collect())
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_memo[t] = found.get(t)
+        return {t: v for t in want
+                if (v := self._df_memo[t]) is not None}
 
     def ctf_map(self, terms: Sequence[str]) -> dict[str, int]:
         """Driver-side collection-term-frequency lookup (Σ tf over all
@@ -169,6 +184,38 @@ def _matched_postings(index: Index, query_terms: QueryTerms) -> DataFrame:
             .join(F.broadcast(qt), "term"))
 
 
+def _decoded_rows_with_df(index: Index,
+                          query_terms: QueryTerms) -> DataFrame:
+    """The exhaustive scorers' shared front half: bucket-pruned
+    postings ⨝ broadcast query terms → vectorized decode → explode,
+    with ``df`` riding the query-terms broadcast from the driver-side
+    memoized dictionary lookup (r6) instead of a per-query termstats
+    scan + second broadcast join — one less job and one less exchange
+    per query. Terms absent from the dictionary have no postings, so
+    their df=0 placeholder rows join nothing (exactly what the old
+    inner join against termstats produced). liveDocs NOT applied —
+    callers decide (LMD needs collection stats before masking)."""
+    dfm = index.df_map(sorted({t for _, t, _ in query_terms}))
+    qt = index.spark.createDataFrame(
+        [(q, t, float(w), int(dfm.get(t, 0)))
+         for q, t, w in query_terms],
+        "qid string, term string, weight double, df long")
+    buckets = index.term_buckets([t for _, t, _ in query_terms])
+    matched = (index.postings
+               .where(F.col("bucket").isin(buckets))
+               .join(F.broadcast(qt), "term"))
+    dec = matched.withColumn("d", decode_udf("blob"))
+    return dec.select(
+        "qid", "term", "weight", "df",
+        F.explode(F.arrays_zip("d.doc_ids", "d.tfs", "d.dls")).alias("e"),
+    ).select(
+        "qid", "term", "weight", "df",
+        F.col("e.doc_ids").alias("doc_id"),
+        F.col("e.tfs").alias("tf"),
+        F.col("e.dls").alias("dl"),
+    )
+
+
 def score_exhaustive(index: Index, query_terms: QueryTerms,
                      k: int | None,
                      include_docno: bool = False,
@@ -195,22 +242,7 @@ def score_exhaustive(index: Index, query_terms: QueryTerms,
     norm component of the engine-vs-Lucene score delta.
     Returns (qid, doc_id, score, rank) ordered by qid, rank.
     """
-    matched = _matched_postings(index, query_terms)
-    dec = matched.withColumn("d", decode_udf("blob"))
-    rows = dec.select(
-        "qid", "term", "weight",
-        F.explode(F.arrays_zip("d.doc_ids", "d.tfs", "d.dls")).alias("e"),
-    ).select(
-        "qid", "term", "weight",
-        F.col("e.doc_ids").alias("doc_id"),
-        F.col("e.tfs").alias("tf"),
-        F.col("e.dls").alias("dl"),
-    )
-    rows = index.live(rows)
-    ts = index.termstats.select("term", "df")
-    rows = rows.join(F.broadcast(
-        ts.join(_query_df(index.spark, query_terms).select("term").distinct(),
-                "term")), "term")
+    rows = index.live(_decoded_rows_with_df(index, query_terms))
     if doc_filter is not None:
         rows = rows.join(doc_filter.select("doc_id").distinct(),
                          "doc_id", "left_semi")
@@ -365,22 +397,7 @@ def score_ib(index: Index, query_terms: QueryTerms, k: int,
     sum → per-query top-k window."""
     from .scoring import IB_C, ib_col
 
-    matched = _matched_postings(index, query_terms)
-    dec = matched.withColumn("d", decode_udf("blob"))
-    rows = dec.select(
-        "qid", "term", "weight",
-        F.explode(F.arrays_zip("d.doc_ids", "d.tfs", "d.dls")).alias("e"),
-    ).select(
-        "qid", "term", "weight",
-        F.col("e.doc_ids").alias("doc_id"),
-        F.col("e.tfs").alias("tf"),
-        F.col("e.dls").alias("dl"),
-    )
-    rows = index.live(rows)
-    ts = index.termstats.select("term", "df")
-    rows = rows.join(F.broadcast(
-        ts.join(_query_df(index.spark, query_terms).select("term").distinct(),
-                "term")), "term")
+    rows = index.live(_decoded_rows_with_df(index, query_terms))
     scored = rows.withColumn(
         "pscore",
         F.col("weight") * ib_col(F.col("tf"), F.col("df"), F.col("dl"),
