@@ -441,16 +441,31 @@ def build_index(
                         .cast("int"))
             .select("bucket", "term", "salt", "doc_id", "tf", "dl")
         )
-        tf.write.mode("overwrite").partitionBy("bucket").parquet(p["tf"])
-        write_sorted_termstats(
-            dfstats.withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-                .cast("int")),
-            p["termstats"], n_buckets)
-        # total-token count off the still-persisted aggregate: saves
-        # stage 3 a re-read of the tf parquet it just wrote
-        _fresh_tokens = int(
-            tf_agg.agg(F.sum("tf")).collect()[0][0] or 0)
+        # the three consumers of the persisted aggregate are
+        # independent jobs — overlap them so the tails of one back-fill
+        # the executors of the others (guide §2.6); BlockManager's
+        # per-block locks make the concurrent first-touch of the cache
+        # compute each partition once
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_tf = pool.submit(
+                lambda: tf.write.mode("overwrite")
+                .partitionBy("bucket").parquet(p["tf"]))
+            f_ts = pool.submit(
+                write_sorted_termstats,
+                dfstats.withColumn(
+                    "bucket", F.pmod(F.xxhash64("term"),
+                                     F.lit(n_buckets)).cast("int")),
+                p["termstats"], n_buckets)
+            # total-token count off the still-persisted aggregate:
+            # saves stage 3 a re-read of the tf parquet it just wrote
+            f_sum = pool.submit(
+                lambda: int(tf_agg.agg(F.sum("tf")).collect()[0][0]
+                            or 0))
+            f_tf.result()
+            f_ts.result()
+            _fresh_tokens = f_sum.result()
         tf_agg.unpersist()
     else:
         metrics["resumed_stages"].append("tf")
@@ -479,7 +494,11 @@ def build_index(
             .toDF("stats_json").write.mode("overwrite").parquet(p["stats"])
     else:
         metrics["resumed_stages"].append("stats")
-    stats = load_stats(spark, index_dir)
+        stats = None
+    if stats is None:
+        # resumed: recover the frozen stats from disk; a fresh build
+        # just wrote the dict it already holds (skip the read-back job)
+        stats = load_stats(spark, index_dir)
     t_stats = time.time()
 
     # ---- stage 4: postings encode, chunked + manifested (checkpoint 2) ----

@@ -4132,9 +4132,37 @@ def string_stats_agg(index: Index,
     # explode in the next (CLAUDE.md round-3 Generate pitfall)
     h = src.select("doc_id", _char_hist_udf("content").alias("h"))
     hist = h.select("doc_id", F.explode("h").alias("ch", "c"))
-    chars = (hits.join(hist, "doc_id")
-             .groupBy("qid", "ch")
-             .agg(F.sum("c").alias("c")))
+    qids = [q for q, _ in queries]
+    if len(qids) <= 32 and all("'" not in q and "\\" not in q
+                               for q in qids):
+        # small query batches (the serving norm): pivot the per-query
+        # membership into |queries| boolean columns on the per-doc
+        # histogram rows and take conditional sums keyed by ch ALONE —
+        # the (doc_id, ch) rows cross the plan once instead of once
+        # per matching query (the hits⨝hist join multiplied them by
+        # ~4.6 at bench scale), and the agg key space collapses from
+        # |queries|×|alphabet| to |alphabet| with map-side combine.
+        # Conditional sums of the same integer counts ⇒ identical
+        # (qid, ch, c) rows (NULL-sum rows are pairs the join never
+        # produced).
+        flags = hits.groupBy("doc_id").agg(
+            *[F.max(F.when(F.col("qid") == q, F.lit(True)))
+              .alias(f"_m{i}") for i, q in enumerate(qids)])
+        per_ch = (hist.join(flags, "doc_id")
+                  .groupBy("ch")
+                  .agg(*[F.sum(F.when(F.col(f"_m{i}"), F.col("c")))
+                         .alias(f"_c{i}") for i in range(len(qids))]))
+        stack = "stack({n}, {args}) as (qid, c)".format(
+            n=len(qids),
+            args=", ".join(f"'{q}', _c{i}"
+                           for i, q in enumerate(qids)))
+        chars = (per_ch.select("ch", F.expr(stack))
+                 .where(F.col("c").isNotNull())
+                 .select("qid", "ch", "c"))
+    else:
+        chars = (hits.join(hist, "doc_id")
+                 .groupBy("qid", "ch")
+                 .agg(F.sum("c").alias("c")))
     tot = chars.groupBy("qid").agg(F.sum("c").alias("totc"))
     p = F.col("c").cast("double") / F.col("totc").cast("double")
     term = -(p * F.log2(p))
