@@ -512,30 +512,68 @@ def build_index(
             part = tf_all.where(F.col("bucket").isin(chunk))
             enc = _encode_tf_arrow(part, stats["avgdl"], k1, b,
                                    block_size, stats.get("codec", "vb"))
+            # lineage manifest aggregates ride the write job itself via
+            # Dataset.observe (r6): the old read-back re-scanned the
+            # postings just written — including every blob byte for the
+            # size sum, i.e. a full re-read of the index — purely to
+            # build |chunk| manifest rows. Per-bucket conditional
+            # aggregates as observed metrics see exactly the rows the
+            # write commits (accumulator updates from failed/duplicate
+            # task attempts are not applied) at zero extra passes.
+            # Very large chunks fall back to the read-back rather than
+            # plant 5·|chunk| metric expressions in the plan.
+            from pyspark.sql import Observation
+
+            obs = Observation() if len(chunk) <= 64 else None
+            if obs is not None:
+                exprs = []
+                for bkt in chunk:
+                    cond = F.col("bucket") == bkt
+                    exprs += [
+                        F.count(F.when(cond, 1)).alias(f"t{bkt}"),
+                        F.sum(F.when(cond, F.col("df_part")))
+                        .alias(f"p{bkt}"),
+                        F.sum(F.when(cond, F.length("blob")))
+                        .alias(f"b{bkt}"),
+                        F.min(F.when(cond, F.col("term")))
+                        .alias(f"lo{bkt}"),
+                        F.max(F.when(cond, F.col("term")))
+                        .alias(f"hi{bkt}"),
+                    ]
+                enc = enc.observe(obs, *exprs)
             (enc.write.partitionBy("bucket").mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .parquet(p["postings"]))
-            # lineage manifest rows for every bucket in the chunk
-            written = (spark.read.parquet(p["postings"])
-                       .where(F.col("bucket").isin(chunk))
-                       .groupBy("bucket").agg(
-                           F.count(F.lit(1)).alias("n_terms"),
-                           F.sum("df_part").alias("n_postings"),
-                           F.sum(F.length("blob")).alias("bytes"),
-                           F.min("term").alias("term_min"),
-                           F.max("term").alias("term_max"),
-                       ).collect())
-            by_b = {int(r["bucket"]): r for r in written}
             rows = []
-            for bkt in chunk:
-                r = by_b.get(bkt)
-                rows.append((bkt,
-                             int(r["n_terms"]) if r else 0,
-                             int(r["n_postings"]) if r else 0,
-                             int(r["bytes"]) if r else 0,
-                             r["term_min"] if r else None,
-                             r["term_max"] if r else None,
-                             ci // step, "done"))
+            if obs is not None:
+                m = obs.get
+                for bkt in chunk:
+                    rows.append((bkt,
+                                 int(m[f"t{bkt}"] or 0),
+                                 int(m[f"p{bkt}"] or 0),
+                                 int(m[f"b{bkt}"] or 0),
+                                 m[f"lo{bkt}"], m[f"hi{bkt}"],
+                                 ci // step, "done"))
+            else:
+                written = (spark.read.parquet(p["postings"])
+                           .where(F.col("bucket").isin(chunk))
+                           .groupBy("bucket").agg(
+                               F.count(F.lit(1)).alias("n_terms"),
+                               F.sum("df_part").alias("n_postings"),
+                               F.sum(F.length("blob")).alias("bytes"),
+                               F.min("term").alias("term_min"),
+                               F.max("term").alias("term_max"),
+                           ).collect())
+                by_b = {int(r["bucket"]): r for r in written}
+                for bkt in chunk:
+                    r = by_b.get(bkt)
+                    rows.append((bkt,
+                                 int(r["n_terms"]) if r else 0,
+                                 int(r["n_postings"]) if r else 0,
+                                 int(r["bytes"]) if r else 0,
+                                 r["term_min"] if r else None,
+                                 r["term_max"] if r else None,
+                                 ci // step, "done"))
             spark.createDataFrame(rows, _manifest_schema()) \
                 .write.mode("append").parquet(p["manifest"])
     t_post = time.time()

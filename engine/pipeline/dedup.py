@@ -76,6 +76,23 @@ def _mh_b(i: int) -> int:
     return 7919 * i
 
 
+def _shingle_table(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", shingle_k: int = 3
+                   ) -> DataFrame:
+    """(doc_id, shingles) with the signature pipeline's exact filter
+    and shingle expression — the verify stage's payload source (r6:
+    recomputing this narrow map pass is cheaper than building and
+    caching a columnar array<string> cache of it; see
+    minhash_near_dups)."""
+    from engine.session import fan_out
+
+    return (fan_out(docs)
+            .where(F.size(_tokens(F.col(text_col))) >= shingle_k)
+            .select(F.col(id_col).alias("doc_id"),
+                    shingles_col(F.col(text_col), shingle_k)
+                    .alias("shingles")))
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 16,
                        shingle_k: int = 3) -> DataFrame:
@@ -181,35 +198,54 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text",
     signature subtree per consumer is O(6×) wasted work. At 100 TB this
     persist becomes a parquet checkpoint of the signature table.
 
+    What gets cached (r6): only the NARROW (doc_id, sig) projection —
+    16 longs per doc — ever enters the cache. The verify stage's
+    shingle arrays come from a fresh :func:`_shingle_table` map pass
+    instead of the cached signature table: building Spark's columnar
+    cache over the array<string> shingle column cost more than the
+    whole signature computation (measured r6 at 50 k docs: full-table
+    persist 7.4 s vs 5.0 s for sig-only persist + shingle recompute,
+    identical pair set — the guide §5 point that caching is only worth
+    it when recomputing is more expensive than the memory pressure,
+    applied column by column).
+
     ``persist`` modes:
 
-    * ``True`` — persist; the handle is exposed as
-      ``out._minhash_sigs`` so a long-lived caller can ``unpersist()``
-      after materializing the result (otherwise each invocation leaks
-      cached blocks until the session ends). NB: the attribute lives
-      on the RETURNED DataFrame object only — any further
-      transformation drops it.
-    * ``"transient"`` — persist the signatures, EAGERLY
+    * ``True`` — persist the narrow signature table; the handle is
+      exposed as ``out._minhash_sigs`` so a long-lived caller can
+      ``unpersist()`` after materializing the result (otherwise each
+      invocation leaks cached blocks until the session ends). NB: the
+      attribute lives on the RETURNED DataFrame object only — any
+      further transformation drops it.
+    * ``"transient"`` — persist the narrow signatures, EAGERLY
       ``localCheckpoint`` the verified pairs (the result is pair-sized,
       orders of magnitude smaller than the signature table), and
       unpersist the signatures before returning: persisted-path speed
-      with nothing left referencing the big cache — the mode for
+      with nothing left referencing the cache — the mode for
       callers that cannot keep the cleanup handle (the oracle-gate
       entries measured 30 s → 3 s-class at sf0.1 vs persist=False).
       Local-checkpoint blocks are executor-lifetime-unreliable, which
       a single-session gate/bench run is fine with.
-    * ``False`` — no caching at all: every consumer recomputes the
-      signature subtree (the leak-proof worst case)."""
-    sigs = minhash_signatures(docs, text_col, id_col, n_hashes,
-                              shingle_k)
-    if persist:
-        sigs = sigs.persist()
-    pairs = lsh_candidate_pairs(sigs, bands, n_hashes // bands)
-    out = jaccard_verify(sigs, pairs, threshold)
+    * ``False`` — no caching at all: the ORIGINAL single-subtree
+      pipeline, every consumer recomputing the signature subtree (the
+      leak-proof worst case)."""
+    if not persist:
+        sigs = minhash_signatures(docs, text_col, id_col, n_hashes,
+                                  shingle_k)
+        pairs = lsh_candidate_pairs(sigs, bands, n_hashes // bands)
+        out = jaccard_verify(sigs, pairs, threshold)
+        out._minhash_sigs = sigs
+        return out
+    sig_small = (minhash_signatures(docs, text_col, id_col, n_hashes,
+                                    shingle_k)
+                 .select("doc_id", "sig").persist())
+    pairs = lsh_candidate_pairs(sig_small, bands, n_hashes // bands)
+    sh = _shingle_table(docs, text_col, id_col, shingle_k)
+    out = jaccard_verify(sh, pairs, threshold)
     if persist == "transient":
         out = out.localCheckpoint(eager=True)
-        sigs.unpersist()
-    out._minhash_sigs = sigs  # cleanup handle for long-lived sessions
+        sig_small.unpersist()
+    out._minhash_sigs = sig_small  # cleanup handle for long sessions
     return out
 
 

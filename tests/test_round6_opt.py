@@ -119,6 +119,37 @@ def test_char_hist_udf_matches_split_explode(spark):
     assert o == n
 
 
+def test_minhash_narrow_persist_equivalence(spark):
+    """The r6 sig-only-persist pipeline (persist=True / 'transient':
+    narrow (doc_id, sig) cache + fresh shingle pass for verify) must
+    produce the same verified pair set as the original single-subtree
+    pipeline (persist=False)."""
+    from engine.pipeline import dedup
+
+    rows = []
+    words = ["al", "be", "ga", "de", "ep", "ze", "et", "th"]
+    for i in range(60):
+        txt = " ".join(words[(i + j) % 8] for j in range(6 + i % 5))
+        rows.append((i, txt))
+    # exact and near dups
+    rows.append((60, rows[3][1]))
+    rows.append((61, rows[7][1] + " extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairset(df):
+        return {(r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+                for r in df.collect()}
+
+    base = pairset(dedup.minhash_near_dups(docs, threshold=0.3,
+                                           persist=False))
+    new = dedup.minhash_near_dups(docs, threshold=0.3, persist=True)
+    assert pairset(new) == base
+    new._minhash_sigs.unpersist()
+    tr = dedup.minhash_near_dups(docs, threshold=0.3,
+                                 persist="transient")
+    assert pairset(tr) == base
+
+
 def test_fan_out_repartitions_only_when_needed(spark):
     few = spark.createDataFrame([(i,) for i in range(100)], "x long") \
         .coalesce(1)
