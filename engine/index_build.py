@@ -490,11 +490,22 @@ def build_index(
             "k1": k1, "b": b, "stem": stem, "stemmer": stemmer,
             "ascii_fold": ascii_fold,
         }
-        spark.createDataFrame([json.dumps(stats)], "string") \
-            .toDF("stats_json").write.mode("overwrite").parquet(p["stats"])
+        # the stats WRITE leaves the critical path (r6, guide §2.6):
+        # stage 4 needs the VALUES (in hand), not the file, and a crash
+        # before the write commits simply re-runs this stage on resume
+        # (idempotent overwrite; plan_missing_buckets still skips any
+        # manifested buckets). Joined right after stage 4's jobs.
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        _stats_pool = _TPE(max_workers=1)
+        _stats_f = _stats_pool.submit(
+            lambda: spark.createDataFrame([json.dumps(stats)], "string")
+            .toDF("stats_json").write.mode("overwrite")
+            .parquet(p["stats"]))
     else:
         metrics["resumed_stages"].append("stats")
         stats = None
+        _stats_f = _stats_pool = None
     if stats is None:
         # resumed: recover the frozen stats from disk; a fresh build
         # just wrote the dict it already holds (skip the read-back job)
@@ -504,6 +515,7 @@ def build_index(
     # ---- stage 4: postings encode, chunked + manifested (checkpoint 2) ----
     missing = plan_missing_buckets(spark, index_dir, n_buckets)
     metrics["buckets_resumed"] = n_buckets - len(missing)
+    fresh_rows: list[tuple] = []
     if missing:
         step = chunk_size or len(missing)
         tf_all = spark.read.parquet(p["tf"])
@@ -576,10 +588,23 @@ def build_index(
                                  ci // step, "done"))
             spark.createDataFrame(rows, _manifest_schema()) \
                 .write.mode("append").parquet(p["manifest"])
+            fresh_rows += rows
+    if _stats_f is not None:
+        _stats_f.result()   # surface a failed stats write loudly
+        _stats_pool.shutdown()
     t_post = time.time()
 
-    man = spark.read.parquet(p["manifest"])
-    tot = man.agg(F.sum("n_postings"), F.sum("bytes"), F.sum("n_terms")).collect()[0]
+    if metrics["buckets_resumed"] == 0 and len(fresh_rows) == n_buckets:
+        # fully fresh build: the totals are the rows just manifested —
+        # skip the manifest read-back job (r6). Any resumed bucket means
+        # prior rows exist on disk; aggregate those instead.
+        tot = (sum(r[2] for r in fresh_rows),
+               sum(r[3] for r in fresh_rows),
+               sum(r[1] for r in fresh_rows))
+    else:
+        man = spark.read.parquet(p["manifest"])
+        tot = man.agg(F.sum("n_postings"), F.sum("bytes"),
+                      F.sum("n_terms")).collect()[0]
     metrics.update({
         "n_docs": stats["n_docs"],
         "total_tokens": stats["total_tokens"],

@@ -177,14 +177,57 @@ def _query_df(spark: SparkSession, query_terms: QueryTerms) -> DataFrame:
         "qid string, term string, weight double")
 
 
+# Above this many (qid, term) tuples the literal-map attach falls back
+# to the broadcast join (a literal map rides the plan/task closure —
+# fine for interactive batches, wrong for a 3000-term expansion run).
+_LIT_QT_MAX = 256
+
+
+def _attach_terms_lit(post: DataFrame, by_term: dict[str, list[tuple]],
+                      fields: list[tuple[str, str]]) -> DataFrame | None:
+    """Attach per-term query tuples via a LITERAL map + explode instead
+    of a broadcast hash join (r6). The query side of Q4 is a handful of
+    rows; the broadcast exchange still costs a separate job (collect →
+    build relation → ship) of ~0.2-0.3 s on every fresh query plan. A
+    ``map<term, array<struct<fields>>>`` literal with
+    ``explode(element_at(map, term))`` is the same inner-join semantics
+    (absent term → NULL → explode drops the row; duplicate tuples per
+    term all emit) with zero extra jobs and zero exchanges. Returns
+    None when the batch exceeds ``_LIT_QT_MAX`` tuples — caller falls
+    back to the broadcast join.
+    """
+    n = sum(len(v) for v in by_term.values())
+    if not by_term or n > _LIT_QT_MAX:
+        return None
+    terms = sorted(by_term)
+    entries = [F.array(*[F.struct(*[F.lit(v).cast(ty).alias(nm)
+                                    for v, (nm, ty) in zip(tup, fields)])
+                         for tup in by_term[t]]) for t in terms]
+    m = F.map_from_arrays(F.array(*[F.lit(t) for t in terms]),
+                          F.array(*entries))
+    post = (post.where(F.col("term").isin(terms))
+            .withColumn("_q", F.explode(F.element_at(m, F.col("term")))))
+    for nm, _ in fields:
+        post = post.withColumn(nm, F.col(f"_q.{nm}"))
+    return post.drop("_q")
+
+
 def _matched_postings(index: Index, query_terms: QueryTerms) -> DataFrame:
-    """Postings rows for the query's terms, partition-pruned + broadcast
-    joined (SURVEY.md Q4: the tiny side is always the query)."""
-    qt = _query_df(index.spark, query_terms)
+    """Postings rows for the query's terms, partition-pruned, with the
+    query tuples attached by literal map (small batches — no broadcast
+    job) or broadcast join (SURVEY.md Q4: the tiny side is always the
+    query)."""
     buckets = index.term_buckets([t for _, t, _ in query_terms])
-    return (index.postings
-            .where(F.col("bucket").isin(buckets))
-            .join(F.broadcast(qt), "term"))
+    post = index.postings.where(F.col("bucket").isin(buckets))
+    by_term: dict[str, list[tuple]] = {}
+    for q, t, w in query_terms:
+        by_term.setdefault(t, []).append((q, float(w)))
+    lit = _attach_terms_lit(post, by_term,
+                            [("qid", "string"), ("weight", "double")])
+    if lit is not None:
+        return lit
+    qt = _query_df(index.spark, query_terms)
+    return post.join(F.broadcast(qt), "term")
 
 
 def _decoded_rows_with_df(index: Index,
@@ -199,14 +242,21 @@ def _decoded_rows_with_df(index: Index,
     inner join against termstats produced). liveDocs NOT applied —
     callers decide (LMD needs collection stats before masking)."""
     dfm = index.df_map(sorted({t for _, t, _ in query_terms}))
-    qt = index.spark.createDataFrame(
-        [(q, t, float(w), int(dfm.get(t, 0)))
-         for q, t, w in query_terms],
-        "qid string, term string, weight double, df long")
     buckets = index.term_buckets([t for _, t, _ in query_terms])
-    matched = (index.postings
-               .where(F.col("bucket").isin(buckets))
-               .join(F.broadcast(qt), "term"))
+    post = index.postings.where(F.col("bucket").isin(buckets))
+    by_term: dict[str, list[tuple]] = {}
+    for q, t, w in query_terms:
+        by_term.setdefault(t, []).append((q, float(w),
+                                          int(dfm.get(t, 0))))
+    matched = _attach_terms_lit(
+        post, by_term,
+        [("qid", "string"), ("weight", "double"), ("df", "long")])
+    if matched is None:
+        qt = index.spark.createDataFrame(
+            [(q, t, float(w), int(dfm.get(t, 0)))
+             for q, t, w in query_terms],
+            "qid string, term string, weight double, df long")
+        matched = post.join(F.broadcast(qt), "term")
     dec = matched.withColumn("d", decode_udf("blob"))
     return dec.select(
         "qid", "term", "weight", "df",
@@ -1567,15 +1617,24 @@ def _wand_sharded(index: Index, query_terms: QueryTerms, k: int,
     multi = [r for r in rows if s_q[r[0]] > 1]
     thetas = (_seed_thetas(index, multi, dfm, k, dead_b=dead_b)
               if multi else {})
-    qt = index.spark.createDataFrame(
-        [(q, t, wgt, kind, p1, p2, s_q[q], shard_rows_q[q])
-         for q, t, wgt, kind, p1, p2, _ in rows],
-        "qid string, term string, wgt double, kind int, p1 double, "
-        "p2 double, n_shards int, shard_rows long")
     buckets = index.term_buckets(terms)
-    matched = (index.postings
-               .where(F.col("bucket").isin(buckets))
-               .join(F.broadcast(qt), "term")
+    post = index.postings.where(F.col("bucket").isin(buckets))
+    by_term: dict[str, list[tuple]] = {}
+    for q, t, wgt, kind, p1, p2, _ in rows:
+        by_term.setdefault(t, []).append(
+            (q, wgt, kind, p1, p2, s_q[q], shard_rows_q[q]))
+    fields = [("qid", "string"), ("wgt", "double"), ("kind", "int"),
+              ("p1", "double"), ("p2", "double"), ("n_shards", "int"),
+              ("shard_rows", "long")]
+    matched = _attach_terms_lit(post, by_term, fields)
+    if matched is None:
+        qt = index.spark.createDataFrame(
+            [(q, t, wgt, kind, p1, p2, s_q[q], shard_rows_q[q])
+             for q, t, wgt, kind, p1, p2, _ in rows],
+            "qid string, term string, wgt double, kind int, p1 double, "
+            "p2 double, n_shards int, shard_rows long")
+        matched = post.join(F.broadcast(qt), "term")
+    matched = (matched
                .withColumn("role", F.lit(0))
                .withColumn("gid", F.lit(-1))
                .withColumn("n_must", F.lit(0))
