@@ -179,7 +179,8 @@ def fielded_topk_wand(field_indexes: Mapping[str, Index],
     matched = reduce(lambda a, b: a.unionByName(b), parts)
     # no cross-shard θ seed (a per-field seed would need per-field
     # floors); the kernel's local strongest-list seed still applies
-    out = _run_bmw(spark, matched, k, {}, dead_b, "topk", _WAND_SCHEMA)
+    out = _run_bmw(spark, matched, k, {}, dead_b, "topk", _WAND_SCHEMA,
+                   fused_single_shard=all(v == 1 for v in s_q.values()))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (out.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

