@@ -318,6 +318,77 @@ def _encode_tf_arrow(tf: DataFrame, avgdl: float, k1: float, b: float,
     return clustered.mapInArrow(enc_iter, schema=_ENC_SCHEMA)
 
 
+def _encode_and_manifest(spark: SparkSession, p: dict, part: DataFrame,
+                         chunk: list[int], chunk_id: int, avgdl: float,
+                         k1: float, b: float, block_size: int,
+                         codec: str) -> list[tuple]:
+    """Encode one chunk's tf rows, write the postings partitions, and
+    append the lineage manifest rows (returned for metric totals).
+
+    The manifest aggregates ride the write job itself via
+    Dataset.observe (r6): the old read-back re-scanned the postings
+    just written — including every blob byte for the size sum, i.e. a
+    full re-read of the index — purely to build |chunk| manifest rows.
+    Per-bucket conditional aggregates as observed metrics see exactly
+    the rows the write commits (accumulator updates from failed or
+    duplicate task attempts are not applied) at zero extra passes.
+    Very large chunks fall back to the read-back rather than plant
+    5·|chunk| metric expressions in the plan.
+    """
+    from pyspark.sql import Observation
+
+    enc = _encode_tf_arrow(part, avgdl, k1, b, block_size, codec)
+    obs = Observation() if len(chunk) <= 64 else None
+    if obs is not None:
+        exprs = []
+        for bkt in chunk:
+            cond = F.col("bucket") == bkt
+            exprs += [
+                F.count(F.when(cond, 1)).alias(f"t{bkt}"),
+                F.sum(F.when(cond, F.col("df_part"))).alias(f"p{bkt}"),
+                F.sum(F.when(cond, F.length("blob"))).alias(f"b{bkt}"),
+                F.min(F.when(cond, F.col("term"))).alias(f"lo{bkt}"),
+                F.max(F.when(cond, F.col("term"))).alias(f"hi{bkt}"),
+            ]
+        enc = enc.observe(obs, *exprs)
+    (enc.write.partitionBy("bucket").mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(p["postings"]))
+    rows: list[tuple] = []
+    if obs is not None:
+        m = obs.get
+        for bkt in chunk:
+            rows.append((bkt,
+                         int(m[f"t{bkt}"] or 0),
+                         int(m[f"p{bkt}"] or 0),
+                         int(m[f"b{bkt}"] or 0),
+                         m[f"lo{bkt}"], m[f"hi{bkt}"],
+                         chunk_id, "done"))
+    else:
+        written = (spark.read.parquet(p["postings"])
+                   .where(F.col("bucket").isin(chunk))
+                   .groupBy("bucket").agg(
+                       F.count(F.lit(1)).alias("n_terms"),
+                       F.sum("df_part").alias("n_postings"),
+                       F.sum(F.length("blob")).alias("bytes"),
+                       F.min("term").alias("term_min"),
+                       F.max("term").alias("term_max"),
+                   ).collect())
+        by_b = {int(r["bucket"]): r for r in written}
+        for bkt in chunk:
+            r = by_b.get(bkt)
+            rows.append((bkt,
+                         int(r["n_terms"]) if r else 0,
+                         int(r["n_postings"]) if r else 0,
+                         int(r["bytes"]) if r else 0,
+                         r["term_min"] if r else None,
+                         r["term_max"] if r else None,
+                         chunk_id, "done"))
+    spark.createDataFrame(rows, _manifest_schema()) \
+        .write.mode("append").parquet(p["manifest"])
+    return rows
+
+
 def plan_missing_buckets(spark: SparkSession, index_dir: str,
                          n_buckets: int) -> list[int]:
     """Lineage anti-join: buckets with no 'done' manifest row."""
@@ -441,14 +512,27 @@ def build_index(
                         .cast("int"))
             .select("bucket", "term", "salt", "doc_id", "tf", "dl")
         )
-        # the three consumers of the persisted aggregate are
-        # independent jobs — overlap them so the tails of one back-fill
-        # the executors of the others (guide §2.6); BlockManager's
+        # the consumers of the persisted aggregate are independent
+        # jobs — overlap them so the tails of one back-fill the
+        # executors of the others (guide §2.6); BlockManager's
         # per-block locks make the concurrent first-touch of the cache
-        # compute each partition once
+        # compute each partition once. On a fresh unchunked build the
+        # POSTINGS ENCODE joins the same pool (r6): it consumes
+        # exactly the rows the tf write persists, so it can encode
+        # from the in-memory aggregate — skipping the tf parquet
+        # re-read — while the tf/termstats writes drain. Crash safety
+        # is unchanged: a partial run re-enters stage 2 (idempotent
+        # overwrite of the SAME deterministic rows), and
+        # plan_missing_buckets still skips any manifested bucket.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        fuse_postings = (
+            chunk_size is None and not _exists(spark, p["stats"])
+            and len(plan_missing_buckets(spark, index_dir, n_buckets))
+            == n_buckets)
+        _fused_nd = None
+        _fused_rows: list[tuple] = []
+        with ThreadPoolExecutor(max_workers=4) as pool:
             f_tf = pool.submit(
                 lambda: tf.write.mode("overwrite")
                 .partitionBy("bucket").parquet(p["tf"]))
@@ -463,18 +547,31 @@ def build_index(
             f_sum = pool.submit(
                 lambda: int(tf_agg.agg(F.sum("tf")).collect()[0][0]
                             or 0))
+            f_enc = None
+            if fuse_postings:
+                def _enc_job():
+                    total = f_sum.result()
+                    nd = docs.count()
+                    return nd, _encode_and_manifest(
+                        spark, p, tf, list(range(n_buckets)), 0,
+                        total / max(nd, 1), k1, b, block_size, codec)
+                f_enc = pool.submit(_enc_job)
             f_tf.result()
             f_ts.result()
             _fresh_tokens = f_sum.result()
+            if f_enc is not None:
+                _fused_nd, _fused_rows = f_enc.result()
         tf_agg.unpersist()
     else:
         metrics["resumed_stages"].append("tf")
         _fresh_tokens = None
+        _fused_nd = None
+        _fused_rows = []
     t_tf = time.time()
 
     # ---- stage 3: global stats -------------------------------------------
     if not _exists(spark, p["stats"]):
-        n_docs = docs.count()
+        n_docs = _fused_nd if _fused_nd is not None else docs.count()
         if _fresh_tokens is not None:
             total_tokens = _fresh_tokens
         else:
@@ -513,82 +610,24 @@ def build_index(
     t_stats = time.time()
 
     # ---- stage 4: postings encode, chunked + manifested (checkpoint 2) ----
-    missing = plan_missing_buckets(spark, index_dir, n_buckets)
-    metrics["buckets_resumed"] = n_buckets - len(missing)
     fresh_rows: list[tuple] = []
-    if missing:
-        step = chunk_size or len(missing)
-        tf_all = spark.read.parquet(p["tf"])
-        for ci in range(0, len(missing), step):
-            chunk = missing[ci:ci + step]
-            part = tf_all.where(F.col("bucket").isin(chunk))
-            enc = _encode_tf_arrow(part, stats["avgdl"], k1, b,
-                                   block_size, stats.get("codec", "vb"))
-            # lineage manifest aggregates ride the write job itself via
-            # Dataset.observe (r6): the old read-back re-scanned the
-            # postings just written — including every blob byte for the
-            # size sum, i.e. a full re-read of the index — purely to
-            # build |chunk| manifest rows. Per-bucket conditional
-            # aggregates as observed metrics see exactly the rows the
-            # write commits (accumulator updates from failed/duplicate
-            # task attempts are not applied) at zero extra passes.
-            # Very large chunks fall back to the read-back rather than
-            # plant 5·|chunk| metric expressions in the plan.
-            from pyspark.sql import Observation
-
-            obs = Observation() if len(chunk) <= 64 else None
-            if obs is not None:
-                exprs = []
-                for bkt in chunk:
-                    cond = F.col("bucket") == bkt
-                    exprs += [
-                        F.count(F.when(cond, 1)).alias(f"t{bkt}"),
-                        F.sum(F.when(cond, F.col("df_part")))
-                        .alias(f"p{bkt}"),
-                        F.sum(F.when(cond, F.length("blob")))
-                        .alias(f"b{bkt}"),
-                        F.min(F.when(cond, F.col("term")))
-                        .alias(f"lo{bkt}"),
-                        F.max(F.when(cond, F.col("term")))
-                        .alias(f"hi{bkt}"),
-                    ]
-                enc = enc.observe(obs, *exprs)
-            (enc.write.partitionBy("bucket").mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .parquet(p["postings"]))
-            rows = []
-            if obs is not None:
-                m = obs.get
-                for bkt in chunk:
-                    rows.append((bkt,
-                                 int(m[f"t{bkt}"] or 0),
-                                 int(m[f"p{bkt}"] or 0),
-                                 int(m[f"b{bkt}"] or 0),
-                                 m[f"lo{bkt}"], m[f"hi{bkt}"],
-                                 ci // step, "done"))
-            else:
-                written = (spark.read.parquet(p["postings"])
-                           .where(F.col("bucket").isin(chunk))
-                           .groupBy("bucket").agg(
-                               F.count(F.lit(1)).alias("n_terms"),
-                               F.sum("df_part").alias("n_postings"),
-                               F.sum(F.length("blob")).alias("bytes"),
-                               F.min("term").alias("term_min"),
-                               F.max("term").alias("term_max"),
-                           ).collect())
-                by_b = {int(r["bucket"]): r for r in written}
-                for bkt in chunk:
-                    r = by_b.get(bkt)
-                    rows.append((bkt,
-                                 int(r["n_terms"]) if r else 0,
-                                 int(r["n_postings"]) if r else 0,
-                                 int(r["bytes"]) if r else 0,
-                                 r["term_min"] if r else None,
-                                 r["term_max"] if r else None,
-                                 ci // step, "done"))
-            spark.createDataFrame(rows, _manifest_schema()) \
-                .write.mode("append").parquet(p["manifest"])
-            fresh_rows += rows
+    if _fused_rows:
+        # the encode already ran inside stage 2's job pool (fresh
+        # unchunked build) — nothing left to plan
+        metrics["buckets_resumed"] = 0
+        fresh_rows = _fused_rows
+    else:
+        missing = plan_missing_buckets(spark, index_dir, n_buckets)
+        metrics["buckets_resumed"] = n_buckets - len(missing)
+        if missing:
+            step = chunk_size or len(missing)
+            tf_all = spark.read.parquet(p["tf"])
+            for ci in range(0, len(missing), step):
+                chunk = missing[ci:ci + step]
+                fresh_rows += _encode_and_manifest(
+                    spark, p, tf_all.where(F.col("bucket").isin(chunk)),
+                    chunk, ci // step, stats["avgdl"], k1, b,
+                    block_size, stats.get("codec", "vb"))
     if _stats_f is not None:
         _stats_f.result()   # surface a failed stats write loudly
         _stats_pool.shutdown()
