@@ -53,8 +53,18 @@ def main() -> None:
     from engine.pipeline import bpe, dedup, similarity, textstats
 
     dump("minhash_signatures", dedup.minhash_signatures(docs))
-    dump("minhash_near_dups",
-         dedup.minhash_near_dups(docs, threshold=0.3, persist=False))
+    # NB: the _before file was dumped with persist=False (old code:
+    # same subtree shape as persist=True minus the cache node); the
+    # _after uses the bench's persist=True so the narrow sig-only
+    # InMemoryRelation + fresh shingle subtree are visible.
+    mnd = dedup.minhash_near_dups(docs, threshold=0.3)
+    dump("minhash_near_dups", mnd)
+    if getattr(mnd, "_minhash_sigs", None) is not None:
+        mnd._minhash_sigs.unpersist()
+    from engine.search import boolean_and, scripted_metric_agg
+    dump("boolean_and", boolean_and(idx, entrymod.AND_QUERIES))
+    dump("scripted_metric", scripted_metric_agg(
+        idx, entrymod.BM25_QUERIES, "dl * nc", "avg", "state / 1000.0"))
     dump("simhash", dedup.simhash(docs))
     from engine.search import string_stats_agg
     dump("string_stats", string_stats_agg(idx, entrymod.BM25_QUERIES))
