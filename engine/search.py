@@ -1622,7 +1622,12 @@ def _run_bmw(spark, matched: DataFrame, k: int, thetas: dict,
                 cols["n_must"].append(int(pdf["n_must"].iloc[i]))
             spdf = pd.DataFrame(cols)
             if not len(spdf):
-                return pd.DataFrame({f.name: [] for f in schema.fields})
+                # dtype=object empties: a default float64 empty column
+                # can fail the Arrow cast to the declared schema (the
+                # CLAUDE.md round-5 applyInPandas pitfall)
+                return pd.DataFrame({
+                    f.name: pd.Series([], dtype=object)
+                    for f in schema.fields})
             return run_group(spdf)
 
         return matched.groupBy("qid").applyInPandas(
